@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Deduplication operators over `documents` (SURVEY.md §7.1 M6 / the
+  * training-data pipeline pack): exact hash dedup, word-3-gram Jaccard
+  * near-dup, and MinHash+LSH banding.
+  *
+  * Scale design: exact dedup is one hash-shuffle on the fingerprint.
+  * N-gram Jaccard is quadratic only WITHIN shingle buckets (the shingle
+  * self-join); MinHash/LSH reduces that to band-bucket joins — at 100 TB you
+  * run LSH first and feed only candidate pairs to the exact Jaccard
+  * verifier, which is precisely how the queries below compose.
+  *
+  * MinHash here is md5-based (min of md5(seed|shingle) hex strings): fully
+  * deterministic, engine-portable (DuckDB computes the identical signature),
+  * and requires no UDF — every step is a codegen'd builtin expression.
+  */
+object DedupOps {
+
+  private val nHashes = 8 // 4 bands × 2 rows
+
+  /** doc_id, s — distinct word-3-gram shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")).as("s"))
+      .distinct()
+
+  private val duckShingles =
+    """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
+            UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content hash, keep the lowest doc_id.
+    "q30_dedup_exact" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")
+    }),
+
+    // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
+    // → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.3.
+    "q34_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash + LSH: 8 md5-minhashes → 4 bands of 2 → candidate pairs that
+    // collide on any band.
+    "q35_minhash_lsh" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val sigAggs = (0 until nHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+      val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val banded = sig.select(
+        col("doc_id"),
+        md5(concat(col("h0"), col("h1"))).as("b0"),
+        md5(concat(col("h2"), col("h3"))).as("b1"),
+        md5(concat(col("h4"), col("h5"))).as("b2"),
+        md5(concat(col("h6"), col("h7"))).as("b3"))
+      val buckets = (0 until 4).map(i =>
+        banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
+        .reduce(_.unionByName(_))
+      buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash (16-bit, md5-nibble-derived) per document + near-dup pairs at
+    // hamming distance ≤ 2. bit_count is a builtin in both engines.
+    "q36_simhash" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h16", expr(
+          """(instr('0123456789abcdef', substr(md5(w),1,1))-1)*4096 +
+             (instr('0123456789abcdef', substr(md5(w),2,1))-1)*256 +
+             (instr('0123456789abcdef', substr(md5(w),3,1))-1)*16 +
+             (instr('0123456789abcdef', substr(md5(w),4,1))-1)"""))
+      val voteAggs = (0 until 16).map(b =>
+        sum(expr(s"CASE WHEN (h16 DIV ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"v$b"))
+      val votes = tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      val sim = votes.select(col("doc_id") +:
+        Seq(expr((0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString(" + ")).cast("long").as("simhash")): _*)
+      sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", expr("bit_count(CAST(a.simhash AS INT) ^ CAST(b.simhash AS INT))").cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  private val minhashAggs =
+    (0 until nHashes).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY h ORDER BY h""",
+
+    "q34_ngram_jaccard" ->
+      s"""WITH sh AS ($duckShingles),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, round(inter/(ca.n + cb.n - inter), 4) AS jacc
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE inter/(ca.n + cb.n - inter) >= 0.3
+         ORDER BY id_a, id_b""",
+
+    "q35_minhash_lsh" ->
+      s"""WITH sh AS ($duckShingles),
+         sig AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+         banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
+                           md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
+         buckets AS (
+           SELECT doc_id, 0 AS bi, b0 AS bk FROM banded
+           UNION ALL SELECT doc_id, 1, b1 FROM banded
+           UNION ALL SELECT doc_id, 2, b2 FROM banded
+           UNION ALL SELECT doc_id, 3, b3 FROM banded)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    "q36_simhash" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         hashed AS (
+           SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(w),1,1))-1)*4096 +
+             (strpos('0123456789abcdef', substr(md5(w),2,1))-1)*256 +
+             (strpos('0123456789abcdef', substr(md5(w),3,1))-1)*16 +
+             (strpos('0123456789abcdef', substr(md5(w),4,1))-1) AS h16
+           FROM tok),
+         votes AS (
+           SELECT doc_id,
+             ${(0 until 16).map(b => s"sum(CASE WHEN (h16 // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")}
+           FROM hashed GROUP BY doc_id),
+         sim AS (
+           SELECT doc_id,
+             CAST(${(0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+           FROM votes)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(CAST(a.simhash AS INTEGER), CAST(b.simhash AS INTEGER))) AS BIGINT) AS dist
+         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(CAST(a.simhash AS INTEGER), CAST(b.simhash AS INTEGER))) <= 2
+         ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token statistics, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column expressions (whole-stage codegen, no
+  * UDFs) — at 100 TB these run as a single narrow map stage over the scan,
+  * no shuffle except the final aggregations.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + distinct-token stats per document.
+    "q31_text_stats" -> ((s, d) => {
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: stopword-hit ratio (deterministic n-gram-free
+    // variant; the testdata text is synthetic so the score IS the output).
+    "q32_lang_score" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_stop", expr(s"size(filter(toks, x -> x IN ($stopList)))"))
+        .select(
+          col("doc_id"), col("lang"),
+          round(col("n_stop") / size(col("toks")), 4).as("stop_ratio"),
+          when(col("n_stop") / size(col("toks")) > 0.04, "en").otherwise("other").as("guess"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: md5 over a normalized form (lowercase, strip
+    // non-alphanumerics) — the canonical-form dedup key.
+    "q33_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/token heuristics → bucketed score.
+    "q38_quality_score" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("len", length(col("text")))
+        .withColumn("avg_wlen", (col("len") - col("n_tokens") + 1) / col("n_tokens"))
+        .withColumn("score",
+          least(lit(1.0), col("n_tokens") / 200.0) *
+            when(col("avg_wlen").between(2.5, 8.0), 1.0).otherwise(0.5))
+        .select(
+          col("doc_id"),
+          round(col("score"), 4).as("score"),
+          when(col("score") >= 0.75, "high")
+            .when(col("score") >= 0.35, "mid")
+            .otherwise("low").as("bucket"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q31_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+         FROM documents ORDER BY doc_id""",
+
+    "q32_lang_score" ->
+      s"""SELECT doc_id, lang,
+         round(CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopList))) AS BIGINT)
+               / CAST(len(string_split(text,' ')) AS BIGINT), 4) AS stop_ratio,
+         CASE WHEN CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopList))) AS BIGINT)
+                   / CAST(len(string_split(text,' ')) AS BIGINT) > 0.04
+              THEN 'en' ELSE 'other' END AS guess
+         FROM documents ORDER BY doc_id""",
+
+    "q33_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q38_quality_score" ->
+      """SELECT doc_id, round(score, 4) AS score,
+         CASE WHEN score >= 0.75 THEN 'high' WHEN score >= 0.35 THEN 'mid' ELSE 'low' END AS bucket
+         FROM (
+           SELECT doc_id,
+             least(1.0, n_tokens/200.0) * (CASE WHEN avg_wlen BETWEEN 2.5 AND 8.0 THEN 1.0 ELSE 0.5 END) AS score
+           FROM (
+             SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                    (CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1)
+                      / CAST(len(string_split(text,' ')) AS BIGINT) AS avg_wlen
+             FROM documents) a) b
+         ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,47 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet testdata (TESTDATA.md).
+  *
+  * All graft queries take `(spark, sfDir)` and read these tables; at 100 TB
+  * scale the same code reads a directory of many parquet files — Spark's
+  * parquet source handles splits, predicate pushdown and column pruning
+  * identically for 1 file or 100k files.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench).
+    * We keep ts as exact nanosecond longs — integer ordering and gap
+    * arithmetic are then bit-identical to the oracle's nanosecond
+    * timestamps, with conversion to timestamp only for display.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    }
+  }
+
+  /** Nano-long column → timestamp (µs precision) for formatting. Integer
+    * DIV, not `/`: double division would lose precision above 2^53 ns.
+    */
+  def tsFromNanos(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"timestamp_micros($name DIV 1000)")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
