@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.readstat.stata.DtaWriter
+import graft.util.Tables._
+
+/** Readstat-source queries that the DuckDB oracle can still check: testdata
+  * tables are round-tripped through our `.dta` writer + DSv2 reader, then
+  * aggregated; the oracle runs the same aggregation on the ORIGINAL parquet.
+  * Any byte-level defect in the writer, the reader, the epoch conversions or
+  * the missing-value handling shows up as a hash mismatch (SURVEY.md §7.5).
+  */
+object ReadstatQueries {
+
+  /** Write-once cache per (sfDir, name) so Verify/Bench don't re-write. */
+  private val cache = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def roundTrip(s: SparkSession, key: String, build: => DataFrame,
+      labels: DataFrame => Map[String, Map[Int, String]] = _ => Map.empty): DataFrame = {
+    val path = cache.getOrElseUpdate(key, {
+      val dir = Files.createDirectories(
+        Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
+      val p = dir.resolve(
+        key.replaceAll("[^a-zA-Z0-9]", "_") + ".dta").toString
+      val df = build
+      DtaWriter.write(df, p, valueLabels = labels(df))
+      p
+    })
+    s.read.format("readstat").load(path)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lineitem → dta (doubles, int32, strings, %td dates) → aggregate.
+    "q50_dta_roundtrip_agg" -> ((s, d) => {
+      val rt = roundTrip(s, s"$d/lineitem", {
+        lineitem(s, d).select(
+          col("l_orderkey").cast("double").as("l_orderkey"),
+          col("l_linenumber").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"), col("l_linestatus"),
+          to_date(col("l_shipdate")).as("l_shipdate"))
+      })
+      rt.groupBy("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"),
+          count(lit(1)).as("n"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+    // nation + value labels: n_regionkey decodes to the region NAME via the
+    // dta value-label table (P8) — checked against a parquet join.
+    "q51_dta_roundtrip_labels" -> ((s, d) => {
+      val rt = roundTrip(s, s"$d/nation_labeled",
+        nation(s, d).select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("region")),
+        labels = _ => Map("region" -> region(s, d).collect()
+          .map(r => r.getAs[Number](0).intValue() -> r.getString(1)).toMap))
+      rt.select(col("n_name"), col("region")).orderBy("n_name")
+    }),
+
+    // events → dta (%tc datetimes at ms precision) → per-type time range.
+    "q52_dta_roundtrip_events" -> ((s, d) => {
+      val rt = roundTrip(s, s"$d/events", {
+        events(s, d).select(
+          col("event_id").cast("double").as("event_id"),
+          tsFromNanos("ts").cast("timestamp_ntz").as("ts"),
+          col("event_type"),
+          col("value"))
+      })
+      rt.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_v"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_dta_roundtrip_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS rev, count(*) AS n,
+         CAST(min(l_shipdate) AS DATE) AS first_ship,
+         CAST(max(l_shipdate) AS DATE) AS last_ship
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q51_dta_roundtrip_labels" ->
+      """SELECT n_name, r_name AS region FROM nation
+         JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""",
+
+    "q52_dta_roundtrip_events" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_v,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

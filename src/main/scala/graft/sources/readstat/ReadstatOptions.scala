@@ -1,0 +1,39 @@
+package graft.sources.readstat
+
+/** Options for the readstat source (SURVEY.md §7.1 M2).
+  *
+  * Mirrors the reference's ScanOptions surface (`src/lib.rs:118-161`):
+  * missingStringAsNull (default true), valueLabelsAsStrings (default true),
+  * plus Spark-side partition sizing.
+  */
+final case class ReadstatOptions(
+    format: Option[String],
+    missingStringAsNull: Boolean,
+    valueLabelsAsStrings: Boolean,
+    maxPartitionBytes: Long,
+    minRowsPerPartition: Long) extends Serializable
+
+object ReadstatOptions {
+  def from(m: java.util.Map[String, String]): ReadstatOptions = {
+    def get(k: String): Option[String] = {
+      // CaseInsensitiveStringMap lower-cases keys
+      Option(m.get(k)).orElse(Option(m.get(k.toLowerCase)))
+    }
+    ReadstatOptions(
+      format = get("format").map(_.toLowerCase),
+      missingStringAsNull = get("missingStringAsNull").forall(_.toBoolean),
+      valueLabelsAsStrings = get("valueLabelsAsStrings").forall(_.toBoolean),
+      maxPartitionBytes = get("maxPartitionBytes").map(_.toLong).getOrElse(128L * 1024 * 1024),
+      minRowsPerPartition = get("minRowsPerPartition").map(_.toLong).getOrElse(8192L))
+  }
+
+  /** Format sniffing by extension (`detect_format` reference `src/lib.rs:383-394`). */
+  def detectFormat(path: String, opt: Option[String]): String = opt.getOrElse {
+    val p = path.toLowerCase
+    if (p.endsWith(".sas7bdat")) "sas7bdat"
+    else if (p.endsWith(".dta")) "dta"
+    else if (p.endsWith(".sav") || p.endsWith(".zsav")) "sav"
+    else throw new IllegalArgumentException(
+      s"cannot detect readstat format from path: $path (use option(\"format\", ...))")
+  }
+}

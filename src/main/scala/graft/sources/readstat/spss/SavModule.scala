@@ -1,0 +1,23 @@
+package graft.sources.readstat.spss
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.readstat.{ReadstatFormats, ReadstatInputPartition, ReadstatOptions}
+
+/** SPSS `.sav`/`.zsav` module (SURVEY.md §2.1 S3). Implementation lands in
+  * M-SPSS; the DSv2 wiring is already format-agnostic.
+  */
+object SavModule extends ReadstatFormats.FormatModule {
+  private def nyi = throw new UnsupportedOperationException(
+    "sav reader: not yet implemented (planned milestone M-SPSS)")
+  override def schema(path: String, opts: ReadstatOptions): StructType = nyi
+  override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = nyi
+  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext = nyi
+  override def reader(
+      part: ReadstatInputPartition,
+      ctx: ReadstatFormats.FileContext,
+      required: StructType,
+      opts: ReadstatOptions): PartitionReader[InternalRow] = nyi
+}

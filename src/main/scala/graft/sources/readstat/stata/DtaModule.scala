@@ -1,0 +1,134 @@
+package graft.sources.readstat.stata
+
+import java.io.BufferedInputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.readstat.{ReadstatFormats, ReadstatIO, ReadstatInputPartition, ReadstatOptions}
+
+/** Stata `.dta` format module: driver-side metadata/labels/strL parse,
+  * row-range partition planning via O(1) byte seek
+  * (records are fixed width — reference `src/stata/data.rs:115-120`),
+  * executor-side fixed-width record decode.
+  */
+object DtaModule extends ReadstatFormats.FormatModule {
+  import Dta._
+
+  final case class DtaContext(
+      meta: Metadata,
+      strls: Map[(Int, Long), String]) extends ReadstatFormats.FileContext
+
+  private def parseMeta(path: String): Metadata = {
+    val in = new BufferedInputStream(ReadstatIO.open(path), 1 << 20)
+    try Dta.parseMetadata(ByteReader(in))
+    finally in.close()
+  }
+
+  private def withLabels(path: String, meta: Metadata): Metadata = {
+    meta.valueLabelsOffset match {
+      case Some(off) if off > 0 =>
+        val fsin = ReadstatIO.open(path)
+        try {
+          fsin.seek(off)
+          val r = ByteReader(new BufferedInputStream(fsin, 1 << 20))
+          val labels =
+            try Dta.parseValueLabels(r, meta)
+            catch { case _: Exception => Map.empty[String, Map[Int, String]] }
+          meta.copy(valueLabels = labels)
+        } finally fsin.close()
+      case _ => meta
+    }
+  }
+
+  private def loadStrls(path: String, meta: Metadata): Map[(Int, Long), String] = {
+    val hasStrl = meta.variables.exists(_.varType == TStrL)
+    if (!hasStrl) return Map.empty
+    meta.strlsOffset match {
+      case Some(off) if off > 0 =>
+        val fsin = ReadstatIO.open(path)
+        try {
+          fsin.seek(off)
+          Dta.parseStrls(ByteReader(new BufferedInputStream(fsin, 1 << 20)), meta)
+        } finally fsin.close()
+      case _ => Map.empty
+    }
+  }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType = {
+    val meta = withLabels(path, parseMeta(path))
+    DtaRowDecoder.buildSchema(meta, opts)
+  }
+
+  override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = {
+    val meta = parseMeta(path)
+    val recordLen = math.max(1, meta.recordLen)
+    val rowsPerPart = math.max(opts.minRowsPerPartition, opts.maxPartitionBytes / recordLen)
+    val n = meta.header.nobs
+    if (n <= 0) Seq((0L, 0L))
+    else (0L until n by rowsPerPart).map(s => (s, math.min(rowsPerPart, n - s)))
+  }
+
+  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext = {
+    val meta = withLabels(path, parseMeta(path))
+    DtaContext(meta, loadStrls(path, meta))
+  }
+
+  override def reader(
+      part: ReadstatInputPartition,
+      ctx: ReadstatFormats.FileContext,
+      required: StructType,
+      opts: ReadstatOptions): PartitionReader[InternalRow] = {
+    val c = ctx.asInstanceOf[DtaContext]
+    new DtaPartitionReader(part, c, required, opts)
+  }
+}
+
+/** Reads one row range. Seeks once, then streams fixed-width records,
+  * decoding only the projected columns (P1).
+  */
+class DtaPartitionReader(
+    part: ReadstatInputPartition,
+    ctx: DtaModule.DtaContext,
+    required: StructType,
+    opts: ReadstatOptions) extends PartitionReader[InternalRow] {
+
+  private val meta = ctx.meta
+  private val recordLen = meta.recordLen
+  private val plans = DtaRowDecoder.buildPlans(meta, opts, required, ctx.strls)
+
+  private val fsin = ReadstatIO.open(part.path)
+  private val in: BufferedInputStream = {
+    val dataStart = meta.dataOffset +
+      (if (meta.header.version >= 117) "<data>".length else 0)
+    fsin.seek(dataStart + part.rowStart * recordLen.toLong)
+    new BufferedInputStream(fsin, 4 << 20)
+  }
+
+  private val rowBuf = new Array[Byte](recordLen)
+  private val out = new GenericInternalRow(plans.cols.length)
+  private var remaining = part.rowCount
+
+  override def next(): Boolean = {
+    if (remaining <= 0) return false
+    var off = 0
+    while (off < recordLen) {
+      val r = in.read(rowBuf, off, recordLen - off)
+      if (r < 0) throw new java.io.EOFException(
+        s"dta: unexpected EOF in ${part.path} at row ${part.rowCount - remaining}")
+      off += r
+    }
+    var i = 0
+    while (i < plans.cols.length) {
+      out.update(i, plans.cols(i).decode(rowBuf, 0))
+      i += 1
+    }
+    remaining -= 1
+    true
+  }
+
+  override def get(): InternalRow = out
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,231 @@
+package graft.sources.readstat.stata
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.readstat.ReadstatOptions
+
+/** Maps dta variables to Spark fields and decodes fixed-width record cells
+  * into Catalyst values (SURVEY.md §1.3 Stata column).
+  *
+  * Output type mapping:
+  *   byte→ByteType, int→ShortType, long→IntegerType, float→FloatType,
+  *   double→DoubleType, str/strL→StringType;
+  *   %td..%ty→DateType, %tc→TimestampNTZType(µs), %tcHH:MM→LongType nanos
+  *   (no Spark TIME type; field metadata `logical_type=time`);
+  *   value-labeled numerics→StringType when valueLabelsAsStrings.
+  */
+object DtaRowDecoder {
+  import Dta._
+
+  /** One column's decode plan: byte offset within the record + a decoder. */
+  final case class ColPlan(field: StructField, offset: Int, decode: (Array[Byte], Int) => Any)
+
+  final case class Plans(schema: StructType, cols: Array[ColPlan])
+
+  def sparkField(v: Variable, opts: ReadstatOptions, labeled: Boolean): StructField = {
+    val mb = new MetadataBuilder()
+    v.format.foreach(mb.putString("format", _))
+    v.label.foreach(mb.putString("label", _))
+    v.valueLabelName.foreach(mb.putString("value_label_name", _))
+    val dt: DataType =
+      if (labeled) StringType
+      else timeFormatKind(v.format, v.varType) match {
+        case Some(KDate) => DateType
+        case Some(KDateTime) => TimestampNTZType
+        case Some(KTime(_)) => mb.putString("logical_type", "time"); LongType
+        case None => v.varType match {
+          case TByte => ByteType
+          case TInt16 => ShortType
+          case TInt32 => IntegerType
+          case TFloat => FloatType
+          case TDouble => DoubleType
+          case TStr(_) | TStrL => StringType
+        }
+      }
+    StructField(v.name, dt, nullable = true, metadata = mb.build())
+  }
+
+  /** Render a numeric value the way the reference's label fallback does:
+    * integral doubles render without a fractional part.
+    */
+  def renderNumber(d: Double): String =
+    if (d == Math.rint(d) && !d.isInfinite && Math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  def buildSchema(meta: Metadata, opts: ReadstatOptions): StructType = {
+    StructType(meta.variables.map { v =>
+      val labeled = opts.valueLabelsAsStrings && v.valueLabelName.exists(n =>
+        meta.valueLabels.get(n).exists(_.nonEmpty))
+      sparkField(v, opts, labeled)
+    })
+  }
+
+  /** Build decode plans for the projected columns only (P1 pushdown: cells
+    * outside the projection are never parsed).
+    */
+  def buildPlans(
+      meta: Metadata,
+      opts: ReadstatOptions,
+      required: StructType,
+      strls: Map[(Int, Long), String]): Plans = {
+    val h = meta.header
+    val le = h.littleEndian
+    val rules = missingRules(h.version)
+    val cs = meta.charset
+    val version = h.version
+
+    // absolute byte offset of each variable within a record
+    val offsets = new Array[Int](meta.variables.length)
+    var acc = 0
+    var i = 0
+    while (i < meta.variables.length) {
+      offsets(i) = acc
+      acc += meta.variables(i).varType.width
+      i += 1
+    }
+    val byName = meta.variables.zipWithIndex.map { case (v, idx) => v.name -> idx }.toMap
+
+    val plans = required.fields.map { f =>
+      val idx = byName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"dta: no such column '${f.name}'"))
+      val v = meta.variables(idx)
+      val off = offsets(idx)
+      val labelMap: Map[Int, String] =
+        if (opts.valueLabelsAsStrings)
+          v.valueLabelName.flatMap(meta.valueLabels.get).getOrElse(Map.empty)
+        else Map.empty
+      val labeled = labelMap.nonEmpty
+      val kind = timeFormatKind(v.format, v.varType)
+
+      // raw numeric decode (boxed Double) or null; strings handled separately
+      def numRaw(b: Array[Byte], o: Int): java.lang.Double = v.varType match {
+        case TByte =>
+          val x = b(o)
+          if (rules.sentinelEnabled && x >= rules.sentI8) null
+          else if (x > rules.maxI8) null
+          else java.lang.Double.valueOf(x.toDouble)
+        case TInt16 =>
+          val x = Bin.i16(b, o, le)
+          if (rules.sentinelEnabled && x >= rules.sentI16) null
+          else if (x > rules.maxI16) null
+          else java.lang.Double.valueOf(x.toDouble)
+        case TInt32 =>
+          val x = Bin.i32(b, o, le)
+          if (rules.sentinelEnabled && x >= rules.sentI32) null
+          else if (x > rules.maxI32) null
+          else java.lang.Double.valueOf(x.toDouble)
+        case TFloat =>
+          val bits = Bin.u32(b, o, le)
+          val f = java.lang.Float.intBitsToFloat(bits.toInt)
+          if ((bits & 0x80000000L) == 0 && bits > rules.maxFloatBits) {
+            if (bits == rules.missingFloatBits) null
+            else java.lang.Double.valueOf(Float.NaN.toDouble)
+          } else java.lang.Double.valueOf(f.toDouble)
+        case TDouble =>
+          val bits = Bin.u64(b, o, le)
+          val d = java.lang.Double.longBitsToDouble(bits)
+          if ((bits & 0x8000000000000000L) == 0 &&
+              java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0) {
+            if (bits == rules.missingDoubleBits) null
+            else java.lang.Double.valueOf(Double.NaN)
+          } else java.lang.Double.valueOf(d)
+        case _ => throw new IllegalStateException("numRaw on string column")
+      }
+
+      val decode: (Array[Byte], Int) => Any = v.varType match {
+        case TStr(w) =>
+          (b, base) => {
+            val o = base + off
+            var n = 0
+            while (n < w && b(o + n) != 0) n += 1 // stop at first NUL
+            var s = new String(b, o, n, cs)
+            var end = s.length // trim trailing spaces (Stata pads with NUL/space)
+            while (end > 0 && s.charAt(end - 1) == ' ') end -= 1
+            if (end < s.length) s = s.substring(0, end)
+            if (s.isEmpty && opts.missingStringAsNull) null else UTF8String.fromString(s)
+          }
+        case TStrL =>
+          (b, base) => {
+            val (vv, oo) = decodeStrlRef(b, base + off, le, version)
+            if (vv == 0 && oo == 0L) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
+            else strls.get((vv, oo)) match {
+              case Some(s) =>
+                if (s.isEmpty && opts.missingStringAsNull) null else UTF8String.fromString(s)
+              case None => null
+            }
+          }
+        case _ if labeled =>
+          (b, base) => {
+            val d = numRaw(b, base + off)
+            if (d == null) null
+            else {
+              val dv = d.doubleValue()
+              val key = if (dv == Math.rint(dv) && Math.abs(dv) <= Int.MaxValue) dv.toInt else Int.MinValue
+              labelMap.get(key) match {
+                case Some(l) => UTF8String.fromString(l)
+                case None => UTF8String.fromString(renderNumber(dv))
+              }
+            }
+          }
+        case _ => kind match {
+          case Some(KDate) =>
+            (b, base) => {
+              val d = numRaw(b, base + off)
+              if (d == null) null
+              else java.lang.Integer.valueOf((d.doubleValue().toLong - EpochShiftDays).toInt)
+            }
+          case Some(KDateTime) =>
+            (b, base) => {
+              val d = numRaw(b, base + off)
+              if (d == null) null
+              else java.lang.Long.valueOf((d.doubleValue().toLong - EpochShiftMs) * 1000L)
+            }
+          case Some(KTime(nullOnDt)) =>
+            (b, base) => {
+              if (nullOnDt) null
+              else {
+                val d = numRaw(b, base + off)
+                if (d == null) null
+                else {
+                  val ms = d.doubleValue().toLong
+                  val day = 86400000L
+                  java.lang.Long.valueOf(((ms % day + day) % day) * 1000000L)
+                }
+              }
+            }
+          case None => v.varType match {
+            case TByte => (b, base) => {
+              val d = numRaw(b, base + off)
+              if (d == null) null else java.lang.Byte.valueOf(d.doubleValue().toByte)
+            }
+            case TInt16 => (b, base) => {
+              val d = numRaw(b, base + off)
+              if (d == null) null else java.lang.Short.valueOf(d.doubleValue().toShort)
+            }
+            case TInt32 => (b, base) => {
+              val d = numRaw(b, base + off)
+              if (d == null) null else java.lang.Integer.valueOf(d.doubleValue().toInt)
+            }
+            case TFloat => (b, base) => {
+              // decode float directly to preserve exact f32 value
+              val o = base + off
+              val bits = Bin.u32(b, o, le)
+              if ((bits & 0x80000000L) == 0 && bits > rules.maxFloatBits) {
+                if (bits == rules.missingFloatBits) null
+                else java.lang.Float.valueOf(Float.NaN)
+              } else java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(bits.toInt))
+            }
+            case TDouble => (b, base) => {
+              val d = numRaw(b, base + off)
+              d
+            }
+            case _ => throw new IllegalStateException("unreachable")
+          }
+        }
+      }
+      ColPlan(f, off, decode)
+    }
+    Plans(required, plans)
+  }
+}
