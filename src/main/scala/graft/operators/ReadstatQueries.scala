@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.readstat.spss.SavWriter
 import graft.sources.readstat.stata.DtaWriter
 import graft.util.Tables._
 
@@ -67,6 +68,32 @@ object ReadstatQueries {
       rt.select(col("n_name"), col("region")).orderBy("n_name")
     }),
 
+    // orders → sav with bytecode compression → aggregate. Exercises the
+    // sav writer, the bytecode decompressor and the DATE epoch conversion.
+    "q53_sav_roundtrip_agg" -> ((s, d) => {
+      val key = s"$d/orders_sav"
+      val path = cache.getOrElseUpdate(key, {
+        val dir = Files.createDirectories(
+          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
+        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".sav").toString
+        SavWriter.write(
+          orders(s, d).select(
+            col("o_orderkey").cast("double").as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            to_date(col("o_orderdate")).as("o_orderdate")),
+          p, compress = true)
+        p
+      })
+      s.read.format("readstat").load(path)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("tot"),
+          min("o_orderdate").as("first_d"),
+          max("o_orderdate").as("last_d"))
+        .orderBy("o_orderstatus")
+    }),
+
     // events → dta (%tc datetimes at ms precision) → per-type time range.
     "q52_dta_roundtrip_events" -> ((s, d) => {
       val rt = roundTrip(s, s"$d/events", {
@@ -97,6 +124,11 @@ object ReadstatQueries {
     "q51_dta_roundtrip_labels" ->
       """SELECT n_name, r_name AS region FROM nation
          JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""",
+
+    "q53_sav_roundtrip_agg" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS tot,
+         CAST(min(o_orderdate) AS DATE) AS first_d, CAST(max(o_orderdate) AS DATE) AS last_d
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q52_dta_roundtrip_events" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_v,

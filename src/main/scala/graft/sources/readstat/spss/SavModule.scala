@@ -1,23 +1,386 @@
 package graft.sources.readstat.spss
 
+import java.io.{BufferedInputStream, InputStream}
+
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.PartitionReader
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.readstat.{ReadstatFormats, ReadstatInputPartition, ReadstatOptions}
+import graft.sources.readstat.{ReadstatFormats, ReadstatIO, ReadstatInputPartition, ReadstatOptions}
 
-/** SPSS `.sav`/`.zsav` module (SURVEY.md §2.1 S3). Implementation lands in
-  * M-SPSS; the DSv2 wiring is already format-agnostic.
+/** SPSS `.sav`/`.zsav` format module (SURVEY.md §2.1 S3).
+  *
+  * Partition planning follows the reference's strategy matrix (§3.3):
+  * uncompressed files split into row-range partitions (records are
+  * fixed-width → O(1) byte seek); bytecode (compression 1) and zsav
+  * (compression 2) decode state is sequential → a single partition per
+  * file, with multi-file loads recovering cluster parallelism.
   */
 object SavModule extends ReadstatFormats.FormatModule {
-  private def nyi = throw new UnsupportedOperationException(
-    "sav reader: not yet implemented (planned milestone M-SPSS)")
-  override def schema(path: String, opts: ReadstatOptions): StructType = nyi
-  override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = nyi
-  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext = nyi
+  import Sav._
+
+  final case class SavContext(meta: Metadata) extends ReadstatFormats.FileContext
+
+  private def parseMeta(path: String): Metadata =
+    Sav.parseMetadata(() => new BufferedInputStream(ReadstatIO.open(path), 1 << 20))
+
+  def sparkField(v: Variable, meta: Metadata, opts: ReadstatOptions): StructField = {
+    val mb = new MetadataBuilder()
+    mb.putLong("format_type", v.formatType.toLong)
+    val labeled = opts.valueLabelsAsStrings &&
+      v.valueLabelSet.exists(n => meta.valueLabels.get(n).exists(t => t._1.nonEmpty || t._2.nonEmpty))
+    val dt: DataType =
+      if (v.isString) StringType
+      else if (labeled) StringType
+      else formatClass(v.formatType) match {
+        case Some(FDate) => DateType
+        case Some(FDateTime) => TimestampNTZType
+        case Some(FTime) => mb.putString("logical_type", "time"); LongType
+        case None => DoubleType
+      }
+    StructField(v.name, dt, nullable = true, metadata = mb.build())
+  }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType = {
+    val meta = parseMeta(path)
+    StructType(meta.variables.map(v => sparkField(v, meta, opts)))
+  }
+
+  override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = {
+    val meta = parseMeta(path)
+    val n = math.max(0L, meta.header.rowCount)
+    if (meta.header.compression != 0) Seq((0L, n)) // sequential decode
+    else {
+      val recordLen = math.max(1, meta.recordLen)
+      val rowsPerPart = math.max(opts.minRowsPerPartition, opts.maxPartitionBytes / recordLen)
+      if (n <= 0) Seq((0L, 0L))
+      else (0L until n by rowsPerPart).map(s => (s, math.min(rowsPerPart, n - s)))
+    }
+  }
+
+  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext =
+    SavContext(parseMeta(path))
+
   override def reader(
       part: ReadstatInputPartition,
       ctx: ReadstatFormats.FileContext,
       required: StructType,
-      opts: ReadstatOptions): PartitionReader[InternalRow] = nyi
+      opts: ReadstatOptions): PartitionReader[InternalRow] = {
+    new SavPartitionReader(part, ctx.asInstanceOf[SavContext].meta, required, opts)
+  }
+}
+
+/** Decodes one row range. For compression 0 the stream is seeked straight to
+  * the range; compression 1/2 decode from the start (single partition).
+  */
+class SavPartitionReader(
+    part: ReadstatInputPartition,
+    meta: Sav.Metadata,
+    required: StructType,
+    opts: ReadstatOptions) extends PartitionReader[InternalRow] {
+  import Sav._
+
+  private val h = meta.header
+  private val le = h.littleEndian
+  private val recordLen = meta.recordLen
+  private val cs = meta.charset
+
+  // plans for projected columns only (P1)
+  private final case class Plan(v: Variable, byteOff: Int, decode: Array[Byte] => Any)
+  private val plans: Array[Plan] = {
+    val byName = meta.variables.map(v => v.name -> v).toMap
+    required.fields.map { f =>
+      val v = byName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"sav: no such column '${f.name}'"))
+      val off = v.offsetSegments * 8
+      Plan(v, off, decoderFor(v, off))
+    }
+  }
+
+  private def userMissing(v: Variable, d: Double, bits: Long): Boolean = {
+    if (v.missingDoubles.isEmpty) false
+    else if (v.missingRange) {
+      val inRange = v.missingDoubles.length >= 2 && {
+        val lo = math.min(v.missingDoubles(0), v.missingDoubles(1))
+        val hi = math.max(v.missingDoubles(0), v.missingDoubles(1))
+        d >= lo && d <= hi
+      }
+      inRange || (v.missingDoubles.length >= 3 &&
+        bits == java.lang.Double.doubleToRawLongBits(v.missingDoubles(2)))
+    } else v.missingDoubles.exists(m => java.lang.Double.doubleToRawLongBits(m) == bits)
+  }
+
+  private def numericOrNull(v: Variable, row: Array[Byte], off: Int): java.lang.Double = {
+    val bits = Bin.i64(row, off, le)
+    if (bits == MissingDoubleBits || bits == LowestDoubleBits || bits == HighestDoubleBits)
+      return null
+    val d = java.lang.Double.longBitsToDouble(bits)
+    if (java.lang.Double.isNaN(d)) return null
+    if (userMissing(v, d, bits)) return null
+    java.lang.Double.valueOf(d)
+  }
+
+  private def decoderFor(v: Variable, off: Int): Array[Byte] => Any = {
+    if (v.isString) {
+      val missSet = v.missingStrings.toSet
+      val labels: Map[String, String] =
+        if (opts.valueLabelsAsStrings)
+          v.valueLabelSet.flatMap(meta.valueLabels.get).map(_._2).getOrElse(Map.empty)
+        else Map.empty
+      (row: Array[Byte]) => {
+        val s = extractString(v, row, off)
+        if (s.isEmpty && opts.missingStringAsNull) null
+        else if (missSet.contains(s)) null
+        else if (labels.nonEmpty) UTF8String.fromString(labels.getOrElse(s, s))
+        else UTF8String.fromString(s)
+      }
+    } else {
+      val labels: Map[Long, String] =
+        if (opts.valueLabelsAsStrings)
+          v.valueLabelSet.flatMap(meta.valueLabels.get).map(_._1).getOrElse(Map.empty)
+        else Map.empty
+      if (labels.nonEmpty) {
+        (row: Array[Byte]) => {
+          val d = numericOrNull(v, row, off)
+          if (d == null) null
+          else {
+            val bits = java.lang.Double.doubleToRawLongBits(d.doubleValue())
+            labels.get(bits) match {
+              case Some(l) => UTF8String.fromString(l)
+              case None => UTF8String.fromString(
+                graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d.doubleValue()))
+            }
+          }
+        }
+      } else formatClass(v.formatType) match {
+        case Some(FDate) => (row: Array[Byte]) => {
+          val d = numericOrNull(v, row, off)
+          if (d == null) null
+          else java.lang.Integer.valueOf(((d.doubleValue().toLong - SecShift) / 86400L).toInt)
+        }
+        case Some(FDateTime) => (row: Array[Byte]) => {
+          val d = numericOrNull(v, row, off)
+          if (d == null) null
+          else java.lang.Long.valueOf((d.doubleValue().toLong - SecShift) * 1000000L)
+        }
+        case Some(FTime) => (row: Array[Byte]) => {
+          val d = numericOrNull(v, row, off)
+          if (d == null) null
+          else java.lang.Long.valueOf(d.doubleValue().toLong * 1000000000L)
+        }
+        case None => (row: Array[Byte]) => numericOrNull(v, row, off)
+      }
+    }
+  }
+
+  private def extractString(v: Variable, row: Array[Byte], off: Int): String = {
+    val widthBytes = v.widthSegments * 8
+    val s =
+      if (v.stringLen > 255) {
+        // very-long string: 252 content bytes per 256-byte segment
+        val sb = new java.lang.StringBuilder()
+        var remaining = v.stringLen
+        var segOff = off
+        while (remaining > 0 && segOff < off + widthBytes) {
+          val take = math.min(252, math.min(remaining, off + widthBytes - segOff))
+          sb.append(new String(row, segOff, take, cs))
+          remaining -= take
+          segOff += 256
+        }
+        sb.toString
+      } else {
+        val n = math.min(v.stringLen, widthBytes)
+        new String(row, off, n, cs)
+      }
+    var end = s.length
+    while (end > 0 && (s.charAt(end - 1) == ' ' || s.charAt(end - 1) == 0)) end -= 1
+    s.substring(0, end)
+  }
+
+  // ---- row source: raw seek / bytecode / zsav ----
+
+  private var fsin: org.apache.hadoop.fs.FSDataInputStream = _
+  private var in: InputStream = _
+  private var decompressor: SavByteCode = _
+  private var rowIdx = 0L // rows already produced by the sequential source
+  private val rowBuf = new Array[Byte](math.max(recordLen, 1))
+  private val out = new GenericInternalRow(plans.length)
+  private var remaining = part.rowCount
+  private var skipRows = 0L
+
+  locally {
+    fsin = ReadstatIO.open(part.path)
+    h.compression match {
+      case 0 =>
+        fsin.seek(meta.dataOffset + part.rowStart * recordLen.toLong)
+        in = new BufferedInputStream(fsin, 4 << 20)
+      case 1 =>
+        fsin.seek(meta.dataOffset)
+        in = new BufferedInputStream(fsin, 4 << 20)
+        decompressor = new SavByteCode(le, h.bias)
+        skipRows = part.rowStart
+      case 2 =>
+        // zsav: decompress blocks into one sequential bytecode stream
+        fsin.seek(meta.dataOffset)
+        val zr = ByteReader(fsin)
+        val zheaderOfs = Bin.i64(zr.readFully(8), 0, le)
+        val ztrailerOfs = Bin.i64(zr.readFully(8), 0, le)
+        require(zheaderOfs == meta.dataOffset, "zsav: bad zheader offset")
+        zr.readFully(8) // ztrailer_len
+        fsin.seek(ztrailerOfs)
+        val tr = ByteReader(fsin)
+        tr.readFully(8); tr.readFully(8) // bias, zero
+        tr.readFully(4) // block_size
+        val nBlocks = Bin.i32(tr.readFully(4), 0, le)
+        val entries = (0 until nBlocks).map { _ =>
+          val e = tr.readFully(24)
+          (Bin.i64(e, 8, le), Bin.i32(e, 20, le)) // compressed_ofs, compressed_size
+        }
+        in = new SequenceZlibStream(part.path, entries)
+        decompressor = new SavByteCode(le, h.bias)
+        skipRows = part.rowStart
+      case c => throw new UnsupportedOperationException(s"sav compression $c")
+    }
+  }
+
+  override def next(): Boolean = {
+    if (remaining <= 0) return false
+    // sequential sources must skip leading rows themselves
+    while (skipRows > 0) {
+      if (!readRow()) return false
+      skipRows -= 1
+    }
+    if (!readRow()) return false
+    var i = 0
+    while (i < plans.length) {
+      out.update(i, plans(i).decode(rowBuf))
+      i += 1
+    }
+    remaining -= 1
+    true
+  }
+
+  private def readRow(): Boolean = {
+    if (decompressor != null) decompressor.readRow(in, rowBuf, recordLen)
+    else {
+      var off = 0
+      while (off < recordLen) {
+        val r = in.read(rowBuf, off, recordLen - off)
+        if (r < 0) return false
+        off += r
+      }
+      true
+    }
+  }
+
+  override def get(): InternalRow = out
+  override def close(): Unit = {
+    if (in != null) in.close()
+  }
+}
+
+/** The sav bytecode decompressor (compression 1): control bytes in groups of
+  * eight; 0 = ignore, 252 = end of data, 253 = literal 8 bytes follow,
+  * 254 = eight spaces, 255 = system missing, else value = code − bias.
+  * (reference `SavRowDecompressor` `src/spss/data.rs:1521-1591`)
+  */
+final class SavByteCode(le: Boolean, bias: Double) {
+  private val control = new Array[Byte](8)
+  private var ci = 8
+  private val missing = toBytes(Sav.MissingDoubleBits)
+  private def toBytes(bits: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(if (le) i else 7 - i) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  def readRow(in: InputStream, out: Array[Byte], recordLen: Int): Boolean = {
+    var pos = 0
+    while (pos < recordLen) {
+      if (ci == 8) {
+        var off = 0
+        while (off < 8) {
+          val r = in.read(control, off, 8 - off)
+          if (r < 0) return false
+          off += r
+        }
+        ci = 0
+      }
+      val code = control(ci) & 0xff
+      ci += 1
+      code match {
+        case 0 => // padding
+        case 252 => return false
+        case 253 =>
+          var off = 0
+          while (off < 8) {
+            val r = in.read(out, pos + off, 8 - off)
+            if (r < 0) return false
+            off += r
+          }
+          pos += 8
+        case 254 =>
+          java.util.Arrays.fill(out, pos, pos + 8, ' '.toByte)
+          pos += 8
+        case 255 =>
+          System.arraycopy(missing, 0, out, pos, 8)
+          pos += 8
+        case v =>
+          val bits = java.lang.Double.doubleToLongBits(v.toDouble - bias)
+          var i = 0
+          while (i < 8) { out(pos + (if (le) i else 7 - i)) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+          pos += 8
+      }
+    }
+    true
+  }
+}
+
+/** Concatenated inflate of zsav blocks as a single InputStream. */
+final class SequenceZlibStream(path: String, blocks: Seq[(Long, Int)]) extends InputStream {
+  private var idx = 0
+  private var cur: InputStream = _
+  private val fsin = ReadstatIO.open(path)
+
+  private def advance(): Boolean = {
+    if (idx >= blocks.length) return false
+    val (ofs, size) = blocks(idx)
+    idx += 1
+    fsin.seek(ofs)
+    val compressed = new Array[Byte](size)
+    var off = 0
+    while (off < size) {
+      val r = fsin.read(compressed, off, size - off)
+      require(r >= 0, "zsav: truncated block")
+      off += r
+    }
+    cur = new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(compressed))
+    true
+  }
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    while (true) {
+      if (cur == null && !advance()) return -1
+      val n = cur.read(b, off, len)
+      if (n > 0) return n
+      cur.close()
+      cur = null
+    }
+    -1
+  }
+
+  override def close(): Unit = {
+    if (cur != null) cur.close()
+    fsin.close()
+  }
 }

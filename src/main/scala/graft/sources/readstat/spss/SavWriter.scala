@@ -1,0 +1,300 @@
+package graft.sources.readstat.spss
+
+import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, max, octet_length}
+import org.apache.spark.sql.types._
+
+/** SPSS `.sav` writer (S9 in SURVEY.md §2.1): header, variable records with
+  * continuations, numeric value labels, long-variable-name record, encoding
+  * record (UTF-8), and data at compression 0 (raw) or 1 (bytecode).
+  *
+  * Single-file sink like the dta writer; doubles as the fixture generator
+  * for the sav read path (FIXTURES.md §4).
+  */
+object SavWriter {
+
+  final case class Spec(
+      name: String, shortName: String, dataType: DataType,
+      isString: Boolean, stringLen: Int, widthSegments: Int, formatType: Int)
+
+  private def buildSpecs(schema: StructType, widths: Map[String, Int]): Array[Spec] = {
+    val used = scala.collection.mutable.Set[String]()
+    schema.fields.zipWithIndex.map { case (f, idx) =>
+      val isTime = f.metadata.contains("logical_type") &&
+        f.metadata.getString("logical_type") == "time"
+      val (isString, strLen, fmt) = f.dataType match {
+        case StringType => (true, math.max(1, math.min(widths.getOrElse(f.name, 1), 255)), 0)
+        case DateType => (false, 0, 20)
+        case TimestampNTZType | TimestampType => (false, 0, 22)
+        case LongType if isTime => (false, 0, 21)
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+             BooleanType => (false, 0, 0)
+        case dt => throw new IllegalArgumentException(s"sav writer: unsupported type $dt")
+      }
+      val width = if (isString) (strLen + 7) / 8 else 1
+      // short name: uppercase ≤8, unique; else positional
+      val cand = f.name.toUpperCase.replaceAll("[^A-Z0-9_]", "_").take(8)
+      val short =
+        if (cand.nonEmpty && cand.head.isLetter && !used.contains(cand)) cand
+        else {
+          var i = idx
+          var c = s"V$i"
+          while (used.contains(c)) { i += 1; c = s"V$i" }
+          c
+        }
+      used += short
+      Spec(f.name, short, f.dataType, isString, strLen, width, fmt)
+    }
+  }
+
+  def write(
+      df: DataFrame,
+      path: String,
+      compress: Boolean = false,
+      valueLabels: Map[String, Map[Double, String]] = Map.empty): Unit = {
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val widths: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.map(c => max(octet_length(col(c))).as(c))
+        val r = df.select(aggs.toIndexedSeq: _*).collect()(0)
+        strCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) 1 else r.getInt(i))
+        }.toMap
+      }
+    import scala.jdk.CollectionConverters._
+    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, compress, valueLabels)
+  }
+
+  def writeRows(
+      schema: StructType,
+      rows: Iterator[Row],
+      path: String,
+      stringWidths: Map[String, Int],
+      compress: Boolean,
+      valueLabels: Map[String, Map[Double, String]]): Long = {
+    val specs = buildSpecs(schema, stringWidths)
+    val nominalCaseSize = specs.map(_.widthSegments).sum
+
+    val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    var bytesOut = 0L
+    def wr(b: Array[Byte]): Unit = { os.write(b); bytesOut += b.length }
+    def u32(v: Int): Unit = wr(Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+    def f64le(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+
+    // ---- header (row count patched at the end) ----
+    val header = new Array[Byte](176)
+    "$FL2".getBytes(StandardCharsets.US_ASCII).copyToArray(header, 0)
+    "@(#) SPSS DATA FILE graft".getBytes(StandardCharsets.US_ASCII).copyToArray(header, 4)
+    writeI32(header, 64, 2)
+    writeI32(header, 68, nominalCaseSize)
+    writeI32(header, 72, if (compress) 1 else 0)
+    writeI32(header, 80, -1) // patched
+    java.lang.System.arraycopy(f64le(100.0), 0, header, 84, 8)
+    wr(header)
+
+    // ---- variable records ----
+    specs.foreach { s =>
+      u32(2)
+      u32(if (s.isString) s.stringLen else 0)
+      u32(0) // no label
+      u32(0) // no missing
+      val fmt = s.formatType << 16
+      u32(fmt); u32(fmt)
+      wr(fixed(s.shortName.getBytes(StandardCharsets.US_ASCII), 8, ' '.toByte))
+      (1 until s.widthSegments).foreach { _ =>
+        u32(2); u32(-1); u32(0); u32(0); u32(0); u32(0)
+        wr(fixed(Array.emptyByteArray, 8, ' '.toByte))
+      }
+    }
+
+    // ---- numeric value labels ----
+    var segOffset = 0
+    val offsets = specs.map { s => val o = segOffset; segOffset += s.widthSegments; o }
+    specs.zip(offsets).foreach { case (s, off) =>
+      valueLabels.get(s.name).filter(_.nonEmpty && !s.isString).foreach { mapping =>
+        u32(3); u32(mapping.size)
+        mapping.toSeq.sortBy(_._1).foreach { case (v, label) =>
+          wr(f64le(v))
+          val bytes = label.getBytes(StandardCharsets.UTF_8).take(255)
+          wr(Array(bytes.length.toByte))
+          val padded = ((bytes.length + 8) / 8) * 8 - 1
+          wr(fixed(bytes, padded, ' '.toByte))
+        }
+        u32(4); u32(1); u32(off + 1)
+      }
+    }
+
+    // ---- long variable names ----
+    val lvEntries = specs.filter(s => s.name != s.shortName)
+      .map(s => s"${s.shortName}=${s.name}").mkString("\t")
+    if (lvEntries.nonEmpty) {
+      val b = lvEntries.getBytes(StandardCharsets.UTF_8)
+      u32(7); u32(13); u32(1); u32(b.length); wr(b)
+    }
+
+    // ---- encoding record ----
+    val enc = "UTF-8".getBytes(StandardCharsets.US_ASCII)
+    u32(7); u32(20); u32(1); u32(enc.length); wr(enc)
+
+    // ---- dictionary termination ----
+    u32(999); u32(0)
+
+    // ---- data ----
+    val bias = 100.0
+    val codec = if (compress) new BytecodeEncoder(os, bias) else null
+    var n = 0L
+    val cellBuf = new Array[Byte](8)
+    while (rows.hasNext) {
+      val row = rows.next()
+      var ci = 0
+      specs.foreach { s =>
+        if (s.isString) {
+          val bytes =
+            if (row.isNullAt(ci)) Array.emptyByteArray
+            else row.getString(ci).getBytes(StandardCharsets.UTF_8)
+          require(bytes.length <= s.stringLen, s"sav: string too long for ${s.name}")
+          var seg = 0
+          while (seg < s.widthSegments) {
+            java.util.Arrays.fill(cellBuf, ' '.toByte)
+            val start = seg * 8
+            val take = math.max(0, math.min(8, bytes.length - start))
+            if (take > 0) System.arraycopy(bytes, start, cellBuf, 0, take)
+            if (codec != null) codec.strCell(cellBuf) else wr(cellBuf.clone())
+            seg += 1
+          }
+        } else {
+          if (row.isNullAt(ci)) {
+            if (codec != null) codec.sysmiss()
+            else wr(leBits(Sav.MissingDoubleBits))
+          } else {
+            val d = numericValue(s, row, ci)
+            if (codec != null) codec.numCell(d) else wr(f64le(d))
+          }
+        }
+        ci += 1
+      }
+      n += 1
+    }
+    if (codec != null) codec.finish()
+    os.close()
+
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.seek(80)
+      raf.write(Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+    } finally raf.close()
+    n
+  }
+
+  private def numericValue(s: Spec, row: Row, i: Int): Double = s.dataType match {
+    case DateType =>
+      val days = row.get(i) match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+        case x: java.lang.Integer => x.toLong
+        case x => throw new IllegalArgumentException(s"date value: $x")
+      }
+      (days * 86400L + Sav.SecShift).toDouble
+    case TimestampNTZType | TimestampType =>
+      val micros = row.get(i) match {
+        case t: java.time.LocalDateTime =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+        case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
+        case x => throw new IllegalArgumentException(s"timestamp value: $x")
+      }
+      // whole seconds: the sav datetime epoch math is second-granular
+      (Math.floorDiv(micros, 1000000L) + Sav.SecShift).toDouble
+    case LongType if s.formatType == 21 => (row.getLong(i) / 1000000000L).toDouble
+    case ByteType => row.getByte(i).toDouble
+    case ShortType => row.getShort(i).toDouble
+    case IntegerType => row.getInt(i).toDouble
+    case LongType => row.getLong(i).toDouble
+    case FloatType => row.getFloat(i).toDouble
+    case DoubleType => row.getDouble(i)
+    case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
+    case dt => throw new IllegalArgumentException(s"sav writer: $dt")
+  }
+
+  private def writeI32(b: Array[Byte], off: Int, v: Int): Unit = {
+    var i = 0
+    while (i < 4) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  private def leBits(bits: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  private def fixed(b: Array[Byte], len: Int, pad: Byte): Array[Byte] = {
+    val out = new Array[Byte](len)
+    java.util.Arrays.fill(out, pad)
+    System.arraycopy(b, 0, out, 0, math.min(b.length, len))
+    out
+  }
+
+  /** Bytecode emitter: 8 control codes then their literal payloads.
+    * Codes: 253 literal, 254 spaces, 255 sysmiss, 1..251 = value+bias.
+    */
+  private final class BytecodeEncoder(os: java.io.OutputStream, bias: Double) {
+    private val codes = new Array[Byte](8)
+    private val payload = new java.io.ByteArrayOutputStream()
+    private var ci = 0
+
+    private def flush(fillCode: Int): Unit = {
+      if (ci == 0 && fillCode == 0) return
+      while (ci < 8) { codes(ci) = fillCode.toByte; ci += 1 }
+      os.write(codes)
+      payload.writeTo(os)
+      payload.reset()
+      ci = 0
+    }
+
+    private def emit(code: Int, data: Array[Byte]): Unit = {
+      if (ci == 8) flush(0)
+      codes(ci) = code.toByte
+      ci += 1
+      if (data != null) payload.write(data)
+    }
+
+    def numCell(d: Double): Unit = {
+      val c = d + bias
+      if (c == Math.rint(c) && c >= 1.0 && c <= 251.0) emit(c.toInt, null)
+      else {
+        val bits = java.lang.Double.doubleToLongBits(d)
+        val b = new Array[Byte](8)
+        var i = 0
+        while (i < 8) { b(i) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+        emit(253, b)
+      }
+    }
+
+    def sysmiss(): Unit = emit(255, null)
+
+    def strCell(cell: Array[Byte]): Unit = {
+      var allSpace = true
+      var i = 0
+      while (i < 8 && allSpace) { if (cell(i) != ' '.toByte) allSpace = false; i += 1 }
+      if (allSpace) emit(254, null) else emit(253, cell.clone())
+    }
+
+    def finish(): Unit = {
+      emit(252, null)
+      flush(0)
+    }
+  }
+}
