@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.readstat.sas.SasFixtureWriter
 import graft.sources.readstat.spss.SavWriter
 import graft.sources.readstat.stata.DtaWriter
 import graft.util.Tables._
@@ -94,6 +95,55 @@ object ReadstatQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // customer → sas7bdat (uncompressed + RLE) → join-style aggregate.
+    // Exercises the SAS page/subheader reader and both decompression paths.
+    "q54_sas_roundtrip_agg" -> ((s, d) => {
+      val key = s"$d/customer_sas"
+      val path = cache.getOrElseUpdate(key, {
+        val dir = Files.createDirectories(
+          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
+        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".sas7bdat").toString
+        SasFixtureWriter.write(
+          customer(s, d).select(
+            col("c_custkey").cast("double").as("c_custkey"),
+            col("c_name"), col("c_nationkey").cast("double").as("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment")),
+          p, rle = false)
+        p
+      })
+      s.read.format("readstat").load(path)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("c_acctbal"), 2).as("tot_bal"),
+          round(avg("c_nationkey"), 4).as("avg_nat"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q55_sas_rle_roundtrip" -> ((s, d) => {
+      val key = s"$d/part_sas_rle"
+      val path = cache.getOrElseUpdate(key, {
+        val dir = Files.createDirectories(
+          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
+        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".sas7bdat").toString
+        SasFixtureWriter.write(
+          part(s, d).select(
+            col("p_partkey").cast("double").as("p_partkey"),
+            col("p_brand"), col("p_type"),
+            col("p_size").cast("double").as("p_size"),
+            col("p_retailprice")),
+          p, rle = true)
+        p
+      })
+      s.read.format("readstat").load(path)
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("p_retailprice"), 2).as("tot"),
+          round(avg("p_size"), 4).as("avg_size"))
+        .orderBy("p_brand")
+    }),
+
     // events → dta (%tc datetimes at ms precision) → per-type time range.
     "q52_dta_roundtrip_events" -> ((s, d) => {
       val rt = roundTrip(s, s"$d/events", {
@@ -124,6 +174,16 @@ object ReadstatQueries {
     "q51_dta_roundtrip_labels" ->
       """SELECT n_name, r_name AS region FROM nation
          JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""",
+
+    "q54_sas_roundtrip_agg" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS tot_bal,
+         round(avg(c_nationkey),4) AS avg_nat
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q55_sas_rle_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice),2) AS tot,
+         round(avg(p_size),4) AS avg_size
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
 
     "q53_sav_roundtrip_agg" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS tot,

@@ -1,0 +1,356 @@
+package graft.sources.readstat.sas
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, max, octet_length}
+import org.apache.spark.sql.types._
+
+/** Minimal `.sas7bdat` writer — 64-bit little-endian, uncompressed DATA
+  * pages or RLE-compressed rows in META-page subheaders.
+  *
+  * The reference has no sas7bdat writer either (its "SAS sink" emits
+  * CSV+script, S10); this exists because our test strategy (SURVEY.md §5,
+  * FIXTURES.md §2) requires generated SAS fixtures for the read path.
+  * Emits the real page/subheader dictionary structure: ROW_SIZE,
+  * COLUMN_SIZE, COLUMN_TEXT, COLUMN_NAME, COLUMN_ATTRS, FORMAT_AND_LABEL.
+  *
+  * Types: numerics → 8-byte doubles (DATE/DATETIME/TIME via format strings),
+  * strings → fixed-width space-padded bytes.
+  */
+object SasFixtureWriter {
+
+  private final case class Col(
+      name: String, dataType: DataType, isChar: Boolean, length: Int, fmt: String)
+
+  def write(df: DataFrame, path: String, rle: Boolean = false): Unit = {
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val widths: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.map(c => max(octet_length(col(c))).as(c))
+        val r = df.select(aggs.toIndexedSeq: _*).collect()(0)
+        strCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) 1 else math.max(1, r.getInt(i)))
+        }.toMap
+      }
+    import scala.jdk.CollectionConverters._
+    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, rle)
+  }
+
+  def writeRows(
+      schema: StructType,
+      rows: Iterator[Row],
+      path: String,
+      stringWidths: Map[String, Int],
+      rle: Boolean): Long = {
+    val cols = schema.fields.map { f =>
+      val isTime = f.metadata.contains("logical_type") &&
+        f.metadata.getString("logical_type") == "time"
+      f.dataType match {
+        case StringType => Col(f.name, f.dataType, isChar = true, stringWidths.getOrElse(f.name, 1), "")
+        case DateType => Col(f.name, f.dataType, isChar = false, 8, "DATE")
+        case TimestampNTZType | TimestampType => Col(f.name, f.dataType, isChar = false, 8, "DATETIME")
+        case LongType if isTime => Col(f.name, f.dataType, isChar = false, 8, "TIME")
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType | BooleanType =>
+          Col(f.name, f.dataType, isChar = false, 8, "")
+        case dt => throw new IllegalArgumentException(s"sas fixture writer: unsupported $dt")
+      }
+    }
+    val rowLength = cols.map(_.length).sum
+    // buffer all rows encoded (fixture scale only)
+    val encoded = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    while (rows.hasNext) {
+      val row = rows.next()
+      val buf = new Array[Byte](rowLength)
+      var off = 0
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (c.isChar) {
+          java.util.Arrays.fill(buf, off, off + c.length, ' '.toByte)
+          if (!row.isNullAt(i)) {
+            val b = row.getString(i).getBytes(StandardCharsets.UTF_8)
+            require(b.length <= c.length, s"string too long for ${c.name}")
+            System.arraycopy(b, 0, buf, off, b.length)
+          }
+        } else {
+          val bits =
+            if (row.isNullAt(i)) 0x7ff0000000000001L // NaN-class → missing
+            else java.lang.Double.doubleToLongBits(numeric(c, row, i))
+          var k = 0
+          while (k < 8) { buf(off + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
+        }
+        off += c.length
+      }
+      encoded += buf
+    }
+    val nRows = encoded.length.toLong
+
+    val pageLength = math.max(8192, Integer.highestOneBit(rowLength + 512) * 2)
+    val bitOffset = 32
+    val headerLen = 1024
+
+    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    pages ++= buildMetaPage(cols, rowLength, nRows, pageLength, rle, encoded.toSeq)
+    if (!rle) {
+      val rowsPerPage = (pageLength - bitOffset - 8) / rowLength
+      require(rowsPerPage > 0, "sas fixture: row too long for page")
+      encoded.grouped(rowsPerPage).foreach { group =>
+        val p = new Array[Byte](pageLength)
+        putU16(p, bitOffset, 256) // DATA
+        putU16(p, bitOffset + 2, group.length)
+        putU16(p, bitOffset + 4, 0)
+        var off = bitOffset + 8
+        group.foreach { r => System.arraycopy(r, 0, p, off, rowLength); off += rowLength }
+        pages += p
+      }
+    }
+
+    val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    os.write(buildHeader(headerLen, pageLength, pages.length))
+    pages.foreach(os.write)
+    os.close()
+    nRows
+  }
+
+  private def numeric(c: Col, row: Row, i: Int): Double = c.dataType match {
+    case DateType =>
+      val days = row.get(i) match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+        case x: java.lang.Integer => x.toLong
+        case x => throw new IllegalArgumentException(s"date: $x")
+      }
+      (days + Sas.EpochShiftDays).toDouble
+    case TimestampNTZType | TimestampType =>
+      val micros = row.get(i) match {
+        case t: java.time.LocalDateTime =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+        case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        case x => throw new IllegalArgumentException(s"timestamp: $x")
+      }
+      micros / 1e6 + (Sas.EpochShiftDays * Sas.SecondsPerDay).toDouble
+    case LongType if c.fmt == "TIME" => row.getLong(i) / 1e9
+    case ByteType => row.getByte(i).toDouble
+    case ShortType => row.getShort(i).toDouble
+    case IntegerType => row.getInt(i).toDouble
+    case LongType => row.getLong(i).toDouble
+    case FloatType => row.getFloat(i).toDouble
+    case DoubleType => row.getDouble(i)
+    case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
+    case dt => throw new IllegalArgumentException(s"$dt")
+  }
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 4) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+  private def putU64(b: Array[Byte], off: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  private def buildHeader(headerLen: Int, pageLen: Int, nPages: Int): Array[Byte] = {
+    val b = new Array[Byte](headerLen)
+    System.arraycopy(Sas.Magic, 0, b, 0, 32)
+    b(32) = '3' // 64-bit
+    b(35) = '3' // align1 = 4
+    b(37) = 0x01 // little-endian
+    b(39) = '1' // unix
+    b(70) = 20 // UTF-8
+    val a1 = 4
+    putU32(b, 196 + a1, headerLen.toLong)
+    putU32(b, 200 + a1, pageLen.toLong)
+    putU32(b, 204 + a1, math.max(nPages, 0).toLong)
+    "9.0401M7".getBytes(StandardCharsets.US_ASCII).copyToArray(b, 216 + 8)
+    b
+  }
+
+  /** Meta page(s): dictionary subheaders (+ RLE data subheaders when rle). */
+  private def buildMetaPage(
+      cols: Array[Col], rowLength: Int, nRows: Long, pageLength: Int,
+      rle: Boolean, encoded: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    val n = cols.length
+    val bitOffset = 32
+    val ptrSize = 24
+
+    // column text payload: u16 remainder + (optional compression sig) + strings
+    val text = new java.io.ByteArrayOutputStream()
+    text.write(0); text.write(0) // remainder u16 (unused by our reader)
+    if (rle) text.write("SASYZCRL".getBytes(StandardCharsets.US_ASCII))
+    val nameRefs = cols.map { c =>
+      val off = text.size()
+      val bytes = c.name.getBytes(StandardCharsets.UTF_8)
+      text.write(bytes)
+      (off, bytes.length)
+    }
+    val fmtRefs = cols.map { c =>
+      if (c.fmt.isEmpty) (0, 0)
+      else {
+        val off = text.size()
+        val bytes = c.fmt.getBytes(StandardCharsets.US_ASCII)
+        text.write(bytes)
+        (off, bytes.length)
+      }
+    }
+    val textPayload = text.toByteArray
+
+    // subheaders: (signature ++ body)
+    def sub(sig: Array[Int], body: Array[Byte]): Array[Byte] =
+      sig.map(_.toByte) ++ body
+
+    val rowSizeBody = new Array[Byte](800)
+    putU64(rowSizeBody, 5 * 8 - 8, rowLength.toLong)
+    putU64(rowSizeBody, 6 * 8 - 8, nRows)
+    putU64(rowSizeBody, 9 * 8 - 8, n.toLong)
+    putU64(rowSizeBody, 10 * 8 - 8, 0L)
+    putU64(rowSizeBody, 15 * 8 - 8, 0L) // mix page row count
+    val rowSize = sub(Array(0, 0, 0, 0, 0xF7, 0xF7, 0xF7, 0xF7), rowSizeBody)
+
+    val colSizeBody = new Array[Byte](8)
+    putU64(colSizeBody, 0, n.toLong)
+    val colSize = sub(Array(0, 0, 0, 0, 0xF6, 0xF6, 0xF6, 0xF6), colSizeBody)
+
+    val colText = sub(Array(0xFD, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF), textPayload)
+
+    // COLUMN_NAME: entries at +16, 8 bytes each; length = 28 + 8n
+    val colNameBody = new Array[Byte](8 + 8 * n + 12)
+    cols.indices.foreach { i =>
+      val e = 8 + 8 * i
+      putU16(colNameBody, e, 0)
+      putU16(colNameBody, e + 2, nameRefs(i)._1)
+      putU16(colNameBody, e + 4, nameRefs(i)._2)
+    }
+    val colName = sub(Array(0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF), colNameBody)
+
+    // COLUMN_ATTRS: entries at +16, 16 bytes each; length = 28 + 16n
+    val colAttrsBody = new Array[Byte](8 + 16 * n + 12)
+    var colOff = 0
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val e = 8 + 16 * i
+      putU64(colAttrsBody, e, colOff.toLong)
+      putU32(colAttrsBody, e + 8, c.length.toLong)
+      colAttrsBody(e + 14) = if (c.isChar) 2 else 1
+      colOff += c.length
+    }
+    val colAttrs = sub(Array(0xFC, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF), colAttrsBody)
+
+    // one FORMAT_AND_LABEL per column: u16 fields at base+22.. (base = +24)
+    val fmtSubs = cols.indices.map { i =>
+      val body = new Array[Byte](56)
+      // base = offset + 24 → body index base-8 = 16; fields at body 16+22-8=30..40
+      val b0 = 24 - 8
+      putU16(body, b0 + 22, 0)
+      putU16(body, b0 + 24, fmtRefs(i)._1)
+      putU16(body, b0 + 26, fmtRefs(i)._2)
+      putU16(body, b0 + 28, 0)
+      putU16(body, b0 + 30, 0)
+      putU16(body, b0 + 32, 0)
+      sub(Array(0xFE, 0xFB, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF), body)
+    }
+
+    val dictSubs: Seq[(Array[Byte], Int, Int)] = // (bytes, compression, type)
+      Seq((rowSize, 0, 0), (colSize, 0, 0), (colText, 0, 0),
+        (colName, 0, 0), (colAttrs, 0, 0)) ++ fmtSubs.map(s => (s, 0, 0))
+
+    val dataSubs: Seq[(Array[Byte], Int, Int)] =
+      if (!rle) Seq.empty
+      else encoded.map { r =>
+        val compressedFull = RleEncode.encode(r)
+        val c = if (compressedFull.length < r.length) compressedFull else r
+        (c, 4, 1)
+      }
+
+    // pack subheaders into pages: pointer table grows from bitOffset+8,
+    // payloads from the end of the page
+    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var pending = (dictSubs ++ dataSubs).toList
+    while (pending.nonEmpty) {
+      val page = new Array[Byte](pageLength)
+      putU16(page, bitOffset, 0) // META
+      var count = 0
+      var top = pageLength
+      var ptrOff = bitOffset + 8
+      var fits = true
+      while (pending.nonEmpty && fits) {
+        val (bytes, comp, typ) = pending.head
+        if (ptrOff + ptrSize <= top - bytes.length) {
+          top -= bytes.length
+          System.arraycopy(bytes, 0, page, top, bytes.length)
+          putU64(page, ptrOff, top.toLong)
+          putU64(page, ptrOff + 8, bytes.length.toLong)
+          page(ptrOff + 16) = comp.toByte
+          page(ptrOff + 17) = typ.toByte
+          ptrOff += ptrSize
+          count += 1
+          pending = pending.tail
+        } else fits = false
+      }
+      require(count > 0, "sas fixture: subheader larger than page")
+      putU16(page, bitOffset + 2, count)
+      putU16(page, bitOffset + 4, count)
+      pages += page
+    }
+    pages.toSeq
+  }
+}
+
+/** Simple SASYZCRL-compatible encoder: runs → INSERT_*, literals → COPY. */
+object RleEncode {
+  def encode(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    val n = row.length
+    val lit = new java.io.ByteArrayOutputStream()
+
+    def flushLiterals(): Unit = {
+      var data = lit.toByteArray
+      var p = 0
+      while (p < data.length) {
+        val chunk = math.min(16, data.length - p)
+        out.write(0x80 | (chunk - 1)) // COPY1: lo+1 bytes
+        out.write(data, p, chunk)
+        p += chunk
+      }
+      lit.reset()
+    }
+
+    while (i < n) {
+      var runLen = 1
+      val b = row(i)
+      while (i + runLen < n && row(i + runLen) == b && runLen < 4000) runLen += 1
+      if (runLen >= 4) {
+        flushLiterals()
+        var left = runLen
+        while (left > 0) {
+          if (left >= 18) {
+            // INSERT_BYTE18: count = (lo<<4) + nb + 18, lo ≤ 15, nb ≤ 255 → ≤ 513
+            val count = math.min(left, 513)
+            val rem = count - 18
+            val lo2 = math.min(rem >> 4, 15)
+            val nb = rem - (lo2 << 4)
+            out.write(0x40 | lo2); out.write(nb); out.write(b)
+            left -= count
+          } else if (left >= 3) {
+            out.write(0xC0 | (left - 3)); out.write(b) // INSERT_BYTE3
+            left = 0
+          } else {
+            var k = 0
+            while (k < left) { lit.write(b); k += 1 }
+            left = 0
+          }
+        }
+        i += runLen
+      } else {
+        var k = 0
+        while (k < runLen) { lit.write(b); k += 1 }
+        i += runLen
+      }
+    }
+    flushLiterals()
+    out.toByteArray
+  }
+}

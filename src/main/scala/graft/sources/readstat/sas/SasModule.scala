@@ -1,23 +1,273 @@
 package graft.sources.readstat.sas
 
+import java.io.BufferedInputStream
+
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.PartitionReader
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.readstat.{ReadstatFormats, ReadstatInputPartition, ReadstatOptions}
+import graft.sources.readstat.{ReadstatFormats, ReadstatIO, ReadstatInputPartition, ReadstatOptions}
 
-/** SAS `.sas7bdat` module (SURVEY.md §2.1 S1). Implementation lands in
-  * M-SAS; the DSv2 wiring is already format-agnostic.
+/** SAS `.sas7bdat` format module (SURVEY.md §2.1 S1).
+  *
+  * Partitioning (reference §3.3/§4.2): uncompressed files use the analytic
+  * page index — every full DATA page carries the same number of rows, so a
+  * row range maps to a page range with one seek. The planner validates the
+  * assumption against the first DATA page's block count and falls back to a
+  * single sequential partition when it doesn't hold (MIX-heavy or unusual
+  * layouts). RLE/RDC-compressed files are sequential by construction →
+  * single partition per file; multi-file loads restore parallelism.
   */
 object SasModule extends ReadstatFormats.FormatModule {
-  private def nyi = throw new UnsupportedOperationException(
-    "sas7bdat reader: not yet implemented (planned milestone M-SAS)")
-  override def schema(path: String, opts: ReadstatOptions): StructType = nyi
-  override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = nyi
-  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext = nyi
+  import Sas._
+
+  final case class SasContext(meta: Metadata) extends ReadstatFormats.FileContext
+
+  private def parseMeta(path: String): Metadata = {
+    val in = new BufferedInputStream(ReadstatIO.open(path), 1 << 20)
+    try Sas.parseMetadata(in)
+    finally in.close()
+  }
+
+  def sparkField(c: Column): StructField = {
+    val mb = new MetadataBuilder()
+    if (c.format.nonEmpty) mb.putString("format", c.format)
+    if (c.label.nonEmpty) mb.putString("label", c.label)
+    val dt: DataType = kindFor(c) match {
+      case KChar => StringType
+      case KDate => DateType
+      case KDateTime => TimestampNTZType
+      case KTime => mb.putString("logical_type", "time"); LongType
+      case KNumeric => DoubleType
+    }
+    StructField(c.name, dt, nullable = true, metadata = mb.build())
+  }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType =
+    StructType(parseMeta(path).columns.map(sparkField))
+
+  /** True when the uncompressed file's pages satisfy the analytic index:
+    * firstDataPage onward are DATA pages with rowsPerDataPage rows each
+    * (checked against the first one's block count).
+    */
+  private def analyticIndexHolds(path: String, meta: Metadata): Boolean = {
+    if (meta.compression != CNone || meta.mixDataRows > 0) return false
+    val dataRows = meta.rowCount - meta.mixDataRows
+    if (dataRows <= 0) return false
+    val fsin = ReadstatIO.open(path)
+    try {
+      val h = meta.header
+      fsin.seek(h.headerLength.toLong + meta.firstDataPage * h.pageLength)
+      val head = new Array[Byte](h.bitOffset + 8)
+      if (!readFully(fsin, head, head.length)) return false
+      val pt = Bin.u16(head, h.bitOffset, h.littleEndian)
+      if (pt != PData) return false
+      val bc = Bin.u16(head, h.bitOffset + 2, h.littleEndian)
+      bc == math.min(meta.rowsPerDataPage.toLong, dataRows)
+    } finally fsin.close()
+  }
+
+  override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = {
+    val meta = parseMeta(path)
+    val n = meta.rowCount
+    if (n <= 0) return Seq((0L, 0L))
+    if (meta.compression != CNone || !analyticIndexHolds(path, meta)) Seq((0L, n))
+    else {
+      val rpp = meta.rowsPerDataPage.toLong
+      val pagesPerPart = math.max(1L,
+        opts.maxPartitionBytes / math.max(1, meta.header.pageLength))
+      val rowsPerPart = math.max(opts.minRowsPerPartition, pagesPerPart * rpp)
+      // align partition starts to page boundaries for clean seeks
+      val aligned = (rowsPerPart / rpp) * rpp
+      val step = math.max(rpp, aligned)
+      (0L until n by step).map(s => (s, math.min(step, n - s)))
+    }
+  }
+
+  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext =
+    SasContext(parseMeta(path))
+
   override def reader(
       part: ReadstatInputPartition,
       ctx: ReadstatFormats.FileContext,
       required: StructType,
-      opts: ReadstatOptions): PartitionReader[InternalRow] = nyi
+      opts: ReadstatOptions): PartitionReader[InternalRow] =
+    new SasPartitionReader(part, ctx.asInstanceOf[SasContext].meta, required, opts)
+}
+
+class SasPartitionReader(
+    part: ReadstatInputPartition,
+    meta: Sas.Metadata,
+    required: StructType,
+    opts: ReadstatOptions) extends PartitionReader[InternalRow] {
+  import Sas._
+
+  private val h = meta.header
+  private val le = h.littleEndian
+  private val cs = meta.charset
+
+  private final case class Plan(c: Column, decode: (Array[Byte], Int) => Any)
+  private val plans: Array[Plan] = {
+    val byName = meta.columns.map(c => c.name -> c).toMap
+    required.fields.map { f =>
+      val c = byName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"sas: no such column '${f.name}'"))
+      Plan(c, decoderFor(c))
+    }
+  }
+
+  private def missingDouble(bits: Long): Boolean =
+    (bits & 0x7fffffffffffffffL) >= 0x7ff0000000000000L
+
+  private def decoderFor(c: Column): (Array[Byte], Int) => Any = kindFor(c) match {
+    case KChar => (row, base) => {
+      val off = base + c.offset
+      var end = c.length
+      while (end > 0 && (row(off + end - 1) == ' ' || row(off + end - 1) == 0)) end -= 1
+      var nul = 0
+      while (nul < end && row(off + nul) != 0) nul += 1
+      end = math.min(end, nul)
+      if (end == 0) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
+      else UTF8String.fromString(new String(row, off, end, cs))
+    }
+    case KNumeric => (row, base) => {
+      val d = decodeNumeric(row, base + c.offset, c.length, le)
+      if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
+      else java.lang.Double.valueOf(d)
+    }
+    case KDate => (row, base) => {
+      val d = decodeNumeric(row, base + c.offset, c.length, le)
+      if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
+      else {
+        // days since 1960, with a seconds fallback for out-of-range values
+        // (reference `src/sas/polars_output.rs:322-329`)
+        val days = d.toInt - EpochShiftDays.toInt
+        val v = if (days >= -135080 && days <= 156935) days
+        else (d / SecondsPerDay).toInt - EpochShiftDays.toInt
+        java.lang.Integer.valueOf(v)
+      }
+    }
+    case KDateTime => (row, base) => {
+      val d = decodeNumeric(row, base + c.offset, c.length, le)
+      if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
+      else java.lang.Long.valueOf(((d - EpochShiftDays * SecondsPerDay) * 1e6).toLong)
+    }
+    case KTime => (row, base) => {
+      val d = decodeNumeric(row, base + c.offset, c.length, le)
+      if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
+      else java.lang.Long.valueOf((d * 1e9).toLong)
+    }
+  }
+
+  // ---- page iteration ----
+  private val fsin = ReadstatIO.open(part.path)
+  private var in: BufferedInputStream = _
+  private val page = new Array[Byte](h.pageLength)
+  private val out = new GenericInternalRow(plans.length)
+
+  private var remaining = part.rowCount
+  private var toSkip = 0L
+
+  // state within the current page
+  private var rowsLeftOnPage = 0
+  private var rowOffset = 0
+  private var rowStep = meta.rowLength
+  // compressed: subheader row list of (offset, length)
+  private var subRows: IndexedSeq[(Int, Int)] = IndexedSeq.empty
+  private var subIdx = 0
+  private var decompressed: Array[Byte] = _
+
+  locally {
+    val analyticSeek =
+      meta.compression == CNone && meta.mixDataRows == 0 && part.rowStart > 0
+    if (analyticSeek) {
+      val rpp = meta.rowsPerDataPage.toLong
+      val pageIdx = meta.firstDataPage + part.rowStart / rpp
+      fsin.seek(h.headerLength.toLong + pageIdx * h.pageLength)
+      toSkip = part.rowStart % rpp
+    } else {
+      fsin.seek(h.headerLength.toLong)
+      toSkip = part.rowStart
+    }
+    in = new BufferedInputStream(fsin, 4 << 20)
+  }
+
+  override def next(): Boolean = {
+    if (remaining <= 0) return false
+    while (true) {
+      val row = nextRowBytes()
+      if (row == null) return false
+      if (toSkip > 0) toSkip -= 1
+      else {
+        val (buf, base) = row
+        var i = 0
+        while (i < plans.length) {
+          out.update(i, plans(i).decode(buf, base))
+          i += 1
+        }
+        remaining -= 1
+        return true
+      }
+    }
+    false
+  }
+
+  /** Returns (buffer, baseOffset) of the next physical row, or null at EOF. */
+  private def nextRowBytes(): (Array[Byte], Int) = {
+    while (true) {
+      if (rowsLeftOnPage > 0) {
+        val r = (page, rowOffset)
+        rowOffset += rowStep
+        rowsLeftOnPage -= 1
+        return r
+      }
+      if (subIdx < subRows.length) {
+        val (off, len) = subRows(subIdx)
+        subIdx += 1
+        if (len < meta.rowLength) {
+          decompressed = meta.compression match {
+            case CRdc => SasDecompress.rdc(page, off, len, meta.rowLength)
+            case _ => SasDecompress.rle(page, off, len, meta.rowLength)
+          }
+          return (decompressed, 0)
+        } else return (page, off)
+      }
+      if (!readFully(in, page, h.pageLength)) return null
+      loadPage()
+    }
+    null
+  }
+
+  private def loadPage(): Unit = {
+    rowsLeftOnPage = 0
+    rowOffset = 0
+    subRows = IndexedSeq.empty
+    subIdx = 0
+    val pt = pageType(page, h)
+    if (pt == PData) {
+      rowsLeftOnPage = blockCount(page, h)
+      rowOffset = h.bitOffset + 8
+    } else if (isMetaType(pt)) {
+      if (meta.compression != CNone) {
+        // compressed rows live in data subheaders on META pages
+        subRows = subPtrs(page, h).filter { p =>
+          (p.compression == 4 || p.compression == 0) && p.subType == 1 &&
+            p.length <= meta.rowLength &&
+            !(p.offset + 8 <= page.length && isMetadataSignature(page, p.offset))
+        }.map(p => (p.offset, p.length))
+      } else if (isMixType(pt)) {
+        var dataStart = h.bitOffset + 8 + subheaderCount(page, h) * h.subPtrSize
+        if (dataStart % 8 == 4) dataStart += 4
+        val fit = (h.pageLength - dataStart) / math.max(1, meta.rowLength)
+        rowsLeftOnPage = math.min(fit.toLong, meta.mixPageRowCount).toInt
+        rowOffset = dataStart
+      }
+    }
+    // other page types (AMD/METC/invalid) carry no rows for us
+  }
+
+  override def get(): InternalRow = out
+  override def close(): Unit = if (in != null) in.close()
 }
