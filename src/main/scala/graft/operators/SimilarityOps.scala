@@ -2,36 +2,45 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
 import graft.util.Tables._
 
 /** Similarity search over the `embeddings` table (Array[Float], unit-norm).
   *
-  * Brute-force cosine top-k is the correctness baseline: a broadcast of the
-  * (small) query set against the full candidate scan — a narrow map + top-k
-  * per query, no shuffle of the candidate side. At 100 TB the scale path is
-  * the LSH/IVF variant (q41): random-hyperplane bucket assignment turns the
-  * all-pairs problem into per-bucket joins.
+  * Brute-force cosine top-k is the correctness baseline: broadcast the
+  * (small) query set against the candidate scan — a narrow map + top-k per
+  * query, no shuffle of the candidate side. All dot products go through the
+  * codegen'd `graft_dot` Catalyst expression (graft.functions.ArrayDot);
+  * norms are computed ONCE per row before the pair join instead of per pair
+  * — at 100 TB the same plan holds: per-row prep is linear, the pair stage
+  * only pays one fused multiply-add loop per candidate.
   *
-  * Dot products use `aggregate(zip_with(...))` over DOUBLE — sequential
-  * left-to-right fold, bit-identical to the oracle's list_dot_product.
+  * Scale path beyond brute force: q41's centroid (IVF) assignment — cluster
+  * centroids are tiny (k×dim), computed distributed and broadcast; assigning
+  * each vector is k dot products in a narrow map stage. A full IVF search
+  * then probes only the best cluster's inverted list.
   */
 object SimilarityOps {
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  /** embeddings with double-array `e` and precomputed norm `nrm`. */
+  private def prepped(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    embeddings(s, d)
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 3.
     "q37_sim_topk" -> ((s, d) => {
-      val e = embeddings(s, d)
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      import org.apache.spark.sql.expressions.Window
+      val base = prepped(s, d)
+      val q = base.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = base.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
       val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
-        .withColumn("cos", round(
-          expr(dotExpr("qe", "ce")) /
-            (sqrt(expr(dotExpr("qe", "qe"))) * sqrt(expr(dotExpr("ce", "ce")))), 6))
+        .withColumn("cos", round(expr("graft_dot(qe, ce)") / (col("qn") * col("cn")), 6))
       val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -41,35 +50,32 @@ object SimilarityOps {
 
     // Embedding near-duplicate pairs: cosine ≥ 0.45 across all pairs.
     "q39_embedding_neardup" -> ((s, d) => {
-      val e = embeddings(s, d)
-      val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      val base = prepped(s, d)
+      val a = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
       a.join(b, col("ia") < col("ib"))
-        .withColumn("cos",
-          expr(dotExpr("ea", "eb")) /
-            (sqrt(expr(dotExpr("ea", "ea"))) * sqrt(expr(dotExpr("eb", "eb")))))
+        .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
         .orderBy("ia", "ib")
     }),
 
-    // Label-centroid assignment: an IVF-style coarse quantizer. Centroids are
-    // per-label means (computed distributed, then broadcast); each vector is
-    // assigned to its nearest centroid. Output: confusion of true label vs
-    // assigned centroid.
+    // IVF-style coarse quantizer: per-label centroids (computed distributed,
+    // then broadcast as arrays), each vector assigned to its nearest
+    // centroid by dot product. Output: label vs assigned confusion counts.
     "q41_ivf_assign" -> ((s, d) => {
-      val e = embeddings(s, d)
-      val unpacked = e.select(col("vec_id"), col("label"),
-        posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("pos", "x")))
-      val centroids = unpacked.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+      val base = prepped(s, d)
+      val unpacked = base.select(col("label"),
+        posexplode(col("e")).as(Seq("pos", "x")))
+      val centroids = unpacked.groupBy(col("label").as("c_label"), col("pos"))
         .agg(avg("x").as("cx"))
-      val scored = unpacked.join(broadcast(centroids), col("pos") === col("c_pos"))
-        .groupBy("vec_id", "label", "c_label")
-        .agg(sum(col("x") * col("cx")).as("dot"))
-      import org.apache.spark.sql.expressions.Window
+        .groupBy("c_label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("ce"))
+      val scored = base.select(col("vec_id"), col("label"), col("e"))
+        .join(broadcast(centroids))
+        .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
       val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
       scored
-        .withColumn("r_dot", round(col("dot"), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy(col("label"), col("c_label").as("assigned"))
