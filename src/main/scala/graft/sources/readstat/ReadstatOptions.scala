@@ -11,7 +11,14 @@ final case class ReadstatOptions(
     missingStringAsNull: Boolean,
     valueLabelsAsStrings: Boolean,
     maxPartitionBytes: Long,
-    minRowsPerPartition: Long) extends Serializable
+    minRowsPerPartition: Long,
+    informativeNulls: Option[String],
+    informativeNullColumns: Option[Set[String]],
+    informativeNullSuffix: String) extends Serializable {
+  def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
+  def inTracked(name: String): Boolean =
+    informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
+}
 
 object ReadstatOptions {
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
@@ -24,7 +31,11 @@ object ReadstatOptions {
       missingStringAsNull = get("missingStringAsNull").forall(_.toBoolean),
       valueLabelsAsStrings = get("valueLabelsAsStrings").forall(_.toBoolean),
       maxPartitionBytes = get("maxPartitionBytes").map(_.toLong).getOrElse(128L * 1024 * 1024),
-      minRowsPerPartition = get("minRowsPerPartition").map(_.toLong).getOrElse(8192L))
+      minRowsPerPartition = get("minRowsPerPartition").map(_.toLong).getOrElse(8192L),
+      informativeNulls = get("informativeNulls"),
+      informativeNullColumns =
+        get("informativeNullColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      informativeNullSuffix = get("informativeNullSuffix").getOrElse("_null"))
   }
 
   /** Format sniffing by extension (`detect_format` reference `src/lib.rs:383-394`). */

@@ -74,9 +74,9 @@ object SasFixtureWriter {
             System.arraycopy(b, 0, buf, off, b.length)
           }
         } else {
-          val bits =
+          val bits = // raw bits: preserve NaN payloads (.A-.Z tagged missing)
             if (row.isNullAt(i)) 0x7ff0000000000001L // NaN-class → missing
-            else java.lang.Double.doubleToLongBits(numeric(c, row, i))
+            else java.lang.Double.doubleToRawLongBits(numeric(c, row, i))
           var k = 0
           while (k < 8) { buf(off + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
         }

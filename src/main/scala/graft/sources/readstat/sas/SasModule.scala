@@ -45,8 +45,24 @@ object SasModule extends ReadstatFormats.FormatModule {
     StructField(c.name, dt, nullable = true, metadata = mb.build())
   }
 
+  import graft.sources.readstat.InformativeNulls
+  import graft.sources.readstat.InformativeNulls._
+
+  def fieldsWithRoles(meta: Metadata, opts: ReadstatOptions): Seq[(StructField, Role, Column)] = {
+    val mode = opts.inMode
+    meta.columns.toSeq.flatMap { c =>
+      val f = sparkField(c)
+      val elig = !c.isChar && opts.inTracked(c.name)
+      if (elig && mode.contains(Merged) && kindFor(c) != KNumeric)
+        throw new IllegalArgumentException(
+          s"informativeNulls=merged is not supported for date/time column '${c.name}'")
+      InformativeNulls.expand(f, elig, mode, opts.informativeNullSuffix)
+        .map { case (fld, role) => (fld, role, c) }
+    }
+  }
+
   override def schema(path: String, opts: ReadstatOptions): StructType =
-    StructType(parseMeta(path).columns.map(sparkField))
+    StructType(fieldsWithRoles(parseMeta(path), opts).map(_._1))
 
   /** True when the uncompressed file's pages satisfy the analytic index:
     * firstDataPage onward are DATA pages with rowsPerDataPage rows each
@@ -108,14 +124,49 @@ class SasPartitionReader(
   private val le = h.littleEndian
   private val cs = meta.charset
 
+  import graft.sources.readstat.InformativeNulls._
+
   private final case class Plan(c: Column, decode: (Array[Byte], Int) => Any)
   private val plans: Array[Plan] = {
-    val byName = meta.columns.map(c => c.name -> c).toMap
+    val roles = SasModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
     required.fields.map { f =>
-      val c = byName.getOrElse(f.name,
+      val (_, role, c) = roles.getOrElse(f.name,
         throw new IllegalArgumentException(s"sas: no such column '${f.name}'"))
-      Plan(c, decoderFor(c))
+      val valueDecode = decoderFor(c)
+      val decode: (Array[Byte], Int) => Any = role match {
+        case RValue => valueDecode
+        case RIndicator => (row, base) => indicatorFor(c, row, base)
+        case RStruct => (row, base) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](valueDecode(row, base), indicatorFor(c, row, base)))
+        case RMerged => (row, base) => {
+          val ind = indicatorFor(c, row, base)
+          if (ind != null) ind
+          else {
+            val d = decodeNumeric(row, base + c.offset, c.length, le)
+            if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
+            else UTF8String.fromString(
+              graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d))
+          }
+        }
+      }
+      Plan(c, decode)
     }
+  }
+
+  /** SAS tagged missing: NaN type byte at bits[47:40]; 0xBE→.A … 0xA5→.Z,
+    * 0xD2→._ (reference `src/sas/value.rs:160-214`).
+    */
+  private def indicatorFor(c: Column, row: Array[Byte], base: Int): UTF8String = {
+    val d = decodeNumeric(row, base + c.offset, c.length, le)
+    val bits = java.lang.Double.doubleToRawLongBits(d)
+    if ((bits & 0x7fffffffffffffffL) < 0x7ff0000000000000L) return null // valid
+    val typeByte = ((bits >> 40) & 0xff).toInt
+    if (typeByte >= 0xA5 && typeByte <= 0xBE) {
+      val letter = (0xFF ^ typeByte) // 0x41..0x5A
+      UTF8String.fromString("." + letter.toChar)
+    } else if (typeByte == 0xD2) UTF8String.fromString("._")
+    else null
   }
 
   private def missingDouble(bits: Long): Boolean =

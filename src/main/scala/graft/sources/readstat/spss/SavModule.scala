@@ -43,10 +43,32 @@ object SavModule extends ReadstatFormats.FormatModule {
     StructField(v.name, dt, nullable = true, metadata = mb.build())
   }
 
-  override def schema(path: String, opts: ReadstatOptions): StructType = {
-    val meta = parseMeta(path)
-    StructType(meta.variables.map(v => sparkField(v, meta, opts)))
+  import graft.sources.readstat.InformativeNulls
+  import graft.sources.readstat.InformativeNulls._
+
+  /** Eligible for informative nulls: numerics with user-declared missings
+    * possible, and strings with declared missing codes (reference policy:
+    * "numeric + declared-missing strings for SPSS", `src/lib.rs:65`).
+    */
+  private def eligible(v: Variable): Boolean =
+    (!v.isString && v.missingDoubles.nonEmpty) ||
+      (v.isString && v.missingStrings.nonEmpty)
+
+  def fieldsWithRoles(meta: Metadata, opts: ReadstatOptions): Seq[(StructField, Role, Variable)] = {
+    val mode = opts.inMode
+    meta.variables.toSeq.flatMap { v =>
+      val f = sparkField(v, meta, opts)
+      val elig = eligible(v) && opts.inTracked(v.name)
+      if (elig && mode.contains(Merged) && !v.isString && formatClass(v.formatType).isDefined)
+        throw new IllegalArgumentException(
+          s"informativeNulls=merged is not supported for date/time column '${v.name}'")
+      InformativeNulls.expand(f, elig, mode, opts.informativeNullSuffix)
+        .map { case (fld, role) => (fld, role, v) }
+    }
   }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType =
+    StructType(fieldsWithRoles(parseMeta(path), opts).map(_._1))
 
   override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = {
     val meta = parseMeta(path)
@@ -87,15 +109,72 @@ class SavPartitionReader(
   private val recordLen = meta.recordLen
   private val cs = meta.charset
 
+  import graft.sources.readstat.InformativeNulls._
+
   // plans for projected columns only (P1)
   private final case class Plan(v: Variable, byteOff: Int, decode: Array[Byte] => Any)
   private val plans: Array[Plan] = {
-    val byName = meta.variables.map(v => v.name -> v).toMap
+    val roles = SavModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
     required.fields.map { f =>
-      val v = byName.getOrElse(f.name,
+      val (_, role, v) = roles.getOrElse(f.name,
         throw new IllegalArgumentException(s"sav: no such column '${f.name}'"))
       val off = v.offsetSegments * 8
-      Plan(v, off, decoderFor(v, off))
+      val valueDecode = decoderFor(v, off)
+      val decode: Array[Byte] => Any = role match {
+        case RValue => valueDecode
+        case RIndicator => row => indicatorFor(v, row, off)
+        case RStruct => row =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](valueDecode(row), indicatorFor(v, row, off)))
+        case RMerged => row => {
+          val ind = indicatorFor(v, row, off)
+          if (ind != null) ind
+          else if (v.isString) valueDecode(row)
+          else {
+            val d = numericOrNull(v, row, off)
+            if (d == null) null
+            else UTF8String.fromString(
+              graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d.doubleValue()))
+          }
+        }
+      }
+      Plan(v, off, decode)
+    }
+  }
+
+  /** User-declared-missing indicator (reference `missing_numeric_indicator`
+    * `src/spss/data.rs:938-992`): discrete → label-or-number, range →
+    * label-or-"MISSING", system missing → null.
+    */
+  private def indicatorFor(v: Variable, row: Array[Byte], off: Int): UTF8String = {
+    if (v.isString) {
+      val s = extractString(v, row, off)
+      if (v.missingStrings.contains(s)) UTF8String.fromString(s) else null
+    } else {
+      val bits = Bin.i64(row, off, le)
+      if (bits == MissingDoubleBits || bits == LowestDoubleBits || bits == HighestDoubleBits)
+        return null
+      val d = java.lang.Double.longBitsToDouble(bits)
+      if (java.lang.Double.isNaN(d)) return null
+      if (v.missingDoubles.isEmpty) return null
+      val labelOf: Option[String] =
+        v.valueLabelSet.flatMap(meta.valueLabels.get).flatMap(_._1.get(bits))
+      def render = labelOf.getOrElse(
+        graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d))
+      if (v.missingRange) {
+        val inRange = v.missingDoubles.length >= 2 && {
+          val lo = math.min(v.missingDoubles(0), v.missingDoubles(1))
+          val hi = math.max(v.missingDoubles(0), v.missingDoubles(1))
+          d >= lo && d <= hi
+        }
+        if (inRange) UTF8String.fromString(labelOf.getOrElse("MISSING"))
+        else if (v.missingDoubles.length >= 3 &&
+          bits == java.lang.Double.doubleToRawLongBits(v.missingDoubles(2)))
+          UTF8String.fromString(render)
+        else null
+      } else if (v.missingDoubles.exists(m => java.lang.Double.doubleToRawLongBits(m) == bits))
+        UTF8String.fromString(render)
+      else null
     }
   }
 

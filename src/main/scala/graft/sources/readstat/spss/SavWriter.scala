@@ -54,7 +54,8 @@ object SavWriter {
       df: DataFrame,
       path: String,
       compress: Boolean = false,
-      valueLabels: Map[String, Map[Double, String]] = Map.empty): Unit = {
+      valueLabels: Map[String, Map[Double, String]] = Map.empty,
+      missingValues: Map[String, Seq[Double]] = Map.empty): Unit = {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val widths: Map[String, Int] =
       if (strCols.isEmpty) Map.empty
@@ -66,7 +67,8 @@ object SavWriter {
         }.toMap
       }
     import scala.jdk.CollectionConverters._
-    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, compress, valueLabels)
+    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, compress,
+      valueLabels, missingValues)
   }
 
   def writeRows(
@@ -75,7 +77,8 @@ object SavWriter {
       path: String,
       stringWidths: Map[String, Int],
       compress: Boolean,
-      valueLabels: Map[String, Map[Double, String]]): Long = {
+      valueLabels: Map[String, Map[Double, String]],
+      missingValues: Map[String, Seq[Double]] = Map.empty): Long = {
     val specs = buildSpecs(schema, stringWidths)
     val nominalCaseSize = specs.map(_.widthSegments).sum
 
@@ -105,13 +108,15 @@ object SavWriter {
 
     // ---- variable records ----
     specs.foreach { s =>
+      val miss = if (s.isString) Seq.empty else missingValues.getOrElse(s.name, Seq.empty).take(3)
       u32(2)
       u32(if (s.isString) s.stringLen else 0)
       u32(0) // no label
-      u32(0) // no missing
+      u32(miss.size) // discrete user-declared missing values
       val fmt = s.formatType << 16
       u32(fmt); u32(fmt)
       wr(fixed(s.shortName.getBytes(StandardCharsets.US_ASCII), 8, ' '.toByte))
+      miss.foreach(m => wr(f64le(m)))
       (1 until s.widthSegments).foreach { _ =>
         u32(2); u32(-1); u32(0); u32(0); u32(0); u32(0)
         wr(fixed(Array.emptyByteArray, 8, ' '.toByte))

@@ -18,10 +18,49 @@ import graft.sources.readstat.ReadstatOptions
 object DtaRowDecoder {
   import Dta._
 
+  import graft.sources.readstat.InformativeNulls
+  import graft.sources.readstat.InformativeNulls._
+
   /** One column's decode plan: byte offset within the record + a decoder. */
   final case class ColPlan(field: StructField, offset: Int, decode: (Array[Byte], Int) => Any)
 
   final case class Plans(schema: StructType, cols: Array[ColPlan])
+
+  /** Tag decode: -1 = valid value, 0 = system missing, 1..26 = .a..z
+    * (reference `src/stata/value.rs:140-278`).
+    */
+  private def tagOf(vt: VarType, b: Array[Byte], o: Int, le: Boolean, rules: MissingRules): Int = {
+    if (!rules.sentinelEnabled) return -1 // pre-113 files have no extended missings
+    vt match {
+      case TByte =>
+        val x = b(o)
+        if (x < rules.sentI8) -1 else (x - rules.sentI8)
+      case TInt16 =>
+        val x = Bin.i16(b, o, le)
+        if (x < rules.sentI16) -1 else (x - rules.sentI16)
+      case TInt32 =>
+        val x = Bin.i32(b, o, le)
+        if (x < rules.sentI32) -1 else (x - rules.sentI32)
+      case TFloat =>
+        val bits = Bin.u32(b, o, le)
+        if ((bits & 0x80000000L) != 0 || bits <= rules.maxFloatBits) -1
+        else {
+          val k = ((bits - rules.missingFloatBits) / 0x80000L).toInt
+          if (k >= 0 && k <= 26) k else 0
+        }
+      case TDouble =>
+        val bits = Bin.u64(b, o, le)
+        if (bits < 0 || java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) <= 0) -1
+        else {
+          val k = bits - rules.missingDoubleBits
+          if (k >= 0 && k <= 26) k.toInt else 0
+        }
+      case _ => -1
+    }
+  }
+
+  private def tagLabel(k: Int): String =
+    if (k >= 1 && k <= 26) "." + ('a' + k - 1).toChar else "."
 
   def sparkField(v: Variable, opts: ReadstatOptions, labeled: Boolean): StructField = {
     val mb = new MetadataBuilder()
@@ -53,13 +92,30 @@ object DtaRowDecoder {
     if (d == Math.rint(d) && !d.isInfinite && Math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
-  def buildSchema(meta: Metadata, opts: ReadstatOptions): StructType = {
-    StructType(meta.variables.map { v =>
+  /** Full output field list with the role of each (value / indicator /
+    * struct / merged) and its backing variable.
+    */
+  def fieldsWithRoles(meta: Metadata, opts: ReadstatOptions): Seq[(StructField, Role, Variable)] = {
+    val mode = opts.inMode
+    meta.variables.toSeq.flatMap { v =>
       val labeled = opts.valueLabelsAsStrings && v.valueLabelName.exists(n =>
         meta.valueLabels.get(n).exists(_.nonEmpty))
-      sparkField(v, opts, labeled)
-    })
+      val f = sparkField(v, opts, labeled)
+      val numeric = v.varType match {
+        case TStr(_) | TStrL => false
+        case _ => true
+      }
+      val eligible = numeric && !labeled && meta.header.version >= 113 && opts.inTracked(v.name)
+      if (eligible && mode.contains(Merged) && timeFormatKind(v.format, v.varType).isDefined)
+        throw new IllegalArgumentException(
+          s"informativeNulls=merged is not supported for date/time column '${v.name}'")
+      InformativeNulls.expand(f, eligible, mode, opts.informativeNullSuffix)
+        .map { case (fld, role) => (fld, role, v) }
+    }
   }
+
+  def buildSchema(meta: Metadata, opts: ReadstatOptions): StructType =
+    StructType(fieldsWithRoles(meta, opts).map(_._1))
 
   /** Build decode plans for the projected columns only (P1 pushdown: cells
     * outside the projection are never parsed).
@@ -85,11 +141,13 @@ object DtaRowDecoder {
       i += 1
     }
     val byName = meta.variables.zipWithIndex.map { case (v, idx) => v.name -> idx }.toMap
+    val roles: Map[String, (StructField, Role, Variable)] =
+      fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
 
     val plans = required.fields.map { f =>
-      val idx = byName.getOrElse(f.name,
+      val (_, role, v) = roles.getOrElse(f.name,
         throw new IllegalArgumentException(s"dta: no such column '${f.name}'"))
-      val v = meta.variables(idx)
+      val idx = byName(v.name)
       val off = offsets(idx)
       val labelMap: Map[Int, String] =
         if (opts.valueLabelsAsStrings)
@@ -224,7 +282,29 @@ object DtaRowDecoder {
           }
         }
       }
-      ColPlan(f, off, decode)
+      val finalDecode: (Array[Byte], Int) => Any = role match {
+        case RValue => decode
+        case RIndicator => (b, base) => {
+          val k = tagOf(v.varType, b, base + off, le, rules)
+          if (k >= 1) org.apache.spark.unsafe.types.UTF8String.fromString(tagLabel(k)) else null
+        }
+        case RStruct => (b, base) => {
+          val k = tagOf(v.varType, b, base + off, le, rules)
+          val ind = if (k >= 1) org.apache.spark.unsafe.types.UTF8String.fromString(tagLabel(k)) else null
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](decode(b, base), ind))
+        }
+        case RMerged => (b, base) => {
+          val k = tagOf(v.varType, b, base + off, le, rules)
+          if (k >= 1) org.apache.spark.unsafe.types.UTF8String.fromString(tagLabel(k))
+          else {
+            val d = numRaw(b, base + off)
+            if (d == null) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(renderNumber(d.doubleValue()))
+          }
+        }
+      }
+      ColPlan(f, off, finalDecode)
     }
     Plans(required, plans)
   }

@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sources.readstat.sas.SasFixtureWriter
+import graft.sources.readstat.spss.SavWriter
+import graft.sources.readstat.stata.DtaWriter
+
+/** Informative-null modes across all three formats (SURVEY.md P7,
+  * reference `tests/informative_nulls.rs`).
+  */
+class InformativeNullsSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft_in").resolve(name).toString
+
+  test("stata: .a/.z sentinels → separate indicator column") {
+    import scala.jdk.CollectionConverters._
+    // int32 sentinels: . = 0x7fffffe5, .a = +1, .z = +26
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    val rows = Seq(Row(42), Row(0x7fffffe5 + 1), Row(0x7fffffe5 + 26), Row(null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("tagged.dta")
+    DtaWriter.write(df, path)
+
+    val back = spark.read.format("readstat")
+      .option("informativeNulls", "separate").load(path)
+    assert(back.columns.toSeq === Seq("x", "x_null"))
+    val got = back.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(got === Seq(
+      (Some(42), None), (None, Some(".a")), (None, Some(".z")), (None, None)))
+  }
+
+  test("stata: struct and merged modes") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    val rows = Seq(Row(7), Row(0x7fffffe5 + 2), Row(null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("modes.dta")
+    DtaWriter.write(df, path)
+
+    val st = spark.read.format("readstat")
+      .option("informativeNulls", "struct").load(path)
+    assert(st.schema("x").dataType.isInstanceOf[StructType])
+    val sGot = st.selectExpr("x.value", "x.null_indicator").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(sGot === Seq((Some(7), None), (None, Some(".b")), (None, None)))
+
+    val mg = spark.read.format("readstat")
+      .option("informativeNulls", "merged").load(path)
+    assert(mg.schema("x").dataType === StringType)
+    assert(mg.collect().map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("7"), Some(".b"), None))
+  }
+
+  test("spss: declared discrete missings → null + indicator") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("code", DoubleType)))
+    val rows = Seq(Row(1.0), Row(97.0), Row(99.0), Row(null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("missing.sav")
+    SavWriter.write(df, path, missingValues = Map("code" -> Seq(97.0, 99.0)))
+
+    // without informative nulls: declared missings are plain nulls
+    val plain = spark.read.format("readstat").load(path)
+    assert(plain.collect().map(r => Option(r.get(0))).toSeq ===
+      Seq(Some(1.0), None, None, None))
+
+    val sep = spark.read.format("readstat")
+      .option("informativeNulls", "separate").load(path)
+    assert(sep.columns.toSeq === Seq("code", "code_null"))
+    assert(sep.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq ===
+      Seq((Some(1.0), None), (None, Some("97")), (None, Some("99")), (None, None)))
+  }
+
+  test("sas: .A-.Z NaN tags → indicator") {
+    import scala.jdk.CollectionConverters._
+    def tagged(letter: Char): Double = {
+      val typeByte = (0xFF ^ (letter.toInt)).toLong // 'A' → 0xBE
+      java.lang.Double.longBitsToDouble(0x7ff0000000000000L | (typeByte << 40))
+    }
+    val schema = StructType(Seq(StructField("v", DoubleType)))
+    val rows = Seq(Row(5.5), Row(tagged('A')), Row(tagged('Z')), Row(null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("tagged.sas7bdat")
+    SasFixtureWriter.write(df, path)
+
+    val sep = spark.read.format("readstat")
+      .option("informativeNulls", "separate").load(path)
+    assert(sep.columns.toSeq === Seq("v", "v_null"))
+    assert(sep.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq ===
+      Seq((Some(5.5), None), (None, Some(".A")), (None, Some(".Z")), (None, None)))
+  }
+
+  test("informativeNullColumns restricts tracking") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", IntegerType)))
+    val rows = Seq(Row(1, 2))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("cols.dta")
+    DtaWriter.write(df, path)
+    val back = spark.read.format("readstat")
+      .option("informativeNulls", "separate")
+      .option("informativeNullColumns", "b").load(path)
+    assert(back.columns.toSeq === Seq("a", "b", "b_null"))
+  }
+}
