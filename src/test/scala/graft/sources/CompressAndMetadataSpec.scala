@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sources.readstat.{Compress, ReadstatMetadata}
+import graft.sources.readstat.sas.SasScriptWriter
+import graft.sources.readstat.stata.DtaWriter
+
+class CompressAndMetadataSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft_cm").resolve(name).toString
+
+  test("compressDf narrows doubles to bool/byte/short/int and timestamps to dates") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("flag", DoubleType), StructField("small", DoubleType),
+      StructField("mid", DoubleType), StructField("wide", DoubleType),
+      StructField("frac", DoubleType), StructField("ts", TimestampNTZType),
+      StructField("numstr", StringType)))
+    val rows = Seq(
+      Row(1.0, 100.0, 30000.0, 3e9, 1.5, java.time.LocalDateTime.parse("2020-01-01T00:00"), "12.5"),
+      Row(0.0, -100.0, -30000.0, -3e9, 2.0, java.time.LocalDateTime.parse("2021-06-15T00:00"), "7"),
+      Row(null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = Compress.compressDf(df,
+      Compress.CompressOptions(stringToNumeric = true))
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("flag") === BooleanType)
+    assert(types("small") === ByteType)
+    assert(types("mid") === ShortType)
+    assert(types("wide") === DoubleType) // 3e9 exceeds int32 bounds
+    assert(types("frac") === DoubleType) // fractional stays
+    assert(types("ts") === DateType)     // all-midnight
+    assert(types("numstr") === DoubleType)
+    assert(out.count() === 3)
+  }
+
+  test("compressDf keeps non-midnight timestamps") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("ts", TimestampNTZType)))
+    val rows = Seq(Row(java.time.LocalDateTime.parse("2020-01-01T10:30")))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    assert(Compress.compressDf(df).schema("ts").dataType === TimestampNTZType)
+  }
+
+  test("metadata probe returns per-column facts without reading data") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("s", StringType)))
+    val df = spark.createDataFrame(Seq(Row(1.0, "a"), Row(2.0, "b")).asJava, schema)
+    val path = tmp("meta.dta")
+    DtaWriter.write(df, path)
+    val meta = ReadstatMetadata.describe(spark, path)
+    val got = meta.orderBy("column_index")
+      .select("column_name", "storage_type", "spark_type", "row_count")
+      .collect().map(_.toSeq)
+    assert(got(0) === Seq("x", "double", "double", 2L))
+    assert(got(1)(0) === "s")
+    assert(got(1)(2) === "string")
+  }
+
+  test("sas script sink emits csv + proc format script") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", DoubleType), StructField("status", IntegerType)))
+    val df = spark.createDataFrame(Seq(Row(1.0, 1), Row(2.0, 2)).asJava, schema)
+    val csv = tmp("out.csv"); val sas = tmp("load.sas")
+    SasScriptWriter.write(df, csv, sas,
+      valueLabels = Map("status" -> Map(1 -> "Active", 2 -> "Closed")),
+      variableLabels = Map("id" -> "identifier"))
+    val csvText = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(csv)))
+    assert(csvText.startsWith("id,status"))
+    val sasText = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sas)))
+    assert(sasText.contains("proc format"))
+    assert(sasText.contains("\"Active\""))
+    assert(sasText.contains("label"))
+    assert(sasText.contains("infile"))
+  }
+}

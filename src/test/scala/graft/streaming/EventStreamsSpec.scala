@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+
+/** Structured Streaming specs driven by MemoryStream (SURVEY.md §2.9). */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked tumbling-window counts aggregate incrementally") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Evt]
+    val q = hourlyCounts(input.toDF()).writeStream
+      .format("memory").queryName("hourly").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Evt(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Evt(2, ts("2024-01-01 10:45:00"), 2, "click", 2.0),
+        Evt(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT event_type, n, sum_v FROM hourly ORDER BY hour, event_type")
+        .collect().map(_.toSeq)
+      assert(rows.toSeq === Seq(Seq("click", 2L, 3.0), Seq("view", 1L, 3.0)))
+      // late-but-within-watermark event updates the 10:00 window
+      input.addData(Evt(4, ts("2024-01-01 10:59:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      val upd = sp.sql("SELECT n FROM hourly WHERE event_type='click' ORDER BY n DESC")
+        .collect().map(_.getLong(0))
+      assert(upd.contains(3L))
+    } finally q.stop()
+  }
+
+  test("stateful dropDuplicates dedups within the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Evt]
+    val q = dedupEvents(input.toDF()).writeStream
+      .format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Evt(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Evt(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0),
+        Evt(2, ts("2024-01-01 10:00:02"), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Evt(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(sp.sql("SELECT count(*) FROM dedup").collect()(0).getLong(0) === 2L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization counts per-user events") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Evt]
+    val q = sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Evt(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Evt(2, ts("2024-01-01 10:01:00"), 7, "view", 1.0),
+        Evt(3, ts("2024-01-01 10:02:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT user_id, n_events FROM sessions ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((7L, 2L), (8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("file-based streaming source reads the events table incrementally") {
+    val sp = spark
+    // batch-equivalence check: streaming over the parquet dir produces the
+    // same per-type counts as the batch read
+    // the file source wants a directory; stage the table into one
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      staged.resolve("events.parquet"))
+    val dir = "/root/testdata/sf0.001"
+    val schema = sp.read.parquet(s"$dir/events.parquet").schema
+    val stream = sp.readStream.schema(schema).parquet(staged.toString)
+    assert(stream.isStreaming)
+    val q = stream.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = sp.sql("SELECT event_type, count FROM filestream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val batch = sp.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
