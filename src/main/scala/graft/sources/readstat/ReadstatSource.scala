@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,7 +45,12 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ReadstatOptions.from(options.asCaseSensitiveMap())
     val ps = paths(options)
-    ReadstatFormats.forPath(ps.head, opts).schema(ps.head, opts)
+    // a not-yet-existing path means this is a write: the schema comes from
+    // the query via LogicalWriteInfo instead
+    val hp = new HPath(ps.head)
+    val fs = FileSystem.get(hp.toUri, new Configuration())
+    if (!fs.exists(hp)) new StructType()
+    else ReadstatFormats.forPath(ps.head, opts).schema(ps.head, opts)
   }
 
   override def getTable(
@@ -57,13 +63,16 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 }
 
 class ReadstatTable(ps: Seq[String], tableSchema: StructType, opts: ReadstatOptions)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"readstat(${ps.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReadstatScanBuilder(ps, tableSchema, opts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ReadstatWriteBuilder(ps.head, info.schema(), opts)
 }
 
 /** Pushdown surface (SURVEY.md §2.2 P1/P2/P3): column pruning reaches the

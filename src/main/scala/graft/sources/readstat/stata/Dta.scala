@@ -323,7 +323,10 @@ object Dta {
       r.expectTag("</timestamp>")
       r.expectTag("</header>")
     } else {
-      if (lay.dataLabelLen > 0) r.skip(lay.dataLabelLen)
+      // the 11-byte xmlish probe over-read the 10-byte binary header
+      // (8 bytes for v102) — those bytes belong to the data label
+      val overRead = 11 - (if (h.version == 102) 8 else 10)
+      if (lay.dataLabelLen > 0) r.skip(lay.dataLabelLen - overRead)
       if (lay.timestampLen > 0) r.skip(lay.timestampLen)
     }
 
