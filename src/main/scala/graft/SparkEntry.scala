@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, MultimodalOps, ReadstatQueries, Relational, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, ReadstatQueries, Relational, ScaleOps, SimilarityOps, TextOps}
 import graft.util.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,12 +22,14 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ ReadstatQueries.queries ++ MultimodalOps.queries
+      SimilarityOps.queries ++ ReadstatQueries.queries ++ MultimodalOps.queries ++
+      ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ ReadstatQueries.oracle ++ MultimodalOps.oracle
+      SimilarityOps.oracle ++ ReadstatQueries.oracle ++ MultimodalOps.oracle ++
+      ScaleOps.oracle
 }
