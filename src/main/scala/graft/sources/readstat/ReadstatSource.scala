@@ -147,24 +147,26 @@ class ReadstatScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // Per-file decode context (metadata, value labels, strL table) is built
-    // once on the driver and shipped inside the factory — the moral
-    // equivalent of the reference's Arc-shared SharedDecode
-    // (`src/stata/data.rs:21-48`), with Spark task serialization instead of
-    // threads sharing memory.
+    // once on the driver and BROADCAST — the moral equivalent of the
+    // reference's Arc-shared SharedDecode (`src/stata/data.rs:21-48`).
+    // Broadcast (not task serialization) so a large strL/GSO table ships to
+    // each executor once instead of once per task (SURVEY.md §7.4 risk 4).
     val ctxs: Map[String, ReadstatFormats.FileContext] =
       ps.map(p => p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
-    new ReadstatReaderFactory(required, opts, ctxs)
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(ctxs)
+    new ReadstatReaderFactory(required, opts, bc)
   }
 }
 
 class ReadstatReaderFactory(
     required: StructType,
     opts: ReadstatOptions,
-    ctxs: Map[String, ReadstatFormats.FileContext]) extends PartitionReaderFactory {
+    ctxs: org.apache.spark.broadcast.Broadcast[Map[String, ReadstatFormats.FileContext]])
+  extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[ReadstatInputPartition]
-    ReadstatFormats.forName(p.format).reader(p, ctxs(p.path), required, opts)
+    ReadstatFormats.forName(p.format).reader(p, ctxs.value(p.path), required, opts)
   }
 }
 

@@ -24,7 +24,7 @@ object SasFixtureWriter {
   private final case class Col(
       name: String, dataType: DataType, isChar: Boolean, length: Int, fmt: String)
 
-  def write(df: DataFrame, path: String, rle: Boolean = false): Unit = {
+  def write(df: DataFrame, path: String, rle: Boolean = false, rdc: Boolean = false): Unit = {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val widths: Map[String, Int] =
       if (strCols.isEmpty) Map.empty
@@ -36,7 +36,7 @@ object SasFixtureWriter {
         }.toMap
       }
     import scala.jdk.CollectionConverters._
-    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, rle)
+    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, rle, rdc)
   }
 
   def writeRows(
@@ -44,7 +44,8 @@ object SasFixtureWriter {
       rows: Iterator[Row],
       path: String,
       stringWidths: Map[String, Int],
-      rle: Boolean): Long = {
+      rle: Boolean,
+      rdc: Boolean = false): Long = {
     val cols = schema.fields.map { f =>
       val isTime = f.metadata.contains("logical_type") &&
         f.metadata.getString("logical_type") == "time"
@@ -90,9 +91,10 @@ object SasFixtureWriter {
     val bitOffset = 32
     val headerLen = 1024
 
+    val compressed = rle || rdc
     val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    pages ++= buildMetaPage(cols, rowLength, nRows, pageLength, rle, encoded.toSeq)
-    if (!rle) {
+    pages ++= buildMetaPage(cols, rowLength, nRows, pageLength, rle, rdc, encoded.toSeq)
+    if (!compressed) {
       val rowsPerPage = (pageLength - bitOffset - 8) / rowLength
       require(rowsPerPage > 0, "sas fixture: row too long for page")
       encoded.grouped(rowsPerPage).foreach { group =>
@@ -172,7 +174,7 @@ object SasFixtureWriter {
   /** Meta page(s): dictionary subheaders (+ RLE data subheaders when rle). */
   private def buildMetaPage(
       cols: Array[Col], rowLength: Int, nRows: Long, pageLength: Int,
-      rle: Boolean, encoded: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+      rle: Boolean, rdc: Boolean, encoded: Seq[Array[Byte]]): Seq[Array[Byte]] = {
     val n = cols.length
     val bitOffset = 32
     val ptrSize = 24
@@ -181,6 +183,7 @@ object SasFixtureWriter {
     val text = new java.io.ByteArrayOutputStream()
     text.write(0); text.write(0) // remainder u16 (unused by our reader)
     if (rle) text.write("SASYZCRL".getBytes(StandardCharsets.US_ASCII))
+    else if (rdc) text.write("SASYZCR2".getBytes(StandardCharsets.US_ASCII))
     val nameRefs = cols.map { c =>
       val off = text.size()
       val bytes = c.name.getBytes(StandardCharsets.UTF_8)
@@ -257,9 +260,9 @@ object SasFixtureWriter {
         (colName, 0, 0), (colAttrs, 0, 0)) ++ fmtSubs.map(s => (s, 0, 0))
 
     val dataSubs: Seq[(Array[Byte], Int, Int)] =
-      if (!rle) Seq.empty
+      if (!rle && !rdc) Seq.empty
       else encoded.map { r =>
-        val compressedFull = RleEncode.encode(r)
+        val compressedFull = if (rdc) RdcEncode.encode(r) else RleEncode.encode(r)
         val c = if (compressedFull.length < r.length) compressedFull else r
         (c, 4, 1)
       }
@@ -295,6 +298,51 @@ object SasFixtureWriter {
       pages += page
     }
     pages.toSeq
+  }
+}
+
+/** Simple SASYZCR2 (RDC) encoder: 16-bit control words; runs ≥ 3 become
+  * short/long RLE commands, everything else is literal bytes.
+  */
+object RdcEncode {
+  def encode(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bits = 0
+    var nBits = 0
+    val opBytes = new java.io.ByteArrayOutputStream()
+    def op(isCmd: Boolean, bytes: Array[Byte]): Unit = {
+      bits = (bits << 1) | (if (isCmd) 1 else 0)
+      nBits += 1
+      opBytes.write(bytes)
+      if (nBits == 16) flush()
+    }
+    def flush(): Unit = {
+      if (nBits == 0) return
+      val ctrl = bits << (16 - nBits) // left-align remaining bits
+      out.write((ctrl >> 8) & 0xff); out.write(ctrl & 0xff)
+      opBytes.writeTo(out)
+      opBytes.reset()
+      bits = 0; nBits = 0
+    }
+    var i = 0
+    while (i < row.length) {
+      val b = row(i)
+      var run = 1
+      while (i + run < row.length && row(i + run) == b && run < 4113) run += 1
+      if (run >= 3) {
+        if (run <= 18) op(isCmd = true, Array((0x00 | (run - 3)).toByte, b))
+        else {
+          val n = run - 19
+          op(isCmd = true, Array((0x10 | (n & 0x0f)).toByte, ((n >> 4) & 0xff).toByte, b))
+        }
+        i += run
+      } else {
+        op(isCmd = false, Array(b))
+        i += 1
+      }
+    }
+    flush()
+    out.toByteArray
   }
 }
 

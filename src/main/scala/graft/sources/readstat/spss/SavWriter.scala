@@ -26,7 +26,7 @@ object SavWriter {
       val isTime = f.metadata.contains("logical_type") &&
         f.metadata.getString("logical_type") == "time"
       val (isString, strLen, fmt) = f.dataType match {
-        case StringType => (true, math.max(1, math.min(widths.getOrElse(f.name, 1), 255)), 0)
+        case StringType => (true, math.max(1, widths.getOrElse(f.name, 1)), 0)
         case DateType => (false, 0, 20)
         case TimestampNTZType | TimestampType => (false, 0, 22)
         case LongType if isTime => (false, 0, 21)
@@ -34,7 +34,11 @@ object SavWriter {
              BooleanType => (false, 0, 0)
         case dt => throw new IllegalArgumentException(s"sav writer: unsupported type $dt")
       }
-      val width = if (isString) (strLen + 7) / 8 else 1
+      // very long strings (>255B): ceil(len/252) segments of 32 units each
+      val width =
+        if (!isString) 1
+        else if (strLen <= 255) (strLen + 7) / 8
+        else ((strLen + 251) / 252) * 32
       // short name: uppercase ≤8, unique; else positional
       val cand = f.name.toUpperCase.replaceAll("[^A-Z0-9_]", "_").take(8)
       val short =
@@ -56,6 +60,7 @@ object SavWriter {
       compress: Boolean = false,
       valueLabels: Map[String, Map[Double, String]] = Map.empty,
       missingValues: Map[String, Seq[Double]] = Map.empty): Unit = {
+    val zsav = path.toLowerCase.endsWith(".zsav")
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val widths: Map[String, Int] =
       if (strCols.isEmpty) Map.empty
@@ -67,8 +72,8 @@ object SavWriter {
         }.toMap
       }
     import scala.jdk.CollectionConverters._
-    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, compress,
-      valueLabels, missingValues)
+    writeRows(df.schema, df.toLocalIterator().asScala, path, widths,
+      compress || zsav, valueLabels, missingValues, zsav)
   }
 
   def writeRows(
@@ -78,7 +83,8 @@ object SavWriter {
       stringWidths: Map[String, Int],
       compress: Boolean,
       valueLabels: Map[String, Map[Double, String]],
-      missingValues: Map[String, Seq[Double]] = Map.empty): Long = {
+      missingValues: Map[String, Seq[Double]] = Map.empty,
+      zsav: Boolean = false): Long = {
     val specs = buildSpecs(schema, stringWidths)
     val nominalCaseSize = specs.map(_.widthSegments).sum
 
@@ -97,29 +103,39 @@ object SavWriter {
 
     // ---- header (row count patched at the end) ----
     val header = new Array[Byte](176)
-    "$FL2".getBytes(StandardCharsets.US_ASCII).copyToArray(header, 0)
+    (if (zsav) "$FL3" else "$FL2").getBytes(StandardCharsets.US_ASCII).copyToArray(header, 0)
     "@(#) SPSS DATA FILE graft".getBytes(StandardCharsets.US_ASCII).copyToArray(header, 4)
     writeI32(header, 64, 2)
     writeI32(header, 68, nominalCaseSize)
-    writeI32(header, 72, if (compress) 1 else 0)
+    writeI32(header, 72, if (zsav) 2 else if (compress) 1 else 0)
     writeI32(header, 80, -1) // patched
     java.lang.System.arraycopy(f64le(100.0), 0, header, 84, 8)
     wr(header)
 
     // ---- variable records ----
+    def varRecord(typ: Int, name: String, miss: Seq[Double], fmt: Int): Unit = {
+      u32(2); u32(typ); u32(0); u32(miss.size)
+      u32(fmt); u32(fmt)
+      wr(fixed(name.getBytes(StandardCharsets.US_ASCII), 8, ' '.toByte))
+      miss.foreach(m => wr(f64le(m)))
+    }
+    def continuation(): Unit = {
+      u32(2); u32(-1); u32(0); u32(0); u32(0); u32(0)
+      wr(fixed(Array.emptyByteArray, 8, ' '.toByte))
+    }
     specs.foreach { s =>
       val miss = if (s.isString) Seq.empty else missingValues.getOrElse(s.name, Seq.empty).take(3)
-      u32(2)
-      u32(if (s.isString) s.stringLen else 0)
-      u32(0) // no label
-      u32(miss.size) // discrete user-declared missing values
-      val fmt = s.formatType << 16
-      u32(fmt); u32(fmt)
-      wr(fixed(s.shortName.getBytes(StandardCharsets.US_ASCII), 8, ' '.toByte))
-      miss.foreach(m => wr(f64le(m)))
-      (1 until s.widthSegments).foreach { _ =>
-        u32(2); u32(-1); u32(0); u32(0); u32(0); u32(0)
-        wr(fixed(Array.emptyByteArray, 8, ' '.toByte))
+      if (s.isString && s.stringLen > 255) {
+        // very-long string: one typ-255 variable per 252-byte segment
+        val nSeg = (s.stringLen + 251) / 252
+        (0 until nSeg).foreach { k =>
+          val segName = if (k == 0) s.shortName else s"${s.shortName.take(6)}$k".take(8)
+          varRecord(255, segName, Seq.empty, 0)
+          (1 until 32).foreach(_ => continuation())
+        }
+      } else {
+        varRecord(if (s.isString) s.stringLen else 0, s.shortName, miss, s.formatType << 16)
+        (1 until s.widthSegments).foreach(_ => continuation())
       }
     }
 
@@ -140,6 +156,14 @@ object SavWriter {
       }
     }
 
+    // ---- very long strings record (subtype 14) ----
+    val vlsEntries = specs.filter(s => s.isString && s.stringLen > 255)
+      .map(s => s"${s.shortName}=${s.stringLen}").mkString("\t")
+    if (vlsEntries.nonEmpty) {
+      val b = vlsEntries.getBytes(StandardCharsets.US_ASCII)
+      u32(7); u32(14); u32(1); u32(b.length); wr(b)
+    }
+
     // ---- long variable names ----
     val lvEntries = specs.filter(s => s.name != s.shortName)
       .map(s => s"${s.shortName}=${s.name}").mkString("\t")
@@ -157,7 +181,11 @@ object SavWriter {
 
     // ---- data ----
     val bias = 100.0
-    val codec = if (compress) new BytecodeEncoder(os, bias) else null
+    // zsav: bytecode stream goes through a buffer, then zlib blocks
+    val byteStream = if (zsav) new java.io.ByteArrayOutputStream(1 << 20) else null
+    val codec =
+      if (zsav) new BytecodeEncoder(byteStream, bias)
+      else if (compress) new BytecodeEncoder(os, bias) else null
     var n = 0L
     val cellBuf = new Array[Byte](8)
     while (rows.hasNext) {
@@ -169,12 +197,24 @@ object SavWriter {
             if (row.isNullAt(ci)) Array.emptyByteArray
             else row.getString(ci).getBytes(StandardCharsets.UTF_8)
           require(bytes.length <= s.stringLen, s"sav: string too long for ${s.name}")
+          // lay the content into the record region: contiguous for <=255,
+          // 252 bytes per 256-byte chunk for very long strings
+          val region = new Array[Byte](s.widthSegments * 8)
+          java.util.Arrays.fill(region, ' '.toByte)
+          if (s.stringLen <= 255) System.arraycopy(bytes, 0, region, 0, bytes.length)
+          else {
+            var seg = 0
+            var done = 0
+            while (done < bytes.length) {
+              val take = math.min(252, bytes.length - done)
+              System.arraycopy(bytes, done, region, seg * 256, take)
+              done += take
+              seg += 1
+            }
+          }
           var seg = 0
           while (seg < s.widthSegments) {
-            java.util.Arrays.fill(cellBuf, ' '.toByte)
-            val start = seg * 8
-            val take = math.max(0, math.min(8, bytes.length - start))
-            if (take > 0) System.arraycopy(bytes, start, cellBuf, 0, take)
+            System.arraycopy(region, seg * 8, cellBuf, 0, 8)
             if (codec != null) codec.strCell(cellBuf) else wr(cellBuf.clone())
             seg += 1
           }
@@ -192,6 +232,7 @@ object SavWriter {
       n += 1
     }
     if (codec != null) codec.finish()
+    if (zsav) writeZsavBlocks(byteStream.toByteArray, bytesOut, wr, u32)
     os.close()
 
     val raf = new RandomAccessFile(path, "rw")
@@ -231,6 +272,44 @@ object SavWriter {
     case DoubleType => row.getDouble(i)
     case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
     case dt => throw new IllegalArgumentException(s"sav writer: $dt")
+  }
+
+  /** zsav container: 24-byte zheader, deflate blocks, ztrailer with the
+    * block index (reference `read_zsav_data` `src/spss/data.rs:1687-1761`).
+    */
+  private def writeZsavBlocks(
+      payload: Array[Byte], zheaderOfs: Long,
+      wr: Array[Byte] => Unit, u32: Int => Unit): Unit = {
+    val blockSize = 0x3FF000
+    val blocks = payload.grouped(blockSize).toArray
+    val deflated = blocks.map { b =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write(b); d.close()
+      bos.toByteArray
+    }
+    def u64(v: Long): Unit = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      wr(b)
+    }
+    val ztrailerOfs = zheaderOfs + 24 + deflated.map(_.length.toLong).sum
+    // zheader
+    u64(zheaderOfs); u64(ztrailerOfs); u64(24L + 24L * blocks.length)
+    // blocks
+    deflated.foreach(wr)
+    // ztrailer
+    u64(-100L); u64(0L)
+    u32(blockSize); u32(blocks.length)
+    var uOfs = zheaderOfs
+    var cOfs = zheaderOfs + 24
+    blocks.indices.foreach { i =>
+      u64(uOfs); u64(cOfs)
+      u32(blocks(i).length); u32(deflated(i).length)
+      uOfs += blocks(i).length
+      cOfs += deflated(i).length
+    }
   }
 
   private def writeI32(b: Array[Byte], off: Int, v: Int): Unit = {
