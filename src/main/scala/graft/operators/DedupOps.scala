@@ -62,12 +62,19 @@ object DedupOps {
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash + LSH: 8 md5-minhashes → 4 bands of 2 → candidate pairs that
-    // collide on any band.
+    // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
+    // collide on any band. The 8 lanes are 8-hex-char slices of TWO md5s
+    // per shingle (not 8 separate md5s) — 4× less hashing on the hot path,
+    // identical minwise semantics: each lane is an independent uniform
+    // hash of the shingle.
     "q35_minhash_lsh" -> ((s, d) => {
       val sh = shingles(s, d)
-      val sigAggs = (0 until nHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+        .withColumn("ma", md5(concat(lit("a|"), col("s"))))
+        .withColumn("mb", md5(concat(lit("b|"), col("s"))))
+      val sigAggs = (0 until nHashes).map { i =>
+        val src = if (i < 4) "ma" else "mb"
+        min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"h$i")
+      }
       val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
       val banded = sig.select(
         col("doc_id"),
@@ -112,7 +119,10 @@ object DedupOps {
   )
 
   private val minhashAggs =
-    (0 until nHashes).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    (0 until nHashes).map { i =>
+      val src = if (i < 4) "ma" else "mb"
+      s"min(substr($src, ${1 + 8 * (i % 4)}, 8)) AS h$i"
+    }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -134,7 +144,8 @@ object DedupOps {
          ORDER BY id_a, id_b""",
 
     "q35_minhash_lsh" ->
-      s"""WITH sh AS ($duckShingles),
+      s"""WITH sh0 AS ($duckShingles),
+         sh AS (SELECT doc_id, md5('a|' || s) AS ma, md5('b|' || s) AS mb FROM sh0),
          sig AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
          banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
                            md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
