@@ -22,13 +22,16 @@ object DedupOps {
 
   private val nHashes = 8 // 4 bands × 2 rows
 
-  /** doc_id, s — distinct word-3-gram shingles per document. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** doc_id, s — word-3-gram shingles per document (with duplicates). */
+  private def rawShingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")).as("s"))
-      .distinct()
+
+  /** distinct variant for the set-based Jaccard math. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    rawShingles(s, d).distinct()
 
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -68,7 +71,9 @@ object DedupOps {
     // identical minwise semantics: each lane is an independent uniform
     // hash of the shingle.
     "q35_minhash_lsh" -> ((s, d) => {
-      val sh = shingles(s, d)
+      // no .distinct() before the signature: min() is duplicate-insensitive,
+      // so skipping the dedup shuffle changes nothing (oracle keeps DISTINCT)
+      val sh = rawShingles(s, d)
         .withColumn("ma", md5(concat(lit("a|"), col("s"))))
         .withColumn("mb", md5(concat(lit("b|"), col("s"))))
       val sigAggs = (0 until nHashes).map { i =>

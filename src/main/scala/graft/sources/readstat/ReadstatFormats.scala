@@ -21,7 +21,8 @@ object ReadstatFormats {
         part: ReadstatInputPartition,
         ctx: FileContext,
         required: StructType,
-        opts: ReadstatOptions): PartitionReader[InternalRow]
+        opts: ReadstatOptions,
+        filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): PartitionReader[InternalRow]
   }
 
   def forName(format: String): FormatModule = format match {

@@ -83,11 +83,25 @@ class ReadstatScanBuilder(ps: Seq[String], full: StructType, opts: ReadstatOptio
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset
+    with SupportsPushDownFilters {
 
   private var required: StructType = full
   private var limit: Option[Long] = None
   private var offset: Long = 0L
+  private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  /** P4 EXT: filters are used as decode-skip hints only; ALL of them are
+    * returned as residual so Spark still applies them above the scan.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    val names = full.fieldNames.toSet
+    skipFilters = filters.filter(f =>
+      RowFilter.referenced(f).exists(_.forall(names.contains)))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = skipFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve only fields we actually have (Spark may pass metadata cols)
@@ -98,7 +112,8 @@ class ReadstatScanBuilder(ps: Seq[String], full: StructType, opts: ReadstatOptio
   override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
   override def pushOffset(n: Int): Boolean = { offset = n.toLong; true }
 
-  override def build(): Scan = new ReadstatScan(ps, full, required, opts, limit, offset)
+  override def build(): Scan =
+    new ReadstatScan(ps, full, required, opts, limit, offset, skipFilters.toSeq)
 }
 
 final case class ReadstatInputPartition(
@@ -113,12 +128,13 @@ class ReadstatScan(
     required: StructType,
     opts: ReadstatOptions,
     limit: Option[Long],
-    offset: Long) extends Scan with Batch {
+    offset: Long,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"readstat ${ps.mkString(",")} cols=${required.fieldNames.mkString(",")} limit=$limit offset=$offset"
+    s"readstat ${ps.mkString(",")} cols=${required.fieldNames.mkString(",")} limit=$limit offset=$offset filters=${filters.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = scala.collection.mutable.ArrayBuffer[ReadstatInputPartition]()
@@ -154,19 +170,20 @@ class ReadstatScan(
     val ctxs: Map[String, ReadstatFormats.FileContext] =
       ps.map(p => p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
     val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(ctxs)
-    new ReadstatReaderFactory(required, opts, bc)
+    new ReadstatReaderFactory(required, opts, bc, filters)
   }
 }
 
 class ReadstatReaderFactory(
     required: StructType,
     opts: ReadstatOptions,
-    ctxs: org.apache.spark.broadcast.Broadcast[Map[String, ReadstatFormats.FileContext]])
+    ctxs: org.apache.spark.broadcast.Broadcast[Map[String, ReadstatFormats.FileContext]],
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[ReadstatInputPartition]
-    ReadstatFormats.forName(p.format).reader(p, ctxs.value(p.path), required, opts)
+    ReadstatFormats.forName(p.format).reader(p, ctxs.value(p.path), required, opts, filters)
   }
 }
 

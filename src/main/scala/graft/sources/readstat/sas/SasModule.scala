@@ -109,15 +109,18 @@ object SasModule extends ReadstatFormats.FormatModule {
       part: ReadstatInputPartition,
       ctx: ReadstatFormats.FileContext,
       required: StructType,
-      opts: ReadstatOptions): PartitionReader[InternalRow] =
-    new SasPartitionReader(part, ctx.asInstanceOf[SasContext].meta, required, opts)
+      opts: ReadstatOptions,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] =
+    new SasPartitionReader(part, ctx.asInstanceOf[SasContext].meta, required, opts, filters)
 }
 
 class SasPartitionReader(
     part: ReadstatInputPartition,
     meta: Sas.Metadata,
     required: StructType,
-    opts: ReadstatOptions) extends PartitionReader[InternalRow] {
+    opts: ReadstatOptions,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+  extends PartitionReader[InternalRow] {
   import Sas._
 
   private val h = meta.header
@@ -245,6 +248,23 @@ class SasPartitionReader(
     in = new BufferedInputStream(fsin, 4 << 20)
   }
 
+  // P4 EXT: decode-skip on pushed filters (residual filters re-applied above)
+  private val filterEval: (Array[Byte], Int) => Boolean =
+    if (filters.isEmpty) (_, _) => true
+    else {
+      import graft.sources.readstat.RowFilter
+      val roles = SasModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
+      val names = filters.flatMap(RowFilter.referenced).flatten.distinct
+      val fdec = names.map { n =>
+        val (_, _, c) = roles(n)
+        n -> decoderFor(c)
+      }.toMap
+      (buf: Array[Byte], base: Int) => {
+        val value = (n: String) => fdec(n)(buf, base)
+        filters.forall(f => RowFilter.eval(f, value))
+      }
+    }
+
   override def next(): Boolean = {
     if (remaining <= 0) return false
     while (true) {
@@ -253,13 +273,16 @@ class SasPartitionReader(
       if (toSkip > 0) toSkip -= 1
       else {
         val (buf, base) = row
-        var i = 0
-        while (i < plans.length) {
-          out.update(i, plans(i).decode(buf, base))
-          i += 1
-        }
         remaining -= 1
-        return true
+        if (filterEval(buf, base)) {
+          var i = 0
+          while (i < plans.length) {
+            out.update(i, plans(i).decode(buf, base))
+            i += 1
+          }
+          return true
+        }
+        if (remaining <= 0) return false
       }
     }
     false

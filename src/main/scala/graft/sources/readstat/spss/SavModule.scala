@@ -89,8 +89,9 @@ object SavModule extends ReadstatFormats.FormatModule {
       part: ReadstatInputPartition,
       ctx: ReadstatFormats.FileContext,
       required: StructType,
-      opts: ReadstatOptions): PartitionReader[InternalRow] = {
-    new SavPartitionReader(part, ctx.asInstanceOf[SavContext].meta, required, opts)
+      opts: ReadstatOptions,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] = {
+    new SavPartitionReader(part, ctx.asInstanceOf[SavContext].meta, required, opts, filters)
   }
 }
 
@@ -101,7 +102,9 @@ class SavPartitionReader(
     part: ReadstatInputPartition,
     meta: Sav.Metadata,
     required: StructType,
-    opts: ReadstatOptions) extends PartitionReader[InternalRow] {
+    opts: ReadstatOptions,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+  extends PartitionReader[InternalRow] {
   import Sav._
 
   private val h = meta.header
@@ -324,21 +327,42 @@ class SavPartitionReader(
     }
   }
 
+  // P4 EXT: decode-skip on pushed filters (residual filters re-applied above)
+  private val filterEval: Array[Byte] => Boolean =
+    if (filters.isEmpty) _ => true
+    else {
+      import graft.sources.readstat.RowFilter
+      val roles = SavModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
+      val names = filters.flatMap(RowFilter.referenced).flatten.distinct
+      val fdec = names.map { n =>
+        val (_, _, v) = roles(n)
+        n -> decoderFor(v, v.offsetSegments * 8)
+      }.toMap
+      (row: Array[Byte]) => {
+        val value = (n: String) => fdec(n)(row)
+        filters.forall(f => RowFilter.eval(f, value))
+      }
+    }
+
   override def next(): Boolean = {
-    if (remaining <= 0) return false
     // sequential sources must skip leading rows themselves
     while (skipRows > 0) {
       if (!readRow()) return false
       skipRows -= 1
     }
-    if (!readRow()) return false
-    var i = 0
-    while (i < plans.length) {
-      out.update(i, plans(i).decode(rowBuf))
-      i += 1
+    while (remaining > 0) {
+      if (!readRow()) return false
+      remaining -= 1
+      if (filterEval(rowBuf)) {
+        var i = 0
+        while (i < plans.length) {
+          out.update(i, plans(i).decode(rowBuf))
+          i += 1
+        }
+        return true
+      }
     }
-    remaining -= 1
-    true
+    false
   }
 
   private def readRow(): Boolean = {

@@ -80,9 +80,10 @@ object DtaModule extends ReadstatFormats.FormatModule {
       part: ReadstatInputPartition,
       ctx: ReadstatFormats.FileContext,
       required: StructType,
-      opts: ReadstatOptions): PartitionReader[InternalRow] = {
+      opts: ReadstatOptions,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] = {
     val c = ctx.asInstanceOf[DtaContext]
-    new DtaPartitionReader(part, c, required, opts)
+    new DtaPartitionReader(part, c, required, opts, filters)
   }
 }
 
@@ -93,11 +94,31 @@ class DtaPartitionReader(
     part: ReadstatInputPartition,
     ctx: DtaModule.DtaContext,
     required: StructType,
-    opts: ReadstatOptions) extends PartitionReader[InternalRow] {
+    opts: ReadstatOptions,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+  extends PartitionReader[InternalRow] {
 
   private val meta = ctx.meta
   private val recordLen = meta.recordLen
   private val plans = DtaRowDecoder.buildPlans(meta, opts, required, ctx.strls)
+
+  // P4 EXT: decode only the filter columns first; skip the row when the
+  // pushed predicates fail (Spark re-applies every filter above the scan)
+  private val filterEval: Array[Byte] => Boolean =
+    if (filters.isEmpty) _ => true
+    else {
+      import graft.sources.readstat.RowFilter
+      val full = DtaRowDecoder.buildSchema(meta, opts)
+      val names = filters.flatMap(RowFilter.referenced).flatten.distinct
+      val fschema = org.apache.spark.sql.types.StructType(
+        names.flatMap(n => full.fields.find(_.name == n)))
+      val fplans = DtaRowDecoder.buildPlans(meta, opts, fschema, ctx.strls)
+      val idx = fschema.fieldNames.zipWithIndex.toMap
+      (row: Array[Byte]) => {
+        val value = (n: String) => fplans.cols(idx(n)).decode(row, 0)
+        filters.forall(f => RowFilter.eval(f, value))
+      }
+    }
 
   private val fsin = ReadstatIO.open(part.path)
   private val in: BufferedInputStream = {
@@ -112,21 +133,25 @@ class DtaPartitionReader(
   private var remaining = part.rowCount
 
   override def next(): Boolean = {
-    if (remaining <= 0) return false
-    var off = 0
-    while (off < recordLen) {
-      val r = in.read(rowBuf, off, recordLen - off)
-      if (r < 0) throw new java.io.EOFException(
-        s"dta: unexpected EOF in ${part.path} at row ${part.rowCount - remaining}")
-      off += r
+    while (remaining > 0) {
+      var off = 0
+      while (off < recordLen) {
+        val r = in.read(rowBuf, off, recordLen - off)
+        if (r < 0) throw new java.io.EOFException(
+          s"dta: unexpected EOF in ${part.path} at row ${part.rowCount - remaining}")
+        off += r
+      }
+      remaining -= 1
+      if (filterEval(rowBuf)) {
+        var i = 0
+        while (i < plans.cols.length) {
+          out.update(i, plans.cols(i).decode(rowBuf, 0))
+          i += 1
+        }
+        return true
+      }
     }
-    var i = 0
-    while (i < plans.cols.length) {
-      out.update(i, plans.cols(i).decode(rowBuf, 0))
-      i += 1
-    }
-    remaining -= 1
-    true
+    false
   }
 
   override def get(): InternalRow = out
