@@ -66,7 +66,7 @@ object Sav {
       offsetSegments: Int,    // segment index within the record
       missingRange: Boolean,
       missingDoubles: Array[Double],
-      missingStrings: Array[String],
+      var missingStrings: Array[String],
       var valueLabelSet: Option[String])
 
   final case class Metadata(
@@ -346,6 +346,51 @@ object Sav {
                   vars.find(x => x.shortName.equalsIgnoreCase(k) || x.name.equalsIgnoreCase(k))
                     .foreach(_.stringLen = len)
                 }
+              }
+            case 21 if dataLen > 0 => // long-string value labels
+              val buf = r.readFully(dataLen)
+              var pos = 0
+              def u32At(p: Int): Int = Bin.i32(buf, p, le)
+              while (pos + 4 <= buf.length) {
+                val nameLen = u32At(pos); pos += 4
+                val name = new String(buf, pos, nameLen, cs); pos += nameLen
+                pos += 4 // declared string length
+                val labelCount = u32At(pos); pos += 4
+                val strMap = scala.collection.mutable.Map[String, String]()
+                (0 until labelCount).foreach { _ =>
+                  val vLen = u32At(pos); pos += 4
+                  val value = trimmed(java.util.Arrays.copyOfRange(buf, pos, pos + vLen), cs)
+                  pos += vLen
+                  val lLen = u32At(pos); pos += 4
+                  val label = trimmed(java.util.Arrays.copyOfRange(buf, pos, pos + lLen), cs)
+                  pos += lLen
+                  if (label.nonEmpty) strMap(value) = label
+                }
+                if (strMap.nonEmpty) {
+                  val setName = s"labels$labelSetIdx"
+                  labelSetIdx += 1
+                  labelSets(setName) = (Map.empty, strMap.toMap)
+                  vars.find(v => v.name.equalsIgnoreCase(name) || v.shortName.equalsIgnoreCase(name))
+                    .foreach(_.valueLabelSet = Some(setName))
+                }
+              }
+            case 22 if dataLen > 0 => // long-string missing values
+              val buf = r.readFully(dataLen)
+              var pos = 0
+              def u32At(p: Int): Int = Bin.i32(buf, p, le)
+              while (pos + 4 <= buf.length) {
+                val nameLen = u32At(pos); pos += 4
+                val name = new String(buf, pos, nameLen, cs); pos += nameLen
+                val nMissing = buf(pos) & 0xff; pos += 1
+                require(nMissing >= 1 && nMissing <= 3, "sav: bad long-string missing count")
+                val len = u32At(pos); pos += 4
+                val values = (0 until nMissing).map { _ =>
+                  val s = trimmed(java.util.Arrays.copyOfRange(buf, pos, pos + len), cs)
+                  pos += len
+                  s
+                }
+                vars.find(v => v.name.equalsIgnoreCase(name) || v.shortName.equalsIgnoreCase(name))
+                  .foreach(v => v.missingStrings = values.toArray)
               }
             case _ => r.readFully(dataLen)
           }

@@ -59,7 +59,9 @@ object SavWriter {
       path: String,
       compress: Boolean = false,
       valueLabels: Map[String, Map[Double, String]] = Map.empty,
-      missingValues: Map[String, Seq[Double]] = Map.empty): Unit = {
+      missingValues: Map[String, Seq[Double]] = Map.empty,
+      stringValueLabels: Map[String, Map[String, String]] = Map.empty,
+      stringMissingValues: Map[String, Seq[String]] = Map.empty): Unit = {
     val zsav = path.toLowerCase.endsWith(".zsav")
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val widths: Map[String, Int] =
@@ -73,7 +75,8 @@ object SavWriter {
       }
     import scala.jdk.CollectionConverters._
     writeRows(df.schema, df.toLocalIterator().asScala, path, widths,
-      compress || zsav, valueLabels, missingValues, zsav)
+      compress || zsav, valueLabels, missingValues, zsav,
+      stringValueLabels, stringMissingValues)
   }
 
   def writeRows(
@@ -84,7 +87,9 @@ object SavWriter {
       compress: Boolean,
       valueLabels: Map[String, Map[Double, String]],
       missingValues: Map[String, Seq[Double]] = Map.empty,
-      zsav: Boolean = false): Long = {
+      zsav: Boolean = false,
+      stringValueLabels: Map[String, Map[String, String]] = Map.empty,
+      stringMissingValues: Map[String, Seq[String]] = Map.empty): Long = {
     val specs = buildSpecs(schema, stringWidths)
     val nominalCaseSize = specs.map(_.widthSegments).sum
 
@@ -154,6 +159,56 @@ object SavWriter {
         }
         u32(4); u32(1); u32(off + 1)
       }
+    }
+
+    // ---- long-string value labels (subtype 21) ----
+    val lsvl = specs.filter(s => s.isString && stringValueLabels.get(s.name).exists(_.nonEmpty))
+    if (lsvl.nonEmpty) {
+      val body = new java.io.ByteArrayOutputStream()
+      def bu32(v: Int): Unit = {
+        var i = 0
+        while (i < 4) { body.write((v >> (8 * i)) & 0xff); i += 1 }
+      }
+      lsvl.foreach { s2 =>
+        val nm = s2.shortName.getBytes(StandardCharsets.US_ASCII)
+        bu32(nm.length); body.write(nm)
+        bu32(s2.stringLen)
+        val mapping = stringValueLabels(s2.name)
+        bu32(mapping.size)
+        mapping.toSeq.sortBy(_._1).foreach { case (v, l) =>
+          val vb = v.getBytes(StandardCharsets.UTF_8)
+          val lb = l.getBytes(StandardCharsets.UTF_8)
+          bu32(vb.length); body.write(vb)
+          bu32(lb.length); body.write(lb)
+        }
+      }
+      val b = body.toByteArray
+      u32(7); u32(21); u32(1); u32(b.length); wr(b)
+    }
+
+    // ---- long-string missing values (subtype 22) ----
+    val lsmv = specs.filter(s => s.isString && stringMissingValues.get(s.name).exists(_.nonEmpty))
+    if (lsmv.nonEmpty) {
+      val body = new java.io.ByteArrayOutputStream()
+      def bu32(v: Int): Unit = {
+        var i = 0
+        while (i < 4) { body.write((v >> (8 * i)) & 0xff); i += 1 }
+      }
+      lsmv.foreach { s2 =>
+        val nm = s2.shortName.getBytes(StandardCharsets.US_ASCII)
+        bu32(nm.length); body.write(nm)
+        val vals = stringMissingValues(s2.name).take(3)
+        body.write(vals.size)
+        val width = vals.map(_.getBytes(StandardCharsets.UTF_8).length).max
+        bu32(width)
+        vals.foreach { v =>
+          val vb = v.getBytes(StandardCharsets.UTF_8)
+          body.write(vb)
+          (vb.length until width).foreach(_ => body.write(' '))
+        }
+      }
+      val b = body.toByteArray
+      u32(7); u32(22); u32(1); u32(b.length); wr(b)
     }
 
     // ---- very long strings record (subtype 14) ----

@@ -108,4 +108,28 @@ class DtaLegacySpec extends SparkSpec {
   test("dta v115 little-endian") { check(115, le = true) }
   test("dta v114 big-endian") { check(114, le = false) }
   test("dta v108 big-endian") { check(108, le = false) }
+
+  test("pre-118 strings decode as windows-1252") {
+    // v114 file with a str6 column containing 0xE9 ('é' in cp1252)
+    val path = tmp("cp1252.dta")
+    val bytes = buildLegacy(114, le = true)
+    // patch the first row's string cell: last 6 bytes of row 1 are "abc\0\0\0"
+    // rows start after metadata; find "abc" and replace with caf<0xE9>
+    val idx = {
+      var i = -1
+      var k = 0
+      while (i < 0 && k + 3 <= bytes.length) {
+        if (bytes(k) == 'a' && bytes(k + 1) == 'b' && bytes(k + 2) == 'c') i = k
+        k += 1
+      }
+      i
+    }
+    assert(idx > 0)
+    bytes(idx) = 'c'; bytes(idx + 1) = 'a'; bytes(idx + 2) = 'f'
+    bytes(idx + 3) = 0xE9.toByte
+    val fos = new FileOutputStream(path)
+    fos.write(bytes); fos.close()
+    val df = spark.read.format("readstat").load(path)
+    assert(df.collect()(0).getString(5) === "caf\u00e9")
+  }
 }
