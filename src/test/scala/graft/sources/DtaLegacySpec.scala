@@ -100,6 +100,9 @@ class DtaLegacySpec extends SparkSpec {
     assert(rows(2) === Seq(null, null, null, null, null, null))
   }
 
+  test("dta v102 (u16 row count, no timestamp, 7-byte formats)") { check(102, le = true) }
+  test("dta v103 little-endian") { check(103, le = true) }
+  test("dta v105 (2-byte expansion lengths)") { check(105, le = true) }
   test("dta v108 little-endian (legacy 9-char names, b/i/l/f/d typlist)") { check(108, le = true) }
   test("dta v110 little-endian") { check(110, le = true) }
   test("dta v111 typed typlist (0xFB..0xFF)") { check(111, le = true) }
