@@ -36,6 +36,9 @@ object ReadstatOptions {
       informativeNullColumns =
         get("informativeNullColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
       informativeNullSuffix = get("informativeNullSuffix").getOrElse("_null"))
+    // `preserveOrder` is accepted for parity with the reference (O2): Spark
+    // partitions are already consumed in partition-index order at collect,
+    // so no reorder machinery is needed — the option is a documented no-op.
   }
 
   /** Format sniffing by extension (`detect_format` reference `src/lib.rs:383-394`). */
