@@ -74,31 +74,96 @@ object Sas {
     }
   }
 
-  def encodingName(b: Int): String = b match {
-    case 20 => "UTF-8"
-    case 28 => "US-ASCII"
-    case 29 => "ISO-8859-1"
-    case 30 => "ISO-8859-2"
-    case 33 => "ISO-8859-5"
-    case 35 => "ISO-8859-7"
-    case 36 => "ISO-8859-8"
-    case 37 => "ISO-8859-9"
-    case 40 => "ISO-8859-15"
-    case 60 => "windows-1250"
-    case 61 => "windows-1251"
-    case 62 => "windows-1252"
-    case 63 => "windows-1253"
-    case 64 => "windows-1254"
-    case 65 => "windows-1255"
-    case 66 => "windows-1256"
-    case 67 => "windows-1257"
-    case 68 => "windows-1258"
-    case 118 => "Big5"
-    case 125 => "GBK"
-    case 134 => "EUC-JP"
-    case 138 => "Shift_JIS"
-    case 140 => "EUC-KR"
-    case _ => "windows-1252"
+  /** SAS header encoding byte → Java charset, full matrix parity with the
+    * reference (`src/sas/encoding.rs:4-150`). Each byte maps to a preference
+    * list; the first charset this JVM supports wins ("closest available"
+    * policy), with windows-1252 as the final fallback — the same default the
+    * reference uses. Notes on deliberate equivalences: byte 28 (US-ASCII)
+    * decodes as windows-1252 (ASCII subset, matches reference); byte 29
+    * (ISO-8859-1) stays ISO-8859-1, whose 1:1 byte→codepoint decode equals the
+    * reference's special case; byte 37 (ISO-8859-9) → windows-1254 per the
+    * reference. For DOS/OEM codepages the reference silently falls back to
+    * windows-1252 (encoding_rs has no OEM tables); we decode them with the
+    * JDK's real IBMxxx charsets instead — a strict superset.
+    */
+  def encodingName(b: Int): String =
+    encodingCandidates(b).find(Charset.isSupported).getOrElse("windows-1252")
+
+  private def encodingCandidates(b: Int): Seq[String] = b match {
+    case 20 => Seq("UTF-8")
+    case 28 => Seq("windows-1252")
+    case 29 => Seq("ISO-8859-1")
+    case 30 => Seq("ISO-8859-2")
+    case 31 => Seq("ISO-8859-3")
+    case 32 => Seq("ISO-8859-4")
+    case 33 => Seq("ISO-8859-5")
+    case 34 => Seq("ISO-8859-6")
+    case 35 => Seq("ISO-8859-7")
+    case 36 => Seq("ISO-8859-8")
+    case 37 => Seq("windows-1254")
+    case 39 => Seq("x-windows-874", "TIS-620")       // ISO-8859-11 (Thai)
+    case 40 => Seq("ISO-8859-15")
+    case 41 => Seq("IBM437")
+    case 42 => Seq("IBM850")
+    case 43 => Seq("IBM852")
+    case 44 => Seq("IBM857")
+    case 45 => Seq("IBM00858")
+    case 46 => Seq("IBM862")
+    case 47 => Seq("IBM864")
+    case 48 => Seq("IBM865")
+    case 49 => Seq("IBM866")
+    case 50 => Seq("IBM869")
+    case 51 => Seq("x-windows-874", "TIS-620")       // CP874
+    case 52 => Seq("x-IBM921", "ISO-8859-13")        // CP921
+    case 53 => Seq("x-IBM922")                       // CP922
+    case 54 => Seq("x-IBM1129")                      // CP1129 (Vietnamese)
+    case 55 => Seq("x-IBM720")                       // CP720 (Arabic DOS)
+    case 56 => Seq("x-IBM737")                       // CP737 (Greek DOS)
+    case 57 => Seq("IBM775")
+    case 58 => Seq("IBM860")
+    case 59 => Seq("IBM863")
+    case 60 => Seq("windows-1250")
+    case 61 => Seq("windows-1251")
+    case 62 => Seq("windows-1252")
+    case 63 => Seq("windows-1253")
+    case 64 => Seq("windows-1254")
+    case 65 => Seq("windows-1255")
+    case 66 => Seq("windows-1256")
+    case 67 => Seq("windows-1257")
+    case 68 => Seq("windows-1258")
+    case 69 => Seq("x-MacRoman")
+    case 70 => Seq("x-MacArabic", "x-MacRoman")
+    case 71 => Seq("x-MacHebrew", "x-MacRoman")
+    case 72 => Seq("x-MacGreek", "x-MacRoman")
+    case 73 => Seq("x-MacThai", "x-MacRoman")
+    case 75 => Seq("x-MacTurkish", "x-MacRoman")
+    case 76 => Seq("x-MacUkraine", "x-MacCyrillic")
+    case 118 => Seq("x-windows-950", "Big5")         // CP950 (Traditional Chinese)
+    case 119 => Seq("x-EUC-TW", "Big5")              // EUC-TW
+    case 123 => Seq("Big5-HKSCS", "Big5")
+    case 125 => Seq("GB18030")                       // Simplified Chinese
+    case 126 => Seq("x-mswin-936", "GBK")            // CP936
+    case 128 => Seq("x-IBM1381", "GB18030")          // CP1381
+    case 134 => Seq("EUC-JP")
+    case 136 => Seq("x-IBM949", "EUC-KR")            // CP949
+    case 137 => Seq("x-IBM942", "Shift_JIS")         // CP942
+    case 138 => Seq("windows-31j", "Shift_JIS")      // CP932 (Japanese)
+    case 140 => Seq("EUC-KR")
+    case 141 => Seq("x-IBM949", "EUC-KR")
+    case 142 => Seq("x-IBM949C", "x-IBM949", "EUC-KR")
+    case 163 => Seq("x-MacIceland", "x-MacRoman")
+    case 167 => Seq("ISO-2022-JP")
+    case 168 => Seq("ISO-2022-KR", "EUC-KR")
+    case 169 => Seq("ISO-2022-CN", "GB18030")
+    case 172 => Seq("ISO-2022-CN", "GB18030")        // ISO-2022-CN-EXT
+    case 205 => Seq("GB18030")
+    case 227 => Seq("ISO-8859-14")
+    case 242 => Seq("ISO-8859-13")
+    case 245 => Seq("x-MacCroatian", "x-MacRoman")
+    case 246 => Seq("x-MacCyrillic")
+    case 247 => Seq("x-MacRomania", "x-MacRoman")
+    case 248 => Seq("x-SJIS_0213", "Shift_JIS")      // Shift_JISX0213
+    case _ => Seq("windows-1252")
   }
 
   // date/time format tables (reference `src/sas/constants.rs:23-39`)
@@ -341,11 +406,14 @@ object Sas {
     }
     if (firstDataPage < 0) firstDataPage = math.max(0L, pagesRead - 1)
 
-    require(rowCount >= 0 && rowLength > 0, "sas7bdat: missing ROW_SIZE metadata")
     val nCols =
       if (colCount > 0) colCount
       else if (colP1 >= 0 && colP2 >= 0 && colP1 + colP2 > 0) (colP1 + colP2).toInt
       else math.max(nameEntries.length, attrEntries.length)
+    // zero-variable datasets carry no ROW_SIZE row length; they are
+    // metadata-only (reference smoke test `tests/readstat_all_files.rs:19-30`)
+    require(rowCount >= 0 && (rowLength > 0 || nCols == 0),
+      "sas7bdat: missing ROW_SIZE metadata")
     val csName = try { Charset.forName(encodingName(h.encodingByte)).name }
     catch { case _: Exception => "windows-1252" }
     val cs = Charset.forName(csName)

@@ -87,7 +87,8 @@ object SasModule extends ReadstatFormats.FormatModule {
 
   override def partitionRanges(path: String, opts: ReadstatOptions): Seq[(Long, Long)] = {
     val meta = parseMeta(path)
-    val n = meta.rowCount
+    // zero-variable (metadata-only) files have no row storage to iterate
+    val n = if (meta.rowLength <= 0) 0L else meta.rowCount
     if (n <= 0) return Seq((0L, 0L))
     if (meta.compression != CNone || !analyticIndexHolds(path, meta)) Seq((0L, n))
     else {

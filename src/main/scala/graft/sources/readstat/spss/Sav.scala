@@ -93,32 +93,61 @@ object Sav {
     case _ => None
   }
 
-  def codepageCharset(code: Int): Option[String] = code match {
-    case 2 | 3 | 1252 => Some("windows-1252")
-    case 65001 => Some("UTF-8")
-    case 1250 => Some("windows-1250")
-    case 1251 => Some("windows-1251")
-    case 1253 => Some("windows-1253")
-    case 1254 => Some("windows-1254")
-    case 1255 => Some("windows-1255")
-    case 1256 => Some("windows-1256")
-    case 1257 => Some("windows-1257")
-    case 932 => Some("Shift_JIS")
-    case 936 => Some("GBK")
-    case 949 => Some("EUC-KR")
-    case 950 => Some("Big5")
-    case 874 => Some("x-windows-874")
-    case 28591 => Some("ISO-8859-1")
-    case 28592 => Some("ISO-8859-2")
-    case 28595 => Some("ISO-8859-5")
-    case 28597 => Some("ISO-8859-7")
-    case 28598 => Some("ISO-8859-8")
-    case 28599 => Some("ISO-8859-9")
-    case 28605 => Some("ISO-8859-15")
-    case 20866 => Some("KOI8-R")
-    case 51932 => Some("EUC-JP")
-    case 54936 => Some("GB18030")
-    case _ => None
+  /** SPSS integer-info character code → Java charset; full parity with the
+    * reference's codepage table (`src/spss/metadata.rs:559-612`), extended
+    * with the JDK's real IBMxxx OEM charsets where encoding_rs has none.
+    * Unknown codes return None → the prevailing/default encoding stands.
+    */
+  def codepageCharset(code: Int): Option[String] = {
+    val candidates: Seq[String] = code match {
+      case 2 | 3 | 1252 => Seq("windows-1252")
+      case 65001 => Seq("UTF-8")
+      case 1200 => Seq("UTF-16LE")
+      case 1201 => Seq("UTF-16BE")
+      case 437 => Seq("IBM437")
+      case 850 => Seq("IBM850")
+      case 852 => Seq("IBM852")
+      case 855 => Seq("IBM855")
+      case 857 => Seq("IBM857")
+      case 858 => Seq("IBM00858")
+      case 860 => Seq("IBM860")
+      case 861 => Seq("IBM861")
+      case 862 => Seq("IBM862")
+      case 863 => Seq("IBM863")
+      case 864 => Seq("IBM864")
+      case 865 => Seq("IBM865")
+      case 866 => Seq("IBM866")
+      case 869 => Seq("IBM869")
+      case 874 => Seq("x-windows-874", "TIS-620")
+      case 932 => Seq("windows-31j", "Shift_JIS")
+      case 936 | 51936 => Seq("GBK")
+      case 949 | 51949 => Seq("EUC-KR")
+      case 950 => Seq("x-windows-950", "Big5")
+      case 1250 => Seq("windows-1250")
+      case 1251 => Seq("windows-1251")
+      case 1253 => Seq("windows-1253")
+      case 1254 => Seq("windows-1254")
+      case 1255 => Seq("windows-1255")
+      case 1256 => Seq("windows-1256")
+      case 1257 => Seq("windows-1257")
+      case 1258 => Seq("windows-1258")
+      case 28591 => Seq("ISO-8859-1")
+      case 28592 => Seq("ISO-8859-2")
+      case 28593 => Seq("ISO-8859-3")
+      case 28594 => Seq("ISO-8859-4")
+      case 28595 => Seq("ISO-8859-5")
+      case 28596 => Seq("ISO-8859-6")
+      case 28597 => Seq("ISO-8859-7")
+      case 28598 => Seq("ISO-8859-8")
+      case 28599 => Seq("ISO-8859-9")
+      case 28605 => Seq("ISO-8859-15")
+      case 20866 => Seq("KOI8-R")
+      case 21866 => Seq("KOI8-U")
+      case 51932 => Seq("EUC-JP")
+      case 54936 => Seq("GB18030")
+      case _ => Seq.empty
+    }
+    candidates.find(Charset.isSupported)
   }
 
   def parseHeader(r: ByteReader): Header = {
