@@ -101,6 +101,14 @@ object DedupOps {
 
     // SimHash (16-bit, md5-nibble-derived) per document + near-dup pairs at
     // hamming distance ≤ 2. bit_count is a builtin in both engines.
+    //
+    // Scale design (Hamming-LSH banding, not all-pairs): the 16-bit hash is
+    // split into 4 bands of 4 bits and candidates equi-join on
+    // (band index, band value). Any pair within distance ≤ 2 differs in ≤ 2
+    // bits, which can dirty at most 2 of the 4 bands — so ≥ 2 bands match
+    // exactly and the pair is GUARANTEED to be a candidate: identical results
+    // to all-pairs, but a hash join instead of a BroadcastNestedLoopJoin
+    // (the r1 plan audit's 100 TB veto).
     "q36_simhash" -> ((s, d) => {
       val tok = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -115,10 +123,43 @@ object DedupOps {
       val sim = votes.select(col("doc_id") +:
         Seq(expr((0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
           .mkString(" + ")).cast("long").as("simhash")): _*)
-      sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", expr("bit_count(CAST(a.simhash AS INT) ^ CAST(b.simhash AS INT))").cast("long"))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(expr("array(" +
+          (0 until 4).map(i => s"named_struct('bi', $i, 'bv', (simhash DIV ${1 << (4 * i)}) % 16)")
+            .mkString(",") + ")")).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band.bi"), col("band.bv"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("dist", expr("bit_count(CAST(sa AS INT) ^ CAST(sb AS INT))").cast("long"))
         .filter(col("dist") <= 2)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("dist"))
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // LSH → exact-verify composition (the 100 TB near-dup pipeline): MinHash
+    // band candidates (q35's plan) verified with exact n-gram Jaccard
+    // (q34's math) — quadratic work only inside LSH buckets, never across
+    // the corpus. Fills the q40 numbering gap.
+    "q40_lsh_jaccard_verified" -> ((s, d) => {
+      val cand = queries("q35_minhash_lsh")(s, d).select("id_a", "id_b")
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("s")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
         .orderBy("id_a", "id_b")
     })
   )
@@ -162,6 +203,35 @@ object DedupOps {
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM buckets a JOIN buckets b
            ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    "q40_lsh_jaccard_verified" ->
+      s"""WITH sh AS ($duckShingles),
+         shm AS (SELECT doc_id, md5('a|' || s) AS ma, md5('b|' || s) AS mb FROM sh),
+         sig AS (SELECT doc_id, $minhashAggs FROM shm GROUP BY doc_id),
+         banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
+                           md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
+         buckets AS (
+           SELECT doc_id, 0 AS bi, b0 AS bk FROM banded
+           UNION ALL SELECT doc_id, 1, b1 FROM banded
+           UNION ALL SELECT doc_id, 2, b2 FROM banded
+           UNION ALL SELECT doc_id, 3, b3 FROM banded),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS inter
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+           GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, round(inter/(ca.n + cb.n - inter), 4) AS jacc
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE inter/(ca.n + cb.n - inter) >= 0.3
          ORDER BY id_a, id_b""",
 
     "q36_simhash" ->

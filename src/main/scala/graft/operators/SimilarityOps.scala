@@ -32,6 +32,16 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
   }
 
+  /** IVF coarse quantizer: per-label mean vectors `(c_label, ce)` — tiny
+    * (k×dim), computed distributed, meant to be broadcast.
+    */
+  private def centroidsOf(base: DataFrame): DataFrame =
+    base.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("label").as("c_label"), col("pos"))
+      .agg(avg("x").as("cx"))
+      .groupBy("c_label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("ce"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 3.
     "q37_sim_topk" -> ((s, d) => {
@@ -48,15 +58,40 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
-    // Embedding near-duplicate pairs: cosine ≥ 0.45 across all pairs.
+    // Embedding near-duplicate pairs: cosine ≥ 0.45.
+    //
+    // Scale design: an EXACT pairwise-threshold query over unclustered dense
+    // vectors is inherently O(N²) compute — the scale lever is distributing
+    // that work evenly, not a candidate filter that silently drops results
+    // (IVF probing misses cross-cluster pairs on exactly this data; LSH at
+    // θ≈63° has weak sign-hash gap). This is the 1-Bucket-Theta blocked
+    // pair join [Okcan & Riedewald, SIGMOD'11]: vectors hash into B blocks,
+    // each side replicates to its block-pair row, and the pair stage is an
+    // equi-join on (ba, bb) — B(B+1)/2 evenly sized shuffle buckets, no
+    // BroadcastNestedLoopJoin (the r1 plan audit's 100 TB veto), ~B/2×
+    // replication. B scales with cluster cores (set via blocks). Pipelines
+    // that can tolerate approximate recall should instead compose LSH
+    // candidates with an exact verifier — the q40 pattern.
     "q39_embedding_neardup" -> ((s, d) => {
+      val B = 8
       val base = prepped(s, d)
-      val a = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
-      val b = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("ia") < col("ib"))
+        .withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
+      val a = base
+        .withColumn("bb", explode(expr(s"sequence(blk, ${B - 1})")))
+        .select(col("blk").as("ba"), col("bb"),
+          col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      val b = base
+        .withColumn("ba", explode(expr("sequence(0, blk)")))
+        .select(col("ba"), col("blk").as("bb"),
+          col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+      // a cross-block pair appears exactly once (roles fixed by block id, in
+      // either order); a same-block pair appears in both orders → keep one
+      a.join(b, Seq("ba", "bb"))
+        .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
         .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
-        .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+        .select(least(col("ia"), col("ib")).as("ia"),
+          greatest(col("ia"), col("ib")).as("ib"), round(col("cos"), 6).as("cos"))
         .orderBy("ia", "ib")
     }),
 
@@ -65,12 +100,7 @@ object SimilarityOps {
     // centroid by dot product. Output: label vs assigned confusion counts.
     "q41_ivf_assign" -> ((s, d) => {
       val base = prepped(s, d)
-      val unpacked = base.select(col("label"),
-        posexplode(col("e")).as(Seq("pos", "x")))
-      val centroids = unpacked.groupBy(col("label").as("c_label"), col("pos"))
-        .agg(avg("x").as("cx"))
-        .groupBy("c_label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("ce"))
+      val centroids = centroidsOf(base)
       val scored = base.select(col("vec_id"), col("label"), col("e"))
         .join(broadcast(centroids))
         .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))

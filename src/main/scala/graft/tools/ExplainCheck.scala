@@ -33,6 +33,11 @@ object ExplainCheck {
     val pr = back.select("n_name").queryExecution.executedPlan.toString
     println("readstat pruned plan: " + pr.linesIterator.filter(_.contains("BatchScan")).take(1).mkString.take(200))
     println("q03 whole plan broadcast? " + plan("q03_join3_topk").contains("BroadcastHashJoin"))
+    // r2: the former all-pairs scale-killers must be equi-joins now
+    for (q <- Seq("q36_simhash", "q39_embedding_neardup", "q40_lsh_jaccard_verified")) {
+      val p = plan(q)
+      println(s"$q BNLJ: ${p.contains("BroadcastNestedLoopJoin")} cartesian: ${p.contains("CartesianProduct")}")
+    }
     spark.stop()
   }
 }
