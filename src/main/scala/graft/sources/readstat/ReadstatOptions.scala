@@ -14,7 +14,8 @@ final case class ReadstatOptions(
     minRowsPerPartition: Long,
     informativeNulls: Option[String],
     informativeNullColumns: Option[Set[String]],
-    informativeNullSuffix: String) extends Serializable {
+    informativeNullSuffix: String,
+    inferSchema: Boolean = false) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -35,7 +36,8 @@ object ReadstatOptions {
       informativeNulls = get("informativeNulls"),
       informativeNullColumns =
         get("informativeNullColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
-      informativeNullSuffix = get("informativeNullSuffix").getOrElse("_null"))
+      informativeNullSuffix = get("informativeNullSuffix").getOrElse("_null"),
+      inferSchema = get("inferSchema").exists(_.toBoolean))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

@@ -48,9 +48,51 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
     // a not-yet-existing path means this is a write: the schema comes from
     // the query via LogicalWriteInfo instead
     val hp = new HPath(ps.head)
-    val fs = FileSystem.get(hp.toUri, new Configuration())
-    if (!fs.exists(hp)) new StructType()
-    else ReadstatFormats.forPath(ps.head, opts).schema(ps.head, opts)
+    val fs = hp.getFileSystem(ReadstatIO.sessionConf)
+    if (!fs.exists(hp)) return new StructType()
+
+    val raw = ReadstatFormats.forPath(ps.head, opts).schema(ps.head, opts)
+    // multi-file loads: fail fast when any file's schema disagrees — a
+    // directory of monthly extracts with one added column must not silently
+    // misread (r1 verdict "what's missing" #4)
+    ps.tail.foreach { p =>
+      val other = ReadstatFormats.forPath(p, opts).schema(p, opts)
+      val a = raw.fields.map(f => (f.name, f.dataType)).toSeq
+      val b = other.fields.map(f => (f.name, f.dataType)).toSeq
+      if (a != b) {
+        val diff = (a.diff(b) ++ b.diff(a)).map { case (n, t) => s"$n:${t.simpleString}" }
+        throw new IllegalArgumentException(
+          s"readstat: schema mismatch between ${ps.head} and $p " +
+            s"(differing fields: ${diff.mkString(", ")}); multi-file loads " +
+            "require identical schemas")
+      }
+    }
+
+    if (!opts.inferSchema) raw
+    else {
+      // two-pass schema inference (reference SCHEMA_INFERENCE.md:90-108):
+      // pass 1 parsed the container schema above; pass 2 scans the data via
+      // this same source (without inferSchema) and narrows with Compress's
+      // min/max/int-ness aggregation. Full integer bounds, not Stata
+      // sentinel bounds — this is source inference, not dta re-export.
+      val spark = org.apache.spark.sql.SparkSession.active
+      val passOpts = {
+        val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.remove("inferschema"); m.remove("inferSchema"); m.remove("path"); m.remove("paths")
+        m
+      }
+      val df = spark.read.format("readstat")
+        .options(scala.jdk.CollectionConverters.MapHasAsScala(passOpts).asScala.toMap)
+        .load(ps: _*)
+      val narrowed = Compress.compressDf(df,
+        Compress.CompressOptions(stataBounds = false)).schema
+      // casts drop field metadata (formats/labels) — restore from the raw parse
+      StructType(narrowed.fields.map { f =>
+        raw.fields.find(_.name == f.name)
+          .map(r => f.copy(metadata = r.metadata))
+          .getOrElse(f)
+      })
+    }
   }
 
   override def getTable(
@@ -169,34 +211,154 @@ class ReadstatScan(
     // each executor once instead of once per task (SURVEY.md §7.4 risk 4).
     val ctxs: Map[String, ReadstatFormats.FileContext] =
       ps.map(p => p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(ctxs)
-    new ReadstatReaderFactory(required, opts, bc, filters)
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val bc = sc.broadcast(ctxs)
+    // ship the session's Hadoop conf so S3A/HDFS credentials and tuning set
+    // in Spark conf reach executor-side opens (r1 verdict "what's wrong" #1)
+    val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    // the container's own ("natural") schema: when the table schema was
+    // narrowed by inferSchema (or user-specified), readers decode naturally
+    // and a coercion layer casts per row
+    val natural = ReadstatFormats.forPath(ps.head, opts).schema(ps.head, opts)
+    // decode-skip hints compare against natural values; a filter on a
+    // coerced column would mis-evaluate — drop it (filters are all residual,
+    // Spark re-applies them above the scan)
+    val naturalType = natural.fields.map(f => f.name -> f.dataType).toMap
+    val coerced = full.fields
+      .filter(f => naturalType.get(f.name).exists(_ != f.dataType)).map(_.name).toSet
+    val safeFilters = filters.filterNot(f =>
+      RowFilter.referenced(f).exists(_.exists(coerced.contains)))
+    new ReadstatReaderFactory(required, natural, opts, bc, bcConf, safeFilters)
   }
 }
 
 class ReadstatReaderFactory(
     required: StructType,
+    natural: StructType,
     opts: ReadstatOptions,
     ctxs: org.apache.spark.broadcast.Broadcast[Map[String, ReadstatFormats.FileContext]],
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[ReadstatInputPartition]
-    ReadstatFormats.forName(p.format).reader(p, ctxs.value(p.path), required, opts, filters)
+    ReadstatIO.setConf(conf.value.value) // executor-side install, before any open
+    val naturalByName = natural.fields.map(f => f.name -> f).toMap
+    val requiredNatural = StructType(
+      required.fields.map(f => naturalByName.getOrElse(f.name, f)))
+    val inner = ReadstatFormats.forName(p.format)
+      .reader(p, ctxs.value(p.path), requiredNatural, opts, filters)
+    if (requiredNatural.fields.map(_.dataType).sameElements(required.fields.map(_.dataType))) inner
+    else new CoercingReader(inner, requiredNatural, required)
   }
 }
 
-/** Shared IO helpers: Hadoop FileSystem so any DFS-backed path works. */
+/** Casts a module reader's naturally-typed rows to a narrowed/required
+  * schema (the read side of `inferSchema`): Double/Float/Long → smaller
+  * integrals or Boolean, TimestampNTZ → Date, String → Double.
+  */
+class CoercingReader(
+    inner: PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
+    from: StructType,
+    to: StructType)
+  extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.types._
+
+  private val converters: Array[Any => Any] = from.fields.zip(to.fields).map {
+    case (f, t) if f.dataType == t.dataType => identity[Any] _
+    case (f, t) => (f.dataType, t.dataType) match {
+      case (DoubleType, BooleanType) => (v: Any) => v.asInstanceOf[Double] != 0.0
+      case (DoubleType, ByteType) => (v: Any) => v.asInstanceOf[Double].toByte
+      case (DoubleType, ShortType) => (v: Any) => v.asInstanceOf[Double].toShort
+      case (DoubleType, IntegerType) => (v: Any) => v.asInstanceOf[Double].toInt
+      case (DoubleType, LongType) => (v: Any) => v.asInstanceOf[Double].toLong
+      case (DoubleType, FloatType) => (v: Any) => v.asInstanceOf[Double].toFloat
+      case (FloatType, BooleanType) => (v: Any) => v.asInstanceOf[Float] != 0.0f
+      case (FloatType, ByteType) => (v: Any) => v.asInstanceOf[Float].toByte
+      case (FloatType, ShortType) => (v: Any) => v.asInstanceOf[Float].toShort
+      case (FloatType, IntegerType) => (v: Any) => v.asInstanceOf[Float].toInt
+      case (FloatType, DoubleType) => (v: Any) => v.asInstanceOf[Float].toDouble
+      case (LongType, BooleanType) => (v: Any) => v.asInstanceOf[Long] != 0L
+      case (LongType, ByteType) => (v: Any) => v.asInstanceOf[Long].toByte
+      case (LongType, ShortType) => (v: Any) => v.asInstanceOf[Long].toShort
+      case (LongType, IntegerType) => (v: Any) => v.asInstanceOf[Long].toInt
+      case (ByteType, BooleanType) => (v: Any) => v.asInstanceOf[Byte] != 0
+      case (ShortType, ByteType) => (v: Any) => v.asInstanceOf[Short].toByte
+      case (ShortType, BooleanType) => (v: Any) => v.asInstanceOf[Short] != 0
+      case (IntegerType, ByteType) => (v: Any) => v.asInstanceOf[Int].toByte
+      case (IntegerType, ShortType) => (v: Any) => v.asInstanceOf[Int].toShort
+      case (IntegerType, BooleanType) => (v: Any) => v.asInstanceOf[Int] != 0
+      case (TimestampNTZType | TimestampType, DateType) =>
+        (v: Any) => Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toInt
+      case (StringType, DoubleType) =>
+        (v: Any) => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString.trim.toDouble
+      case (a, b) => throw new IllegalArgumentException(
+        s"readstat: cannot coerce ${f.name} from ${a.simpleString} to ${b.simpleString}")
+    }
+  }
+
+  private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(to.length)
+
+  override def next(): Boolean = {
+    if (!inner.next()) return false
+    val row = inner.get()
+    var i = 0
+    while (i < converters.length) {
+      out.update(i,
+        if (row.isNullAt(i)) null else converters(i)(row.get(i, from.fields(i).dataType)))
+      i += 1
+    }
+    true
+  }
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = out
+  override def close(): Unit = inner.close()
+}
+
+/** Java-serializable wrapper for a Hadoop Configuration (the stock class is
+  * not Serializable); shipped to executors via broadcast.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Shared IO helpers: Hadoop FileSystem so any DFS-backed path works.
+  *
+  * The effective Configuration is, in order: the conf installed by the scan's
+  * reader factory (executor side, broadcast from the driver session), else
+  * the active SparkSession's `sparkContext.hadoopConfiguration` (driver
+  * side), else a fresh default — so credentials/tuning set via
+  * `spark.hadoop.*` reach every open on both sides.
+  */
 object ReadstatIO {
+  @volatile private var installed: Configuration = _
+
+  def setConf(c: Configuration): Unit = installed = c
+
+  def sessionConf: Configuration = {
+    val c = installed
+    if (c != null) c
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+  }
+
   def open(path: String): org.apache.hadoop.fs.FSDataInputStream = {
     val hp = new HPath(path)
-    val fs = FileSystem.get(hp.toUri, new Configuration())
-    fs.open(hp)
+    hp.getFileSystem(sessionConf).open(hp)
   }
   def fileSize(path: String): Long = {
     val hp = new HPath(path)
-    val fs = FileSystem.get(hp.toUri, new Configuration())
-    fs.getFileStatus(hp).getLen
+    hp.getFileSystem(sessionConf).getFileStatus(hp).getLen
   }
 }

@@ -39,6 +39,25 @@ class WritePathSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("coalesce(1)")))
   }
 
+  test("2M-row write streams through the spill file (dates, timestamps, strings)") {
+    // the writer must be O(1) memory in the row count: rows spill to a temp
+    // file during write() and replay on commit — this would OOM the old
+    // buffer-everything writer long before a real heap cap
+    val df = spark.range(2000000).select(
+      col("id").cast("double").as("x"),
+      (col("id") % 1000).cast("int").as("k"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), (col("id") % 365).cast("int")).as("d"),
+      concat(lit("payload_"), col("id") % 997).as("s"))
+    val path = tmp("big.dta")
+    df.coalesce(1).write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.count() === 2000000)
+    val agg = back.agg(sum("x"), countDistinct("s"), max("d")).collect()(0)
+    assert(agg.getDouble(0) === (1999999.0 * 2000000 / 2))
+    assert(agg.getLong(1) === 997)
+    assert(agg.get(2).toString === "2020-12-30")
+  }
+
   test("multi-file load unions partitions across files") {
     val a = spark.range(100).select(col("id").cast("double").as("x"))
     val b = spark.range(100, 250).select(col("id").cast("double").as("x"))
