@@ -20,7 +20,11 @@ object ReadstatMetadata {
       spark_type: String,
       column_format: String,
       label: String,
-      value_label_name: String)
+      value_label_name: String,
+      /** O3: 1-based position of this column in the file's sort order
+        * (0 = not a sort key; Stata sortlist).
+        */
+      sort_key_pos: Int)
 
   def describe(spark: SparkSession, path: String, format: Option[String] = None): DataFrame = {
     import spark.implicits._
@@ -35,7 +39,8 @@ object ReadstatMetadata {
             meta.charsetName, i, v.name,
             v.varType.toString.stripPrefix("T").toLowerCase,
             stata.DtaRowDecoder.sparkField(v, opts, labeled = false).dataType.simpleString,
-            v.format.getOrElse(""), v.label.getOrElse(""), v.valueLabelName.getOrElse(""))
+            v.format.getOrElse(""), v.label.getOrElse(""), v.valueLabelName.getOrElse(""),
+            meta.sortedBy.indexOf(i + 1) + 1)
         }.toSeq
       case "sav" | "zsav" =>
         val meta = spss.Sav.parseMetadata(
@@ -48,7 +53,7 @@ object ReadstatMetadata {
             meta.charsetName, i, v.name,
             if (v.isString) s"str${v.stringLen}" else "double",
             spss.SavModule.sparkField(v, meta, opts).dataType.simpleString,
-            s"fmt${v.formatType}", "", v.valueLabelSet.getOrElse(""))
+            s"fmt${v.formatType}", "", v.valueLabelSet.getOrElse(""), 0)
         }.toSeq
       case "sas7bdat" =>
         val in = new java.io.BufferedInputStream(ReadstatIO.open(path), 1 << 20)
@@ -65,7 +70,7 @@ object ReadstatMetadata {
             meta.charsetName, i, c.name,
             if (c.isChar) s"char${c.length}" else s"num${c.length}",
             sas.SasModule.sparkField(c).dataType.simpleString,
-            c.format, c.label, "")
+            c.format, c.label, "", 0)
         }.toSeq
     }
     spark.createDataFrame(rows)

@@ -23,7 +23,14 @@ import graft.sources.readstat.{ReadstatFormats, ReadstatIO, ReadstatInputPartiti
 object SasModule extends ReadstatFormats.FormatModule {
   import Sas._
 
-  final case class SasContext(meta: Metadata) extends ReadstatFormats.FileContext
+  /** `analyticRpp`: driver-validated actual rows per DATA page — present
+    * only when the DATA pages from `firstDataPage` on are regular, in which
+    * case a reader may seek instead of scanning sequentially. Derived from
+    * the first DATA page's block count (NOT the page-capacity formula — real
+    * SAS files reserve page space and pack fewer rows than fit).
+    */
+  final case class SasContext(meta: Metadata, analyticRpp: Option[Long])
+    extends ReadstatFormats.FileContext
 
   private def parseMeta(path: String): Metadata = {
     val in = new BufferedInputStream(ReadstatIO.open(path), 1 << 20)
@@ -64,24 +71,45 @@ object SasModule extends ReadstatFormats.FormatModule {
   override def schema(path: String, opts: ReadstatOptions): StructType =
     StructType(fieldsWithRoles(parseMeta(path), opts).map(_._1))
 
-  /** True when the uncompressed file's pages satisfy the analytic index:
-    * firstDataPage onward are DATA pages with rowsPerDataPage rows each
-    * (checked against the first one's block count).
+  /** Validates the analytic page index and returns the ACTUAL rows per
+    * DATA page: firstDataPage onward must be DATA pages carrying the same
+    * block count (taken from the first one; real SAS files pack fewer rows
+    * than the page-capacity formula suggests). A MIX-page prefix is fine —
+    * its rows become a sequential partition and DATA partitions seek past
+    * it (reference `data_reader_at_row` `src/sas/reader.rs:364-435`).
+    * Probes first, middle, and last DATA pages (3 seeks on the driver).
     */
-  private def analyticIndexHolds(path: String, meta: Metadata): Boolean = {
-    if (meta.compression != CNone || meta.mixDataRows > 0) return false
+  private def analyticRppOf(path: String, meta: Metadata): Option[Long] = {
+    if (meta.compression != CNone || meta.rowLength <= 0) return None
     val dataRows = meta.rowCount - meta.mixDataRows
-    if (dataRows <= 0) return false
+    if (dataRows <= 0) return None
+    val h = meta.header
     val fsin = ReadstatIO.open(path)
     try {
-      val h = meta.header
-      fsin.seek(h.headerLength.toLong + meta.firstDataPage * h.pageLength)
-      val head = new Array[Byte](h.bitOffset + 8)
-      if (!readFully(fsin, head, head.length)) return false
-      val pt = Bin.u16(head, h.bitOffset, h.littleEndian)
-      if (pt != PData) return false
-      val bc = Bin.u16(head, h.bitOffset + 2, h.littleEndian)
-      bc == math.min(meta.rowsPerDataPage.toLong, dataRows)
+      def pageHead(idx: Long): Option[(Int, Long)] = {
+        fsin.seek(h.headerLength.toLong + idx * h.pageLength)
+        val head = new Array[Byte](h.bitOffset + 8)
+        if (!readFully(fsin, head, head.length)) None
+        else Some((Bin.u16(head, h.bitOffset, h.littleEndian),
+          Bin.u16(head, h.bitOffset + 2, h.littleEndian).toLong))
+      }
+      val (pt0, rpp) = pageHead(meta.firstDataPage).getOrElse(return None)
+      if (pt0 != PData || rpp <= 0) return None
+      val nDataPages = (dataRows + rpp - 1) / rpp
+      def regular(idx: Long): Boolean = idx <= meta.firstDataPage || {
+        pageHead(idx) match {
+          case Some((pt, bc)) =>
+            val expect =
+              if (idx == meta.firstDataPage + nDataPages - 1)
+                dataRows - (nDataPages - 1) * rpp
+              else rpp
+            pt == PData && bc == expect
+          case None => false
+        }
+      }
+      val mid = meta.firstDataPage + nDataPages / 2
+      val last = meta.firstDataPage + nDataPages - 1
+      if (regular(mid) && regular(last)) Some(rpp) else None
     } finally fsin.close()
   }
 
@@ -90,29 +118,37 @@ object SasModule extends ReadstatFormats.FormatModule {
     // zero-variable (metadata-only) files have no row storage to iterate
     val n = if (meta.rowLength <= 0) 0L else meta.rowCount
     if (n <= 0) return Seq((0L, 0L))
-    if (meta.compression != CNone || !analyticIndexHolds(path, meta)) Seq((0L, n))
-    else {
-      val rpp = meta.rowsPerDataPage.toLong
-      val pagesPerPart = math.max(1L,
-        opts.maxPartitionBytes / math.max(1, meta.header.pageLength))
-      val rowsPerPart = math.max(opts.minRowsPerPartition, pagesPerPart * rpp)
-      // align partition starts to page boundaries for clean seeks
-      val aligned = (rowsPerPart / rpp) * rpp
-      val step = math.max(rpp, aligned)
-      (0L until n by step).map(s => (s, math.min(step, n - s)))
+    analyticRppOf(path, meta) match {
+      case None => Seq((0L, n))
+      case Some(rpp) =>
+        val pagesPerPart = math.max(1L,
+          opts.maxPartitionBytes / math.max(1, meta.header.pageLength))
+        val rowsPerPart = math.max(opts.minRowsPerPartition, pagesPerPart * rpp)
+        // align partition starts to page boundaries for clean seeks
+        val aligned = (rowsPerPart / rpp) * rpp
+        val step = math.max(rpp, aligned)
+        // MIX prefix rows scan sequentially as partition 0; DATA partitions
+        // start at page-aligned offsets past the prefix and seek directly
+        val mix = math.min(meta.mixDataRows, n)
+        val prefix = if (mix > 0) Seq((0L, mix)) else Seq.empty
+        prefix ++ (mix until n by step).map(s => (s, math.min(step, n - s)))
     }
   }
 
-  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext =
-    SasContext(parseMeta(path))
+  override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext = {
+    val meta = parseMeta(path)
+    SasContext(meta, analyticRppOf(path, meta))
+  }
 
   override def reader(
       part: ReadstatInputPartition,
       ctx: ReadstatFormats.FileContext,
       required: StructType,
       opts: ReadstatOptions,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] =
-    new SasPartitionReader(part, ctx.asInstanceOf[SasContext].meta, required, opts, filters)
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] = {
+    val c = ctx.asInstanceOf[SasContext]
+    new SasPartitionReader(part, c.meta, required, opts, filters, c.analyticRpp)
+  }
 }
 
 class SasPartitionReader(
@@ -120,7 +156,8 @@ class SasPartitionReader(
     meta: Sas.Metadata,
     required: StructType,
     opts: ReadstatOptions,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    analyticRpp: Option[Long] = None)
   extends PartitionReader[InternalRow] {
   import Sas._
 
@@ -235,13 +272,15 @@ class SasPartitionReader(
   private var decompressed: Array[Byte] = _
 
   locally {
-    val analyticSeek =
-      meta.compression == CNone && meta.mixDataRows == 0 && part.rowStart > 0
-    if (analyticSeek) {
-      val rpp = meta.rowsPerDataPage.toLong
-      val pageIdx = meta.firstDataPage + part.rowStart / rpp
+    // a partition starting past the MIX prefix seeks straight to its DATA
+    // page (driver-validated actual rows/page); anything else scans from
+    // the first page, skipping rows
+    val dataIdx = part.rowStart - meta.mixDataRows
+    if (analyticRpp.isDefined && dataIdx >= 0 && part.rowStart > 0) {
+      val rpp = analyticRpp.get
+      val pageIdx = meta.firstDataPage + dataIdx / rpp
       fsin.seek(h.headerLength.toLong + pageIdx * h.pageLength)
-      toSkip = part.rowStart % rpp
+      toSkip = dataIdx % rpp
     } else {
       fsin.seek(h.headerLength.toLong)
       toSkip = part.rowStart

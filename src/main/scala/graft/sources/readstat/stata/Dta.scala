@@ -107,7 +107,9 @@ object Dta {
       strlsOffset: Option[Long],
       valueLabelsOffset: Option[Long],
       valueLabels: Map[String, Map[Int, String]],
-      charsetName: String) {
+      charsetName: String,
+      /** O3: 1-based variable indices the data is sorted by, in order. */
+      sortedBy: Seq[Int] = Seq.empty) {
     def recordLen: Int = variables.map(_.varType.width).sum
     def charset: Charset = Charset.forName(charsetName)
   }
@@ -358,7 +360,12 @@ object Dta {
     val nameBuf = chunk("<varnames>", n * lay.varNameLen, "</varnames>")
     val names = (0 until n).map(i =>
       cString(java.util.Arrays.copyOfRange(nameBuf, i * lay.varNameLen, (i + 1) * lay.varNameLen), cs))
-    chunk("<sortlist>", (n + 1) * lay.srtEntryLen, "</sortlist>")
+    // sortlist: zero-terminated 1-based variable indices (O3 sort order)
+    val srtBuf = chunk("<sortlist>", (n + 1) * lay.srtEntryLen, "</sortlist>")
+    val sortedBy = (0 to n).iterator.map { i =>
+      if (lay.srtEntryLen == 4) Bin.u32(srtBuf, i * 4, le).toInt
+      else Bin.u16(srtBuf, i * 2, le)
+    }.takeWhile(v => v > 0 && v <= n).toSeq
     val fmtBuf = chunk("<formats>", n * lay.fmtEntryLen, "</formats>")
     val formats = (0 until n).map(i =>
       cString(java.util.Arrays.copyOfRange(fmtBuf, i * lay.fmtEntryLen, (i + 1) * lay.fmtEntryLen), cs))
@@ -402,7 +409,8 @@ object Dta {
     val vlOff = vlOffset.orElse(Some(dataOffset + recordLen * h.nobs))
 
     Metadata(h, variables, dataOffset, strlsOffset, vlOff,
-      valueLabels = Map.empty, charsetName = defaultCharsetName(h.version))
+      valueLabels = Map.empty, charsetName = defaultCharsetName(h.version),
+      sortedBy = sortedBy)
   }
 
   /** Parse value-label tables at metadata.valueLabelsOffset (re-seeked input). */

@@ -92,7 +92,9 @@ object DtaWriter {
       path: String,
       stringWidths: Map[String, Int],
       valueLabels: Map[String, Map[Int, String]] = Map.empty,
-      variableLabels: Map[String, String] = Map.empty): Long = {
+      variableLabels: Map[String, String] = Map.empty,
+      /** O3: column names the data is sorted by, in order. */
+      sortedBy: Seq[String] = Seq.empty): Long = {
     val specs = schema.fields.map(f => specFor(f, stringWidths.getOrElse(f.name, 1)))
     val nvar = specs.length
     require(nvar > 0, "dta writer: no columns")
@@ -130,7 +132,15 @@ object DtaWriter {
     specs.foreach { s => out.write(fixed(s.name.getBytes(StandardCharsets.UTF_8), VarNameLen)) }
     tag("</varnames>")
     val srtEntryLen = if (version >= 119) 4 else 2
-    tag("<sortlist>"); out.write(new Array[Byte]((nvar + 1) * srtEntryLen)); tag("</sortlist>")
+    tag("<sortlist>")
+    val srt = new Array[Byte]((nvar + 1) * srtEntryLen)
+    sortedBy.zipWithIndex.foreach { case (name, i) =>
+      val vi = schema.fieldIndex(name) + 1 // 1-based variable index
+      var b = 0
+      while (b < srtEntryLen) { srt(i * srtEntryLen + b) = ((vi >> (8 * b)) & 0xff).toByte; b += 1 }
+    }
+    out.write(srt)
+    tag("</sortlist>")
     tag("<formats>")
     specs.foreach(s => out.write(fixed(s.fmt.getBytes(StandardCharsets.UTF_8), FmtLen)))
     tag("</formats>")

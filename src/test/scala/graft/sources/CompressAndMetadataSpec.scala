@@ -64,6 +64,23 @@ class CompressAndMetadataSpec extends SparkSpec {
     assert(got(1)(2) === "string")
   }
 
+  test("dta sortlist round-trips and surfaces in the metadata probe (O3)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(50).select(
+      col("id").cast("double").as("a"),
+      (col("id") % 7).cast("double").as("b"),
+      (col("id") % 3).cast("double").as("c"))
+      .orderBy("c", "a")
+    val path = tmp("sorted.dta")
+    graft.sources.readstat.stata.DtaWriter.writeRows(
+      df.schema, df.collect().iterator, path,
+      stringWidths = Map.empty, sortedBy = Seq("c", "a"))
+    val meta = graft.sources.readstat.ReadstatMetadata.describe(spark, path)
+      .select("column_name", "sort_key_pos").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(meta == Map("a" -> 2, "b" -> 0, "c" -> 1))
+  }
+
   test("sas script sink emits csv + proc format script") {
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(
