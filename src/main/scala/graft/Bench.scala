@@ -25,7 +25,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ~1 GB single-file scan throughput (BASELINE.md ≥100 MB/s/core bar);
+    // disable with SPARK_GRAFT_BIGSCAN=0
+    val scan =
+      if (sys.env.get("SPARK_GRAFT_BIGSCAN").contains("0")) Map.empty[String, Double]
+      else try ScanBench.run(spark, cpus.toInt) catch { case _: Throwable => Map.empty[String, Double] }
+    val scanJson = scan.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scan":$scanJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

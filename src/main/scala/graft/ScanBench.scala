@@ -1,0 +1,85 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-file scan benchmark (BASELINE.md sanity bar: ≥100 MB/s/core):
+  * generates a ~1 GB uncompressed `.dta` and `.sas7bdat` once (cached in
+  * /tmp across runs), then times a full-column read and a 3-column
+  * projection through the DSv2 source. Emitted as the `scan` section of
+  * Bench's JSON line, in MB/s/core (wall throughput / cores).
+  */
+object ScanBench {
+
+  private val dir = new File("/tmp/graft_bigscan")
+  private val nRows = 9000000 // ~120 B/row → ~1.05 GB per file
+  private val widths = Map("s0" -> 16, "s1" -> 24)
+
+  private val schema = StructType(
+    (0 until 10).map(i => StructField(s"d$i", DoubleType)) ++
+      Seq(StructField("s0", StringType), StructField("s1", StringType)))
+
+  private def rowIter: Iterator[Row] = Iterator.tabulate(nRows) { i =>
+    val vals = new Array[Any](12)
+    var j = 0
+    while (j < 10) { vals(j) = (i.toLong * 31 + j) * 0.5; j += 1 }
+    vals(10) = "s" + (i % 100000)
+    vals(11) = "payload_" + (i % 997)
+    new GenericRow(vals)
+  }
+
+  private def ensure(path: File, gen: String => Unit): File = {
+    if (!path.isFile || path.length() < 900L * 1000 * 1000) {
+      dir.mkdirs()
+      val t0 = System.nanoTime()
+      gen(path.getPath)
+      System.err.println(
+        f"[scanbench] generated ${path.getName} ${path.length() / 1e9}%.2f GB " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.0f s")
+    }
+    path
+  }
+
+  /** Returns scan metrics; file generation is cached in /tmp. */
+  def run(spark: SparkSession, cpus: Int): Map[String, Double] = {
+    val dta = ensure(new File(dir, "big.dta"), p =>
+      sources.readstat.stata.DtaWriter.writeRows(schema, rowIter, p, widths))
+    val sas = ensure(new File(dir, "big.sas7bdat"), p =>
+      sources.readstat.sas.SasFixtureWriter.writeRows(schema, rowIter, p, widths, rle = false))
+
+    val out = scala.collection.mutable.Map[String, Double]()
+    for (f <- Seq(dta, sas)) {
+      val fmt = if (f.getName.endsWith(".dta")) "dta" else "sas"
+      val sizeMb = f.length() / 1e6
+      def read() = spark.read.format("readstat")
+        .option("maxPartitionBytes", (32L * 1024 * 1024).toString)
+        .load(f.getPath)
+      // warm-up: metadata parse + page cache (the reference's baseline also
+      // times an already-opened reader)
+      read().count()
+      def timeBest(body: => Unit): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }.min // best-of-2: GC/contention noise inflates, never deflates
+      // full read: force every column through the decoder
+      val fullAggs = (0 until 10).map(i => sum(col(s"d$i"))) ++
+        Seq(sum(length(col("s0"))), sum(length(col("s1"))))
+      val tFull = timeBest(read().agg(fullAggs.head, fullAggs.tail: _*).collect())
+      // projection: 3 of 12 columns — pruning must reach the byte decoder
+      val tProj = timeBest(read().select("d0", "d1", "s0")
+        .agg(sum("d0"), sum("d1"), sum(length(col("s0")))).collect())
+      out(s"${fmt}_size_mb") = sizeMb
+      out(s"${fmt}_full_sec") = tFull
+      out(s"${fmt}_full_mbps_core") = sizeMb / tFull / cpus
+      out(s"${fmt}_proj_sec") = tProj
+      out(s"${fmt}_proj_mbps_core") = sizeMb / tProj / cpus
+    }
+    out.toMap
+  }
+}

@@ -357,8 +357,10 @@ object ReadstatIO {
     val hp = new HPath(path)
     hp.getFileSystem(sessionConf).open(hp)
   }
-  def fileSize(path: String): Long = {
+  def fileSize(path: String): Long = status(path).getLen
+
+  def status(path: String): org.apache.hadoop.fs.FileStatus = {
     val hp = new HPath(path)
-    hp.getFileSystem(sessionConf).getFileStatus(hp).getLen
+    hp.getFileSystem(sessionConf).getFileStatus(hp)
   }
 }

@@ -32,10 +32,25 @@ object SasModule extends ReadstatFormats.FormatModule {
   final case class SasContext(meta: Metadata, analyticRpp: Option[Long])
     extends ReadstatFormats.FileContext
 
+  /** Metadata parse walks every page (AMD metadata can trail the data, same
+    * as the reference `src/sas/metadata.rs:38-88`) — ~1 GB of driver IO for
+    * a 1 GB file. One planning pass calls this ~5× (schema, ranges, context,
+    * natural schema), so cache per (path, size, mtime); entries are a few KB.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Metadata]()
+
   private def parseMeta(path: String): Metadata = {
-    val in = new BufferedInputStream(ReadstatIO.open(path), 1 << 20)
-    try Sas.parseMetadata(in)
-    finally in.close()
+    val key = try {
+      val st = ReadstatIO.status(path)
+      (path, st.getLen, st.getModificationTime)
+    } catch { case _: Exception => (path, -1L, -1L) }
+    if (metaCache.size > 4096) metaCache.clear()
+    metaCache.computeIfAbsent(key, _ => {
+      val in = new BufferedInputStream(ReadstatIO.open(path), 1 << 20)
+      try Sas.parseMetadata(in)
+      finally in.close()
+    })
   }
 
   def sparkField(c: Column): StructField = {
@@ -213,15 +228,24 @@ class SasPartitionReader(
   private def missingDouble(bits: Long): Boolean =
     (bits & 0x7fffffffffffffffL) >= 0x7ff0000000000000L
 
+  private val csUtf8 = cs == java.nio.charset.StandardCharsets.UTF_8
+
   private def decoderFor(c: Column): (Array[Byte], Int) => Any = kindFor(c) match {
     case KChar => (row, base) => {
       val off = base + c.offset
       var end = c.length
       while (end > 0 && (row(off + end - 1) == ' ' || row(off + end - 1) == 0)) end -= 1
       var nul = 0
-      while (nul < end && row(off + nul) != 0) nul += 1
+      var ascii = true
+      while (nul < end && row(off + nul) != 0) {
+        if (row(off + nul) < 0) ascii = false
+        nul += 1
+      }
       end = math.min(end, nul)
       if (end == 0) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
+      else if (ascii || csUtf8)
+        // already valid UTF-8 — skip the charset decode/re-encode (hot path)
+        UTF8String.fromBytes(java.util.Arrays.copyOfRange(row, off, off + end))
       else UTF8String.fromString(new String(row, off, end, cs))
     }
     case KNumeric => (row, base) => {
@@ -305,19 +329,21 @@ class SasPartitionReader(
       }
     }
 
+  // current physical row (fields, not a per-row tuple — hot path)
+  private var curBuf: Array[Byte] = _
+  private var curBase = 0
+
   override def next(): Boolean = {
     if (remaining <= 0) return false
     while (true) {
-      val row = nextRowBytes()
-      if (row == null) return false
+      if (!nextRowBytes()) return false
       if (toSkip > 0) toSkip -= 1
       else {
-        val (buf, base) = row
         remaining -= 1
-        if (filterEval(buf, base)) {
+        if (filterEval(curBuf, curBase)) {
           var i = 0
           while (i < plans.length) {
-            out.update(i, plans(i).decode(buf, base))
+            out.update(i, plans(i).decode(curBuf, curBase))
             i += 1
           }
           return true
@@ -328,14 +354,15 @@ class SasPartitionReader(
     false
   }
 
-  /** Returns (buffer, baseOffset) of the next physical row, or null at EOF. */
-  private def nextRowBytes(): (Array[Byte], Int) = {
+  /** Advances curBuf/curBase to the next physical row; false at EOF. */
+  private def nextRowBytes(): Boolean = {
     while (true) {
       if (rowsLeftOnPage > 0) {
-        val r = (page, rowOffset)
+        curBuf = page
+        curBase = rowOffset
         rowOffset += rowStep
         rowsLeftOnPage -= 1
-        return r
+        return true
       }
       if (subIdx < subRows.length) {
         val (off, len) = subRows(subIdx)
@@ -345,13 +372,18 @@ class SasPartitionReader(
             case CRdc => SasDecompress.rdc(page, off, len, meta.rowLength)
             case _ => SasDecompress.rle(page, off, len, meta.rowLength)
           }
-          return (decompressed, 0)
-        } else return (page, off)
+          curBuf = decompressed
+          curBase = 0
+        } else {
+          curBuf = page
+          curBase = off
+        }
+        return true
       }
-      if (!readFully(in, page, h.pageLength)) return null
+      if (!readFully(in, page, h.pageLength)) return false
       loadPage()
     }
-    null
+    false
   }
 
   private def loadPage(): Unit = {

@@ -211,7 +211,27 @@ class SavPartitionReader(
         if (opts.valueLabelsAsStrings)
           v.valueLabelSet.flatMap(meta.valueLabels.get).map(_._2).getOrElse(Map.empty)
         else Map.empty
-      (row: Array[Byte]) => {
+      if (missSet.isEmpty && labels.isEmpty && v.stringLen <= 255) {
+        // hot path: plain short string, no label/missing lookups — trim and
+        // wrap the bytes without a charset decode/re-encode when they are
+        // already valid UTF-8
+        val csUtf8 = cs == java.nio.charset.StandardCharsets.UTF_8
+        val n0 = math.min(v.stringLen, v.widthSegments * 8)
+        (row: Array[Byte]) => {
+          var ascii = true
+          var i = 0
+          while (i < n0) { if (row(off + i) < 0) ascii = false; i += 1 }
+          if (ascii || csUtf8) {
+            var end = n0
+            while (end > 0 && (row(off + end - 1) == ' ' || row(off + end - 1) == 0)) end -= 1
+            if (end == 0) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
+            else UTF8String.fromBytes(java.util.Arrays.copyOfRange(row, off, off + end))
+          } else {
+            val s = extractString(v, row, off)
+            if (s.isEmpty && opts.missingStringAsNull) null else UTF8String.fromString(s)
+          }
+        }
+      } else (row: Array[Byte]) => {
         val s = extractString(v, row, off)
         if (s.isEmpty && opts.missingStringAsNull) null
         else if (missSet.contains(s)) null

@@ -191,17 +191,24 @@ object DtaRowDecoder {
         case _ => throw new IllegalStateException("numRaw on string column")
       }
 
+      val csUtf8 = cs == java.nio.charset.StandardCharsets.UTF_8
       val decode: (Array[Byte], Int) => Any = v.varType match {
         case TStr(w) =>
           (b, base) => {
             val o = base + off
             var n = 0
-            while (n < w && b(o + n) != 0) n += 1 // stop at first NUL
-            var s = new String(b, o, n, cs)
-            var end = s.length // trim trailing spaces (Stata pads with NUL/space)
-            while (end > 0 && s.charAt(end - 1) == ' ') end -= 1
-            if (end < s.length) s = s.substring(0, end)
-            if (s.isEmpty && opts.missingStringAsNull) null else UTF8String.fromString(s)
+            var ascii = true
+            while (n < w && b(o + n) != 0) { // stop at first NUL
+              if (b(o + n) < 0) ascii = false
+              n += 1
+            }
+            while (n > 0 && b(o + n - 1) == ' ') n -= 1 // trim trailing pad
+            if (n == 0) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
+            else if (ascii || csUtf8)
+              // bytes are already valid UTF-8 — skip the decode/re-encode
+              // round trip (hot path: this is most of a full-table scan)
+              UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, o, o + n))
+            else UTF8String.fromString(new String(b, o, n, cs))
           }
         case TStrL =>
           (b, base) => {
