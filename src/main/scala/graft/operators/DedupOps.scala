@@ -102,13 +102,14 @@ object DedupOps {
     // SimHash (16-bit, md5-nibble-derived) per document + near-dup pairs at
     // hamming distance ≤ 2. bit_count is a builtin in both engines.
     //
-    // Scale design (Hamming-LSH banding, not all-pairs): the 16-bit hash is
-    // split into 4 bands of 4 bits and candidates equi-join on
-    // (band index, band value). Any pair within distance ≤ 2 differs in ≤ 2
-    // bits, which can dirty at most 2 of the 4 bands — so ≥ 2 bands match
-    // exactly and the pair is GUARANTEED to be a candidate: identical results
-    // to all-pairs, but a hash join instead of a BroadcastNestedLoopJoin
-    // (the r1 plan audit's 100 TB veto).
+    // Scale design (value-space neighbor enumeration, not doc-space pairs):
+    // a 16-bit hash has at most 65,536 DISTINCT values no matter the corpus
+    // size, so documents collapse into per-value groups first. Every value
+    // has exactly 136 Hamming neighbors at distance 1-2 — enumerate them
+    // (V×136 rows, linear) and equi-join against the existing values; no
+    // pair join ever happens in doc space and nothing is quadratic
+    // (cf. Manku et al., WWW'07 simhash dedup). Doc pairs are expanded only
+    // for value pairs that matched, which is output-bound work.
     "q36_simhash" -> ((s, d) => {
       val tok = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -123,20 +124,31 @@ object DedupOps {
       val sim = votes.select(col("doc_id") +:
         Seq(expr((0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
           .mkString(" + ")).cast("long").as("simhash")): _*)
-      val bands = sim.select(col("doc_id"), col("simhash"),
-        explode(expr("array(" +
-          (0 until 4).map(i => s"named_struct('bi', $i, 'bv', (simhash DIV ${1 << (4 * i)}) % 16)")
-            .mkString(",") + ")")).as("band"))
-        .select(col("doc_id"), col("simhash"), col("band.bi"), col("band.bv"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("dist", expr("bit_count(CAST(sa AS INT) ^ CAST(sb AS INT))").cast("long"))
-        .filter(col("dist") <= 2)
+      // collapse to the value space: ≤ 65,536 groups at any corpus size
+      val groups = sim.groupBy("simhash").agg(collect_list("doc_id").as("ids"))
+      // the distance-1/2 Hamming ball: 16 single-bit + 120 two-bit masks
+      val masks = (0 until 16).map(1 << _) ++
+        (for (i <- 0 until 16; j <- (i + 1) until 16) yield (1 << i) | (1 << j))
+      val valPairs = groups.select(col("simhash").as("sa"),
+          explode(expr(s"array(${masks.mkString(",")})")).as("mask"))
+        .withColumn("sb", expr("CAST(sa AS INT) ^ mask").cast("long"))
+        .filter(col("sb") > col("sa")) // each unordered value pair once
+        .join(groups.select(col("simhash").as("sb")), "sb") // existing values only
+        .withColumn("dist", expr("bit_count(mask)").cast("long"))
+      val cross = valPairs
+        .join(groups.select(col("simhash").as("sa"), col("ids").as("ids_a")), "sa")
+        .join(groups.select(col("simhash").as("sb"), col("ids").as("ids_b")), "sb")
+        .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("dist"))
+        .select(col("ia"), explode(col("ids_b")).as("ib"), col("dist"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+      // same-value pairs (distance 0): all in-group combinations
+      val same = groups.filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("ia"), col("ids"))
+        .select(col("ia"), explode(col("ids")).as("ib"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0L).as("dist"))
+      cross.unionByName(same)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy("id_a", "id_b")
     }),
@@ -148,10 +160,15 @@ object DedupOps {
     "q40_lsh_jaccard_verified" -> ((s, d) => {
       val cand = queries("q35_minhash_lsh")(s, d).select("id_a", "id_b")
       val sh = shingles(s, d)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // only candidate docs matter for the verify stage: semi-filter the
+      // shingle table once on the (small) candidate id set, then every
+      // downstream join and count is candidate-sized, not corpus-sized
+      val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val shc = sh.join(broadcast(ids), "doc_id")
+      val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("s")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .join(shc.select(col("doc_id").as("id_a"), col("s")), "id_a")
+        .join(shc.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("inter"))
       inter
