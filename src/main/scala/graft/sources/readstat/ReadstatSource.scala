@@ -51,18 +51,22 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
     val fs = hp.getFileSystem(ReadstatIO.sessionConf)
     if (!fs.exists(hp)) return new StructType()
 
-    val raw = ReadstatFormats.forPath(ps.head, opts).schema(ps.head, opts)
+    // directories (batch loads and the streaming source) resolve to their
+    // contained readstat files
+    val expanded = ReadstatIO.expandPaths(ps)
+    require(expanded.nonEmpty, s"readstat: no readable files under ${ps.mkString(",")}")
+    val raw = ReadstatFormats.forPath(expanded.head, opts).schema(expanded.head, opts)
     // multi-file loads: fail fast when any file's schema disagrees — a
     // directory of monthly extracts with one added column must not silently
     // misread (r1 verdict "what's missing" #4)
-    ps.tail.foreach { p =>
+    expanded.tail.foreach { p =>
       val other = ReadstatFormats.forPath(p, opts).schema(p, opts)
       val a = raw.fields.map(f => (f.name, f.dataType)).toSeq
       val b = other.fields.map(f => (f.name, f.dataType)).toSeq
       if (a != b) {
         val diff = (a.diff(b) ++ b.diff(a)).map { case (n, t) => s"$n:${t.simpleString}" }
         throw new IllegalArgumentException(
-          s"readstat: schema mismatch between ${ps.head} and $p " +
+          s"readstat: schema mismatch between ${expanded.head} and $p " +
             s"(differing fields: ${diff.mkString(", ")}); multi-file loads " +
             "require identical schemas")
       }
@@ -109,8 +113,9 @@ class ReadstatTable(ps: Seq[String], tableSchema: StructType, opts: ReadstatOpti
   override def name(): String = s"readstat(${ps.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReadstatScanBuilder(ps, tableSchema, opts)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -175,14 +180,20 @@ class ReadstatScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ReadstatMicroBatchStream(ps.head, required, opts)
   override def description(): String =
     s"readstat ${ps.mkString(",")} cols=${required.fieldNames.mkString(",")} limit=$limit offset=$offset filters=${filters.mkString(",")}"
+
+  // batch loads resolve directory paths to their contained files
+  private lazy val filePaths: Seq[String] = ReadstatIO.expandPaths(ps)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = scala.collection.mutable.ArrayBuffer[ReadstatInputPartition]()
     var skip = offset
     var remaining = limit.getOrElse(Long.MaxValue)
-    ps.foreach { p =>
+    filePaths.foreach { p =>
       if (remaining > 0) {
         val fmt = ReadstatOptions.detectFormat(p, opts.format)
         val mod = ReadstatFormats.forPath(p, opts)
@@ -210,7 +221,7 @@ class ReadstatScan(
     // Broadcast (not task serialization) so a large strL/GSO table ships to
     // each executor once instead of once per task (SURVEY.md §7.4 risk 4).
     val ctxs: Map[String, ReadstatFormats.FileContext] =
-      ps.map(p => p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
+      filePaths.map(p => p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = sc.broadcast(ctxs)
     // ship the session's Hadoop conf so S3A/HDFS credentials and tuning set
@@ -219,7 +230,7 @@ class ReadstatScan(
     // the container's own ("natural") schema: when the table schema was
     // narrowed by inferSchema (or user-specified), readers decode naturally
     // and a coercion layer casts per row
-    val natural = ReadstatFormats.forPath(ps.head, opts).schema(ps.head, opts)
+    val natural = ReadstatFormats.forPath(filePaths.head, opts).schema(filePaths.head, opts)
     // decode-skip hints compare against natural values; a filter on a
     // coerced column would mis-evaluate — drop it (filters are all residual,
     // Spark re-applies them above the scan)
@@ -362,5 +373,24 @@ object ReadstatIO {
   def status(path: String): org.apache.hadoop.fs.FileStatus = {
     val hp = new HPath(path)
     hp.getFileSystem(sessionConf).getFileStatus(hp)
+  }
+
+  private def knownExtension(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.endsWith(".dta") || n.endsWith(".sav") || n.endsWith(".zsav") ||
+      n.endsWith(".sas7bdat")
+  }
+
+  /** Resolve directory paths to their contained readstat files (sorted by
+    * name); plain file paths pass through untouched.
+    */
+  def expandPaths(ps: Seq[String]): Seq[String] = ps.flatMap { p =>
+    val hp = new HPath(p)
+    val fs = hp.getFileSystem(sessionConf)
+    if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory)
+      fs.listStatus(hp).toSeq
+        .filter(st => st.isFile && knownExtension(st.getPath.getName))
+        .map(_.getPath.toString).sorted
+    else Seq(p)
   }
 }

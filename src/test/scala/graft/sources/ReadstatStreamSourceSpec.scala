@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `spark.readStream.format("readstat")` — the streaming file source
+  * (SURVEY.md §2.9 S5-ext): each newly arrived file lands in the next
+  * micro-batch. Also covers the batch-side directory load that the same
+  * expansion enables.
+  */
+class ReadstatStreamSourceSpec extends SparkSpec {
+
+  private def writeDta(dir: java.nio.file.Path, name: String, from: Int, n: Int): Unit = {
+    val df = spark.range(from, from + n).select(
+      col("id").cast("double").as("x"),
+      concat(lit("r"), col("id") % 7).as("s"))
+    // write outside the watched dir, then move in atomically — the same
+    // arrival contract as Spark's own file sources
+    val tmp = Files.createTempDirectory("graft_stage").resolve(name)
+    graft.sources.readstat.stata.DtaWriter.write(df, tmp.toString)
+    Files.move(tmp, dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  test("streaming source picks up files as they arrive") {
+    val dir = Files.createTempDirectory("graft_stream")
+    writeDta(dir, "part1.dta", 0, 100)
+
+    val stream = spark.readStream.format("readstat").load(dir.toString)
+    assert(stream.isStreaming)
+    val q = stream.groupBy().agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .writeStream.format("memory").queryName("rs_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("rs_stream").collect()(0)
+      assert(r1.getLong(0) == 100)
+      assert(r1.getDouble(1) == 4950.0)
+
+      writeDta(dir, "part2.dta", 100, 150)
+      q.processAllAvailable()
+      val r2 = spark.table("rs_stream").collect()(0)
+      assert(r2.getLong(0) == 250)
+      assert(r2.getDouble(1) == (0 until 250).map(_.toDouble).sum)
+    } finally q.stop()
+  }
+
+  test("batch load of a directory reads every contained file") {
+    val dir = Files.createTempDirectory("graft_dirload")
+    writeDta(dir, "a.dta", 0, 40)
+    writeDta(dir, "b.dta", 40, 60)
+    val df = spark.read.format("readstat").load(dir.toString)
+    assert(df.count() == 100)
+    assert(df.agg(sum("x")).collect()(0).getDouble(0) == 4950.0)
+  }
+}
