@@ -15,7 +15,9 @@ final case class ReadstatOptions(
     informativeNulls: Option[String],
     informativeNullColumns: Option[Set[String]],
     informativeNullSuffix: String,
-    inferSchema: Boolean = false) extends Serializable {
+    inferSchema: Boolean = false,
+    /** sink: "rle" (sas7bdat), "bytecode" (sav; zsav implies zlib). */
+    compression: Option[String] = None) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -37,7 +39,8 @@ object ReadstatOptions {
       informativeNullColumns =
         get("informativeNullColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
       informativeNullSuffix = get("informativeNullSuffix").getOrElse("_null"),
-      inferSchema = get("inferSchema").exists(_.toBoolean))
+      inferSchema = get("inferSchema").exists(_.toBoolean),
+      compression = get("compression").map(_.toLowerCase).filter(_ != "none"))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

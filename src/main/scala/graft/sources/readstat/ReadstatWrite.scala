@@ -153,14 +153,18 @@ class ReadstatDataWriter(path: String, schema: StructType, opts: ReadstatOptions
       new java.io.BufferedInputStream(new java.io.FileInputStream(spillFile), 1 << 20))
     try {
       val rows = replay(in)
+      val zsav = local.toLowerCase.endsWith(".zsav")
       ReadstatOptions.detectFormat(local, opts.format) match {
         case "dta" =>
           stata.DtaWriter.writeRows(schema, rows, local, widthMap)
-        case "sav" =>
+        case "sav" | "zsav" =>
           spss.SavWriter.writeRows(schema, rows, local, widthMap,
-            compress = false, valueLabels = Map.empty)
+            compress = zsav || opts.compression.contains("bytecode"),
+            valueLabels = Map.empty, zsav = zsav)
         case "sas7bdat" =>
-          sas.SasFixtureWriter.writeRows(schema, rows, local, widthMap, rle = false)
+          sas.SasFixtureWriter.writeRows(schema, rows, local, widthMap,
+            rle = opts.compression.contains("rle"),
+            rdc = opts.compression.contains("rdc"))
         case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
       }
     } finally {

@@ -28,6 +28,43 @@ class WritePathSpec extends SparkSpec {
   test("write.format(readstat).save -> .sav") { roundTrip("sav") }
   test("write.format(readstat).save -> .sas7bdat") { roundTrip("sas7bdat") }
 
+  test("sink compression options: sas rle, sav bytecode, zsav zlib") {
+    val df = spark.range(2000).select(
+      col("id").cast("double").as("x"),
+      lit("a" * 200).as("pad")) // long run → compresses well
+    def sized(path: String, opts: Map[String, String]): Long = {
+      var w = df.coalesce(1).write.format("readstat").mode("overwrite")
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(path)
+      val back = spark.read.format("readstat").load(path)
+      assert(back.count() === 2000)
+      assert(back.agg(sum("x")).collect()(0).getDouble(0) === (1999.0 * 2000 / 2))
+      new java.io.File(path).length()
+    }
+    val plainSas = sized(tmp("p.sas7bdat"), Map.empty)
+    val rleSas = sized(tmp("c.sas7bdat"), Map("compression" -> "rle"))
+    assert(rleSas < plainSas / 2, s"rle $rleSas vs plain $plainSas")
+    // SPSS bytecode only compresses space runs and small bias-range
+    // integers — shape the data for its codec: one long row makes every
+    // other row mostly trailing-space padding, and x stays in bias range
+    val savDf = spark.range(2000).select(
+      (col("id") % 100).cast("double").as("x"),
+      when(col("id") === 0, lit("a" * 200)).otherwise(lit("a")).as("pad"))
+    def sizedSav(path: String, opts: Map[String, String]): Long = {
+      var w = savDf.coalesce(1).write.format("readstat").mode("overwrite")
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(path)
+      val back = spark.read.format("readstat").load(path)
+      assert(back.count() === 2000)
+      new java.io.File(path).length()
+    }
+    val plainSav = sizedSav(tmp("p.sav"), Map.empty)
+    val bcSav = sizedSav(tmp("c.sav"), Map("compression" -> "bytecode"))
+    assert(bcSav < plainSav / 2, s"bytecode $bcSav vs plain $plainSav")
+    val zsav = sizedSav(tmp("c.zsav"), Map.empty)
+    assert(zsav < bcSav, s"zsav $zsav vs bytecode $bcSav")
+  }
+
   test("multi-partition write is rejected with guidance") {
     val df = spark.range(100).repartition(4).select(col("id").cast("double").as("x"))
     val path = tmp("multi.dta")
