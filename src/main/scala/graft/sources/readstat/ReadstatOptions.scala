@@ -17,7 +17,11 @@ final case class ReadstatOptions(
     informativeNullSuffix: String,
     inferSchema: Boolean = false,
     /** sink: "rle" (sas7bdat), "bytecode" (sav; zsav implies zlib). */
-    compression: Option[String] = None) extends Serializable {
+    compression: Option[String] = None,
+    /** sink: JSON `{"col":{"1":"Low",...},...}` — numeric code → label. */
+    valueLabels: Option[String] = None,
+    /** sink: JSON `{"col":"Column label",...}`. */
+    variableLabels: Option[String] = None) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -40,7 +44,9 @@ object ReadstatOptions {
         get("informativeNullColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
       informativeNullSuffix = get("informativeNullSuffix").getOrElse("_null"),
       inferSchema = get("inferSchema").exists(_.toBoolean),
-      compression = get("compression").map(_.toLowerCase).filter(_ != "none"))
+      compression = get("compression").map(_.toLowerCase).filter(_ != "none"),
+      valueLabels = get("valueLabels"),
+      variableLabels = get("variableLabels"))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

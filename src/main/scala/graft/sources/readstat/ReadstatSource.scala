@@ -33,9 +33,12 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-      // minimal JSON string-array parse (Spark encodes load(paths:_*) this way)
-      js.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      // Spark encodes load(paths:_*) as a JSON string array — use a real
+      // JSON parse (paths may contain commas/quotes)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(js)
+      require(node.isArray, s"readstat: 'paths' must be a JSON array, got: $js")
+      (0 until node.size()).map(i => node.get(i).asText())
     }
     val all = single ++ multi
     require(all.nonEmpty, "readstat: no path given")

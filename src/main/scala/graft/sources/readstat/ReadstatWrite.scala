@@ -154,13 +154,30 @@ class ReadstatDataWriter(path: String, schema: StructType, opts: ReadstatOptions
     try {
       val rows = replay(in)
       val zsav = local.toLowerCase.endsWith(".zsav")
+      // label options: JSON {"col":{"1":"Low",...}} / {"col":"label"}
+      val vlJson = parseLabelMap(opts.valueLabels)
+      val varLabels: Map[String, String] = opts.variableLabels.map { js =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(js)
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty)
       ReadstatOptions.detectFormat(local, opts.format) match {
         case "dta" =>
-          stata.DtaWriter.writeRows(schema, rows, local, widthMap)
+          stata.DtaWriter.writeRows(schema, rows, local, widthMap,
+            valueLabels = vlJson.map { case (c, m) =>
+              c -> m.map { case (k, v) => k.toInt -> v }
+            },
+            variableLabels = varLabels)
         case "sav" | "zsav" =>
           spss.SavWriter.writeRows(schema, rows, local, widthMap,
             compress = zsav || opts.compression.contains("bytecode"),
-            valueLabels = Map.empty, zsav = zsav)
+            valueLabels = vlJson.map { case (c, m) =>
+              c -> m.map { case (k, v) => k.toDouble -> v }
+            },
+            zsav = zsav)
         case "sas7bdat" =>
           sas.SasFixtureWriter.writeRows(schema, rows, local, widthMap,
             rle = opts.compression.contains("rle"),
@@ -173,6 +190,23 @@ class ReadstatDataWriter(path: String, schema: StructType, opts: ReadstatOptions
     }
     ReadstatCommit()
   }
+
+  /** JSON `{"col":{"code":"label",...},...}` → nested map. */
+  private def parseLabelMap(js: Option[String]): Map[String, Map[String, String]] =
+    js.map { s =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(s)
+      val cols = Map.newBuilder[String, Map[String, String]]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val inner = Map.newBuilder[String, String]
+        val it2 = e.getValue.fields()
+        while (it2.hasNext) { val f = it2.next(); inner += f.getKey -> f.getValue.asText() }
+        cols += e.getKey -> inner.result()
+      }
+      cols.result()
+    }.getOrElse(Map.empty)
 
   override def abort(): Unit = { spill.close(); spillFile.delete() }
   override def close(): Unit = spillFile.delete()

@@ -95,6 +95,30 @@ class WritePathSpec extends SparkSpec {
     assert(agg.get(2).toString === "2020-12-30")
   }
 
+  test("sink label options: valueLabels + variableLabels round-trip") {
+    val df = spark.range(60).select(
+      (col("id") % 3 + 1).cast("int").as("status"),
+      col("id").cast("double").as("x"))
+    val vl = """{"status":{"1":"Low","2":"Mid","3":"High"}}"""
+    for (ext <- Seq("dta", "sav")) {
+      val path = tmp(s"lbl.$ext")
+      df.coalesce(1).write.format("readstat").mode("overwrite")
+        .option("valueLabels", vl)
+        .option("variableLabels", """{"status":"Current status"}""")
+        .save(path)
+      val back = spark.read.format("readstat").load(path)
+      // labeled column reads back as strings by default
+      val got = back.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("Low" -> 20L, "Mid" -> 20L, "High" -> 20L), s"$ext: $got")
+      if (ext == "dta") {
+        val meta = graft.sources.readstat.ReadstatMetadata.describe(spark, path)
+          .filter(col("column_name") === "status").collect()(0)
+        assert(meta.getAs[String]("label") == "Current status")
+      }
+    }
+  }
+
   test("multi-file load unions partitions across files") {
     val a = spark.range(100).select(col("id").cast("double").as("x"))
     val b = spark.range(100, 250).select(col("id").cast("double").as("x"))
