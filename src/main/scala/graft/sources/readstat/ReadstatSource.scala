@@ -62,8 +62,9 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
     // multi-file loads: fail fast when any file's schema disagrees — a
     // directory of monthly extracts with one added column must not silently
     // misread (r1 verdict "what's missing" #4)
-    expanded.tail.foreach { p =>
-      val other = ReadstatFormats.forPath(p, opts).schema(p, opts)
+    val otherSchemas = ReadstatIO.parMap(expanded.tail)(p =>
+      p -> ReadstatFormats.forPath(p, opts).schema(p, opts))
+    otherSchemas.foreach { case (p, other) =>
       val a = raw.fields.map(f => (f.name, f.dataType)).toSeq
       val b = other.fields.map(f => (f.name, f.dataType)).toSeq
       if (a != b) {
@@ -193,14 +194,18 @@ class ReadstatScan(
   private lazy val filePaths: Seq[String] = ReadstatIO.expandPaths(ps)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // per-file metadata parses are independent — run them concurrently on
+    // the driver (a 1000-file load would otherwise plan serially)
+    val ranges = ReadstatIO.parMap(filePaths) { p =>
+      val fmt = ReadstatOptions.detectFormat(p, opts.format)
+      (p, fmt, ReadstatFormats.forName(fmt).partitionRanges(p, opts))
+    }
     val parts = scala.collection.mutable.ArrayBuffer[ReadstatInputPartition]()
     var skip = offset
     var remaining = limit.getOrElse(Long.MaxValue)
-    filePaths.foreach { p =>
+    ranges.foreach { case (p, fmt, fileRanges) =>
       if (remaining > 0) {
-        val fmt = ReadstatOptions.detectFormat(p, opts.format)
-        val mod = ReadstatFormats.forPath(p, opts)
-        for ((start, count) <- mod.partitionRanges(p, opts) if remaining > 0) {
+        for ((start, count) <- fileRanges if remaining > 0) {
           // apply global offset/limit to this file's ranges
           val afterSkip = math.min(skip, count)
           val s = start + afterSkip
@@ -224,7 +229,8 @@ class ReadstatScan(
     // Broadcast (not task serialization) so a large strL/GSO table ships to
     // each executor once instead of once per task (SURVEY.md §7.4 risk 4).
     val ctxs: Map[String, ReadstatFormats.FileContext] =
-      filePaths.map(p => p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
+      ReadstatIO.parMap(filePaths)(p =>
+        p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = sc.broadcast(ctxs)
     // ship the session's Hadoop conf so S3A/HDFS credentials and tuning set
@@ -383,6 +389,22 @@ object ReadstatIO {
     n.endsWith(".dta") || n.endsWith(".sav") || n.endsWith(".zsav") ||
       n.endsWith(".sas7bdat")
   }
+
+  /** Driver-side concurrent map over files (metadata parses are IO-bound
+    * and independent); preserves input order.
+    */
+  def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(2, xs.length)))
+      try {
+        val futures = xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    }
 
   /** Resolve directory paths to their contained readstat files (sorted by
     * name); plain file paths pass through untouched.
