@@ -95,6 +95,38 @@ object SimilarityOps {
         .orderBy("ia", "ib")
     }),
 
+    // IVF search: queries probe their top-2 coarse centroids and score only
+    // those clusters' inverted lists — the scale path for ANN top-k (the
+    // candidate set is cluster-sized, not corpus-sized; recall is the usual
+    // IVF trade governed by the probe count). Build: one narrow assignment
+    // pass (broadcast k×dim centroids). Search: equi-join on centroid id.
+    "q43_ivf_search" -> ((s, d) => {
+      val base = prepped(s, d)
+      val centroids = centroidsOf(base)
+      val scored = base.select(col("vec_id"), col("e"), col("nrm"))
+        .join(broadcast(centroids))
+        .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
+      val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
+      val ranked = scored.withColumn("rn", row_number().over(w))
+      // inverted lists: every vector in its single nearest cluster
+      val lists = ranked.filter(col("rn") === 1)
+        .select(col("c_label"), col("vec_id").as("cid"),
+          col("e").as("ce2"), col("nrm").as("cn"))
+      // queries probe top-2 clusters
+      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 3)
+        .select(col("c_label"), col("vec_id").as("qid"),
+          col("e").as("qe"), col("nrm").as("qn"))
+      val pairs = probes.join(lists, "c_label")
+        .filter(col("qid") =!= col("cid"))
+        .dropDuplicates("qid", "cid")
+        .withColumn("cos", round(expr("graft_dot(qe, ce2)") / (col("qn") * col("cn")), 6))
+      val tw = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+      pairs.withColumn("rn", row_number().over(tw))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // IVF-style coarse quantizer: per-label centroids (computed distributed,
     // then broadcast as arrays), each vector assigned to its nearest
     // centroid by dot product. Output: label vs assigned confusion counts.
@@ -140,6 +172,40 @@ object SimilarityOps {
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45
          ORDER BY ia, ib""",
+
+    "q43_ivf_search" ->
+      """WITH unpacked AS (
+           SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         centroids AS (
+           SELECT label AS c_label, pos AS c_pos, avg(x) AS cx
+           FROM unpacked GROUP BY label, pos),
+         assign_scored AS (
+           SELECT vec_id, c_label, round(sum(x * cx), 6) AS dot
+           FROM unpacked JOIN centroids ON pos = c_pos
+           GROUP BY vec_id, c_label),
+         ranked AS (
+           SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC NULLS LAST, c_label) AS rn
+           FROM assign_scored),
+         lists AS (SELECT c_label, vec_id AS cid FROM ranked WHERE rn = 1),
+         probes AS (SELECT c_label, vec_id AS qid FROM ranked WHERE rn <= 2 AND vec_id < 3),
+         pairs AS (
+           SELECT DISTINCT p.qid, l.cid
+           FROM probes p JOIN lists l ON l.c_label = p.c_label AND l.cid != p.qid),
+         cosed AS (
+           SELECT pr.qid, pr.cid,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+           FROM pairs pr
+           JOIN embeddings q ON q.vec_id = pr.qid
+           JOIN embeddings c ON c.vec_id = pr.cid),
+         topk AS (
+           SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           FROM cosed)
+         SELECT qid, cid, cos, rn FROM topk WHERE rn <= 5 ORDER BY qid, rn""",
 
     "q41_ivf_assign" ->
       """WITH unpacked AS (
