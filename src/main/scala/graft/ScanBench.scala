@@ -16,14 +16,14 @@ import org.apache.spark.sql.types._
 object ScanBench {
 
   private val dir = new File("/tmp/graft_bigscan")
-  private val nRows = 9000000 // ~120 B/row → ~1.05 GB per file
+  private val baseRows = 9000000 // ~120 B/row → ~1.05 GB per file
   private val widths = Map("s0" -> 16, "s1" -> 24)
 
   private val schema = StructType(
     (0 until 10).map(i => StructField(s"d$i", DoubleType)) ++
       Seq(StructField("s0", StringType), StructField("s1", StringType)))
 
-  private def rowIter: Iterator[Row] = Iterator.tabulate(nRows) { i =>
+  private def rowIter(nRows: Int): Iterator[Row] = Iterator.tabulate(nRows) { i =>
     val vals = new Array[Any](12)
     var j = 0
     while (j < 10) { vals(j) = (i.toLong * 31 + j) * 0.5; j += 1 }
@@ -32,8 +32,8 @@ object ScanBench {
     new GenericRow(vals)
   }
 
-  private def ensure(path: File, gen: String => Unit): File = {
-    if (!path.isFile || path.length() < 900L * 1000 * 1000) {
+  private def ensure(path: File, minBytes: Long, gen: String => Unit): File = {
+    if (!path.isFile || path.length() < minBytes) {
       dir.mkdirs()
       val t0 = System.nanoTime()
       gen(path.getPath)
@@ -46,10 +46,16 @@ object ScanBench {
 
   /** Returns scan metrics; file generation is cached in /tmp. */
   def run(spark: SparkSession, cpus: Int): Map[String, Double] = {
-    val dta = ensure(new File(dir, "big.dta"), p =>
-      sources.readstat.stata.DtaWriter.writeRows(schema, rowIter, p, widths))
-    val sas = ensure(new File(dir, "big.sas7bdat"), p =>
-      sources.readstat.sas.SasFixtureWriter.writeRows(schema, rowIter, p, widths, rle = false))
+    // scale the file with the core count so wall time stays measurable (a
+    // 1 GB file across 32 cores finishes inside task-overhead noise)
+    val scale = math.max(1, cpus / 8)
+    val nRows = baseRows * scale
+    val minBytes = 900L * 1000 * 1000 * scale
+    val dta = ensure(new File(dir, s"big$scale.dta"), minBytes, p =>
+      sources.readstat.stata.DtaWriter.writeRows(schema, rowIter(nRows), p, widths))
+    val sas = ensure(new File(dir, s"big$scale.sas7bdat"), minBytes, p =>
+      sources.readstat.sas.SasFixtureWriter.writeRowsStreaming(
+        schema, rowIter(nRows), p, widths, nRows.toLong))
 
     val out = scala.collection.mutable.Map[String, Double]()
     for (f <- Seq(dta, sas)) {

@@ -39,14 +39,8 @@ object SasFixtureWriter {
     writeRows(df.schema, df.toLocalIterator().asScala, path, widths, rle, rdc)
   }
 
-  def writeRows(
-      schema: StructType,
-      rows: Iterator[Row],
-      path: String,
-      stringWidths: Map[String, Int],
-      rle: Boolean,
-      rdc: Boolean = false): Long = {
-    val cols = schema.fields.map { f =>
+  private def colsFor(schema: StructType, stringWidths: Map[String, Int]): Array[Col] =
+    schema.fields.map { f =>
       val isTime = f.metadata.contains("logical_type") &&
         f.metadata.getString("logical_type") == "time"
       f.dataType match {
@@ -59,30 +53,93 @@ object SasFixtureWriter {
         case dt => throw new IllegalArgumentException(s"sas fixture writer: unsupported $dt")
       }
     }
+
+  private def encodeRow(cols: Array[Col], row: Row, buf: Array[Byte]): Unit = {
+    var off = 0
+    cols.zipWithIndex.foreach { case (c, i) =>
+      if (c.isChar) {
+        java.util.Arrays.fill(buf, off, off + c.length, ' '.toByte)
+        if (!row.isNullAt(i)) {
+          val b = row.getString(i).getBytes(StandardCharsets.UTF_8)
+          require(b.length <= c.length, s"string too long for ${c.name}")
+          System.arraycopy(b, 0, buf, off, b.length)
+        }
+      } else {
+        val bits = // raw bits: preserve NaN payloads (.A-.Z tagged missing)
+          if (row.isNullAt(i)) 0x7ff0000000000001L // NaN-class → missing
+          else java.lang.Double.doubleToRawLongBits(numeric(c, row, i))
+        var k = 0
+        while (k < 8) { buf(off + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
+      }
+      off += c.length
+    }
+  }
+
+  /** Streaming uncompressed writer for a KNOWN row count: pages go straight
+    * to disk, O(page) memory — for large generated files (the in-memory
+    * `writeRows` buffers everything, which is fine only at fixture scale).
+    */
+  def writeRowsStreaming(
+      schema: StructType,
+      rows: Iterator[Row],
+      path: String,
+      stringWidths: Map[String, Int],
+      nRows: Long): Long = {
+    val cols = colsFor(schema, stringWidths)
     val rowLength = cols.map(_.length).sum
-    // buffer all rows encoded (fixture scale only)
+    val pageLength = math.max(8192, Integer.highestOneBit(rowLength + 512) * 2)
+    val bitOffset = 32
+    val headerLen = 1024
+    val metaPages = buildMetaPage(cols, rowLength, nRows, pageLength, rle = false,
+      rdc = false, encoded = Seq.empty)
+    val rowsPerPage = (pageLength - bitOffset - 8) / rowLength
+    require(rowsPerPage > 0, "sas fixture: row too long for page")
+    val nDataPages = ((nRows + rowsPerPage - 1) / rowsPerPage).toInt
+
+    val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    try {
+      os.write(buildHeader(headerLen, pageLength, metaPages.length + nDataPages))
+      metaPages.foreach(os.write)
+      val page = new Array[Byte](pageLength)
+      var written = 0L
+      while (written < nRows) {
+        val inPage = math.min(rowsPerPage.toLong, nRows - written).toInt
+        java.util.Arrays.fill(page, 0.toByte)
+        putU16(page, bitOffset, 256) // DATA
+        putU16(page, bitOffset + 2, inPage)
+        putU16(page, bitOffset + 4, 0)
+        var off = bitOffset + 8
+        var i = 0
+        while (i < inPage) {
+          require(rows.hasNext, s"sas fixture: iterator ended at $written of $nRows")
+          val buf = new Array[Byte](rowLength)
+          encodeRow(cols, rows.next(), buf)
+          System.arraycopy(buf, 0, page, off, rowLength)
+          off += rowLength
+          i += 1
+          written += 1
+        }
+        os.write(page)
+      }
+      written
+    } finally os.close()
+  }
+
+  def writeRows(
+      schema: StructType,
+      rows: Iterator[Row],
+      path: String,
+      stringWidths: Map[String, Int],
+      rle: Boolean,
+      rdc: Boolean = false): Long = {
+    val cols = colsFor(schema, stringWidths)
+    val rowLength = cols.map(_.length).sum
+    // buffer all rows encoded (fixture scale only; large files use
+    // writeRowsStreaming)
     val encoded = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     while (rows.hasNext) {
-      val row = rows.next()
       val buf = new Array[Byte](rowLength)
-      var off = 0
-      cols.zipWithIndex.foreach { case (c, i) =>
-        if (c.isChar) {
-          java.util.Arrays.fill(buf, off, off + c.length, ' '.toByte)
-          if (!row.isNullAt(i)) {
-            val b = row.getString(i).getBytes(StandardCharsets.UTF_8)
-            require(b.length <= c.length, s"string too long for ${c.name}")
-            System.arraycopy(b, 0, buf, off, b.length)
-          }
-        } else {
-          val bits = // raw bits: preserve NaN payloads (.A-.Z tagged missing)
-            if (row.isNullAt(i)) 0x7ff0000000000001L // NaN-class → missing
-            else java.lang.Double.doubleToRawLongBits(numeric(c, row, i))
-          var k = 0
-          while (k < 8) { buf(off + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
-        }
-        off += c.length
-      }
+      encodeRow(cols, rows.next(), buf)
       encoded += buf
     }
     val nRows = encoded.length.toLong
