@@ -80,6 +80,23 @@ class RealCorpusSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("mynum") == -1000.3)
   }
 
+  test("regression locks: labelled/ordered/datetime sav decode") {
+    assume(haveCorpus)
+    // value labels through real files written by SPSS/haven
+    val ls = spark.read.format("readstat")
+      .load("/root/reference/tests/spss/data/labelled-str.sav").collect()
+    assert(ls.map(_.getString(0)).take(2).toSeq == Seq("Male", "Female"))
+    val oc = spark.read.format("readstat")
+      .load("/root/reference/tests/spss/data/ordered_category.sav").collect()
+    assert(oc.map(_.getString(0)).take(4).toSeq == Seq("high", "low", "medium", "low"))
+    // date + datetime + time triple from one row (row 1 of datetime.sav)
+    val dt = spark.read.format("readstat")
+      .load("/root/reference/tests/spss/data/datetime.sav").collect()
+    assert(dt(1).getAs[java.sql.Date]("date").toString == "2014-09-23")
+    assert(dt(1).getAs[java.time.LocalDateTime]("date.posix").toString.startsWith("2014-09-23"))
+    assert(dt(1).getAs[Long]("time") == 57560000000000L) // 15:59:20 in nanos
+  }
+
   test("encoding goldens: umlauts, big5, hebrews, tegulu VLS") {
     assume(haveCorpus)
     val um = spark.read.format("readstat")
