@@ -243,10 +243,13 @@ class SasPartitionReader(
       }
       end = math.min(end, nul)
       if (end == 0) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
-      else if (ascii || csUtf8)
-        // already valid UTF-8 — skip the charset decode/re-encode (hot path)
-        UTF8String.fromBytes(java.util.Arrays.copyOfRange(row, off, off + end))
-      else UTF8String.fromString(new String(row, off, end, cs))
+      else if (ascii) UTF8String.fromBytes(java.util.Arrays.copyOfRange(row, off, off + end))
+      else if (csUtf8) {
+        // valid UTF-8 wraps directly (hot path); invalid bytes fall back to
+        // the lossy java decode (U+FFFD)
+        val s = UTF8String.fromBytes(java.util.Arrays.copyOfRange(row, off, off + end))
+        if (s.isValid) s else UTF8String.fromString(new String(row, off, end, cs))
+      } else UTF8String.fromString(new String(row, off, end, cs))
     }
     case KNumeric => (row, base) => {
       val d = decodeNumeric(row, base + c.offset, c.length, le)

@@ -225,7 +225,12 @@ class SavPartitionReader(
             var end = n0
             while (end > 0 && (row(off + end - 1) == ' ' || row(off + end - 1) == 0)) end -= 1
             if (end == 0) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
-            else UTF8String.fromBytes(java.util.Arrays.copyOfRange(row, off, off + end))
+            else {
+              val s = UTF8String.fromBytes(java.util.Arrays.copyOfRange(row, off, off + end))
+              // invalid bytes in a UTF-8 file: lossy java decode (U+FFFD)
+              if (ascii || s.isValid) s
+              else UTF8String.fromString(new String(row, off, end, cs))
+            }
           } else {
             val s = extractString(v, row, off)
             if (s.isEmpty && opts.missingStringAsNull) null else UTF8String.fromString(s)

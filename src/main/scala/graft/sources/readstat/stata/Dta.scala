@@ -535,15 +535,22 @@ object Dta {
     * v118+: v = 2 bytes, o = 6 bytes; earlier xmlish: two u32s.
     */
   def decodeStrlRef(b: Array[Byte], off: Int, le: Boolean, version: Int): (Int, Long) = {
-    if (version >= 118) {
-      val useLe = le || version >= 119
+    if (version >= 119) {
+      // dta 119 widens v to 3 bytes (>32,767 vars) leaving 5 for o; stored
+      // little-endian regardless of file byte order
+      val v = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
+      var o = 0L
+      var i = 0
+      while (i < 5) { o |= (b(off + 3 + i) & 0xffL) << (8 * i); i += 1 }
+      (v, o)
+    } else if (version == 118) {
       val v =
-        if (useLe) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
         else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
       var o = 0L
       var i = 0
       while (i < 6) {
-        val byte = b(off + 2 + (if (useLe) i else 5 - i)) & 0xffL
+        val byte = b(off + 2 + (if (le) i else 5 - i)) & 0xffL
         o |= byte << (8 * i)
         i += 1
       }

@@ -204,11 +204,14 @@ object DtaRowDecoder {
             }
             while (n > 0 && b(o + n - 1) == ' ') n -= 1 // trim trailing pad
             if (n == 0) { if (opts.missingStringAsNull) null else UTF8String.fromString("") }
-            else if (ascii || csUtf8)
-              // bytes are already valid UTF-8 — skip the decode/re-encode
-              // round trip (hot path: this is most of a full-table scan)
-              UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, o, o + n))
-            else UTF8String.fromString(new String(b, o, n, cs))
+            else if (ascii) UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, o, o + n))
+            else if (csUtf8) {
+              // valid UTF-8 wraps without a decode/re-encode round trip
+              // (hot path); invalid bytes in a UTF-8-declared file take the
+              // lossy java decode (U+FFFD) like the reference's encoding_rs
+              val s = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, o, o + n))
+              if (s.isValid) s else UTF8String.fromString(new String(b, o, n, cs))
+            } else UTF8String.fromString(new String(b, o, n, cs))
           }
         case TStrL =>
           (b, base) => {

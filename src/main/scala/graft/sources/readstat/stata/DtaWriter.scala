@@ -170,7 +170,7 @@ object DtaWriter {
       var i = 0
       while (i < nvar) {
         val s = specs(i)
-        writeCell(rowBuf, off, s, row, i, nRows, strls)
+        writeCell(rowBuf, off, s, row, i, nRows, strls, version)
         off += s.kind.width
         i += 1
       }
@@ -253,7 +253,8 @@ object DtaWriter {
 
   private def writeCell(
       buf: Array[Byte], off: Int, spec: ColSpec, row: Row, colIdx: Int, rowIdx: Long,
-      strls: scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Byte])]): Unit = {
+      strls: scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Byte])],
+      version: Int = 118): Unit = {
     val isNull = row.isNullAt(colIdx)
     spec.kind match {
       case KI8 =>
@@ -317,9 +318,12 @@ object DtaWriter {
           val v = colIdx + 1
           val o = rowIdx + 1
           strls += ((v, o, row.getString(colIdx).getBytes(StandardCharsets.UTF_8)))
-          buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+          // v118: v(2)+o(6); v119: v(3)+o(5) — both little-endian
+          val vBytes = if (version >= 119) 3 else 2
           var i = 0
-          while (i < 6) { buf(off + 2 + i) = ((o >> (8 * i)) & 0xff).toByte; i += 1 }
+          while (i < vBytes) { buf(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+          i = 0
+          while (i < 8 - vBytes) { buf(off + vBytes + i) = ((o >> (8 * i)) & 0xff).toByte; i += 1 }
         }
     }
   }
