@@ -31,7 +31,14 @@ object Sav {
       pos0 += n
       buf
     }
-    def skip(n: Long): Unit = { var left = n; while (left > 0) { val s = in.skip(left); if (s <= 0) { readFully(left.toInt); left = 0 } else left -= s }; pos0 += 0; }
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) { readFully(left.toInt); left = 0 } // readFully advances pos0
+        else { left -= s; pos0 += s }
+      }
+    }
   }
 
   object Bin {
