@@ -23,6 +23,16 @@ object ReadstatFormats {
         required: StructType,
         opts: ReadstatOptions,
         filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): PartitionReader[InternalRow]
+
+    /** Vectorized path: a physical-row cursor plus unboxed per-column
+      * vector appenders; None → Spark falls back to the row reader.
+      */
+    def columnar(
+        part: ReadstatInputPartition,
+        ctx: FileContext,
+        required: StructType,
+        opts: ReadstatOptions,
+        filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): Option[(RowCursor, Array[ColumnAppender])] = None
   }
 
   def forName(format: String): FormatModule = format match {

@@ -21,7 +21,9 @@ final case class ReadstatOptions(
     /** sink: JSON `{"col":{"1":"Low",...},...}` — numeric code → label. */
     valueLabels: Option[String] = None,
     /** sink: JSON `{"col":"Column label",...}`. */
-    variableLabels: Option[String] = None) extends Serializable {
+    variableLabels: Option[String] = None,
+    /** vectorized scan (escape hatch; row path remains for coercion/structs). */
+    columnar: Boolean = true) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -46,7 +48,8 @@ object ReadstatOptions {
       inferSchema = get("inferSchema").exists(_.toBoolean),
       compression = get("compression").map(_.toLowerCase).filter(_ != "none"),
       valueLabels = get("valueLabels"),
-      variableLabels = get("variableLabels"))
+      variableLabels = get("variableLabels"),
+      columnar = get("columnar").forall(_.toBoolean))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

@@ -248,7 +248,14 @@ class ReadstatScan(
       .filter(f => naturalType.get(f.name).exists(_ != f.dataType)).map(_.name).toSet
     val safeFilters = filters.filterNot(f =>
       RowFilter.referenced(f).exists(_.exists(coerced.contains)))
-    new ReadstatReaderFactory(required, natural, opts, bc, bcConf, safeFilters)
+    // vectorized when no per-row coercion is needed and every projected
+    // type fits a flat vector (struct columns from informativeNulls=struct
+    // take the row path). Must be uniform across partitions — schema
+    // fail-fast guarantees one schema per load.
+    val columnarOk = opts.columnar &&
+      required.fields.forall(f => !coerced.contains(f.name)) &&
+      ColumnAppender.flatSchema(required)
+    new ReadstatReaderFactory(required, natural, opts, bc, bcConf, safeFilters, columnarOk)
   }
 }
 
@@ -258,7 +265,8 @@ class ReadstatReaderFactory(
     opts: ReadstatOptions,
     ctxs: org.apache.spark.broadcast.Broadcast[Map[String, ReadstatFormats.FileContext]],
     conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    columnarOk: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -271,6 +279,19 @@ class ReadstatReaderFactory(
       .reader(p, ctxs.value(p.path), requiredNatural, opts, filters)
     if (requiredNatural.fields.map(_.dataType).sameElements(required.fields.map(_.dataType))) inner
     else new CoercingReader(inner, requiredNatural, required)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnarOk
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ReadstatInputPartition]
+    ReadstatIO.setConf(conf.value.value)
+    val (cursor, appenders) = ReadstatFormats.forName(p.format)
+      .columnar(p, ctxs.value(p.path), required, opts, filters)
+      .getOrElse(throw new IllegalStateException(
+        s"readstat: columnar read not supported for format ${p.format}"))
+    new ReadstatColumnarReader(cursor, appenders, required)
   }
 }
 

@@ -56,6 +56,20 @@ object Sas {
       offset: Int,
       length: Int)
 
+  /** A run of consecutive pages each carrying `rowsPerPage` rows, starting
+    * at logical row `rowStart`. The metadata walk touches every page anyway
+    * (AMD can trail the data), so this index is EXACT, not extrapolated —
+    * and run-length-encoded it stays tiny (regular files collapse to 1–3
+    * runs). Replaces the r2 three-probe `analyticRpp` sampling (ADVICE r2)
+    * and, because compressed rows are independent subheaders, extends seek
+    * partitioning to RLE/RDC files too (reference builds the same exact
+    * per-page index in `src/sas/reader.rs` `data_reader_at_row`/`page_index`).
+    */
+  final case class PageRun(firstPage: Long, nPages: Long, rowsPerPage: Long, rowStart: Long) {
+    def rows: Long = nPages * rowsPerPage
+    def endRow: Long = rowStart + rows
+  }
+
   final case class Metadata(
       header: Header,
       compression: Compression,
@@ -65,8 +79,15 @@ object Sas {
       columns: Array[Column],
       firstDataPage: Long, // 0-based index of first DATA page
       mixDataRows: Long,   // data rows on MIX pages before the first DATA page
-      charsetName: String) {
+      charsetName: String,
+      pageRuns: Vector[PageRun] = Vector.empty) {
     def charset: Charset = Charset.forName(charsetName)
+    /** The page index accounts for every logical row → readers may seek to
+      * any page boundary. A mismatch (unusual layout) falls back to one
+      * sequential scan, which caps at rowCount like the reference.
+      */
+    def seekable: Boolean =
+      pageRuns.nonEmpty && pageRuns.lastOption.exists(_.endRow == rowCount)
     /** rows that fit on a full DATA page */
     def rowsPerDataPage: Int = {
       val dataStart = header.bitOffset + 8
@@ -348,12 +369,24 @@ object Sas {
     var mixDataRows = 0L
     var pagesRead = 0L
 
+    // exact per-page row index, run-length-encoded as we walk
+    val runs = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]() // firstPage, nPages, rpp
+    def addPageRows(pageIdx: Long, rows: Long): Unit = if (rows > 0) {
+      runs.lastOption match {
+        case Some((fp, np, rpp)) if rpp == rows && fp + np == pageIdx =>
+          runs(runs.length - 1) = (fp, np + 1, rpp)
+        case _ => runs += ((pageIdx, 1L, rows))
+      }
+    }
+
     while (readFully(in, page, h.pageLength)) {
       val pt = pageType(page, h)
+      val ptrs = if (isMetaType(pt)) subPtrs(page, h) else IndexedSeq.empty
       if (!isMetaType(pt)) {
         if (firstDataPage < 0) firstDataPage = pagesRead
+        if (pt == PData) addPageRows(pagesRead, blockCount(page, h).toLong)
       } else {
-        for (ptr <- subPtrs(page, h)) classify(page, ptr, h) match {
+        for (ptr <- ptrs) classify(page, ptr, h) match {
           case SRowSize =>
             val o = ptr.offset
             val isz = h.intSize
@@ -394,12 +427,24 @@ object Sas {
               Bin.u16(page, base + 28, le), Bin.u16(page, base + 30, le), Bin.u16(page, base + 32, le)))
           case _ =>
         }
-        // MIX pages carry data rows after the pointer table
-        if (isMixType(pt) && rowLength > 0 && mixPageRowCount >= 0) {
+        // rows carried by metadata-typed pages — the SAME predicates the
+        // reader's loadPage uses, so the index is exact by construction:
+        // compressed rows live in data subheaders; uncompressed MIX pages
+        // pack rows after the pointer table
+        if (compression != CNone && rowLength > 0) {
+          val n = ptrs.count { p =>
+            (p.compression == 4 || p.compression == 0) && p.subType == 1 &&
+              p.length <= rowLength &&
+              !(p.offset + 8 <= page.length && isMetadataSignature(page, p.offset))
+          }
+          addPageRows(pagesRead, n.toLong)
+        } else if (isMixType(pt) && rowLength > 0 && mixPageRowCount >= 0) {
           var dataStart = h.bitOffset + 8 + subheaderCount(page, h) * h.subPtrSize
           if (dataStart % 8 == 4) dataStart += 4
           val fit = (h.pageLength - dataStart) / rowLength
-          mixDataRows += math.min(fit.toLong, mixPageRowCount)
+          val rows = math.min(fit.toLong, mixPageRowCount)
+          mixDataRows += rows
+          addPageRows(pagesRead, rows)
         }
       }
       pagesRead += 1
@@ -443,9 +488,18 @@ object Sas {
       Column(name, label, fmt, isChar, aOff, aLen)
     }.toArray
 
+    val pageRuns = {
+      var acc = 0L
+      runs.map { case (fp, np, rpp) =>
+        val r = PageRun(fp, np, rpp, acc)
+        acc += r.rows
+        r
+      }.toVector
+    }
+
     Metadata(h, compression, rowCount, rowLength,
       if (mixPageRowCount >= 0) mixPageRowCount else rowCount,
-      columns, firstDataPage, mixDataRows, csName)
+      columns, firstDataPage, mixDataRows, csName, pageRuns)
   }
 
   private def containsAscii(hay: Array[Byte], needle: String): Boolean = {

@@ -5,10 +5,11 @@ import java.io.{BufferedInputStream, InputStream}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.readstat.{ReadstatFormats, ReadstatIO, ReadstatInputPartition, ReadstatOptions}
+import graft.sources.readstat.{ColumnAppender, ReadstatFormats, ReadstatIO, ReadstatInputPartition, ReadstatOptions, RowCursor}
 
 /** SPSS `.sav`/`.zsav` format module (SURVEY.md §2.1 S3).
   *
@@ -91,32 +92,43 @@ object SavModule extends ReadstatFormats.FormatModule {
       required: StructType,
       opts: ReadstatOptions,
       filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] = {
-    new SavPartitionReader(part, ctx.asInstanceOf[SavContext].meta, required, opts, filters)
+    val meta = ctx.asInstanceOf[SavContext].meta
+    val dec = new SavDecode(meta, opts)
+    val cursor = new SavRowCursor(part, meta, dec.filterEval(filters))
+    new SavPartitionReader(cursor, dec.plans(required))
+  }
+
+  override def columnar(
+      part: ReadstatInputPartition,
+      ctx: ReadstatFormats.FileContext,
+      required: StructType,
+      opts: ReadstatOptions,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[(RowCursor, Array[ColumnAppender])] = {
+    val meta = ctx.asInstanceOf[SavContext].meta
+    val dec = new SavDecode(meta, opts)
+    val cursor = new SavRowCursor(part, meta, dec.filterEval(filters))
+    Some((cursor, dec.appenders(required)))
   }
 }
 
-/** Decodes one row range. For compression 0 the stream is seeked straight to
-  * the range; compression 1/2 decode from the start (single partition).
+object SavDecode {
+  final case class Plan(v: Sav.Variable, byteOff: Int, decode: Array[Byte] => Any)
+}
+
+/** Per-column decode for one file: row-path closures, columnar appenders
+  * and pushed-filter evaluation, all built from the same variable logic.
   */
-class SavPartitionReader(
-    part: ReadstatInputPartition,
-    meta: Sav.Metadata,
-    required: StructType,
-    opts: ReadstatOptions,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
-  extends PartitionReader[InternalRow] {
+final class SavDecode(meta: Sav.Metadata, opts: ReadstatOptions) {
   import Sav._
+  import SavDecode.Plan
+  import graft.sources.readstat.InformativeNulls._
 
   private val h = meta.header
   private val le = h.littleEndian
-  private val recordLen = meta.recordLen
   private val cs = meta.charset
 
-  import graft.sources.readstat.InformativeNulls._
-
-  // plans for projected columns only (P1)
-  private final case class Plan(v: Variable, byteOff: Int, decode: Array[Byte] => Any)
-  private val plans: Array[Plan] = {
+  /** Plans for projected columns only (P1). */
+  def plans(required: StructType): Array[Plan] = {
     val roles = SavModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
     required.fields.map { f =>
       val (_, role, v) = roles.getOrElse(f.name,
@@ -127,7 +139,7 @@ class SavPartitionReader(
         case RValue => valueDecode
         case RIndicator => row => indicatorFor(v, row, off)
         case RStruct => row =>
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new GenericInternalRow(
             Array[Any](valueDecode(row), indicatorFor(v, row, off)))
         case RMerged => row => {
           val ind = indicatorFor(v, row, off)
@@ -144,6 +156,61 @@ class SavPartitionReader(
       Plan(v, off, decode)
     }
   }
+
+  /** Unboxed appenders: plain numerics and date/time classes write
+    * primitives straight into the vector; strings/labels/roles fall back
+    * to the boxed row decode.
+    */
+  def appenders(required: StructType): Array[ColumnAppender] = {
+    val roles = SavModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
+    val rowPlans = plans(required)
+    required.fields.zipWithIndex.map { case (f, fi) =>
+      val (_, role, v) = roles(f.name)
+      val off = v.offsetSegments * 8
+      val labeled = !v.isString && opts.valueLabelsAsStrings &&
+        v.valueLabelSet.flatMap(meta.valueLabels.get).exists(_._1.nonEmpty)
+      val boxed = ColumnAppender.boxed(
+        { (b: Array[Byte], _: Int) => rowPlans(fi).decode(b) }, f.dataType)
+      if (role != RValue || v.isString || labeled) boxed
+      else {
+        val fmt = formatClass(v.formatType)
+        (row: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) => {
+          val bits = Bin.i64(row, base + off, le)
+          if (bits == MissingDoubleBits || bits == LowestDoubleBits || bits == HighestDoubleBits)
+            vec.putNull(ri)
+          else {
+            val d = java.lang.Double.longBitsToDouble(bits)
+            if (java.lang.Double.isNaN(d) || userMissing(v, d, bits)) vec.putNull(ri)
+            else fmt match {
+              case None => vec.putDouble(ri, d)
+              case Some(FDate) => vec.putInt(ri, ((d.toLong - SecShift) / 86400L).toInt)
+              case Some(FDateTime) => vec.putLong(ri, (d.toLong - SecShift) * 1000000L)
+              case Some(FTime) => vec.putLong(ri, d.toLong * 1000000000L)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** P4 EXT: decode-skip on pushed filters (residual filters re-applied
+    * above the scan).
+    */
+  def filterEval(filters: Seq[org.apache.spark.sql.sources.Filter]): Array[Byte] => Boolean =
+    if (filters.isEmpty) null
+    else {
+      import graft.sources.readstat.RowFilter
+      val roles = SavModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
+      val names = filters.flatMap(RowFilter.referenced).flatten.distinct
+      val fdec = names.map { n =>
+        val (_, _, v) = roles(n)
+        n -> decoderFor(v, v.offsetSegments * 8)
+      }.toMap
+      (row: Array[Byte]) => {
+        val value = (n: String) => fdec(n)(row)
+        filters.forall(f => RowFilter.eval(f, value))
+      }
+    }
 
   /** User-declared-missing indicator (reference `missing_numeric_indicator`
     * `src/spss/data.rs:938-992`): discrete → label-or-number, range →
@@ -305,15 +372,26 @@ class SavPartitionReader(
     while (end > 0 && (s.charAt(end - 1) == ' ' || s.charAt(end - 1) == 0)) end -= 1
     s.substring(0, end)
   }
+}
 
-  // ---- row source: raw seek / bytecode / zsav ----
+/** Physical row source for one partition: raw seek (compression 0),
+  * bytecode stream (1) or zsav block inflate (2), with offset skip and
+  * pushed-filter skip. Shared by row and columnar readers.
+  */
+final class SavRowCursor(
+    part: ReadstatInputPartition,
+    meta: Sav.Metadata,
+    filterEval: Array[Byte] => Boolean) extends RowCursor {
+  import Sav._
+
+  private val h = meta.header
+  private val le = h.littleEndian
+  private val recordLen = meta.recordLen
 
   private var fsin: org.apache.hadoop.fs.FSDataInputStream = _
   private var in: InputStream = _
   private var decompressor: SavByteCode = _
-  private var rowIdx = 0L // rows already produced by the sequential source
   private val rowBuf = new Array[Byte](math.max(recordLen, 1))
-  private val out = new GenericInternalRow(plans.length)
   private var remaining = part.rowCount
   private var skipRows = 0L
 
@@ -352,24 +430,10 @@ class SavPartitionReader(
     }
   }
 
-  // P4 EXT: decode-skip on pushed filters (residual filters re-applied above)
-  private val filterEval: Array[Byte] => Boolean =
-    if (filters.isEmpty) _ => true
-    else {
-      import graft.sources.readstat.RowFilter
-      val roles = SavModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
-      val names = filters.flatMap(RowFilter.referenced).flatten.distinct
-      val fdec = names.map { n =>
-        val (_, _, v) = roles(n)
-        n -> decoderFor(v, v.offsetSegments * 8)
-      }.toMap
-      (row: Array[Byte]) => {
-        val value = (n: String) => fdec(n)(row)
-        filters.forall(f => RowFilter.eval(f, value))
-      }
-    }
+  override def buf: Array[Byte] = rowBuf
+  override def base: Int = 0
 
-  override def next(): Boolean = {
+  override def nextRow(): Boolean = {
     // sequential sources must skip leading rows themselves
     while (skipRows > 0) {
       if (!readRow()) return false
@@ -378,14 +442,7 @@ class SavPartitionReader(
     while (remaining > 0) {
       if (!readRow()) return false
       remaining -= 1
-      if (filterEval(rowBuf)) {
-        var i = 0
-        while (i < plans.length) {
-          out.update(i, plans(i).decode(rowBuf))
-          i += 1
-        }
-        return true
-      }
+      if (filterEval == null || filterEval(rowBuf)) return true
     }
     false
   }
@@ -403,10 +460,32 @@ class SavPartitionReader(
     }
   }
 
-  override def get(): InternalRow = out
   override def close(): Unit = {
     if (in != null) in.close()
   }
+}
+
+/** Row-path facade over the cursor (coercion/struct scans). */
+class SavPartitionReader(
+    cursor: SavRowCursor,
+    plans: Array[SavDecode.Plan])
+  extends PartitionReader[InternalRow] {
+
+  private val out = new GenericInternalRow(plans.length)
+
+  override def next(): Boolean = {
+    if (!cursor.nextRow()) return false
+    val b = cursor.buf
+    var i = 0
+    while (i < plans.length) {
+      out.update(i, plans(i).decode(b))
+      i += 1
+    }
+    true
+  }
+
+  override def get(): InternalRow = out
+  override def close(): Unit = cursor.close()
 }
 
 /** The sav bytecode decompressor (compression 1): control bytes in groups of

@@ -76,43 +76,20 @@ object DtaModule extends ReadstatFormats.FormatModule {
     DtaContext(meta, loadStrls(path, meta))
   }
 
-  override def reader(
-      part: ReadstatInputPartition,
-      ctx: ReadstatFormats.FileContext,
-      required: StructType,
+  /** P4 EXT: decode only the filter columns first; skip the row when the
+    * pushed predicates fail (Spark re-applies every filter above the scan).
+    */
+  private def filterEval(
+      ctx: DtaContext,
       opts: ReadstatOptions,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] = {
-    val c = ctx.asInstanceOf[DtaContext]
-    new DtaPartitionReader(part, c, required, opts, filters)
-  }
-}
-
-/** Reads one row range. Seeks once, then streams fixed-width records,
-  * decoding only the projected columns (P1).
-  */
-class DtaPartitionReader(
-    part: ReadstatInputPartition,
-    ctx: DtaModule.DtaContext,
-    required: StructType,
-    opts: ReadstatOptions,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
-  extends PartitionReader[InternalRow] {
-
-  private val meta = ctx.meta
-  private val recordLen = meta.recordLen
-  private val plans = DtaRowDecoder.buildPlans(meta, opts, required, ctx.strls)
-
-  // P4 EXT: decode only the filter columns first; skip the row when the
-  // pushed predicates fail (Spark re-applies every filter above the scan)
-  private val filterEval: Array[Byte] => Boolean =
-    if (filters.isEmpty) _ => true
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Array[Byte] => Boolean =
+    if (filters.isEmpty) null
     else {
       import graft.sources.readstat.RowFilter
-      val full = DtaRowDecoder.buildSchema(meta, opts)
+      val full = DtaRowDecoder.buildSchema(ctx.meta, opts)
       val names = filters.flatMap(RowFilter.referenced).flatten.distinct
-      val fschema = org.apache.spark.sql.types.StructType(
-        names.flatMap(n => full.fields.find(_.name == n)))
-      val fplans = DtaRowDecoder.buildPlans(meta, opts, fschema, ctx.strls)
+      val fschema = StructType(names.flatMap(n => full.fields.find(_.name == n)))
+      val fplans = DtaRowDecoder.buildPlans(ctx.meta, opts, fschema, ctx.strls)
       val idx = fschema.fieldNames.zipWithIndex.toMap
       (row: Array[Byte]) => {
         val value = (n: String) => fplans.cols(idx(n)).decode(row, 0)
@@ -120,6 +97,39 @@ class DtaPartitionReader(
       }
     }
 
+  override def reader(
+      part: ReadstatInputPartition,
+      ctx: ReadstatFormats.FileContext,
+      required: StructType,
+      opts: ReadstatOptions,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] = {
+    val c = ctx.asInstanceOf[DtaContext]
+    val cursor = new DtaRowCursor(part, c.meta, filterEval(c, opts, filters))
+    new DtaPartitionReader(cursor, DtaRowDecoder.buildPlans(c.meta, opts, required, c.strls))
+  }
+
+  override def columnar(
+      part: ReadstatInputPartition,
+      ctx: ReadstatFormats.FileContext,
+      required: StructType,
+      opts: ReadstatOptions,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[(graft.sources.readstat.RowCursor, Array[graft.sources.readstat.ColumnAppender])] = {
+    val c = ctx.asInstanceOf[DtaContext]
+    val cursor = new DtaRowCursor(part, c.meta, filterEval(c, opts, filters))
+    Some((cursor, DtaRowDecoder.buildAppenders(c.meta, opts, required, c.strls)))
+  }
+}
+
+/** Physical record iteration: one seek, then fixed-width reads into a
+  * reused buffer; pushed-filter decode-skip. Shared by row and columnar
+  * readers.
+  */
+final class DtaRowCursor(
+    part: ReadstatInputPartition,
+    meta: Dta.Metadata,
+    filterEval: Array[Byte] => Boolean) extends graft.sources.readstat.RowCursor {
+
+  private val recordLen = meta.recordLen
   private val fsin = ReadstatIO.open(part.path)
   private val in: BufferedInputStream = {
     val dataStart = meta.dataOffset +
@@ -129,10 +139,12 @@ class DtaPartitionReader(
   }
 
   private val rowBuf = new Array[Byte](recordLen)
-  private val out = new GenericInternalRow(plans.cols.length)
   private var remaining = part.rowCount
 
-  override def next(): Boolean = {
+  override def buf: Array[Byte] = rowBuf
+  override def base: Int = 0
+
+  override def nextRow(): Boolean = {
     while (remaining > 0) {
       var off = 0
       while (off < recordLen) {
@@ -142,18 +154,33 @@ class DtaPartitionReader(
         off += r
       }
       remaining -= 1
-      if (filterEval(rowBuf)) {
-        var i = 0
-        while (i < plans.cols.length) {
-          out.update(i, plans.cols(i).decode(rowBuf, 0))
-          i += 1
-        }
-        return true
-      }
+      if (filterEval == null || filterEval(rowBuf)) return true
     }
     false
   }
 
-  override def get(): InternalRow = out
   override def close(): Unit = in.close()
+}
+
+/** Row-path facade over the cursor (coercion/struct scans). */
+class DtaPartitionReader(
+    cursor: DtaRowCursor,
+    plans: DtaRowDecoder.Plans)
+  extends PartitionReader[InternalRow] {
+
+  private val out = new GenericInternalRow(plans.cols.length)
+
+  override def next(): Boolean = {
+    if (!cursor.nextRow()) return false
+    val b = cursor.buf
+    var i = 0
+    while (i < plans.cols.length) {
+      out.update(i, plans.cols(i).decode(b, 0))
+      i += 1
+    }
+    true
+  }
+
+  override def get(): InternalRow = out
+  override def close(): Unit = cursor.close()
 }

@@ -318,4 +318,163 @@ object DtaRowDecoder {
     }
     Plans(required, plans)
   }
+
+  /** Unboxed vector appenders for the columnar path. Hot shapes (plain
+    * numerics, dates, fixed-width strings as RValue) write primitives /
+    * byte spans straight into the vector; labeled, strL and
+    * informative-null columns fall back to the boxed row decode so the two
+    * paths cannot diverge.
+    */
+  def buildAppenders(
+      meta: Metadata,
+      opts: ReadstatOptions,
+      required: StructType,
+      strls: Map[(Int, Long), String]): Array[graft.sources.readstat.ColumnAppender] = {
+    import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+    import graft.sources.readstat.ColumnAppender
+
+    val h = meta.header
+    val le = h.littleEndian
+    val rules = missingRules(h.version)
+    val cs = meta.charset
+    val csUtf8 = cs == java.nio.charset.StandardCharsets.UTF_8
+
+    val offsets = new Array[Int](meta.variables.length)
+    var acc = 0
+    var i = 0
+    while (i < meta.variables.length) {
+      offsets(i) = acc
+      acc += meta.variables(i).varType.width
+      i += 1
+    }
+    val byName = meta.variables.zipWithIndex.map { case (v, idx) => v.name -> idx }.toMap
+    val roles: Map[String, (StructField, Role, Variable)] =
+      fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
+    val fallbackPlans = buildPlans(meta, opts, required, strls)
+
+    required.fields.zipWithIndex.map { case (f, fi) =>
+      val (_, role, v) = roles(f.name)
+      val off = offsets(byName(v.name))
+      val labeled = opts.valueLabelsAsStrings && v.valueLabelName.exists(n =>
+        meta.valueLabels.get(n).exists(_.nonEmpty))
+      val kind = timeFormatKind(v.format, v.varType)
+      val boxed = ColumnAppender.boxed(fallbackPlans.cols(fi).decode, f.dataType)
+
+      // missing predicate + raw double value, matching numRaw's semantics
+      // exactly (.a-.z on float/double decode as NaN values, not null —
+      // reference parity)
+      def numMissing(b: Array[Byte], base: Int): Boolean = v.varType match {
+        case TByte =>
+          val x = b(base + off)
+          (rules.sentinelEnabled && x >= rules.sentI8) || x > rules.maxI8
+        case TInt16 =>
+          val x = Bin.i16(b, base + off, le)
+          (rules.sentinelEnabled && x >= rules.sentI16) || x > rules.maxI16
+        case TInt32 =>
+          val x = Bin.i32(b, base + off, le)
+          (rules.sentinelEnabled && x >= rules.sentI32) || x > rules.maxI32
+        case TFloat =>
+          val bits = Bin.u32(b, base + off, le)
+          (bits & 0x80000000L) == 0 && bits > rules.maxFloatBits && bits == rules.missingFloatBits
+        case TDouble =>
+          val bits = Bin.u64(b, base + off, le)
+          (bits & 0x8000000000000000L) == 0 &&
+            java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0 &&
+            bits == rules.missingDoubleBits
+        case _ => true
+      }
+      def numValue(b: Array[Byte], base: Int): Double = v.varType match {
+        case TByte => b(base + off).toDouble
+        case TInt16 => Bin.i16(b, base + off, le).toDouble
+        case TInt32 => Bin.i32(b, base + off, le).toDouble
+        case TFloat =>
+          val bits = Bin.u32(b, base + off, le)
+          if ((bits & 0x80000000L) == 0 && bits > rules.maxFloatBits) Double.NaN
+          else java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+        case TDouble =>
+          val bits = Bin.u64(b, base + off, le)
+          if ((bits & 0x8000000000000000L) == 0 &&
+              java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0) Double.NaN
+          else java.lang.Double.longBitsToDouble(bits)
+        case _ => Double.NaN
+      }
+
+      if (role != RValue || labeled) boxed
+      else v.varType match {
+        case TStr(w) =>
+          (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) => {
+            val o = base + off
+            var n = 0
+            var ascii = true
+            while (n < w && b(o + n) != 0) { // stop at first NUL
+              if (b(o + n) < 0) ascii = false
+              n += 1
+            }
+            while (n > 0 && b(o + n - 1) == ' ') n -= 1 // trim trailing pad
+            if (n == 0) {
+              if (opts.missingStringAsNull) vec.putNull(ri)
+              else vec.putByteArray(ri, Array.emptyByteArray, 0, 0)
+            } else if (ascii) vec.putByteArray(ri, b, o, n)
+            else if (csUtf8 && UTF8String.fromBytes(b, o, n).isValid) {
+              vec.putByteArray(ri, b, o, n)
+            } else {
+              val bytes = new String(b, o, n, cs)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              vec.putByteArray(ri, bytes, 0, bytes.length)
+            }
+          }
+        case TStrL => boxed
+        case _ => kind match {
+          case Some(KDate) =>
+            (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) =>
+              if (numMissing(b, base)) vec.putNull(ri)
+              else vec.putInt(ri, (numValue(b, base).toLong - EpochShiftDays).toInt)
+          case Some(KDateTime) =>
+            (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) =>
+              if (numMissing(b, base)) vec.putNull(ri)
+              else vec.putLong(ri, (numValue(b, base).toLong - EpochShiftMs) * 1000L)
+          case Some(KTime(nullOnDt)) =>
+            (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) =>
+              if (nullOnDt || numMissing(b, base)) vec.putNull(ri)
+              else {
+                val ms = numValue(b, base).toLong
+                val day = 86400000L
+                vec.putLong(ri, ((ms % day + day) % day) * 1000000L)
+              }
+          case None => v.varType match {
+            case TByte =>
+              (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) =>
+                if (numMissing(b, base)) vec.putNull(ri)
+                else vec.putByte(ri, b(base + off))
+            case TInt16 =>
+              (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) =>
+                if (numMissing(b, base)) vec.putNull(ri)
+                else vec.putShort(ri, Bin.i16(b, base + off, le).toShort)
+            case TInt32 =>
+              (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) =>
+                if (numMissing(b, base)) vec.putNull(ri)
+                else vec.putInt(ri, Bin.i32(b, base + off, le))
+            case TFloat =>
+              (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) => {
+                val bits = Bin.u32(b, base + off, le)
+                if ((bits & 0x80000000L) == 0 && bits > rules.maxFloatBits) {
+                  if (bits == rules.missingFloatBits) vec.putNull(ri)
+                  else vec.putFloat(ri, Float.NaN)
+                } else vec.putFloat(ri, java.lang.Float.intBitsToFloat(bits.toInt))
+              }
+            case TDouble =>
+              (b: Array[Byte], base: Int, vec: WritableColumnVector, ri: Int) => {
+                val bits = Bin.u64(b, base + off, le)
+                if ((bits & 0x8000000000000000L) == 0 &&
+                    java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0) {
+                  if (bits == rules.missingDoubleBits) vec.putNull(ri)
+                  else vec.putDouble(ri, Double.NaN)
+                } else vec.putDouble(ri, java.lang.Double.longBitsToDouble(bits))
+              }
+            case _ => boxed
+          }
+        }
+      }
+    }
+  }
 }

@@ -26,11 +26,13 @@ class MixPagePartitionSpec extends SparkSpec {
     }
     val ranges = ReadstatFormats.forName("sas7bdat").partitionRanges(mixFile, opts)
     assert(ranges.length > 2, s"expected a multi-partition plan, got $ranges")
-    assert(ranges.head == (0L, 424L), "partition 0 must cover exactly the MIX prefix")
     assert(ranges.map(_._2).sum == 27570L)
-    // DATA partitions start page-aligned past the prefix (real pages carry
-    // 577 rows — validated from the file, not the 582 capacity formula)
-    assert(ranges.tail.forall { case (s, _) => (s - 424L) % 577L == 0 })
+    // every cut lands on a page boundary of the exact page index: the MIX
+    // page carries 424 rows, DATA pages 577 (real counts from the metadata
+    // walk, not the 582 capacity formula) — so each non-zero start is
+    // 424 + k*577
+    assert(ranges.tail.forall { case (s, _) => (s - 424L) % 577L == 0 },
+      s"non-page-aligned partition starts: $ranges")
   }
 
   test("partitioned read equals sequential read on a MIX file") {
