@@ -7,11 +7,20 @@ import org.apache.spark.sql.types.{StringType, StructType}
 /** DSv2 write path (SURVEY.md §2.1 S8/S9):
   * `df.write.format("readstat").mode("overwrite").save("out.dta")`.
   *
-  * The dta/sav containers are single sequential files with header
-  * patch-back, so the sink REQUIRES a single input partition — call
-  * `.coalesce(1)` first (same constraint as the reference's writer,
-  * `src/stata/writer.rs:205-328`). Cluster-scale output belongs in
-  * parquet; this sink exists for format parity and interchange.
+  * Distributed encode (r3; model: the reference's parallel chunk encode,
+  * `src/stata/writer.rs:1287-1363`): every input partition encodes its rows
+  * ON THE EXECUTOR into a staging part file of final-format cell bytes
+  * (sentinels, epoch shifts — everything except string padding, which needs
+  * the global max width). The driver then frames the single container file
+  * and CONCATENATES the parts — per-cell work at assembly is a bounds check
+  * and an arraycopy, so the driver stage runs at stream-copy speed. dta and
+  * sav/zsav take this path with any partition count; the sas fixture sink
+  * keeps the single-partition spill+replay (fixture-grade by design — the
+  * reference has no sas writer either).
+  *
+  * The container file itself is written driver-side (single sequential file
+  * with patch-back); cluster-scale output belongs in parquet — this sink
+  * exists for format parity and interchange.
   */
 class ReadstatWriteBuilder(path: String, schema: StructType, opts: ReadstatOptions)
     extends WriteBuilder with SupportsTruncate {
@@ -23,38 +32,302 @@ class ReadstatWriteBuilder(path: String, schema: StructType, opts: ReadstatOptio
   }
 }
 
+private[readstat] final case class ReadstatPartMsg(
+    pid: Int,
+    rows: Long,
+    /** max UTF-8 byte width per schema field (−1 for non-strings). */
+    widths: Array[Int],
+    partPath: String) extends WriterCommitMessage
+
 class ReadstatBatchWrite(path: String, schema: StructType, opts: ReadstatOptions)
     extends BatchWrite {
 
+  private val format = ReadstatOptions.detectFormat(path, opts.format)
+  private val stagingDir = path + ".spill-parts"
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    require(info.numPartitions == 1,
-      s"readstat sink writes a single sequential file; call .coalesce(1) " +
-        s"before writing (got ${info.numPartitions} partitions)")
-    new ReadstatDataWriterFactory(path, schema, opts)
+    if (format == "sas7bdat") {
+      require(info.numPartitions == 1,
+        s"readstat sas7bdat sink is the single-partition fixture writer; " +
+          s"call .coalesce(1) before writing (got ${info.numPartitions} partitions)")
+      new SasSpillWriterFactory(path, schema, opts)
+    } else new ReadstatPartWriterFactory(stagingDir, schema, format)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case m: ReadstatPartMsg => m }.sortBy(_.pid)
+    if (parts.isEmpty) return // sas path wrote in-task
+    try {
+      val local = ReadstatWriteSupport.stripScheme(path)
+      // global string widths: max across partitions, min 1
+      val widths: Map[String, Int] = schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == StringType =>
+          f.name -> math.max(1, parts.map(_.widths(i)).foldLeft(0)(math.max))
+      }.toMap
+      val vlJson = ReadstatWriteSupport.parseLabelMap(opts.valueLabels)
+      val varLabels = ReadstatWriteSupport.parseStringMap(opts.variableLabels)
+      format match {
+        case "dta" => ReadstatWriteSupport.assembleDta(
+          schema, parts, widths, local,
+          vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toInt -> v } },
+          varLabels)
+        case "sav" | "zsav" =>
+          val zsav = local.toLowerCase.endsWith(".zsav")
+          ReadstatWriteSupport.assembleSav(
+            schema, parts, widths, local,
+            compress = zsav || opts.compression.contains("bytecode"),
+            valueLabels = vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toDouble -> v } },
+            zsav = zsav)
+        case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
+      }
+    } finally ReadstatWriteSupport.deleteDir(stagingDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ReadstatWriteSupport.deleteDir(stagingDir)
 }
 
-class ReadstatDataWriterFactory(path: String, schema: StructType, opts: ReadstatOptions)
+class ReadstatPartWriterFactory(stagingDir: String, schema: StructType, format: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ReadstatDataWriter(path, schema, opts)
+    new ReadstatPartWriter(
+      s"$stagingDir/part-$partitionId-$taskId", partitionId, schema, format)
 }
 
-private case class ReadstatCommit() extends WriterCommitMessage
-
-/** Streams the partition's rows to a local SPILL file (the single-file
-  * containers need string widths before their headers — widths are tracked
-  * incrementally during the spill pass), then replays the spill through the
-  * format writer on commit. Memory use is O(1) in the row count — a
-  * larger-than-heap dataset writes fine (the r1 verdict's OOM item; the
-  * reference streams with header patch-back, `src/stata/writer.rs:205-328`,
-  * which a width-before-header container can't do in one pass from a
-  * once-iterable source).
+/** Executor-side: streams rows through the format's final-byte cell
+  * encoders into one staging part file; tracks string widths and row count
+  * for the driver's framing pass. O(1) memory in the row count.
   */
-class ReadstatDataWriter(path: String, schema: StructType, opts: ReadstatOptions)
+class ReadstatPartWriter(partPath: String, pid: Int, schema: StructType, format: String)
+    extends DataWriter[InternalRow] {
+
+  private val encoders = format match {
+    case "dta" => stata.DtaWriter.spillEncoders(schema)
+    case _ => spss.SavWriter.spillEncoders(schema)
+  }
+  private val stringIdx: Array[Int] =
+    schema.fields.zipWithIndex.collect { case (f, i) if f.dataType == StringType => i }
+  private val widths = Array.fill(schema.fields.length)(-1)
+  stringIdx.foreach(widths(_) = 0)
+
+  private val out = new java.io.DataOutputStream(
+    new java.io.BufferedOutputStream(ReadstatWriteSupport.create(partPath), 1 << 20))
+  private var nRows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    var s = 0
+    while (s < stringIdx.length) {
+      val i = stringIdx(s)
+      if (!record.isNullAt(i)) {
+        val n = record.getUTF8String(i).numBytes()
+        if (n > widths(i)) widths(i) = n
+      }
+      s += 1
+    }
+    var c = 0
+    while (c < encoders.length) {
+      encoders(c)(record, out)
+      c += 1
+    }
+    nRows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ReadstatPartMsg(pid, nRows, widths, partPath)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    ReadstatWriteSupport.delete(partPath)
+  }
+  override def close(): Unit = ()
+}
+
+/** Driver-side assemblers + small FS/JSON helpers shared by the sink. */
+object ReadstatWriteSupport {
+  import org.apache.spark.sql.types._
+
+  def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  def create(path: String): java.io.OutputStream = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(ReadstatIO.sessionConf).create(hp, true)
+  }
+
+  def delete(path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(ReadstatIO.sessionConf)
+    if (fs.exists(hp)) fs.delete(hp, false)
+  }
+
+  def deleteDir(path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(ReadstatIO.sessionConf)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+
+  private def partStream(m: ReadstatPartMsg): java.io.DataInputStream =
+    new java.io.DataInputStream(
+      new java.io.BufferedInputStream(ReadstatIO.open(m.partPath), 1 << 20))
+
+  /** Frames the dta container around the executor-encoded parts: numeric
+    * cells copy verbatim, strings pad to the global width (or become strL
+    * refs with blobs collected for the GSO table).
+    */
+  private[readstat] def assembleDta(
+      schema: StructType,
+      parts: Seq[ReadstatPartMsg],
+      widths: Map[String, Int],
+      path: String,
+      valueLabels: Map[String, Map[Int, String]],
+      variableLabels: Map[String, String]): Long = {
+    import stata.DtaWriter
+    import stata.DtaWriter.{KStr, KStrL}
+    val specs = schema.fields.map(f =>
+      DtaWriter.specFor(f, widths.getOrElse(f.name, 1)))
+    DtaWriter.writeFramed(schema, specs, path, valueLabels, variableLabels) { sink =>
+      var rowIdx = 0L
+      val vBytes = if (sink.version >= 119) 3 else 2
+      parts.foreach { m =>
+        val in = partStream(m)
+        try {
+          var r = 0L
+          while (r < m.rows) {
+            sink.clearRow()
+            var off = 0
+            var i = 0
+            while (i < specs.length) {
+              specs(i).kind match {
+                case KStr(w) =>
+                  val len = in.readInt()
+                  if (len > 0) {
+                    require(len <= w, s"string too long for str$w: ${specs(i).name}")
+                    in.readFully(sink.rowBuf, off, len)
+                  }
+                case KStrL =>
+                  val len = in.readInt()
+                  if (len >= 0) {
+                    val blob = new Array[Byte](len)
+                    in.readFully(blob)
+                    val v = i + 1
+                    val o = rowIdx + 1
+                    sink.strls += ((v, o, blob))
+                    // v118: v(2)+o(6); v119: v(3)+o(5) — both little-endian
+                    var k = 0
+                    while (k < vBytes) { sink.rowBuf(off + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+                    k = 0
+                    while (k < 8 - vBytes) { sink.rowBuf(off + vBytes + k) = ((o >> (8 * k)) & 0xff).toByte; k += 1 }
+                  }
+                case k =>
+                  in.readFully(sink.rowBuf, off, k.width)
+              }
+              off += specs(i).kind.width
+              i += 1
+            }
+            sink.emitRow()
+            rowIdx += 1
+            r += 1
+          }
+        } finally in.close()
+      }
+      rowIdx
+    }
+  }
+
+  /** Frames the sav container around the executor-encoded parts: numeric
+    * cells pass through as f64 bits (codec-aware), strings lay into their
+    * segment regions at the global width.
+    */
+  private[readstat] def assembleSav(
+      schema: StructType,
+      parts: Seq[ReadstatPartMsg],
+      widths: Map[String, Int],
+      path: String,
+      compress: Boolean,
+      valueLabels: Map[String, Map[Double, String]],
+      zsav: Boolean): Long = {
+    import spss.SavWriter
+    val specs = SavWriter.buildSpecs(schema, widths)
+    val isString = schema.fields.map(_.dataType == StringType)
+    SavWriter.writeFramed(schema, specs, path, compress, valueLabels, zsav = zsav) { sink =>
+      var n = 0L
+      parts.foreach { m =>
+        val in = partStream(m)
+        try {
+          var r = 0L
+          while (r < m.rows) {
+            var i = 0
+            while (i < specs.length) {
+              if (isString(i)) {
+                val len = in.readInt()
+                val bytes = if (len <= 0) Array.emptyByteArray else {
+                  val b = new Array[Byte](len)
+                  in.readFully(b)
+                  b
+                }
+                sink.stringCell(specs(i), bytes)
+              } else {
+                sink.numericBits(java.lang.Long.reverseBytes(in.readLong()))
+              }
+              i += 1
+            }
+            n += 1
+            r += 1
+          }
+        } finally in.close()
+      }
+      n
+    }
+  }
+
+  /** JSON `{"col":{"code":"label",...},...}` → nested map. */
+  def parseLabelMap(js: Option[String]): Map[String, Map[String, String]] =
+    js.map { s =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(s)
+      val cols = Map.newBuilder[String, Map[String, String]]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val inner = Map.newBuilder[String, String]
+        val it2 = e.getValue.fields()
+        while (it2.hasNext) { val f = it2.next(); inner += f.getKey -> f.getValue.asText() }
+        cols += e.getKey -> inner.result()
+      }
+      cols.result()
+    }.getOrElse(Map.empty)
+
+  /** JSON `{"col":"label",...}` → map. */
+  def parseStringMap(js: Option[String]): Map[String, String] =
+    js.map { s =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(s)
+      val it = node.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }.getOrElse(Map.empty)
+}
+
+// ---------------------------------------------------------------------------
+// sas7bdat: single-partition spill + replay (fixture-grade, documented)
+// ---------------------------------------------------------------------------
+
+private[readstat] final case class SasCommit() extends WriterCommitMessage
+
+class SasSpillWriterFactory(path: String, schema: StructType, opts: ReadstatOptions)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SasSpillWriter(path, schema, opts)
+}
+
+/** Streams the partition's rows to a local SPILL file (string widths are
+  * tracked during the spill pass), then replays the spill through the sas
+  * fixture writer on task commit. Memory use is O(1) in the row count.
+  */
+class SasSpillWriter(path: String, schema: StructType, opts: ReadstatOptions)
     extends DataWriter[InternalRow] {
 
   import org.apache.spark.sql.types._
@@ -145,72 +418,23 @@ class ReadstatDataWriter(path: String, schema: StructType, opts: ReadstatOptions
 
   override def commit(): WriterCommitMessage = {
     spill.close()
-    val local = stripScheme(path)
+    val local = ReadstatWriteSupport.stripScheme(path)
     val widthMap: Map[String, Int] = fields.zipWithIndex.collect {
       case (f, i) if f.dataType == StringType => f.name -> widths(i)
     }.toMap
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(new java.io.FileInputStream(spillFile), 1 << 20))
     try {
-      val rows = replay(in)
-      val zsav = local.toLowerCase.endsWith(".zsav")
-      // label options: JSON {"col":{"1":"Low",...}} / {"col":"label"}
-      val vlJson = parseLabelMap(opts.valueLabels)
-      val varLabels: Map[String, String] = opts.variableLabels.map { js =>
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = mapper.readTree(js)
-        val it = node.fields()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-        b.result()
-      }.getOrElse(Map.empty)
-      ReadstatOptions.detectFormat(local, opts.format) match {
-        case "dta" =>
-          stata.DtaWriter.writeRows(schema, rows, local, widthMap,
-            valueLabels = vlJson.map { case (c, m) =>
-              c -> m.map { case (k, v) => k.toInt -> v }
-            },
-            variableLabels = varLabels)
-        case "sav" | "zsav" =>
-          spss.SavWriter.writeRows(schema, rows, local, widthMap,
-            compress = zsav || opts.compression.contains("bytecode"),
-            valueLabels = vlJson.map { case (c, m) =>
-              c -> m.map { case (k, v) => k.toDouble -> v }
-            },
-            zsav = zsav)
-        case "sas7bdat" =>
-          sas.SasFixtureWriter.writeRows(schema, rows, local, widthMap,
-            rle = opts.compression.contains("rle"),
-            rdc = opts.compression.contains("rdc"))
-        case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
-      }
+      sas.SasFixtureWriter.writeRows(schema, replay(in), local, widthMap,
+        rle = opts.compression.contains("rle"),
+        rdc = opts.compression.contains("rdc"))
     } finally {
       in.close()
       spillFile.delete()
     }
-    ReadstatCommit()
+    SasCommit()
   }
-
-  /** JSON `{"col":{"code":"label",...},...}` → nested map. */
-  private def parseLabelMap(js: Option[String]): Map[String, Map[String, String]] =
-    js.map { s =>
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(s)
-      val cols = Map.newBuilder[String, Map[String, String]]
-      val it = node.fields()
-      while (it.hasNext) {
-        val e = it.next()
-        val inner = Map.newBuilder[String, String]
-        val it2 = e.getValue.fields()
-        while (it2.hasNext) { val f = it2.next(); inner += f.getKey -> f.getValue.asText() }
-        cols += e.getKey -> inner.result()
-      }
-      cols.result()
-    }.getOrElse(Map.empty)
 
   override def abort(): Unit = { spill.close(); spillFile.delete() }
   override def close(): Unit = spillFile.delete()
-
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 }

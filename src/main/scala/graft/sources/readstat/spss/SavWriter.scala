@@ -20,7 +20,51 @@ object SavWriter {
       name: String, shortName: String, dataType: DataType,
       isString: Boolean, stringLen: Int, widthSegments: Int, formatType: Int)
 
-  private def buildSpecs(schema: StructType, widths: Map[String, Int]): Array[Spec] = {
+  /** Executor-side spill encoders for the distributed sink: numerics spill
+    * as FINAL little-endian f64 bits (sysmis for null, epoch shifts done);
+    * strings as i32 length (−1 = null) + UTF-8 bytes — the driver assembler
+    * does segment layout/padding, which needs global widths.
+    */
+  private[readstat] def spillEncoders(
+      schema: StructType): Array[(org.apache.spark.sql.catalyst.InternalRow, java.io.DataOutputStream) => Unit] = {
+    def le64(o: java.io.DataOutputStream, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { o.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val isTime = f.metadata.contains("logical_type") &&
+        f.metadata.getString("logical_type") == "time"
+      def num(get: org.apache.spark.sql.catalyst.InternalRow => Double) =
+        (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le64(o, if (r.isNullAt(i)) Sav.MissingDoubleBits
+          else java.lang.Double.doubleToLongBits(get(r)))
+      f.dataType match {
+        case StringType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          if (r.isNullAt(i)) o.writeInt(-1)
+          else {
+            val b = r.getUTF8String(i).getBytes
+            o.writeInt(b.length)
+            o.write(b)
+          }
+        case DateType => num(r => (r.getInt(i).toLong * 86400L + Sav.SecShift).toDouble)
+        case TimestampNTZType | TimestampType =>
+          // whole seconds: the sav datetime epoch math is second-granular
+          num(r => (Math.floorDiv(r.getLong(i), 1000000L) + Sav.SecShift).toDouble)
+        case LongType if isTime => num(r => (r.getLong(i) / 1000000000L).toDouble)
+        case ByteType => num(r => r.getByte(i).toDouble)
+        case ShortType => num(r => r.getShort(i).toDouble)
+        case IntegerType => num(r => r.getInt(i).toDouble)
+        case LongType => num(r => r.getLong(i).toDouble)
+        case FloatType => num(r => r.getFloat(i).toDouble)
+        case DoubleType => num(r => r.getDouble(i))
+        case BooleanType => num(r => if (r.getBoolean(i)) 1.0 else 0.0)
+        case dt => throw new IllegalArgumentException(
+          s"readstat sink: unsupported type $dt for ${f.name}")
+      }
+    }
+  }
+
+  private[readstat] def buildSpecs(schema: StructType, widths: Map[String, Int]): Array[Spec] = {
     val used = scala.collection.mutable.Set[String]()
     schema.fields.zipWithIndex.map { case (f, idx) =>
       val isTime = f.metadata.contains("logical_type") &&
@@ -63,6 +107,21 @@ object SavWriter {
       stringValueLabels: Map[String, Map[String, String]] = Map.empty,
       stringMissingValues: Map[String, Seq[String]] = Map.empty): Unit = {
     val zsav = path.toLowerCase.endsWith(".zsav")
+    if (missingValues.isEmpty && stringValueLabels.isEmpty && stringMissingValues.isEmpty) {
+      // common case goes through the distributed DSv2 sink: executors
+      // encode part buffers in parallel, the driver frames and concatenates
+      var w = df.write.format("readstat").mode("overwrite")
+      if (compress && !zsav) w = w.option("compression", "bytecode")
+      if (valueLabels.nonEmpty)
+        w = w.option("valueLabels", graft.sources.readstat.stata.DtaWriter.labelsJson(
+          valueLabels.map { case (c, m) =>
+            c -> m.map { case (k, v) => k.toString -> v }
+          }))
+      w.save(path)
+      return
+    }
+    // fixture-grade extras (declared missings, string labels) keep the
+    // driver-side row path
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val widths: Map[String, Int] =
       if (strCols.isEmpty) Map.empty
@@ -91,6 +150,86 @@ object SavWriter {
       stringValueLabels: Map[String, Map[String, String]] = Map.empty,
       stringMissingValues: Map[String, Seq[String]] = Map.empty): Long = {
     val specs = buildSpecs(schema, stringWidths)
+    writeFramed(schema, specs, path, compress, valueLabels, missingValues, zsav,
+      stringValueLabels, stringMissingValues) { sink =>
+      var n = 0L
+      while (rows.hasNext) {
+        val row = rows.next()
+        var ci = 0
+        specs.foreach { s =>
+          if (s.isString) {
+            val bytes =
+              if (row.isNullAt(ci)) Array.emptyByteArray
+              else row.getString(ci).getBytes(StandardCharsets.UTF_8)
+            sink.stringCell(s, bytes)
+          } else {
+            if (row.isNullAt(ci)) sink.numericBits(Sav.MissingDoubleBits)
+            else sink.numericBits(
+              java.lang.Double.doubleToLongBits(numericValue(s, row, ci)))
+          }
+          ci += 1
+        }
+        n += 1
+      }
+      n
+    }
+  }
+
+  /** Per-cell emission surface for the data section: routes through the
+    * bytecode codec when compressing, raw LE doubles otherwise; lays very
+    * long strings into their 252-per-256 segment regions. Driven by the
+    * writeRows Row loop and by the distributed sink's byte-level assembler.
+    */
+  final class SavCellSink private[SavWriter] (
+      codec: BytecodeEncoder, wr: Array[Byte] => Unit) {
+    private val cellBuf = new Array[Byte](8)
+
+    def numericBits(bits: Long): Unit =
+      if (codec == null) wr(leBits(bits))
+      else if (bits == Sav.MissingDoubleBits) codec.sysmiss()
+      else codec.numCell(java.lang.Double.longBitsToDouble(bits))
+
+    def stringCell(s: Spec, bytes: Array[Byte]): Unit = {
+      require(bytes.length <= s.stringLen, s"sav: string too long for ${s.name}")
+      // lay the content into the record region: contiguous for <=255,
+      // 252 bytes per 256-byte chunk for very long strings
+      val region = new Array[Byte](s.widthSegments * 8)
+      java.util.Arrays.fill(region, ' '.toByte)
+      if (s.stringLen <= 255) System.arraycopy(bytes, 0, region, 0, bytes.length)
+      else {
+        var seg = 0
+        var done = 0
+        while (done < bytes.length) {
+          val take = math.min(252, bytes.length - done)
+          System.arraycopy(bytes, done, region, seg * 256, take)
+          done += take
+          seg += 1
+        }
+      }
+      var seg = 0
+      while (seg < s.widthSegments) {
+        System.arraycopy(region, seg * 8, cellBuf, 0, 8)
+        if (codec != null) codec.strCell(cellBuf) else wr(cellBuf.clone())
+        seg += 1
+      }
+    }
+  }
+
+  /** Writes the full sav container frame — header, dictionary records,
+    * encoding record, zsav blocks, row-count patch-back — around a data
+    * section produced by `data` (which returns the row count).
+    */
+  def writeFramed(
+      schema: StructType,
+      specs: Array[Spec],
+      path: String,
+      compress: Boolean,
+      valueLabels: Map[String, Map[Double, String]],
+      missingValues: Map[String, Seq[Double]] = Map.empty,
+      zsav: Boolean = false,
+      stringValueLabels: Map[String, Map[String, String]] = Map.empty,
+      stringMissingValues: Map[String, Seq[String]] = Map.empty)(
+      data: SavCellSink => Long): Long = {
     val nominalCaseSize = specs.map(_.widthSegments).sum
 
     val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
@@ -241,51 +380,7 @@ object SavWriter {
     val codec =
       if (zsav) new BytecodeEncoder(byteStream, bias)
       else if (compress) new BytecodeEncoder(os, bias) else null
-    var n = 0L
-    val cellBuf = new Array[Byte](8)
-    while (rows.hasNext) {
-      val row = rows.next()
-      var ci = 0
-      specs.foreach { s =>
-        if (s.isString) {
-          val bytes =
-            if (row.isNullAt(ci)) Array.emptyByteArray
-            else row.getString(ci).getBytes(StandardCharsets.UTF_8)
-          require(bytes.length <= s.stringLen, s"sav: string too long for ${s.name}")
-          // lay the content into the record region: contiguous for <=255,
-          // 252 bytes per 256-byte chunk for very long strings
-          val region = new Array[Byte](s.widthSegments * 8)
-          java.util.Arrays.fill(region, ' '.toByte)
-          if (s.stringLen <= 255) System.arraycopy(bytes, 0, region, 0, bytes.length)
-          else {
-            var seg = 0
-            var done = 0
-            while (done < bytes.length) {
-              val take = math.min(252, bytes.length - done)
-              System.arraycopy(bytes, done, region, seg * 256, take)
-              done += take
-              seg += 1
-            }
-          }
-          var seg = 0
-          while (seg < s.widthSegments) {
-            System.arraycopy(region, seg * 8, cellBuf, 0, 8)
-            if (codec != null) codec.strCell(cellBuf) else wr(cellBuf.clone())
-            seg += 1
-          }
-        } else {
-          if (row.isNullAt(ci)) {
-            if (codec != null) codec.sysmiss()
-            else wr(leBits(Sav.MissingDoubleBits))
-          } else {
-            val d = numericValue(s, row, ci)
-            if (codec != null) codec.numCell(d) else wr(f64le(d))
-          }
-        }
-        ci += 1
-      }
-      n += 1
-    }
+    val n = data(new SavCellSink(codec, wr))
     if (codec != null) codec.finish()
     if (zsav) writeZsavBlocks(byteStream.toByteArray, bytesOut, wr, u32)
     os.close()

@@ -63,27 +63,37 @@ object DtaWriter {
     }
   }
 
-  /** Convenience: compute string widths distributed, then stream rows through
-    * the driver into a single local file (the sink's single-file constraint).
+  /** Convenience over the distributed DSv2 sink: executors encode part
+    * buffers in parallel (string widths tracked during the encode pass, no
+    * separate width job), the driver frames and concatenates.
     */
   def write(
       df: DataFrame,
       path: String,
       valueLabels: Map[String, Map[Int, String]] = Map.empty,
       variableLabels: Map[String, String] = Map.empty): Unit = {
-    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    val widths: Map[String, Int] =
-      if (strCols.isEmpty) Map.empty
-      else {
-        // byte width, not character count — str# widths are in bytes
-        val aggs = strCols.map(c => max(octet_length(col(c).cast(StringType))).as(c))
-        val r = df.select(aggs.toIndexedSeq: _*).collect()(0)
-        strCols.zipWithIndex.map { case (c, i) =>
-          c -> (if (r.isNullAt(i)) 1 else r.getInt(i))
-        }.toMap
-      }
-    import scala.jdk.CollectionConverters._
-    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, valueLabels, variableLabels)
+    var w = df.write.format("readstat").mode("overwrite")
+    if (valueLabels.nonEmpty)
+      w = w.option("valueLabels", labelsJson(valueLabels.map {
+        case (c, m) => c -> m.map { case (k, v) => k.toString -> v }
+      }))
+    if (variableLabels.nonEmpty) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      variableLabels.foreach { case (k, v) => node.put(k, v) }
+      w = w.option("variableLabels", mapper.writeValueAsString(node))
+    }
+    w.option("format", "dta").save(path)
+  }
+
+  private[readstat] def labelsJson(m: Map[String, Map[String, String]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    m.foreach { case (c, inner) =>
+      val n = root.putObject(c)
+      inner.foreach { case (k, v) => n.put(k, v) }
+    }
+    mapper.writeValueAsString(root)
   }
 
   def writeRows(
@@ -96,6 +106,53 @@ object DtaWriter {
       /** O3: column names the data is sorted by, in order. */
       sortedBy: Seq[String] = Seq.empty): Long = {
     val specs = schema.fields.map(f => specFor(f, stringWidths.getOrElse(f.name, 1)))
+    writeFramed(schema, specs, path, valueLabels, variableLabels, sortedBy) { sink =>
+      var nRows = 0L
+      while (rows.hasNext) {
+        val row = rows.next()
+        sink.clearRow()
+        var off = 0
+        var i = 0
+        while (i < specs.length) {
+          val s = specs(i)
+          writeCell(sink.rowBuf, off, s, row, i, nRows, sink.strls, sink.version)
+          off += s.kind.width
+          i += 1
+        }
+        sink.emitRow()
+        nRows += 1
+      }
+      nRows
+    }
+  }
+
+  /** Record emission surface handed to `writeFramed`'s data callback: a
+    * reusable record buffer plus the strL side table (the distributed sink's
+    * assembler drives this directly with spill bytes — no Row boxing).
+    */
+  final class DtaDataSink private[DtaWriter] (
+      val version: Int,
+      val recordLen: Int,
+      out: CountingOut,
+      val strls: scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Byte])]) {
+    val rowBuf = new Array[Byte](recordLen)
+    def clearRow(): Unit = java.util.Arrays.fill(rowBuf, 0.toByte)
+    def emitRow(): Unit = out.write(rowBuf)
+  }
+
+  /** Writes the full dta container frame — header, map, descriptors, strLs,
+    * value labels, offset-map patch-back — around a data section produced by
+    * `data` (which returns the row count). The seam that lets executors
+    * pre-encode record bytes while the driver only frames and concatenates
+    * (reference parallel chunk encode, `src/stata/writer.rs:1287-1363`).
+    */
+  def writeFramed(
+      schema: StructType,
+      specs: Array[ColSpec],
+      path: String,
+      valueLabels: Map[String, Map[Int, String]] = Map.empty,
+      variableLabels: Map[String, String] = Map.empty,
+      sortedBy: Seq[String] = Seq.empty)(data: DtaDataSink => Long): Long = {
     val nvar = specs.length
     require(nvar > 0, "dta writer: no columns")
     val version = if (nvar > 32767) 119 else 118
@@ -161,22 +218,7 @@ object DtaWriter {
     // ---- data ----
     tag("<data>")
     val strls = scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Byte])]()
-    val rowBuf = new Array[Byte](recordLen)
-    var nRows = 0L
-    while (rows.hasNext) {
-      val row = rows.next()
-      java.util.Arrays.fill(rowBuf, 0.toByte)
-      var off = 0
-      var i = 0
-      while (i < nvar) {
-        val s = specs(i)
-        writeCell(rowBuf, off, s, row, i, nRows, strls, version)
-        off += s.kind.width
-        i += 1
-      }
-      out.write(rowBuf)
-      nRows += 1
-    }
+    val nRows = data(new DtaDataSink(version, recordLen, out, strls))
     tag("</data>")
 
     // ---- strLs ----
@@ -325,6 +367,58 @@ object DtaWriter {
           i = 0
           while (i < 8 - vBytes) { buf(off + vBytes + i) = ((o >> (8 * i)) & 0xff).toByte; i += 1 }
         }
+    }
+  }
+
+  /** Executor-side spill encoders for the distributed sink: each closure
+    * writes one cell of an InternalRow as FINAL dta bytes (sentinels, epoch
+    * shifts — everything except string padding, which needs global widths).
+    * Strings spill as i32 length (−1 = null) + UTF-8 bytes; the driver
+    * assembler pads/strL-refs them while framing.
+    */
+  private[readstat] def spillEncoders(
+      schema: StructType): Array[(org.apache.spark.sql.catalyst.InternalRow, java.io.DataOutputStream) => Unit] = {
+    def le16(o: java.io.DataOutputStream, v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(o: java.io.DataOutputStream, v: Int): Unit = { var i = 0; while (i < 4) { o.write((v >> (8 * i)) & 0xff); i += 1 } }
+    def le64(o: java.io.DataOutputStream, v: Long): Unit = { var i = 0; while (i < 8) { o.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val isTime = f.metadata.contains("logical_type") &&
+        f.metadata.getString("logical_type") == "time"
+      f.dataType match {
+        case BooleanType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          o.write(if (r.isNullAt(i)) MissI8.toInt else if (r.getBoolean(i)) 1 else 0)
+        case ByteType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          o.write(if (r.isNullAt(i)) MissI8.toInt else r.getByte(i).toInt)
+        case ShortType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le16(o, if (r.isNullAt(i)) MissI16.toInt else r.getShort(i).toInt)
+        case IntegerType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le32(o, if (r.isNullAt(i)) MissI32 else r.getInt(i))
+        case DateType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le32(o, if (r.isNullAt(i)) MissI32 else (r.getInt(i) + Dta.EpochShiftDays).toInt)
+        case FloatType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le32(o, if (r.isNullAt(i)) MissF32Bits else java.lang.Float.floatToIntBits(r.getFloat(i)))
+        case LongType if isTime => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le64(o, if (r.isNullAt(i)) MissF64Bits
+          else java.lang.Double.doubleToLongBits((r.getLong(i) / 1000000L).toDouble))
+        case LongType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le64(o, if (r.isNullAt(i)) MissF64Bits
+          else java.lang.Double.doubleToLongBits(r.getLong(i).toDouble))
+        case TimestampNTZType | TimestampType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le64(o, if (r.isNullAt(i)) MissF64Bits
+          else java.lang.Double.doubleToLongBits((r.getLong(i) / 1000L + Dta.EpochShiftMs).toDouble))
+        case DoubleType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le64(o, if (r.isNullAt(i)) MissF64Bits
+          else java.lang.Double.doubleToLongBits(r.getDouble(i)))
+        case StringType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          if (r.isNullAt(i)) o.writeInt(-1)
+          else {
+            val b = r.getUTF8String(i).getBytes
+            o.writeInt(b.length)
+            o.write(b)
+          }
+        case dt => throw new IllegalArgumentException(
+          s"readstat sink: unsupported type $dt for ${f.name}")
+      }
     }
   }
 

@@ -65,9 +65,47 @@ class WritePathSpec extends SparkSpec {
     assert(zsav < bcSav, s"zsav $zsav vs bytecode $bcSav")
   }
 
-  test("multi-partition write is rejected with guidance") {
+  test("multi-partition dta/sav writes distribute the encode (no coalesce needed)") {
+    // r3: executors encode part buffers in parallel; the driver frames and
+    // concatenates in partition order
+    val df = spark.range(50000).repartition(8).select(
+      col("id").cast("double").as("x"),
+      (col("id") % 7).cast("int").as("k"),
+      date_add(lit(java.sql.Date.valueOf("2021-06-01")), (col("id") % 200).cast("int")).as("d"),
+      concat(lit("str_"), col("id") % 991).as("s"))
+    for (ext <- Seq("dta", "sav")) {
+      val path = tmp(s"multi.$ext")
+      df.write.format("readstat").mode("overwrite").save(path)
+      val back = spark.read.format("readstat").load(path)
+      assert(back.count() === 50000)
+      val agg = back.agg(sum("x"), countDistinct("s"), max("d")).collect()(0)
+      assert(agg.getDouble(0) === (49999.0 * 50000 / 2), ext)
+      assert(agg.getLong(1) === 991, ext)
+      assert(agg.get(2).toString === "2021-12-17", ext)
+      // no staging residue
+      assert(!new java.io.File(path + ".spill-parts").exists(), ext)
+    }
+  }
+
+  test("multi-partition dta write with strL columns rebases GSO refs at concat") {
+    val long1 = "L" * 3000 // > 2045 bytes → strL
+    val df = spark.range(4000).repartition(4).select(
+      col("id").cast("double").as("x"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(
+        concat(lit(long1), col("id") % 17)).as("blob"))
+    val path = tmp("strl_multi.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.count() === 4000)
+    assert(back.filter(col("blob").isNull).count() === 800)
+    assert(back.filter(col("blob").isNotNull).select(length(col("blob")))
+      .distinct().collect().map(_.getInt(0)).toSet === Set(3001, 3002))
+    assert(back.select("blob").distinct().count() === 18) // 17 values + null
+  }
+
+  test("multi-partition sas write is rejected with guidance") {
     val df = spark.range(100).repartition(4).select(col("id").cast("double").as("x"))
-    val path = tmp("multi.dta")
+    val path = tmp("multi.sas7bdat")
     val e = intercept[Exception] {
       df.write.format("readstat").mode("overwrite").save(path)
     }
