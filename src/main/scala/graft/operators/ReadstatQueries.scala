@@ -21,6 +21,11 @@ object ReadstatQueries {
   /** Write-once cache per (sfDir, name) so Verify/Bench don't re-write. */
   private val cache = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Bench hook: drop cached round-trip files so every timed run pays the
+    * full write+read cost (best-of-2 must not silently skip the write).
+    */
+  def clearCache(): Unit = cache.clear()
+
   private def roundTrip(s: SparkSession, key: String, build: => DataFrame,
       labels: DataFrame => Map[String, Map[Int, String]] = _ => Map.empty): DataFrame = {
     val path = cache.getOrElseUpdate(key, {

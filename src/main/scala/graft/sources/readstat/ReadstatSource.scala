@@ -180,13 +180,42 @@ class ReadstatScan(
     opts: ReadstatOptions,
     limit: Option[Long],
     offset: Long,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty) extends Scan with Batch {
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Exact row counts are free — they sit in every container's metadata
+    * (SURVEY §1.1; reference `src/sas/types.rs:100-113`). Reporting them
+    * lets Catalyst auto-pick BroadcastHashJoin for small readstat dims
+    * instead of defaulting to Long.MaxValue → sort-merge; at cluster scale
+    * that is the difference between a broadcast and a full shuffle.
+    */
+  override def estimateStatistics(): Statistics = {
+    val totalRows =
+      try ReadstatIO.parMap(filePaths) { p =>
+        ReadstatFormats.forPath(p, opts).partitionRanges(p, opts).map(_._2).sum
+      }.sum
+      catch { case _: Exception => -1L }
+    if (totalRows < 0) new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    } else {
+      val afterOffset = math.max(0L, totalRows - offset)
+      val n = limit.map(l => math.min(l, afterOffset)).getOrElse(afterOffset)
+      // decoded-width estimate per projected row (defaultSize over-counts
+      // strings slightly — safe direction for broadcast decisions)
+      val rowBytes = math.max(8L, required.fields.map(_.dataType.defaultSize.toLong).sum)
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(n * rowBytes)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+      }
+    }
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ReadstatMicroBatchStream(ps.head, required, opts)
+    new ReadstatMicroBatchStream(ps.head, required, opts, checkpointLocation)
   override def description(): String =
     s"readstat ${ps.mkString(",")} cols=${required.fieldNames.mkString(",")} limit=$limit offset=$offset filters=${filters.mkString(",")}"
 

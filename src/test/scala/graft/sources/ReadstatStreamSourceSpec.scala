@@ -47,6 +47,34 @@ class ReadstatStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint re-emits nothing (durable file log)") {
+    val dir = Files.createTempDirectory("graft_stream_rs")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    writeDta(dir, "p1.dta", 0, 80)
+
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    def start() = spark.readStream.format("readstat").load(dir.toString)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() === 80)
+    // the file log must be durable under the checkpoint
+    assert(new java.io.File(ckpt + "/sources/0/readstat-files.log").isFile ||
+      new java.io.File(ckpt, "readstat-files.log").isFile)
+
+    // restart from the same checkpoint: p1 is committed, only p2 may emit
+    writeDta(dir, "p2.dta", 80, 50)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.length === 130, "restart must not re-emit committed files")
+    assert(rows.map(_.getDouble(0)).sum === (0 until 130).map(_.toDouble).sum)
+  }
+
   test("batch load of a directory reads every contained file") {
     val dir = Files.createTempDirectory("graft_dirload")
     writeDta(dir, "a.dta", 0, 40)
