@@ -327,6 +327,11 @@ class ReadstatReaderFactory(
 /** Casts a module reader's naturally-typed rows to a narrowed/required
   * schema (the read side of `inferSchema`): Double/Float/Long → smaller
   * integrals or Boolean, TimestampNTZ → Date, String → Double.
+  *
+  * Narrowing casts are RANGE-CHECKED: an inferSchema-derived schema never
+  * trips them (Compress proved range/parseability over the data), but a
+  * user-specified schema with out-of-range or non-numeric cells must fail
+  * with a column-named error instead of silently wrapping (r2 ADVICE #5).
   */
 class CoercingReader(
     inner: PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
@@ -335,35 +340,78 @@ class CoercingReader(
   extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.types._
 
+  private def oob(name: String, v: Any, t: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"readstat: value $v of column '$name' does not fit the requested " +
+        s"${t.simpleString} type (out of range or non-integral)")
+
+  private def checked(name: String, t: DataType, lo: Long, hi: Long)(v: Double): Long = {
+    if (v != Math.rint(v) || v < lo || v > hi) oob(name, v, t)
+    v.toLong
+  }
+
   private val converters: Array[Any => Any] = from.fields.zip(to.fields).map {
     case (f, t) if f.dataType == t.dataType => identity[Any] _
     case (f, t) => (f.dataType, t.dataType) match {
       case (DoubleType, BooleanType) => (v: Any) => v.asInstanceOf[Double] != 0.0
-      case (DoubleType, ByteType) => (v: Any) => v.asInstanceOf[Double].toByte
-      case (DoubleType, ShortType) => (v: Any) => v.asInstanceOf[Double].toShort
-      case (DoubleType, IntegerType) => (v: Any) => v.asInstanceOf[Double].toInt
-      case (DoubleType, LongType) => (v: Any) => v.asInstanceOf[Double].toLong
+      case (DoubleType, ByteType) => (v: Any) =>
+        checked(f.name, t.dataType, Byte.MinValue, Byte.MaxValue)(v.asInstanceOf[Double]).toByte
+      case (DoubleType, ShortType) => (v: Any) =>
+        checked(f.name, t.dataType, Short.MinValue, Short.MaxValue)(v.asInstanceOf[Double]).toShort
+      case (DoubleType, IntegerType) => (v: Any) =>
+        checked(f.name, t.dataType, Int.MinValue, Int.MaxValue)(v.asInstanceOf[Double]).toInt
+      case (DoubleType, LongType) => (v: Any) =>
+        checked(f.name, t.dataType, Long.MinValue, Long.MaxValue)(v.asInstanceOf[Double])
       case (DoubleType, FloatType) => (v: Any) => v.asInstanceOf[Double].toFloat
       case (FloatType, BooleanType) => (v: Any) => v.asInstanceOf[Float] != 0.0f
-      case (FloatType, ByteType) => (v: Any) => v.asInstanceOf[Float].toByte
-      case (FloatType, ShortType) => (v: Any) => v.asInstanceOf[Float].toShort
-      case (FloatType, IntegerType) => (v: Any) => v.asInstanceOf[Float].toInt
+      case (FloatType, ByteType) => (v: Any) =>
+        checked(f.name, t.dataType, Byte.MinValue, Byte.MaxValue)(v.asInstanceOf[Float].toDouble).toByte
+      case (FloatType, ShortType) => (v: Any) =>
+        checked(f.name, t.dataType, Short.MinValue, Short.MaxValue)(v.asInstanceOf[Float].toDouble).toShort
+      case (FloatType, IntegerType) => (v: Any) =>
+        checked(f.name, t.dataType, Int.MinValue, Int.MaxValue)(v.asInstanceOf[Float].toDouble).toInt
       case (FloatType, DoubleType) => (v: Any) => v.asInstanceOf[Float].toDouble
       case (LongType, BooleanType) => (v: Any) => v.asInstanceOf[Long] != 0L
-      case (LongType, ByteType) => (v: Any) => v.asInstanceOf[Long].toByte
-      case (LongType, ShortType) => (v: Any) => v.asInstanceOf[Long].toShort
-      case (LongType, IntegerType) => (v: Any) => v.asInstanceOf[Long].toInt
+      case (LongType, ByteType) => (v: Any) => {
+        val x = v.asInstanceOf[Long]
+        if (x < Byte.MinValue || x > Byte.MaxValue) oob(f.name, x, t.dataType)
+        x.toByte
+      }
+      case (LongType, ShortType) => (v: Any) => {
+        val x = v.asInstanceOf[Long]
+        if (x < Short.MinValue || x > Short.MaxValue) oob(f.name, x, t.dataType)
+        x.toShort
+      }
+      case (LongType, IntegerType) => (v: Any) => {
+        val x = v.asInstanceOf[Long]
+        if (x < Int.MinValue || x > Int.MaxValue) oob(f.name, x, t.dataType)
+        x.toInt
+      }
       case (ByteType, BooleanType) => (v: Any) => v.asInstanceOf[Byte] != 0
-      case (ShortType, ByteType) => (v: Any) => v.asInstanceOf[Short].toByte
+      case (ShortType, ByteType) => (v: Any) => {
+        val x = v.asInstanceOf[Short]
+        if (x < Byte.MinValue || x > Byte.MaxValue) oob(f.name, x, t.dataType)
+        x.toByte
+      }
       case (ShortType, BooleanType) => (v: Any) => v.asInstanceOf[Short] != 0
-      case (IntegerType, ByteType) => (v: Any) => v.asInstanceOf[Int].toByte
-      case (IntegerType, ShortType) => (v: Any) => v.asInstanceOf[Int].toShort
+      case (IntegerType, ByteType) => (v: Any) => {
+        val x = v.asInstanceOf[Int]
+        if (x < Byte.MinValue || x > Byte.MaxValue) oob(f.name, x, t.dataType)
+        x.toByte
+      }
+      case (IntegerType, ShortType) => (v: Any) => {
+        val x = v.asInstanceOf[Int]
+        if (x < Short.MinValue || x > Short.MaxValue) oob(f.name, x, t.dataType)
+        x.toShort
+      }
       case (IntegerType, BooleanType) => (v: Any) => v.asInstanceOf[Int] != 0
       case (TimestampNTZType | TimestampType, DateType) =>
         (v: Any) => Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toInt
-      case (StringType, DoubleType) =>
-        (v: Any) => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString.trim.toDouble
+      case (StringType, DoubleType) => (v: Any) => {
+        val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.trim
+        try s.toDouble
+        catch { case _: NumberFormatException => oob(f.name, s, DoubleType) }
+      }
       case (a, b) => throw new IllegalArgumentException(
         s"readstat: cannot coerce ${f.name} from ${a.simpleString} to ${b.simpleString}")
     }
@@ -410,12 +458,17 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
   * `spark.hadoop.*` reach every open on both sides.
   */
 object ReadstatIO {
-  @volatile private var installed: Configuration = _
+  // per-thread install: DSv2 readers create and consume on the task thread,
+  // so a thread-local cannot race across concurrent queries with different
+  // Hadoop confs the way a process-global did (r2 ADVICE #2); every reader
+  // factory re-installs before its first open, so pooled task threads never
+  // act on a stale conf
+  private val installed = new ThreadLocal[Configuration]()
 
-  def setConf(c: Configuration): Unit = installed = c
+  def setConf(c: Configuration): Unit = installed.set(c)
 
   def sessionConf: Configuration = {
-    val c = installed
+    val c = installed.get()
     if (c != null) c
     else org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
