@@ -522,10 +522,11 @@ object Sas {
     if (len >= 8) {
       bits = Bin.u64(b, off, le)
     } else {
-      val buf = new Array[Byte](8)
-      if (le) System.arraycopy(b, off, buf, 8 - len, len)
-      else System.arraycopy(b, off, buf, 0, len)
-      bits = Bin.u64(buf, 0, le)
+      // truncated numerics keep the MOST significant bytes — reassemble
+      // without a temp buffer (hot path; one branch per byte kept)
+      var i = 0
+      if (le) while (i < len) { bits |= (b(off + i) & 0xffL) << (8 * (8 - len + i)); i += 1 }
+      else while (i < len) { bits |= (b(off + i) & 0xffL) << (8 * (7 - i)); i += 1 }
     }
     java.lang.Double.longBitsToDouble(bits)
   }
