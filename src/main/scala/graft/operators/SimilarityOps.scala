@@ -127,6 +127,57 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
+    // Random-hyperplane (sign) LSH near-dup: the bucketed scale path for
+    // embedding dedup [Charikar, STOC'02]. L bands × b sign bits per
+    // vector; vectors sharing a band signature become candidates (equi-join
+    // on (band, signature) — bucket-sized work, never all-pairs); exact
+    // cosine verifies candidates, so emitted pairs are never false
+    // positives. Recall is the standard LSH trade governed by (L, b) —
+    // q39's 1-Bucket-Theta remains the exact variant.
+    //
+    // The hyperplanes are DETERMINISTIC: component signs derive from the
+    // md5 hex of "band_bit_pos" — no RNG state to ship to executors, any
+    // engine reproduces the same buckets (which is what makes the DuckDB
+    // oracle exact). Bit dots are rounded before the sign test so
+    // cross-engine float summation order cannot flip a boundary bit.
+    "q44_rp_lsh_neardup" -> ((s, d) => {
+      val L = 6
+      val b = 8
+      val base = prepped(s, d)
+      val exploded = base.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      // tiny: L*b*dim rows (dim taken from the data) — broadcast to the
+      // per-position join; generated by explode, so no cartesian in the plan
+      val planes = exploded.select("pos").distinct()
+        .select(col("pos"), explode(expr(s"sequence(0, ${L * b - 1})")).as("j"))
+        .select(col("pos"),
+          (col("j") / b).cast("int").as("band"),
+          (col("j") % b).cast("int").as("bit"))
+        .withColumn("sgn", expr(
+          """CASE WHEN substr(md5(concat(cast(band AS STRING), '_',
+                                         cast(bit AS STRING), '_',
+                                         cast(pos AS STRING))), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"""))
+      val dots = exploded.join(broadcast(planes), "pos")
+        .groupBy("vec_id", "band", "bit")
+        .agg(round(sum(col("x") * col("sgn")), 6).as("dot"))
+      val sigs = dots.groupBy("vec_id", "band")
+        .agg(sum(when(col("dot") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+          .cast("long").as("sig"))
+      val cands = sigs.select(col("vec_id").as("ia"), col("band"), col("sig"))
+        .join(sigs.select(col("vec_id").as("ib"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val va = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      val vb = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+      cands.join(va, "ia").join(vb, "ib")
+        .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+        .orderBy("ia", "ib")
+    }),
+
     // IVF-style coarse quantizer: per-label centroids (computed distributed,
     // then broadcast as arrays), each vector assigned to its nearest
     // centroid by dot product. Output: label vs assigned confusion counts.
@@ -206,6 +257,43 @@ object SimilarityOps {
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
            FROM cosed)
          SELECT qid, cid, cos, rn FROM topk WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "q44_rp_lsh_neardup" ->
+      """WITH dims AS (SELECT DISTINCT i - 1 AS pos
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         bandsbits AS (SELECT band, bit FROM range(0, 6) AS rb(band), range(0, 8) AS rt(bit)),
+         planes AS (
+           SELECT band, bit, pos,
+             CASE WHEN substr(md5(band || '_' || bit || '_' || pos), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+           FROM bandsbits, dims),
+         unpacked AS (
+           SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         dots AS (
+           SELECT vec_id, band, bit, round(sum(x * sgn), 6) AS dot
+           FROM unpacked JOIN planes USING (pos)
+           GROUP BY vec_id, band, bit),
+         sigs AS (
+           SELECT vec_id, band,
+             CAST(sum(CASE WHEN dot > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS sig
+           FROM dots GROUP BY vec_id, band),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+           FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+             AND a.vec_id < b.vec_id)
+         SELECT c.ia, c.ib,
+           round(list_dot_product(CAST(va.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(va.embedding AS DOUBLE[]), CAST(va.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(vb.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[])))), 6) AS cos
+         FROM cands c
+         JOIN embeddings va ON va.vec_id = c.ia
+         JOIN embeddings vb ON vb.vec_id = c.ib
+         WHERE list_dot_product(CAST(va.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(va.embedding AS DOUBLE[]), CAST(va.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(vb.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[])))) >= 0.45
+         ORDER BY ia, ib""",
 
     "q41_ivf_assign" ->
       """WITH unpacked AS (

@@ -15,12 +15,23 @@ class PairPlanSpec extends SparkSpec {
   private def executedPlan(q: String): String =
     graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
-  test("q36/q39/q40 plans contain no BNLJ or CartesianProduct") {
-    for (q <- Seq("q36_simhash", "q39_embedding_neardup", "q40_lsh_jaccard_verified")) {
+  test("q36/q39/q40/q44 plans contain no BNLJ or CartesianProduct") {
+    for (q <- Seq("q36_simhash", "q39_embedding_neardup", "q40_lsh_jaccard_verified",
+        "q44_rp_lsh_neardup")) {
       val p = executedPlan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BroadcastNestedLoopJoin")
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
     }
+  }
+
+  test("q44 RP-LSH pairs are an exactly-verified subset of q39's pairs") {
+    val lsh = graft.operators.SimilarityOps.queries("q44_rp_lsh_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = graft.operators.SimilarityOps.queries("q39_embedding_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.nonEmpty, "LSH found no pairs — bands are misconfigured")
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-verified pairs: ${lsh.diff(exact)}")
   }
 
   test("q39 blocked pair join equals brute-force all-pairs") {
