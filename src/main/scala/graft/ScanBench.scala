@@ -68,11 +68,11 @@ object ScanBench {
       // times an already-opened reader)
       read().count()
       def timeBest(body: => Unit): Double =
-        (1 to 2).map { _ =>
+        (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           body
           (System.nanoTime() - t0) / 1e9
-        }.min // best-of-2: GC/contention noise inflates, never deflates
+        }.min // best-of-3: GC/contention noise inflates, never deflates
       // full read: force every column through the decoder
       val fullAggs = (0 until 10).map(i => sum(col(s"d$i"))) ++
         Seq(sum(length(col("s0"))), sum(length(col("s1"))))

@@ -45,11 +45,17 @@ class ReadstatBatchWrite(path: String, schema: StructType, opts: ReadstatOptions
   private val format = ReadstatOptions.detectFormat(path, opts.format)
   private val stagingDir = path + ".spill-parts"
 
+  // RLE/RDC sas output buffers rows for subheader packing — that single
+  // file stays on the fixture-grade one-partition path; everything else
+  // (dta, sav/zsav, uncompressed sas) distributes the encode
+  private def sasCompressed: Boolean = format == "sas7bdat" &&
+    opts.compression.exists(c => c == "rle" || c == "rdc")
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (format == "sas7bdat") {
+    if (sasCompressed) {
       require(info.numPartitions == 1,
-        s"readstat sas7bdat sink is the single-partition fixture writer; " +
-          s"call .coalesce(1) before writing (got ${info.numPartitions} partitions)")
+        s"readstat compressed sas7bdat sink is the single-partition fixture " +
+          s"writer; call .coalesce(1) before writing (got ${info.numPartitions} partitions)")
       new SasSpillWriterFactory(path, schema, opts)
     } else new ReadstatPartWriterFactory(stagingDir, schema, format)
   }
@@ -78,6 +84,8 @@ class ReadstatBatchWrite(path: String, schema: StructType, opts: ReadstatOptions
             compress = zsav || opts.compression.contains("bytecode"),
             valueLabels = vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toDouble -> v } },
             zsav = zsav)
+        case "sas7bdat" =>
+          ReadstatWriteSupport.assembleSas(schema, parts, widths, local)
         case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
       }
     } finally ReadstatWriteSupport.deleteDir(stagingDir)
@@ -103,6 +111,7 @@ class ReadstatPartWriter(partPath: String, pid: Int, schema: StructType, format:
 
   private val encoders = format match {
     case "dta" => stata.DtaWriter.spillEncoders(schema)
+    case "sas7bdat" => sas.SasFixtureWriter.spillEncoders(schema)
     case _ => spss.SavWriter.spillEncoders(schema)
   }
   private val stringIdx: Array[Int] =
@@ -279,6 +288,52 @@ object ReadstatWriteSupport {
         } finally in.close()
       }
       n
+    }
+  }
+
+  /** Frames uncompressed sas7bdat pages around the executor-encoded parts:
+    * numeric cells copy verbatim (8-byte bits, epochs/missing done on the
+    * executors), strings space-pad to the global width. The page framer
+    * needs the total row count up front — the part messages carry it.
+    */
+  private[readstat] def assembleSas(
+      schema: StructType,
+      parts: Seq[ReadstatPartMsg],
+      widths: Map[String, Int],
+      path: String): Long = {
+    import sas.SasFixtureWriter
+    val cols = SasFixtureWriter.colsFor(schema, widths)
+    val nRows = parts.map(_.rows).sum
+    var in: java.io.DataInputStream = null
+    var partIdx = 0
+    var leftInPart = 0L
+    SasFixtureWriter.writeFramedStreaming(schema, widths, path, nRows) { (page, base, _) =>
+      while (leftInPart == 0) {
+        if (in != null) in.close()
+        require(partIdx < parts.length, "sas assembler: ran out of parts")
+        in = partStream(parts(partIdx))
+        leftInPart = parts(partIdx).rows
+        partIdx += 1
+      }
+      var off = base
+      var i = 0
+      while (i < cols.length) {
+        val c = cols(i)
+        if (c.isChar) {
+          java.util.Arrays.fill(page, off, off + c.length, ' '.toByte)
+          val len = in.readInt()
+          if (len > 0) {
+            require(len <= c.length, s"string too long for ${c.name}")
+            in.readFully(page, off, len)
+          }
+        } else {
+          in.readFully(page, off, 8)
+        }
+        off += c.length
+        i += 1
+      }
+      leftInPart -= 1
+      if (leftInPart == 0 && partIdx == parts.length) { in.close(); in = null }
     }
   }
 

@@ -21,10 +21,16 @@ import org.apache.spark.sql.types._
   */
 object SasFixtureWriter {
 
-  private final case class Col(
+  private[readstat] final case class Col(
       name: String, dataType: DataType, isChar: Boolean, length: Int, fmt: String)
 
   def write(df: DataFrame, path: String, rle: Boolean = false, rdc: Boolean = false): Unit = {
+    if (!rle && !rdc) {
+      // uncompressed goes through the distributed DSv2 sink: executors
+      // encode part buffers in parallel, the driver frames the pages
+      df.write.format("readstat").mode("overwrite").option("format", "sas7bdat").save(path)
+      return
+    }
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val widths: Map[String, Int] =
       if (strCols.isEmpty) Map.empty
@@ -39,7 +45,7 @@ object SasFixtureWriter {
     writeRows(df.schema, df.toLocalIterator().asScala, path, widths, rle, rdc)
   }
 
-  private def colsFor(schema: StructType, stringWidths: Map[String, Int]): Array[Col] =
+  private[readstat] def colsFor(schema: StructType, stringWidths: Map[String, Int]): Array[Col] =
     schema.fields.map { f =>
       val isTime = f.metadata.contains("logical_type") &&
         f.metadata.getString("logical_type") == "time"
@@ -86,6 +92,24 @@ object SasFixtureWriter {
       stringWidths: Map[String, Int],
       nRows: Long): Long = {
     val cols = colsFor(schema, stringWidths)
+    writeFramedStreaming(schema, stringWidths, path, nRows) { (page, off, written) =>
+      require(rows.hasNext, s"sas fixture: iterator ended at $written of $nRows")
+      encodeRowAt(cols, rows.next(), page, off)
+    }
+  }
+
+  /** Page-framing core: header + meta pages + streamed DATA pages, the row
+    * bytes supplied by `fill(page, offset, rowIdx)`. The distributed sink's
+    * assembler drives this with executor-encoded spill bytes (no Row
+    * boxing); the row-count-first requirement is satisfied there by the
+    * part messages.
+    */
+  private[readstat] def writeFramedStreaming(
+      schema: StructType,
+      stringWidths: Map[String, Int],
+      path: String,
+      nRows: Long)(fill: (Array[Byte], Int, Long) => Unit): Long = {
+    val cols = colsFor(schema, stringWidths)
     val rowLength = cols.map(_.length).sum
     val pageLength = math.max(8192, Integer.highestOneBit(rowLength + 512) * 2)
     val bitOffset = 32
@@ -111,10 +135,7 @@ object SasFixtureWriter {
         var off = bitOffset + 8
         var i = 0
         while (i < inPage) {
-          require(rows.hasNext, s"sas fixture: iterator ended at $written of $nRows")
-          val buf = new Array[Byte](rowLength)
-          encodeRow(cols, rows.next(), buf)
-          System.arraycopy(buf, 0, page, off, rowLength)
+          fill(page, off, written)
           off += rowLength
           i += 1
           written += 1
@@ -123,6 +144,72 @@ object SasFixtureWriter {
       }
       written
     } finally os.close()
+  }
+
+  /** Executor-side spill encoders for the distributed sink: numerics spill
+    * as FINAL 8-byte LE double bits (SAS NaN-class missing, 1960 epochs
+    * applied); strings as i32 length (−1 = null) + UTF-8 bytes — space
+    * padding happens at assembly, where the global width is known.
+    */
+  private[readstat] def spillEncoders(
+      schema: StructType): Array[(org.apache.spark.sql.catalyst.InternalRow, java.io.DataOutputStream) => Unit] = {
+    val MissingBits = 0x7ff0000000000001L // NaN class → missing
+    def le64(o: java.io.DataOutputStream, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { o.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val isTime = f.metadata.contains("logical_type") &&
+        f.metadata.getString("logical_type") == "time"
+      def num(get: org.apache.spark.sql.catalyst.InternalRow => Double) =
+        (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          le64(o, if (r.isNullAt(i)) MissingBits
+          else java.lang.Double.doubleToRawLongBits(get(r)))
+      f.dataType match {
+        case StringType => (r: org.apache.spark.sql.catalyst.InternalRow, o: java.io.DataOutputStream) =>
+          if (r.isNullAt(i)) o.writeInt(-1)
+          else {
+            val b = r.getUTF8String(i).getBytes
+            o.writeInt(b.length)
+            o.write(b)
+          }
+        case DateType => num(r => (r.getInt(i).toLong + Sas.EpochShiftDays).toDouble)
+        case TimestampNTZType | TimestampType =>
+          num(r => r.getLong(i) / 1e6 + (Sas.EpochShiftDays * Sas.SecondsPerDay).toDouble)
+        case LongType if isTime => num(r => r.getLong(i) / 1e9)
+        case ByteType => num(r => r.getByte(i).toDouble)
+        case ShortType => num(r => r.getShort(i).toDouble)
+        case IntegerType => num(r => r.getInt(i).toDouble)
+        case LongType => num(r => r.getLong(i).toDouble)
+        case FloatType => num(r => r.getFloat(i).toDouble)
+        case DoubleType => num(r => r.getDouble(i))
+        case BooleanType => num(r => if (r.getBoolean(i)) 1.0 else 0.0)
+        case dt => throw new IllegalArgumentException(
+          s"readstat sink: unsupported type $dt for ${f.name}")
+      }
+    }
+  }
+
+  /** encodeRow variant writing at an offset into a larger (page) buffer. */
+  private def encodeRowAt(cols: Array[Col], row: Row, buf: Array[Byte], base: Int): Unit = {
+    var off = base
+    cols.zipWithIndex.foreach { case (c, i) =>
+      if (c.isChar) {
+        java.util.Arrays.fill(buf, off, off + c.length, ' '.toByte)
+        if (!row.isNullAt(i)) {
+          val b = row.getString(i).getBytes(StandardCharsets.UTF_8)
+          require(b.length <= c.length, s"string too long for ${c.name}")
+          System.arraycopy(b, 0, buf, off, b.length)
+        }
+      } else {
+        val bits = // raw bits: preserve NaN payloads (.A-.Z tagged missing)
+          if (row.isNullAt(i)) 0x7ff0000000000001L // NaN-class → missing
+          else java.lang.Double.doubleToRawLongBits(numeric(c, row, i))
+        var k = 0
+        while (k < 8) { buf(off + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
+      }
+      off += c.length
+    }
   }
 
   def writeRows(

@@ -73,7 +73,7 @@ class WritePathSpec extends SparkSpec {
       (col("id") % 7).cast("int").as("k"),
       date_add(lit(java.sql.Date.valueOf("2021-06-01")), (col("id") % 200).cast("int")).as("d"),
       concat(lit("str_"), col("id") % 991).as("s"))
-    for (ext <- Seq("dta", "sav")) {
+    for (ext <- Seq("dta", "sav", "sas7bdat")) {
       val path = tmp(s"multi.$ext")
       df.write.format("readstat").mode("overwrite").save(path)
       val back = spark.read.format("readstat").load(path)
@@ -103,11 +103,12 @@ class WritePathSpec extends SparkSpec {
     assert(back.select("blob").distinct().count() === 18) // 17 values + null
   }
 
-  test("multi-partition sas write is rejected with guidance") {
+  test("multi-partition compressed sas write is rejected with guidance") {
     val df = spark.range(100).repartition(4).select(col("id").cast("double").as("x"))
     val path = tmp("multi.sas7bdat")
     val e = intercept[Exception] {
-      df.write.format("readstat").mode("overwrite").save(path)
+      df.write.format("readstat").mode("overwrite")
+        .option("compression", "rle").save(path)
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
