@@ -7,7 +7,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming file source for readstat formats (SURVEY.md §2.9):
@@ -33,7 +33,7 @@ class ReadstatMicroBatchStream(
     dir: String,
     schema: StructType,
     opts: ReadstatOptions,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String) extends MicroBatchStream with SupportsAdmissionControl {
 
   private case class FilesOffset(n: Int) extends Offset {
     override def json(): String = n.toString
@@ -104,6 +104,24 @@ class ReadstatMicroBatchStream(
     poll()
     FilesOffset(discovered.size)
   }
+
+  // admission control: `maxFilesPerTrigger` caps how many files one
+  // micro-batch admits (same knob as Spark's own file source); the rest
+  // stay discovered-and-durable for the following batches
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    poll()
+    val s = start.asInstanceOf[FilesOffset].n
+    val cap = limit match {
+      case m: ReadMaxFiles => math.min(discovered.size, s + m.maxFiles())
+      case _ => discovered.size
+    }
+    FilesOffset(cap)
+  }
+
+  override def reportLatestOffset(): Offset = FilesOffset(discovered.size)
 
   override def deserializeOffset(json: String): Offset = FilesOffset(json.trim.toInt)
 

@@ -23,7 +23,9 @@ final case class ReadstatOptions(
     /** sink: JSON `{"col":"Column label",...}`. */
     variableLabels: Option[String] = None,
     /** vectorized scan (escape hatch; row path remains for coercion/structs). */
-    columnar: Boolean = true) extends Serializable {
+    columnar: Boolean = true,
+    /** streaming source: cap files admitted per micro-batch. */
+    maxFilesPerTrigger: Option[Int] = None) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -49,7 +51,8 @@ object ReadstatOptions {
       compression = get("compression").map(_.toLowerCase).filter(_ != "none"),
       valueLabels = get("valueLabels"),
       variableLabels = get("variableLabels"),
-      columnar = get("columnar").forall(_.toBoolean))
+      columnar = get("columnar").forall(_.toBoolean),
+      maxFilesPerTrigger = get("maxFilesPerTrigger").map(_.toInt).filter(_ > 0))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

@@ -75,6 +75,23 @@ class ReadstatStreamSourceSpec extends SparkSpec {
     assert(rows.map(_.getDouble(0)).sum === (0 until 130).map(_.toDouble).sum)
   }
 
+  test("maxFilesPerTrigger admits files across separate micro-batches") {
+    val dir = Files.createTempDirectory("graft_stream_mft")
+    writeDta(dir, "f1.dta", 0, 10)
+    writeDta(dir, "f2.dta", 10, 10)
+    writeDta(dir, "f3.dta", 20, 10)
+    val q = spark.readStream.format("readstat")
+      .option("maxFilesPerTrigger", "1").load(dir.toString)
+      .writeStream.format("memory").queryName("rs_mft")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rs_mft").count() === 30)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected >=3 micro-batches of 1 file, got $batches")
+    } finally q.stop()
+  }
+
   test("batch load of a directory reads every contained file") {
     val dir = Files.createTempDirectory("graft_dirload")
     writeDta(dir, "a.dta", 0, 40)
