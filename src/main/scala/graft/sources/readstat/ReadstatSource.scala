@@ -135,12 +135,37 @@ class ReadstatScanBuilder(ps: Seq[String], full: StructType, opts: ReadstatOptio
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with SupportsPushDownOffset
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var limit: Option[Long] = None
   private var offset: Long = 0L
   private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countStarCols = 0
+
+  /** COUNT(*) with no filters and no grouping is answered from container
+    * metadata — a 100 TB `df.count()` never touches a data page (exact row
+    * counts are in every header, SURVEY §1.1). Spark only attempts the push
+    * when no residual filters remain, and every filter we see is residual,
+    * so eligibility is simply the aggregation shape.
+    */
+  private def countOnly(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      skipFilters.isEmpty && limit.isEmpty && offset == 0L
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countOnly(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!countOnly(agg)) return false
+    countStarCols = agg.aggregateExpressions.length
+    true
+  }
 
   /** P4 EXT: filters are used as decode-skip hints only; ALL of them are
     * returned as residual so Spark still applies them above the scan.
@@ -164,7 +189,44 @@ class ReadstatScanBuilder(ps: Seq[String], full: StructType, opts: ReadstatOptio
   override def pushOffset(n: Int): Boolean = { offset = n.toLong; true }
 
   override def build(): Scan =
-    new ReadstatScan(ps, full, required, opts, limit, offset, skipFilters.toSeq)
+    if (countStarCols > 0) new ReadstatCountScan(ps, opts, countStarCols)
+    else new ReadstatScan(ps, full, required, opts, limit, offset, skipFilters.toSeq)
+}
+
+/** Complete COUNT(*) pushdown: the row count comes from the per-file
+  * metadata (computed once on the driver), emitted as a single row.
+  */
+class ReadstatCountScan(ps: Seq[String], opts: ReadstatOptions, nCols: Int)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    (0 until nCols).map(i => org.apache.spark.sql.types.StructField(
+      s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"readstat metadata COUNT(*) pushdown ${ps.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = ReadstatIO.parMap(ReadstatIO.expandPaths(ps)) { p =>
+      ReadstatFormats.forPath(p, opts).partitionRanges(p, opts).map(_._2).sum
+    }.sum
+    Array(CountPartition(total, nCols))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+        val p = partition.asInstanceOf[CountPartition]
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array.fill[Any](p.nCols)(p.total))
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 final case class ReadstatInputPartition(
@@ -172,6 +234,8 @@ final case class ReadstatInputPartition(
     format: String,
     rowStart: Long,
     rowCount: Long) extends InputPartition
+
+private[readstat] final case class CountPartition(total: Long, nCols: Int) extends InputPartition
 
 class ReadstatScan(
     ps: Seq[String],

@@ -36,6 +36,26 @@ class ScanStatisticsSpec extends SparkSpec {
     assert(joined.count() === 30)
   }
 
+  test("count(*) is answered from metadata without scanning data pages") {
+    val p = tmp("cnt.dta")
+    spark.range(123456).select(col("id").cast("double").as("x"),
+      concat(lit("s"), col("id") % 10).as("s"))
+      .write.format("readstat").mode("overwrite").save(p)
+    val df = spark.read.format("readstat").load(p)
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata COUNT(*) pushdown"),
+      s"expected the count scan, got:\n$plan")
+    assert(counted.collect()(0).getLong(0) === 123456L)
+    assert(df.count() === 123456L)
+    // filters must disable the pushdown (they are residual above the scan)
+    val filtered = df.filter(col("x") > 100).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata COUNT(*)"))
+    assert(filtered.collect()(0).getLong(0) === 123355L)
+    // limits must not be double-applied under the aggregate
+    assert(df.limit(7).count() === 7L)
+  }
+
   test("limit/offset pushdown shrinks the reported statistics") {
     val p = tmp("rows.dta")
     spark.range(10000).select(col("id").cast("double").as("x"))
