@@ -50,7 +50,10 @@ object DedupOps {
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
     // → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.3.
     "q34_ngram_jaccard" -> ((s, d) => {
+      // three consumers (counts + both self-join sides): persist so the
+      // shingle generation runs once; MEMORY_AND_DISK spills, never OOMs
       val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -73,30 +76,7 @@ object DedupOps {
     "q35_minhash_lsh" -> ((s, d) => {
       // no .distinct() before the signature: min() is duplicate-insensitive,
       // so skipping the dedup shuffle changes nothing (oracle keeps DISTINCT)
-      val sh = rawShingles(s, d)
-        .withColumn("ma", md5(concat(lit("a|"), col("s"))))
-        .withColumn("mb", md5(concat(lit("b|"), col("s"))))
-      val sigAggs = (0 until nHashes).map { i =>
-        val src = if (i < 4) "ma" else "mb"
-        min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"h$i")
-      }
-      val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val banded = sig.select(
-        col("doc_id"),
-        md5(concat(col("h0"), col("h1"))).as("b0"),
-        md5(concat(col("h2"), col("h3"))).as("b1"),
-        md5(concat(col("h4"), col("h5"))).as("b2"),
-        md5(concat(col("h6"), col("h7"))).as("b3"))
-      val buckets = (0 until 4).map(i =>
-        banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
-        .reduce(_.unionByName(_))
-      buckets.as("a")
-        .join(buckets.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-        .orderBy("id_a", "id_b")
+      lshCandidates(rawShingles(s, d)).orderBy("id_a", "id_b")
     }),
 
     // SimHash (16-bit, md5-nibble-derived) per document + near-dup pairs at
@@ -163,8 +143,12 @@ object DedupOps {
     // (q34's math) — quadratic work only inside LSH buckets, never across
     // the corpus. Fills the q40 numbering gap.
     "q40_lsh_jaccard_verified" -> ((s, d) => {
-      val cand = queries("q35_minhash_lsh")(s, d).select("id_a", "id_b")
+      // deliberately NOT persisted: the signature stage streams the whole
+      // shingle set once, but the verify stage only needs the candidate
+      // docs' shingles — caching the corpus-sized table to serve that tiny
+      // slice costs more than the recompute (measured 3.1s → 9.4s at sf0.1)
       val sh = shingles(s, d)
+      val cand = lshCandidates(rawShingles(s, d))
       // only candidate docs matter for the verify stage: semi-filter the
       // shingle table once on the (small) candidate id set, then every
       // downstream join and count is candidate-sized, not corpus-sized
@@ -185,6 +169,36 @@ object DedupOps {
         .orderBy("id_a", "id_b")
     })
   )
+
+  /** MinHash signature → 4 band keys → colliding (id_a, id_b) candidate
+    * pairs. Works on raw or distinct shingles identically (min() is
+    * duplicate-insensitive). Shared by q35 and q40's composition.
+    */
+  private def lshCandidates(sh0: DataFrame): DataFrame = {
+    val sh = sh0
+      .withColumn("ma", md5(concat(lit("a|"), col("s"))))
+      .withColumn("mb", md5(concat(lit("b|"), col("s"))))
+    val sigAggs = (0 until nHashes).map { i =>
+      val src = if (i < 4) "ma" else "mb"
+      min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"h$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = sig.select(
+      col("doc_id"),
+      md5(concat(col("h0"), col("h1"))).as("b0"),
+      md5(concat(col("h2"), col("h3"))).as("b1"),
+      md5(concat(col("h4"), col("h5"))).as("b2"),
+      md5(concat(col("h6"), col("h7"))).as("b3"))
+    val buckets = (0 until 4).map(i =>
+      banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
+      .reduce(_.unionByName(_))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
 
   private val minhashAggs =
     (0 until nHashes).map { i =>
