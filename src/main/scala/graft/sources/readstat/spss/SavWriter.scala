@@ -375,14 +375,21 @@ object SavWriter {
 
     // ---- data ----
     val bias = 100.0
-    // zsav: bytecode stream goes through a buffer, then zlib blocks
-    val byteStream = if (zsav) new java.io.ByteArrayOutputStream(1 << 20) else null
+    // zsav: bytecode stream spools to a TEMP FILE (not a heap buffer — a
+    // larger-than-heap dataset must still export), then deflates per block
+    val spoolFile = if (zsav) java.io.File.createTempFile("graft-zsav-", ".bin") else null
+    val spool = if (zsav)
+      new BufferedOutputStream(new FileOutputStream(spoolFile), 1 << 20) else null
     val codec =
-      if (zsav) new BytecodeEncoder(byteStream, bias)
+      if (zsav) new BytecodeEncoder(spool, bias)
       else if (compress) new BytecodeEncoder(os, bias) else null
     val n = data(new SavCellSink(codec, wr))
     if (codec != null) codec.finish()
-    if (zsav) writeZsavBlocks(byteStream.toByteArray, bytesOut, wr, u32)
+    if (zsav) {
+      spool.close()
+      try writeZsavBlocks(spoolFile, bytesOut, wr, u32)
+      finally spoolFile.delete()
+    }
     os.close()
 
     val raf = new RandomAccessFile(path, "rw")
@@ -426,18 +433,33 @@ object SavWriter {
 
   /** zsav container: 24-byte zheader, deflate blocks, ztrailer with the
     * block index (reference `read_zsav_data` `src/spss/data.rs:1687-1761`).
+    * Reads the spooled bytecode block-by-block (bounded memory) and
+    * deflates blocks concurrently — deflate is the CPU cost of zsav export
+    * and the blocks are independent.
     */
   private def writeZsavBlocks(
-      payload: Array[Byte], zheaderOfs: Long,
+      spool: java.io.File, zheaderOfs: Long,
       wr: Array[Byte] => Unit, u32: Int => Unit): Unit = {
     val blockSize = 0x3FF000
-    val blocks = payload.grouped(blockSize).toArray
-    val deflated = blocks.map { b =>
-      val bos = new java.io.ByteArrayOutputStream()
-      val d = new java.util.zip.DeflaterOutputStream(bos)
-      d.write(b); d.close()
-      bos.toByteArray
+    val total = spool.length()
+    val nBlocks = ((total + blockSize - 1) / blockSize).toInt // 0 when empty
+    val blockLens = (0 until nBlocks).map(i =>
+      math.min(blockSize.toLong, total - i.toLong * blockSize).toInt)
+
+    def deflateBlock(i: Int): Array[Byte] = {
+      val raf = new RandomAccessFile(spool, "r")
+      try {
+        raf.seek(i.toLong * blockSize)
+        val buf = new Array[Byte](blockLens(i))
+        raf.readFully(buf)
+        val bos = new java.io.ByteArrayOutputStream()
+        val d = new java.util.zip.DeflaterOutputStream(bos)
+        d.write(buf); d.close()
+        bos.toByteArray
+      } finally raf.close()
     }
+    val deflated = graft.sources.readstat.ReadstatIO.parMap(0 until nBlocks)(deflateBlock)
+
     def u64(v: Long): Unit = {
       val b = new Array[Byte](8)
       var i = 0
@@ -446,18 +468,18 @@ object SavWriter {
     }
     val ztrailerOfs = zheaderOfs + 24 + deflated.map(_.length.toLong).sum
     // zheader
-    u64(zheaderOfs); u64(ztrailerOfs); u64(24L + 24L * blocks.length)
+    u64(zheaderOfs); u64(ztrailerOfs); u64(24L + 24L * nBlocks)
     // blocks
     deflated.foreach(wr)
     // ztrailer
     u64(-100L); u64(0L)
-    u32(blockSize); u32(blocks.length)
+    u32(blockSize); u32(nBlocks)
     var uOfs = zheaderOfs
     var cOfs = zheaderOfs + 24
-    blocks.indices.foreach { i =>
+    (0 until nBlocks).foreach { i =>
       u64(uOfs); u64(cOfs)
-      u32(blocks(i).length); u32(deflated(i).length)
-      uOfs += blocks(i).length
+      u32(blockLens(i)); u32(deflated(i).length)
+      uOfs += blockLens(i)
       cOfs += deflated(i).length
     }
   }
