@@ -221,15 +221,21 @@ object SasFixtureWriter {
       rdc: Boolean = false): Long = {
     val cols = colsFor(schema, stringWidths)
     val rowLength = cols.map(_.length).sum
-    // buffer all rows encoded (fixture scale only; large files use
-    // writeRowsStreaming)
-    val encoded = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    // rows are compressed AS THEY ARRIVE, so the buffer holds compressed
+    // bytes (≈ratio× smaller than raw); page assembly still needs them all
+    // in memory — RLE/RDC output is the fixture-grade path by design
+    val encoded = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int, Int)]()
+    val rowBuf = new Array[Byte](math.max(rowLength, 1))
+    var nRows = 0L
     while (rows.hasNext) {
-      val buf = new Array[Byte](rowLength)
-      encodeRow(cols, rows.next(), buf)
-      encoded += buf
+      encodeRow(cols, rows.next(), rowBuf)
+      if (rle || rdc) {
+        val compressedFull = if (rdc) RdcEncode.encode(rowBuf) else RleEncode.encode(rowBuf)
+        val c = if (compressedFull.length < rowBuf.length) compressedFull else rowBuf.clone()
+        encoded += ((c, 4, 1))
+      } else encoded += ((rowBuf.clone(), 0, 0))
+      nRows += 1
     }
-    val nRows = encoded.length.toLong
 
     val pageLength = math.max(8192, Integer.highestOneBit(rowLength + 512) * 2)
     val bitOffset = 32
@@ -237,7 +243,8 @@ object SasFixtureWriter {
 
     val compressed = rle || rdc
     val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    pages ++= buildMetaPage(cols, rowLength, nRows, pageLength, rle, rdc, encoded.toSeq)
+    pages ++= buildMetaPage(cols, rowLength, nRows, pageLength, rle, rdc,
+      if (compressed) encoded.toSeq else Seq.empty)
     if (!compressed) {
       val rowsPerPage = (pageLength - bitOffset - 8) / rowLength
       require(rowsPerPage > 0, "sas fixture: row too long for page")
@@ -247,7 +254,9 @@ object SasFixtureWriter {
         putU16(p, bitOffset + 2, group.length)
         putU16(p, bitOffset + 4, 0)
         var off = bitOffset + 8
-        group.foreach { r => System.arraycopy(r, 0, p, off, rowLength); off += rowLength }
+        group.foreach { case (r, _, _) =>
+          System.arraycopy(r, 0, p, off, rowLength); off += rowLength
+        }
         pages += p
       }
     }
@@ -318,7 +327,7 @@ object SasFixtureWriter {
   /** Meta page(s): dictionary subheaders (+ RLE data subheaders when rle). */
   private def buildMetaPage(
       cols: Array[Col], rowLength: Int, nRows: Long, pageLength: Int,
-      rle: Boolean, rdc: Boolean, encoded: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+      rle: Boolean, rdc: Boolean, encoded: Seq[(Array[Byte], Int, Int)]): Seq[Array[Byte]] = {
     val n = cols.length
     val bitOffset = 32
     val ptrSize = 24
@@ -403,13 +412,9 @@ object SasFixtureWriter {
       Seq((rowSize, 0, 0), (colSize, 0, 0), (colText, 0, 0),
         (colName, 0, 0), (colAttrs, 0, 0)) ++ fmtSubs.map(s => (s, 0, 0))
 
+    // data subheaders arrive pre-compressed from the row loop
     val dataSubs: Seq[(Array[Byte], Int, Int)] =
-      if (!rle && !rdc) Seq.empty
-      else encoded.map { r =>
-        val compressedFull = if (rdc) RdcEncode.encode(r) else RleEncode.encode(r)
-        val c = if (compressedFull.length < r.length) compressedFull else r
-        (c, 4, 1)
-      }
+      if (!rle && !rdc) Seq.empty else encoded
 
     // pack subheaders into pages: pointer table grows from bitOffset+8,
     // payloads from the end of the page
