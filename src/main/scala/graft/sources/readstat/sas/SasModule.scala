@@ -368,7 +368,8 @@ final class SasRowCursor(
 
   private val h = meta.header
   private val fsin = ReadstatIO.open(part.path)
-  private var in: BufferedInputStream = _
+  // pages are read whole with readFully — no BufferedInputStream layer,
+  // which would just memcpy every byte a second time
   private val page = new Array[Byte](h.pageLength)
 
   private var remaining = part.rowCount
@@ -402,7 +403,6 @@ final class SasRowCursor(
         fsin.seek(h.headerLength.toLong)
         toSkip = part.rowStart
     }
-    in = new BufferedInputStream(fsin, 4 << 20)
   }
 
   override def buf: Array[Byte] = curBuf
@@ -448,7 +448,7 @@ final class SasRowCursor(
         }
         return true
       }
-      if (!readFully(in, page, h.pageLength)) return false
+      if (!readFully(fsin, page, h.pageLength)) return false
       loadPage()
     }
     false
@@ -482,7 +482,7 @@ final class SasRowCursor(
     // other page types (AMD/METC/invalid) carry no rows for us
   }
 
-  override def close(): Unit = if (in != null) in.close()
+  override def close(): Unit = fsin.close()
 }
 
 /** Row-path facade: cursor + boxed per-column decode (used when the scan
