@@ -82,7 +82,7 @@ object DtaModule extends ReadstatFormats.FormatModule {
   private def filterEval(
       ctx: DtaContext,
       opts: ReadstatOptions,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Array[Byte] => Boolean =
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Array[Byte], Int) => Boolean =
     if (filters.isEmpty) null
     else {
       import graft.sources.readstat.RowFilter
@@ -91,8 +91,8 @@ object DtaModule extends ReadstatFormats.FormatModule {
       val fschema = StructType(names.flatMap(n => full.fields.find(_.name == n)))
       val fplans = DtaRowDecoder.buildPlans(ctx.meta, opts, fschema, ctx.strls)
       val idx = fschema.fieldNames.zipWithIndex.toMap
-      (row: Array[Byte]) => {
-        val value = (n: String) => fplans.cols(idx(n)).decode(row, 0)
+      (row: Array[Byte], base: Int) => {
+        val value = (n: String) => fplans.cols(idx(n)).decode(row, base)
         filters.forall(f => RowFilter.eval(f, value))
       }
     }
@@ -120,46 +120,59 @@ object DtaModule extends ReadstatFormats.FormatModule {
   }
 }
 
-/** Physical record iteration: one seek, then fixed-width reads into a
-  * reused buffer; pushed-filter decode-skip. Shared by row and columnar
-  * readers.
+/** Physical record iteration: one seek, then CHUNKED reads — whole-record
+  * multiples land in a reused block and rows are zero-copy slices into it
+  * (no per-row read call, no per-row memcpy). Pushed-filter decode-skip.
+  * Shared by row and columnar readers.
   */
 final class DtaRowCursor(
     part: ReadstatInputPartition,
     meta: Dta.Metadata,
-    filterEval: Array[Byte] => Boolean) extends graft.sources.readstat.RowCursor {
+    filterEval: (Array[Byte], Int) => Boolean) extends graft.sources.readstat.RowCursor {
 
   private val recordLen = meta.recordLen
   private val fsin = ReadstatIO.open(part.path)
-  private val in: BufferedInputStream = {
+  locally {
     val dataStart = meta.dataOffset +
       (if (meta.header.version >= 117) "<data>".length else 0)
     fsin.seek(dataStart + part.rowStart * recordLen.toLong)
-    new BufferedInputStream(fsin, 4 << 20)
   }
 
-  private val rowBuf = new Array[Byte](recordLen)
+  private val chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
+  private val chunk = new Array[Byte](chunkRows * recordLen)
+  private var rowsInChunk = 0
+  private var rowInChunk = 0
+  private var curBase = 0
   private var remaining = part.rowCount
 
-  override def buf: Array[Byte] = rowBuf
-  override def base: Int = 0
+  override def buf: Array[Byte] = chunk
+  override def base: Int = curBase
+
+  private def refill(): Unit = {
+    val want = math.min(chunkRows.toLong, remaining).toInt * recordLen
+    var off = 0
+    while (off < want) {
+      val r = fsin.read(chunk, off, want - off)
+      if (r < 0) throw new java.io.EOFException(
+        s"dta: unexpected EOF in ${part.path} at row ${part.rowCount - remaining}")
+      off += r
+    }
+    rowsInChunk = want / recordLen
+    rowInChunk = 0
+  }
 
   override def nextRow(): Boolean = {
     while (remaining > 0) {
-      var off = 0
-      while (off < recordLen) {
-        val r = in.read(rowBuf, off, recordLen - off)
-        if (r < 0) throw new java.io.EOFException(
-          s"dta: unexpected EOF in ${part.path} at row ${part.rowCount - remaining}")
-        off += r
-      }
+      if (rowInChunk == rowsInChunk) refill()
+      curBase = rowInChunk * recordLen
+      rowInChunk += 1
       remaining -= 1
-      if (filterEval == null || filterEval(rowBuf)) return true
+      if (filterEval == null || filterEval(chunk, curBase)) return true
     }
     false
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = fsin.close()
 }
 
 /** Row-path facade over the cursor (coercion/struct scans). */
@@ -173,9 +186,10 @@ class DtaPartitionReader(
   override def next(): Boolean = {
     if (!cursor.nextRow()) return false
     val b = cursor.buf
+    val o = cursor.base
     var i = 0
     while (i < plans.cols.length) {
-      out.update(i, plans.cols(i).decode(b, 0))
+      out.update(i, plans.cols(i).decode(b, o))
       i += 1
     }
     true
