@@ -395,12 +395,20 @@ final class SavRowCursor(
   private var remaining = part.rowCount
   private var skipRows = 0L
 
+  // compression 0: chunked zero-copy slices (same shape as the dta cursor)
+  private var chunk: Array[Byte] = _
+  private var chunkRows = 0
+  private var rowsInChunk = 0
+  private var rowInChunk = 0
+  private var curBase = 0
+
   locally {
     fsin = ReadstatIO.open(part.path)
     h.compression match {
       case 0 =>
         fsin.seek(meta.dataOffset + part.rowStart * recordLen.toLong)
-        in = new BufferedInputStream(fsin, 4 << 20)
+        chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
+        chunk = new Array[Byte](chunkRows * recordLen)
       case 1 =>
         fsin.seek(meta.dataOffset)
         in = new BufferedInputStream(fsin, 4 << 20)
@@ -450,12 +458,21 @@ final class SavRowCursor(
   private def readRow(): Boolean = {
     if (decompressor != null) decompressor.readRow(in, rowBuf, recordLen)
     else {
-      var off = 0
-      while (off < recordLen) {
-        val r = in.read(rowBuf, off, recordLen - off)
-        if (r < 0) return false
-        off += r
+      // chunked reads (no buffered layer, no per-row stream call); the row
+      // copies into rowBuf because the sav cell decoders address from 0
+      if (rowInChunk == rowsInChunk) {
+        val want = math.min(chunkRows.toLong, skipRows + remaining).toInt * recordLen
+        var off = 0
+        while (off < want) {
+          val r = fsin.read(chunk, off, want - off)
+          if (r < 0) return false
+          off += r
+        }
+        rowsInChunk = want / recordLen
+        rowInChunk = 0
       }
+      System.arraycopy(chunk, rowInChunk * recordLen, rowBuf, 0, recordLen)
+      rowInChunk += 1
       true
     }
   }
