@@ -22,6 +22,12 @@ object DedupOps {
 
   private val nHashes = 8 // 4 bands × 2 rows
 
+  /** q34 stop-shingle bound: shingles in more than this many documents are
+    * dropped before the self-join (they are corpus boilerplate and make the
+    * join bucket quadratic). Mirrored verbatim in the DuckDB oracle.
+    */
+  val maxShingleDf = 100
+
   /** doc_id, s — word-3-gram shingles per document (with duplicates). */
   private def rawShingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -49,10 +55,23 @@ object DedupOps {
 
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
     // → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.3.
+    //
+    // Frequent-shingle guard (standard stop-shingle practice): a shingle
+    // present in more than `maxShingleDf` documents is boilerplate and makes
+    // its self-join bucket quadratic in corpus size — drop it BEFORE the
+    // join, and compute the per-doc counts from the same filtered table so
+    // the Jaccard math stays internally consistent (oracle applies the
+    // identical document-frequency WHERE). One window pass (single shuffle
+    // by s) tags each shingle with its df; WindowExec spills, so even the
+    // hot partition is disk-bound, not memory-bound.
     "q34_ngram_jaccard" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       // three consumers (counts + both self-join sides): persist so the
       // shingle generation runs once; MEMORY_AND_DISK spills, never OOMs
       val sh = shingles(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= maxShingleDf)
+        .drop("df")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
@@ -104,38 +123,7 @@ object DedupOps {
       val sim = votes.select(col("doc_id") +:
         Seq(expr((0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
           .mkString(" + ")).cast("long").as("simhash")): _*)
-      // collapse to the value space: ≤ 65,536 groups at any corpus size.
-      // Persisted: three self-join branches consume it — without the cache
-      // the whole tokenize+vote+group chain runs per branch (r2 verdict
-      // next-round #6). Bounded at 65,536 rows regardless of corpus size,
-      // and MEMORY_AND_DISK recomputes on executor loss.
-      val groups = sim.groupBy("simhash").agg(collect_list("doc_id").as("ids"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the distance-1/2 Hamming ball: 16 single-bit + 120 two-bit masks
-      val masks = (0 until 16).map(1 << _) ++
-        (for (i <- 0 until 16; j <- (i + 1) until 16) yield (1 << i) | (1 << j))
-      val valPairs = groups.select(col("simhash").as("sa"),
-          explode(expr(s"array(${masks.mkString(",")})")).as("mask"))
-        .withColumn("sb", expr("CAST(sa AS INT) ^ mask").cast("long"))
-        .filter(col("sb") > col("sa")) // each unordered value pair once
-        .join(groups.select(col("simhash").as("sb")), "sb") // existing values only
-        .withColumn("dist", expr("bit_count(mask)").cast("long"))
-      val cross = valPairs
-        .join(groups.select(col("simhash").as("sa"), col("ids").as("ids_a")), "sa")
-        .join(groups.select(col("simhash").as("sb"), col("ids").as("ids_b")), "sb")
-        .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("dist"))
-        .select(col("ia"), explode(col("ids_b")).as("ib"), col("dist"))
-        .select(least(col("ia"), col("ib")).as("id_a"),
-          greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
-      // same-value pairs (distance 0): all in-group combinations
-      val same = groups.filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("ia"), col("ids"))
-        .select(col("ia"), explode(col("ids")).as("ib"))
-        .filter(col("ia") < col("ib"))
-        .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0L).as("dist"))
-      cross.unionByName(same)
-        .select(col("id_a"), col("id_b"), col("dist"))
-        .orderBy("id_a", "id_b")
+      simhashPairs(sim).orderBy("id_a", "id_b")
     }),
 
     // LSH → exact-verify composition (the 100 TB near-dup pipeline): MinHash
@@ -143,17 +131,23 @@ object DedupOps {
     // (q34's math) — quadratic work only inside LSH buckets, never across
     // the corpus. Fills the q40 numbering gap.
     "q40_lsh_jaccard_verified" -> ((s, d) => {
-      // deliberately NOT persisted: the signature stage streams the whole
-      // shingle set once, but the verify stage only needs the candidate
-      // docs' shingles — caching the corpus-sized table to serve that tiny
-      // slice costs more than the recompute (measured 3.1s → 9.4s at sf0.1)
+      // the corpus-sized shingle table is deliberately NOT persisted: the
+      // signature stage streams it once, and caching it to serve the tiny
+      // verify slice costs more than the recompute (measured 3.1s → 9.4s at
+      // sf0.1). What IS persisted is everything candidate-bounded (r3
+      // verdict #1): `cand` feeds two consumers (the id set and the
+      // intersect join) — uncached, the whole 2-md5-per-shingle signature
+      // chain runs twice; `shc` feeds three (counts + both join sides) —
+      // uncached, tokenize+shingle+explode runs three more times.
       val sh = shingles(s, d)
       val cand = lshCandidates(rawShingles(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // only candidate docs matter for the verify stage: semi-filter the
       // shingle table once on the (small) candidate id set, then every
       // downstream join and count is candidate-sized, not corpus-sized
       val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
       val shc = sh.join(broadcast(ids), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(shc.select(col("doc_id").as("id_a"), col("s")), "id_a")
@@ -169,6 +163,53 @@ object DedupOps {
         .orderBy("id_a", "id_b")
     })
   )
+
+  /** SimHash near-dup pairs (Hamming distance ≤ 2) from a `(doc_id,
+    * simhash)` table — the distribution core of q36, factored so specs can
+    * drive it with synthetic value distributions.
+    *
+    * Everything stays row-shaped: no `collect_list` id arrays anywhere, so a
+    * degenerate corpus (millions of docs sharing one simhash value) is a
+    * shuffle-join with a hot key — streamed by the join, spilled by the
+    * sorter — instead of one unbounded array in a single task row (r3
+    * verdict "what's wrong" #3).
+    *
+    *  - value space first: ≤ 65,536 distinct 16-bit values at any corpus
+    *    size; every value has exactly 136 Hamming-1/2 neighbors, enumerated
+    *    as (V × 136) rows and equi-joined against existing values.
+    *  - doc pairs are expanded only for matched value pairs, by joining the
+    *    `(simhash, doc_id)` table once per side — output-bound work.
+    *  - `sim` is persisted (4 consumers: distinct values, both cross sides,
+    *    both same-value sides); it is (doc_id, simhash) — 16 bytes/row —
+    *    and MEMORY_AND_DISK spills.
+    */
+  def simhashPairs(sim0: DataFrame): DataFrame = {
+    val sim = sim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vals = sim.select("simhash").distinct() // ≤ 65,536 rows
+    // the distance-1/2 Hamming ball: 16 single-bit + 120 two-bit masks
+    val masks = (0 until 16).map(1 << _) ++
+      (for (i <- 0 until 16; j <- (i + 1) until 16) yield (1 << i) | (1 << j))
+    val valPairs = vals.select(col("simhash").as("sa"),
+        explode(expr(s"array(${masks.mkString(",")})")).as("mask"))
+      .withColumn("sb", expr("CAST(sa AS INT) ^ mask").cast("long"))
+      .filter(col("sb") > col("sa")) // each unordered value pair once
+      .join(vals.select(col("simhash").as("sb")), "sb") // existing values only
+      .withColumn("dist", expr("bit_count(mask)").cast("long"))
+      .select("sa", "sb", "dist")
+    // doc expansion: join the pair table per side — never an id array
+    val cross = valPairs
+      .join(sim.select(col("simhash").as("sa"), col("doc_id").as("ia")), "sa")
+      .join(sim.select(col("simhash").as("sb"), col("doc_id").as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    // same-value pairs (distance 0): self-join within each value
+    val same = sim.as("a")
+      .join(sim.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(0L).as("dist"))
+    cross.unionByName(same).select(col("id_a"), col("id_b"), col("dist"))
+  }
 
   /** MinHash signature → 4 band keys → colliding (id_a, id_b) candidate
     * pairs. Works on raw or distinct shingles identically (min() is
@@ -212,7 +253,10 @@ object DedupOps {
          FROM documents GROUP BY h ORDER BY h""",
 
     "q34_ngram_jaccard" ->
-      s"""WITH sh AS ($duckShingles),
+      s"""WITH sh0 AS ($duckShingles),
+         sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+           WHERE df <= $maxShingleDf),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -53,6 +53,62 @@ class PairPlanSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("q36 degenerate skew: one hot simhash value stays row-shaped (no id arrays)") {
+    // r3 hazard: collect_list(doc_id) per simhash value put every id of a
+    // hot value into ONE task row — a degenerate corpus OOMs a single task.
+    // The r4 plan joins a (simhash, doc_id) pair table instead: a hot value
+    // is a hot JOIN KEY (streamed by SMJ, spilled by the sorter), never an
+    // unbounded array. Assert both the structure (no collect_list anywhere
+    // in the plan) and the arithmetic on a synthetic hot-value corpus.
+    // (Pair OUTPUT is inherently O(n²) — that's the operator's contract —
+    // so the spec sizes n for spec-runtime, not for literal 100k docs; the
+    // structural assert is what outlaws the single-row blowup at any n.)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hotN = 5000L
+    val hot = spark.range(hotN).select(col("id").as("doc_id"), lit(7L).as("simhash"))
+    val near = Seq((900001L, 5L), (900002L, 5L), (900003L, 5L)) // 7 xor 5 = 2 → dist 2
+      .toDF("doc_id", "simhash")
+    val far = Seq((900010L, 56L), (900011L, 56L)) // 7 xor 56 = 63 → dist 6, excluded
+      .toDF("doc_id", "simhash")
+    val pairs = DedupOps.simhashPairs(hot.unionByName(near).unionByName(far))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), "q36 pair plan rebuilt an id array")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // C(hotN,2) same-value + C(3,2) near same-value + C(2,2) far same-value
+    // + hotN×3 cross at dist 2; far value pairs with nothing (dist 6)
+    val expected = hotN * (hotN - 1) / 2 + 3 + 1 + hotN * 3
+    assert(pairs.count() === expected)
+    spark.catalog.clearCache()
+  }
+
+  test("q34 frequent-shingle guard drops hot shingles before the self-join") {
+    // a stop-shingle shared by every document would make its self-join
+    // bucket quadratic in corpus size; the guard (df > maxShingleDf) must
+    // remove it so the surviving buckets are rare-shingle-sized
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nDocs = DedupOps.maxShingleDf * 3 // well past the guard threshold
+    val docs = spark.range(nDocs.toLong).select(col("id").as("doc_id"),
+      concat(lit("the quick brown fox "), col("id").cast("string"),
+        lit(" unique tail")).as("text"))
+    // same shingle pipeline as q34: word 3-grams, distinct, df-guarded
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")).as("s"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val guarded = sh.filter(col("df") <= DedupOps.maxShingleDf)
+    // 'the quick brown' and 'quick brown fox' appear in all 300 docs → cut;
+    // every per-doc shingle ('fox <id> unique' etc.) survives
+    assert(sh.filter(col("df") > DedupOps.maxShingleDf).select("s").distinct().count() === 2)
+    val maxSurvivingDf = guarded.agg(max("df")).as[Long].head()
+    assert(maxSurvivingDf <= DedupOps.maxShingleDf,
+      s"guard left a shingle with df=$maxSurvivingDf")
+  }
+
   test("q36 Hamming-LSH banding equals brute-force all-pairs simhash") {
     // dist ≤ 2 over 4 bands of 4 bits ⇒ ≥ 2 clean bands ⇒ candidate —
     // the result sets must be identical, not merely similar
