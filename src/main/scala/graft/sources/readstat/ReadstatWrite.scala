@@ -13,10 +13,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * (sentinels, epoch shifts — everything except string padding, which needs
   * the global max width). The driver then frames the single container file
   * and CONCATENATES the parts — per-cell work at assembly is a bounds check
-  * and an arraycopy, so the driver stage runs at stream-copy speed. dta and
-  * sav/zsav take this path with any partition count; the sas fixture sink
-  * keeps the single-partition spill+replay (fixture-grade by design — the
-  * reference has no sas writer either).
+  * and an arraycopy, so the driver stage runs at stream-copy speed. Every
+  * format takes this path with any partition count; for RLE/RDC sas7bdat the
+  * assembler additionally compresses each rebuilt row before packing it as a
+  * data subheader (streamed META pages, O(page) memory — the reference has
+  * no sas writer at all, `src/sas/writer.rs:30-33`).
   *
   * The container file itself is written driver-side (single sequential file
   * with patch-back); cluster-scale output belongs in parquet — this sink
@@ -45,24 +46,12 @@ class ReadstatBatchWrite(path: String, schema: StructType, opts: ReadstatOptions
   private val format = ReadstatOptions.detectFormat(path, opts.format)
   private val stagingDir = path + ".spill-parts"
 
-  // RLE/RDC sas output buffers rows for subheader packing — that single
-  // file stays on the fixture-grade one-partition path; everything else
-  // (dta, sav/zsav, uncompressed sas) distributes the encode
-  private def sasCompressed: Boolean = format == "sas7bdat" &&
-    opts.compression.exists(c => c == "rle" || c == "rdc")
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (sasCompressed) {
-      require(info.numPartitions == 1,
-        s"readstat compressed sas7bdat sink is the single-partition fixture " +
-          s"writer; call .coalesce(1) before writing (got ${info.numPartitions} partitions)")
-      new SasSpillWriterFactory(path, schema, opts)
-    } else new ReadstatPartWriterFactory(stagingDir, schema, format)
-  }
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ReadstatPartWriterFactory(stagingDir, schema, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: ReadstatPartMsg => m }.sortBy(_.pid)
-    if (parts.isEmpty) return // sas path wrote in-task
+    if (parts.isEmpty) return
     try {
       val local = ReadstatWriteSupport.stripScheme(path)
       // global string widths: max across partitions, min 1
@@ -85,7 +74,10 @@ class ReadstatBatchWrite(path: String, schema: StructType, opts: ReadstatOptions
             valueLabels = vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toDouble -> v } },
             zsav = zsav)
         case "sas7bdat" =>
-          ReadstatWriteSupport.assembleSas(schema, parts, widths, local)
+          val rdc = opts.compression.contains("rdc")
+          if (rdc || opts.compression.contains("rle"))
+            ReadstatWriteSupport.assembleSasCompressed(schema, parts, widths, local, rdc)
+          else ReadstatWriteSupport.assembleSas(schema, parts, widths, local)
         case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
       }
     } finally ReadstatWriteSupport.deleteDir(stagingDir)
@@ -337,6 +329,58 @@ object ReadstatWriteSupport {
     }
   }
 
+  /** Frames RLE/RDC sas7bdat around the executor-spilled parts: each row is
+    * rebuilt at the global string widths, compressed, and packed as a data
+    * subheader into streamed META pages — O(page) memory at any row count.
+    * (The sink's generic parts are varlen, so compression happens here on
+    * the driver; `SasFixtureWriter.write(df, path, rle/rdc)` is the fully
+    * distributed path where executors compress.)
+    */
+  private[readstat] def assembleSasCompressed(
+      schema: StructType,
+      parts: Seq[ReadstatPartMsg],
+      widths: Map[String, Int],
+      path: String,
+      rdc: Boolean): Long = {
+    import sas.{RdcEncode, RleEncode, SasFixtureWriter}
+    val cols = SasFixtureWriter.colsFor(schema, widths)
+    val rowLength = cols.map(_.length).sum
+    val nRows = parts.map(_.rows).sum
+    SasFixtureWriter.writeCompressedFramed(schema, widths, path, nRows, rdc) { emit =>
+      val rowBuf = new Array[Byte](math.max(rowLength, 1))
+      parts.foreach { m =>
+        val in = partStream(m)
+        try {
+          var r = 0L
+          while (r < m.rows) {
+            var off = 0
+            var i = 0
+            while (i < cols.length) {
+              val c = cols(i)
+              if (c.isChar) {
+                java.util.Arrays.fill(rowBuf, off, off + c.length, ' '.toByte)
+                val len = in.readInt()
+                if (len > 0) {
+                  require(len <= c.length, s"string too long for ${c.name}")
+                  in.readFully(rowBuf, off, len)
+                }
+              } else {
+                in.readFully(rowBuf, off, 8)
+              }
+              off += c.length
+              i += 1
+            }
+            val comp = if (rdc) RdcEncode.encode(rowBuf) else RleEncode.encode(rowBuf)
+            if (comp.length < rowLength) emit(comp, comp.length)
+            else emit(rowBuf, rowLength) // reader treats len==rowLength as raw
+            r += 1
+          }
+        } finally in.close()
+      }
+    }
+    nRows
+  }
+
   /** JSON `{"col":{"code":"label",...},...}` → nested map. */
   def parseLabelMap(js: Option[String]): Map[String, Map[String, String]] =
     js.map { s =>
@@ -364,132 +408,4 @@ object ReadstatWriteSupport {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
       b.result()
     }.getOrElse(Map.empty)
-}
-
-// ---------------------------------------------------------------------------
-// sas7bdat: single-partition spill + replay (fixture-grade, documented)
-// ---------------------------------------------------------------------------
-
-private[readstat] final case class SasCommit() extends WriterCommitMessage
-
-class SasSpillWriterFactory(path: String, schema: StructType, opts: ReadstatOptions)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SasSpillWriter(path, schema, opts)
-}
-
-/** Streams the partition's rows to a local SPILL file (string widths are
-  * tracked during the spill pass), then replays the spill through the sas
-  * fixture writer on task commit. Memory use is O(1) in the row count.
-  */
-class SasSpillWriter(path: String, schema: StructType, opts: ReadstatOptions)
-    extends DataWriter[InternalRow] {
-
-  import org.apache.spark.sql.types._
-
-  private val fields = schema.fields
-  private val spillFile = java.io.File.createTempFile("readstat-spill-", ".bin")
-  private val spill = new java.io.DataOutputStream(
-    new java.io.BufferedOutputStream(new java.io.FileOutputStream(spillFile), 1 << 20))
-  private var nRows = 0L
-  // byte widths of string columns, tracked on the fly
-  private val widths = Array.fill(fields.length)(1)
-
-  override def write(record: InternalRow): Unit = {
-    var bits = 0L
-    var i = 0
-    while (i < fields.length) {
-      if (record.isNullAt(i)) bits |= (1L << (i % 64))
-      if (i % 64 == 63 || i == fields.length - 1) { spill.writeLong(bits); bits = 0L }
-      i += 1
-    }
-    i = 0
-    while (i < fields.length) {
-      if (!record.isNullAt(i)) {
-        fields(i).dataType match {
-          case BooleanType => spill.writeBoolean(record.getBoolean(i))
-          case ByteType => spill.writeByte(record.getByte(i))
-          case ShortType => spill.writeShort(record.getShort(i))
-          case IntegerType | DateType => spill.writeInt(record.getInt(i))
-          case FloatType => spill.writeFloat(record.getFloat(i))
-          case LongType => spill.writeLong(record.getLong(i))
-          case TimestampType | TimestampNTZType => spill.writeLong(record.getLong(i))
-          case DoubleType => spill.writeDouble(record.getDouble(i))
-          case StringType =>
-            val b = record.getUTF8String(i).getBytes
-            if (b.length > widths(i)) widths(i) = b.length
-            spill.writeInt(b.length)
-            spill.write(b)
-          case dt => throw new IllegalArgumentException(
-            s"readstat sink: unsupported type $dt for ${fields(i).name}")
-        }
-      }
-      i += 1
-    }
-    nRows += 1
-  }
-
-  /** Replays the spill as Rows carrying the JVM types the format writers
-    * pattern-match (LocalDate for dates, Instant for timestamps).
-    */
-  private def replay(in: java.io.DataInputStream): Iterator[org.apache.spark.sql.Row] =
-    new Iterator[org.apache.spark.sql.Row] {
-      private var read = 0L
-      override def hasNext: Boolean = read < nRows
-      override def next(): org.apache.spark.sql.Row = {
-        read += 1
-        val nullBits = new Array[Long]((fields.length + 63) / 64)
-        var w = 0
-        while (w < nullBits.length) { nullBits(w) = in.readLong(); w += 1 }
-        val vals = new Array[Any](fields.length)
-        var i = 0
-        while (i < fields.length) {
-          if ((nullBits(i / 64) & (1L << (i % 64))) == 0) {
-            vals(i) = fields(i).dataType match {
-              case BooleanType => in.readBoolean()
-              case ByteType => in.readByte()
-              case ShortType => in.readShort()
-              case IntegerType => in.readInt()
-              case DateType => java.time.LocalDate.ofEpochDay(in.readInt().toLong)
-              case FloatType => in.readFloat()
-              case LongType => in.readLong()
-              case TimestampType | TimestampNTZType =>
-                val micros = in.readLong()
-                java.time.Instant.ofEpochSecond(
-                  Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
-              case DoubleType => in.readDouble()
-              case StringType =>
-                val b = new Array[Byte](in.readInt())
-                in.readFully(b)
-                new String(b, java.nio.charset.StandardCharsets.UTF_8)
-              case dt => throw new IllegalArgumentException(s"readstat sink: $dt")
-            }
-          }
-          i += 1
-        }
-        new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
-      }
-    }
-
-  override def commit(): WriterCommitMessage = {
-    spill.close()
-    val local = ReadstatWriteSupport.stripScheme(path)
-    val widthMap: Map[String, Int] = fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == StringType => f.name -> widths(i)
-    }.toMap
-    val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(new java.io.FileInputStream(spillFile), 1 << 20))
-    try {
-      sas.SasFixtureWriter.writeRows(schema, replay(in), local, widthMap,
-        rle = opts.compression.contains("rle"),
-        rdc = opts.compression.contains("rdc"))
-    } finally {
-      in.close()
-      spillFile.delete()
-    }
-    SasCommit()
-  }
-
-  override def abort(): Unit = { spill.close(); spillFile.delete() }
-  override def close(): Unit = spillFile.delete()
 }

@@ -31,6 +31,13 @@ object SasFixtureWriter {
       df.write.format("readstat").mode("overwrite").option("format", "sas7bdat").save(path)
       return
     }
+    // compressed: two-phase distributed write. Compressed row bytes depend
+    // on the GLOBAL max string widths (fixed-layout rows are what gets
+    // RLE/RDC'd), so phase 1 is a width aggregate; phase 2 has every
+    // partition encode AND compress its rows into a subheader-record part
+    // file (rows are independent subheaders — the same fact the read-side
+    // page partitioner exploits), and the driver only streams part bytes
+    // into META pages: per-row driver work is a length read + arraycopy.
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val widths: Map[String, Int] =
       if (strCols.isEmpty) Map.empty
@@ -41,8 +48,140 @@ object SasFixtureWriter {
           c -> (if (r.isNullAt(i)) 1 else math.max(1, r.getInt(i)))
         }.toMap
       }
-    import scala.jdk.CollectionConverters._
-    writeRows(df.schema, df.toLocalIterator().asScala, path, widths, rle, rdc)
+    writeCompressedDistributed(df, path, widths, rdc = rdc)
+  }
+
+  /** Phase 2 of the compressed write: executors encode+compress, driver
+    * frames. Part files hold `[i32 len][bytes]` subheader records in final
+    * on-page form.
+    */
+  private[readstat] def writeCompressedDistributed(
+      df: DataFrame, path: String, widths: Map[String, Int], rdc: Boolean): Long = {
+    import graft.sources.readstat.ReadstatWriteSupport
+    val schema = df.schema
+    val stagingDir = path + ".spill-parts"
+    try {
+      val parts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val cols = colsFor(schema, widths)
+        val rowLength = cols.map(_.length).sum
+        val enc = fixedRowEncoder(schema, cols)
+        val rowBuf = new Array[Byte](math.max(rowLength, 1))
+        val partPath = s"$stagingDir/part-$pid"
+        val out = new java.io.DataOutputStream(new BufferedOutputStream(
+          ReadstatWriteSupport.create(partPath), 1 << 20))
+        var n = 0L
+        try {
+          while (it.hasNext) {
+            enc(it.next(), rowBuf)
+            val comp = if (rdc) RdcEncode.encode(rowBuf) else RleEncode.encode(rowBuf)
+            // expansion fallback: raw row bytes (reader treats len==rowLength as raw)
+            val c = if (comp.length < rowLength) comp else rowBuf
+            out.writeInt(c.length)
+            out.write(c, 0, c.length)
+            n += 1
+          }
+        } finally out.close()
+        Iterator((pid, n, partPath))
+      }.collect().sortBy(_._1)
+      val nRows = parts.map(_._2).sum
+      writeCompressedFramed(schema, widths, path, nRows, rdc = rdc) { emit =>
+        parts.foreach { case (_, rows, partPath) =>
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            graft.sources.readstat.ReadstatIO.open(partPath), 1 << 20))
+          try {
+            var r = 0L
+            var buf = new Array[Byte](256)
+            while (r < rows) {
+              val len = in.readInt()
+              if (len > buf.length) buf = new Array[Byte](len)
+              in.readFully(buf, 0, len)
+              emit(buf, len)
+              r += 1
+            }
+          } finally in.close()
+        }
+      }
+      nRows
+    } finally ReadstatWriteSupport.deleteDir(stagingDir)
+  }
+
+  /** Streaming compressed-container framer: header (page count patched back
+    * at close) + dictionary subheaders + one data subheader per compressed
+    * row, packed into META pages as they arrive — O(page) memory at any row
+    * count. `body` calls `emit(bytes, len)` once per row in order.
+    */
+  private[readstat] def writeCompressedFramed(
+      schema: StructType,
+      widths: Map[String, Int],
+      path: String,
+      nRows: Long,
+      rdc: Boolean)(body: ((Array[Byte], Int) => Unit) => Unit): Unit = {
+    val cols = colsFor(schema, widths)
+    val rowLength = cols.map(_.length).sum
+    val pageLength = math.max(8192, Integer.highestOneBit(rowLength + 512) * 2)
+    val headerLen = 1024
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(0)
+      val os = new BufferedOutputStream(new java.io.FileOutputStream(raf.getFD), 1 << 20)
+      os.write(buildHeader(headerLen, pageLength, 0)) // page count patched below
+      val packer = new SubheaderPagePacker(os, pageLength)
+      dictSubheaders(cols, rowLength, nRows, rle = !rdc, rdc = rdc)
+        .foreach(s => packer.add(s, 0, s.length, comp = 0, typ = 0))
+      body((bytes, len) => packer.add(bytes, 0, len, comp = 4, typ = 1))
+      packer.finish()
+      os.flush()
+      // patch the page count (u32 at 204 + align1)
+      raf.seek(204 + 4)
+      val n = packer.nPages
+      raf.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+    } finally raf.close()
+  }
+
+  /** Packs subheaders into META pages streamed to `os`: pointer table grows
+    * from the bit offset, payloads from the page end — the same layout
+    * `buildMetaPage` produced in memory, emitted page-at-a-time.
+    */
+  private[readstat] final class SubheaderPagePacker(
+      os: java.io.OutputStream, pageLength: Int) {
+    private val bitOffset = 32
+    private val ptrSize = 24
+    private val page = new Array[Byte](pageLength)
+    private var top = pageLength
+    private var ptrOff = bitOffset + 8
+    private var count = 0
+    var nPages = 0
+
+    def add(bytes: Array[Byte], off: Int, len: Int, comp: Int, typ: Int): Unit = {
+      if (ptrOff + ptrSize > top - len) {
+        flush()
+        require(ptrOff + ptrSize <= top - len, "sas writer: subheader larger than page")
+      }
+      top -= len
+      System.arraycopy(bytes, off, page, top, len)
+      putU64(page, ptrOff, top.toLong)
+      putU64(page, ptrOff + 8, len.toLong)
+      page(ptrOff + 16) = comp.toByte
+      page(ptrOff + 17) = typ.toByte
+      ptrOff += ptrSize
+      count += 1
+    }
+
+    private def flush(): Unit = {
+      if (count == 0) return
+      putU16(page, bitOffset, 0) // META
+      putU16(page, bitOffset + 2, count)
+      putU16(page, bitOffset + 4, count)
+      os.write(page)
+      nPages += 1
+      java.util.Arrays.fill(page, 0.toByte)
+      top = pageLength
+      ptrOff = bitOffset + 8
+      count = 0
+    }
+
+    def finish(): Unit = flush()
   }
 
   private[readstat] def colsFor(schema: StructType, stringWidths: Map[String, Int]): Array[Col] =
@@ -59,27 +198,6 @@ object SasFixtureWriter {
         case dt => throw new IllegalArgumentException(s"sas fixture writer: unsupported $dt")
       }
     }
-
-  private def encodeRow(cols: Array[Col], row: Row, buf: Array[Byte]): Unit = {
-    var off = 0
-    cols.zipWithIndex.foreach { case (c, i) =>
-      if (c.isChar) {
-        java.util.Arrays.fill(buf, off, off + c.length, ' '.toByte)
-        if (!row.isNullAt(i)) {
-          val b = row.getString(i).getBytes(StandardCharsets.UTF_8)
-          require(b.length <= c.length, s"string too long for ${c.name}")
-          System.arraycopy(b, 0, buf, off, b.length)
-        }
-      } else {
-        val bits = // raw bits: preserve NaN payloads (.A-.Z tagged missing)
-          if (row.isNullAt(i)) 0x7ff0000000000001L // NaN-class → missing
-          else java.lang.Double.doubleToRawLongBits(numeric(c, row, i))
-        var k = 0
-        while (k < 8) { buf(off + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
-      }
-      off += c.length
-    }
-  }
 
   /** Streaming uncompressed writer for a KNOWN row count: pages go straight
     * to disk, O(page) memory — for large generated files (the in-memory
@@ -114,8 +232,7 @@ object SasFixtureWriter {
     val pageLength = math.max(8192, Integer.highestOneBit(rowLength + 512) * 2)
     val bitOffset = 32
     val headerLen = 1024
-    val metaPages = buildMetaPage(cols, rowLength, nRows, pageLength, rle = false,
-      rdc = false, encoded = Seq.empty)
+    val metaPages = buildMetaPage(cols, rowLength, nRows, pageLength)
     val rowsPerPage = (pageLength - bitOffset - 8) / rowLength
     require(rowsPerPage > 0, "sas fixture: row too long for page")
     val nDataPages = ((nRows + rowsPerPage - 1) / rowsPerPage).toInt
@@ -190,6 +307,60 @@ object SasFixtureWriter {
     }
   }
 
+  /** InternalRow → final fixed-layout row bytes (the unit RLE/RDC compresses):
+    * numerics as 8-byte LE double bits with SAS NaN-class missing and 1960
+    * epochs (same conversions as `spillEncoders`), strings space-padded to
+    * the global width. Executor-side hot path — built once per partition.
+    */
+  private[readstat] def fixedRowEncoder(
+      schema: StructType,
+      cols: Array[Col]): (org.apache.spark.sql.catalyst.InternalRow, Array[Byte]) => Unit = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val MissingBits = 0x7ff0000000000001L // NaN class → missing
+    val offs = cols.scanLeft(0)(_ + _.length)
+    val fns: Array[(InternalRow, Array[Byte]) => Unit] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        val off = offs(i)
+        val width = cols(i).length
+        val isTime = f.metadata.contains("logical_type") &&
+          f.metadata.getString("logical_type") == "time"
+        def putBits(buf: Array[Byte], bits: Long): Unit = {
+          var k = 0
+          while (k < 8) { buf(off + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
+        }
+        def num(get: InternalRow => Double): (InternalRow, Array[Byte]) => Unit =
+          (r, buf) => putBits(buf, if (r.isNullAt(i)) MissingBits
+          else java.lang.Double.doubleToRawLongBits(get(r)))
+        f.dataType match {
+          case StringType => (r: InternalRow, buf: Array[Byte]) => {
+            java.util.Arrays.fill(buf, off, off + width, ' '.toByte)
+            if (!r.isNullAt(i)) {
+              val b = r.getUTF8String(i).getBytes
+              require(b.length <= width, s"string too long for ${f.name}")
+              System.arraycopy(b, 0, buf, off, b.length)
+            }
+          }
+          case DateType => num(r => (r.getInt(i).toLong + Sas.EpochShiftDays).toDouble)
+          case TimestampNTZType | TimestampType =>
+            num(r => r.getLong(i) / 1e6 + (Sas.EpochShiftDays * Sas.SecondsPerDay).toDouble)
+          case LongType if isTime => num(r => r.getLong(i) / 1e9)
+          case ByteType => num(r => r.getByte(i).toDouble)
+          case ShortType => num(r => r.getShort(i).toDouble)
+          case IntegerType => num(r => r.getInt(i).toDouble)
+          case LongType => num(r => r.getLong(i).toDouble)
+          case FloatType => num(r => r.getFloat(i).toDouble)
+          case DoubleType => num(r => r.getDouble(i))
+          case BooleanType => num(r => if (r.getBoolean(i)) 1.0 else 0.0)
+          case dt => throw new IllegalArgumentException(
+            s"sas writer: unsupported type $dt for ${f.name}")
+        }
+      }
+    (r, buf) => {
+      var i = 0
+      while (i < fns.length) { fns(i)(r, buf); i += 1 }
+    }
+  }
+
   /** encodeRow variant writing at an offset into a larger (page) buffer. */
   private def encodeRowAt(cols: Array[Col], row: Row, buf: Array[Byte], base: Int): Unit = {
     var off = base
@@ -210,62 +381,6 @@ object SasFixtureWriter {
       }
       off += c.length
     }
-  }
-
-  def writeRows(
-      schema: StructType,
-      rows: Iterator[Row],
-      path: String,
-      stringWidths: Map[String, Int],
-      rle: Boolean,
-      rdc: Boolean = false): Long = {
-    val cols = colsFor(schema, stringWidths)
-    val rowLength = cols.map(_.length).sum
-    // rows are compressed AS THEY ARRIVE, so the buffer holds compressed
-    // bytes (≈ratio× smaller than raw); page assembly still needs them all
-    // in memory — RLE/RDC output is the fixture-grade path by design
-    val encoded = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int, Int)]()
-    val rowBuf = new Array[Byte](math.max(rowLength, 1))
-    var nRows = 0L
-    while (rows.hasNext) {
-      encodeRow(cols, rows.next(), rowBuf)
-      if (rle || rdc) {
-        val compressedFull = if (rdc) RdcEncode.encode(rowBuf) else RleEncode.encode(rowBuf)
-        val c = if (compressedFull.length < rowBuf.length) compressedFull else rowBuf.clone()
-        encoded += ((c, 4, 1))
-      } else encoded += ((rowBuf.clone(), 0, 0))
-      nRows += 1
-    }
-
-    val pageLength = math.max(8192, Integer.highestOneBit(rowLength + 512) * 2)
-    val bitOffset = 32
-    val headerLen = 1024
-
-    val compressed = rle || rdc
-    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    pages ++= buildMetaPage(cols, rowLength, nRows, pageLength, rle, rdc,
-      if (compressed) encoded.toSeq else Seq.empty)
-    if (!compressed) {
-      val rowsPerPage = (pageLength - bitOffset - 8) / rowLength
-      require(rowsPerPage > 0, "sas fixture: row too long for page")
-      encoded.grouped(rowsPerPage).foreach { group =>
-        val p = new Array[Byte](pageLength)
-        putU16(p, bitOffset, 256) // DATA
-        putU16(p, bitOffset + 2, group.length)
-        putU16(p, bitOffset + 4, 0)
-        var off = bitOffset + 8
-        group.foreach { case (r, _, _) =>
-          System.arraycopy(r, 0, p, off, rowLength); off += rowLength
-        }
-        pages += p
-      }
-    }
-
-    val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    os.write(buildHeader(headerLen, pageLength, pages.length))
-    pages.foreach(os.write)
-    os.close()
-    nRows
   }
 
   private def numeric(c: Col, row: Row, i: Int): Double = c.dataType match {
@@ -324,13 +439,25 @@ object SasFixtureWriter {
     b
   }
 
-  /** Meta page(s): dictionary subheaders (+ RLE data subheaders when rle). */
+  /** Meta page(s) holding the dictionary subheaders (uncompressed layout). */
   private def buildMetaPage(
-      cols: Array[Col], rowLength: Int, nRows: Long, pageLength: Int,
-      rle: Boolean, rdc: Boolean, encoded: Seq[(Array[Byte], Int, Int)]): Seq[Array[Byte]] = {
+      cols: Array[Col], rowLength: Int, nRows: Long, pageLength: Int): Seq[Array[Byte]] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val packer = new SubheaderPagePacker(baos, pageLength)
+    dictSubheaders(cols, rowLength, nRows, rle = false, rdc = false)
+      .foreach(s => packer.add(s, 0, s.length, comp = 0, typ = 0))
+    packer.finish()
+    baos.toByteArray.grouped(pageLength).toSeq
+  }
+
+  /** The dictionary subheaders: ROW_SIZE, COLUMN_SIZE, COLUMN_TEXT (with the
+    * compression signature when rle/rdc), COLUMN_NAME, COLUMN_ATTRS, and one
+    * FORMAT_AND_LABEL per column.
+    */
+  private def dictSubheaders(
+      cols: Array[Col], rowLength: Int, nRows: Long,
+      rle: Boolean, rdc: Boolean): Seq[Array[Byte]] = {
     val n = cols.length
-    val bitOffset = 32
-    val ptrSize = 24
 
     // column text payload: u16 remainder + (optional compression sig) + strings
     val text = new java.io.ByteArrayOutputStream()
@@ -408,45 +535,7 @@ object SasFixtureWriter {
       sub(Array(0xFE, 0xFB, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF), body)
     }
 
-    val dictSubs: Seq[(Array[Byte], Int, Int)] = // (bytes, compression, type)
-      Seq((rowSize, 0, 0), (colSize, 0, 0), (colText, 0, 0),
-        (colName, 0, 0), (colAttrs, 0, 0)) ++ fmtSubs.map(s => (s, 0, 0))
-
-    // data subheaders arrive pre-compressed from the row loop
-    val dataSubs: Seq[(Array[Byte], Int, Int)] =
-      if (!rle && !rdc) Seq.empty else encoded
-
-    // pack subheaders into pages: pointer table grows from bitOffset+8,
-    // payloads from the end of the page
-    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    var pending = (dictSubs ++ dataSubs).toList
-    while (pending.nonEmpty) {
-      val page = new Array[Byte](pageLength)
-      putU16(page, bitOffset, 0) // META
-      var count = 0
-      var top = pageLength
-      var ptrOff = bitOffset + 8
-      var fits = true
-      while (pending.nonEmpty && fits) {
-        val (bytes, comp, typ) = pending.head
-        if (ptrOff + ptrSize <= top - bytes.length) {
-          top -= bytes.length
-          System.arraycopy(bytes, 0, page, top, bytes.length)
-          putU64(page, ptrOff, top.toLong)
-          putU64(page, ptrOff + 8, bytes.length.toLong)
-          page(ptrOff + 16) = comp.toByte
-          page(ptrOff + 17) = typ.toByte
-          ptrOff += ptrSize
-          count += 1
-          pending = pending.tail
-        } else fits = false
-      }
-      require(count > 0, "sas fixture: subheader larger than page")
-      putU16(page, bitOffset + 2, count)
-      putU16(page, bitOffset + 4, count)
-      pages += page
-    }
-    pages.toSeq
+    Seq(rowSize, colSize, colText, colName, colAttrs) ++ fmtSubs
   }
 }
 

@@ -103,16 +103,37 @@ class WritePathSpec extends SparkSpec {
     assert(back.select("blob").distinct().count() === 18) // 17 values + null
   }
 
-  test("multi-partition compressed sas write is rejected with guidance") {
-    val df = spark.range(100).repartition(4).select(col("id").cast("double").as("x"))
-    val path = tmp("multi.sas7bdat")
-    val e = intercept[Exception] {
-      df.write.format("readstat").mode("overwrite")
-        .option("compression", "rle").save(path)
+  test("multi-partition compressed sas writes round-trip (rle + rdc, both paths)") {
+    // r4: RLE/RDC rows are independent subheaders, so both the DSv2 sink
+    // (driver compresses while streaming parts) and the library call
+    // (executors compress, driver concatenates) accept any partition count
+    val df = spark.range(30000).repartition(8).select(
+      col("id").cast("double").as("x"),
+      date_add(lit(java.sql.Date.valueOf("2021-06-01")), (col("id") % 200).cast("int")).as("d"),
+      concat(lit("pad_"), lit("a" * 80), col("id") % 991).as("s"))
+    def check(path: String): Unit = {
+      val back = spark.read.format("readstat").load(path)
+      assert(back.count() === 30000, path)
+      val agg = back.agg(sum("x"), countDistinct("s"), max("d")).collect()(0)
+      assert(agg.getDouble(0) === (29999.0 * 30000 / 2), path)
+      assert(agg.getLong(1) === 991, path)
+      assert(agg.get(2).toString === "2021-12-17", path)
+      assert(!new java.io.File(path + ".spill-parts").exists(), path)
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("coalesce(1)")))
+    for (codec <- Seq("rle", "rdc")) {
+      val sinkPath = tmp(s"multi_$codec.sas7bdat")
+      df.write.format("readstat").mode("overwrite")
+        .option("compression", codec).save(sinkPath)
+      check(sinkPath)
+      val libPath = tmp(s"multi_lib_$codec.sas7bdat")
+      graft.sources.readstat.sas.SasFixtureWriter.write(
+        df, libPath, rle = codec == "rle", rdc = codec == "rdc")
+      check(libPath)
+      // compression actually engaged: the padded string column is run-heavy
+      val plain = tmp(s"plain_$codec.sas7bdat")
+      df.write.format("readstat").mode("overwrite").save(plain)
+      assert(new java.io.File(sinkPath).length() < new java.io.File(plain).length() / 2)
+    }
   }
 
   test("2M-row write streams through the spill file (dates, timestamps, strings)") {
