@@ -38,6 +38,32 @@ object InformativeNulls {
   /** merged string */
   case object RMerged extends Role
 
+  /** Merged-mode renders for temporal values (r3 verdict #5: previously a
+    * documented throw). The reference merges via a Polars cast-to-String
+    * (`/root/reference/src/lib.rs:339-355`), so the render is the engine's
+    * native temporal formatting; ours is ISO-8601 with a space separator and
+    * microsecond fraction only when non-zero.
+    */
+  def renderDays(days: Int): String =
+    java.time.LocalDate.ofEpochDay(days.toLong).toString
+
+  def renderMicros(us: Long): String = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val frac = Math.floorMod(us, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
+      f" ${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    if (frac == 0L) base else base + f".$frac%06d"
+  }
+
+  /** time-of-day stored as nanos-of-day (`logical_type=time` Long columns). */
+  def renderNanosOfDay(ns: Long): String = {
+    val s = ns / 1000000000L
+    val frac = ns % 1000000000L
+    val base = f"${s / 3600}%02d:${s % 3600 / 60}%02d:${s % 60}%02d"
+    if (frac == 0L) base else base + f".${frac / 1000}%06d"
+  }
+
   def structTypeFor(valueType: DataType): StructType =
     StructType(Seq(
       StructField("value", valueType, nullable = true),

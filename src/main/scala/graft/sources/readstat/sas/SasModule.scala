@@ -75,9 +75,6 @@ object SasModule extends ReadstatFormats.FormatModule {
     meta.columns.toSeq.flatMap { c =>
       val f = sparkField(c)
       val elig = !c.isChar && opts.inTracked(c.name)
-      if (elig && mode.contains(Merged) && kindFor(c) != KNumeric)
-        throw new IllegalArgumentException(
-          s"informativeNulls=merged is not supported for date/time column '${c.name}'")
       InformativeNulls.expand(f, elig, mode, opts.informativeNullSuffix)
         .map { case (fld, role) => (fld, role, c) }
     }
@@ -269,8 +266,16 @@ object SasDecode {
           else {
             val d = decodeNumeric(row, base + c.offset, c.length, le)
             if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
-            else UTF8String.fromString(
-              graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d))
+            else UTF8String.fromString(kindFor(c) match {
+              // temporal: render the converted value, like the reference's
+              // cast-to-String merge (lib.rs:339-355)
+              case KDate => graft.sources.readstat.InformativeNulls.renderDays(dateDays(d))
+              case KDateTime =>
+                graft.sources.readstat.InformativeNulls.renderMicros(datetimeMicros(d))
+              case KTime =>
+                graft.sources.readstat.InformativeNulls.renderNanosOfDay((d * 1e9).toLong)
+              case _ => graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d)
+            })
           }
         }
       }

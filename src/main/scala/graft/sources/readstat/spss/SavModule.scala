@@ -60,9 +60,6 @@ object SavModule extends ReadstatFormats.FormatModule {
     meta.variables.toSeq.flatMap { v =>
       val f = sparkField(v, meta, opts)
       val elig = eligible(v) && opts.inTracked(v.name)
-      if (elig && mode.contains(Merged) && !v.isString && formatClass(v.formatType).isDefined)
-        throw new IllegalArgumentException(
-          s"informativeNulls=merged is not supported for date/time column '${v.name}'")
       InformativeNulls.expand(f, elig, mode, opts.informativeNullSuffix)
         .map { case (fld, role) => (fld, role, v) }
     }
@@ -148,8 +145,18 @@ final class SavDecode(meta: Sav.Metadata, opts: ReadstatOptions) {
           else {
             val d = numericOrNull(v, row, off)
             if (d == null) null
-            else UTF8String.fromString(
-              graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d.doubleValue()))
+            else UTF8String.fromString(formatClass(v.formatType) match {
+              // temporal: render the converted value, like the reference's
+              // cast-to-String merge (lib.rs:339-355)
+              case Some(FDate) => graft.sources.readstat.InformativeNulls
+                .renderDays(((d.doubleValue().toLong - SecShift) / 86400L).toInt)
+              case Some(FDateTime) => graft.sources.readstat.InformativeNulls
+                .renderMicros((d.doubleValue().toLong - SecShift) * 1000000L)
+              case Some(FTime) => graft.sources.readstat.InformativeNulls
+                .renderNanosOfDay(d.doubleValue().toLong * 1000000000L)
+              case None =>
+                graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d.doubleValue())
+            })
           }
         }
       }

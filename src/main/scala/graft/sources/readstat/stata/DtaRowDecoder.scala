@@ -106,9 +106,6 @@ object DtaRowDecoder {
         case _ => true
       }
       val eligible = numeric && !labeled && meta.header.version >= 113 && opts.inTracked(v.name)
-      if (eligible && mode.contains(Merged) && timeFormatKind(v.format, v.varType).isDefined)
-        throw new IllegalArgumentException(
-          s"informativeNulls=merged is not supported for date/time column '${v.name}'")
       InformativeNulls.expand(f, eligible, mode, opts.informativeNullSuffix)
         .map { case (fld, role) => (fld, role, v) }
     }
@@ -307,10 +304,24 @@ object DtaRowDecoder {
         case RMerged => (b, base) => {
           val k = tagOf(v.varType, b, base + off, le, rules)
           if (k >= 1) org.apache.spark.unsafe.types.UTF8String.fromString(tagLabel(k))
-          else {
-            val d = numRaw(b, base + off)
-            if (d == null) null
-            else org.apache.spark.unsafe.types.UTF8String.fromString(renderNumber(d.doubleValue()))
+          else kind match {
+            // temporal columns: render the CONVERTED value (the reference
+            // casts the decoded Date/Datetime series to String)
+            case Some(tk) =>
+              val dv = decode(b, base)
+              if (dv == null) null
+              else org.apache.spark.unsafe.types.UTF8String.fromString(tk match {
+                case KDate => graft.sources.readstat.InformativeNulls
+                  .renderDays(dv.asInstanceOf[java.lang.Integer].intValue())
+                case KDateTime => graft.sources.readstat.InformativeNulls
+                  .renderMicros(dv.asInstanceOf[java.lang.Long].longValue())
+                case KTime(_) => graft.sources.readstat.InformativeNulls
+                  .renderNanosOfDay(dv.asInstanceOf[java.lang.Long].longValue())
+              })
+            case None =>
+              val d = numRaw(b, base + off)
+              if (d == null) null
+              else org.apache.spark.unsafe.types.UTF8String.fromString(renderNumber(d.doubleValue()))
           }
         }
       }

@@ -96,6 +96,64 @@ class InformativeNullsSpec extends SparkSpec {
       Seq((Some(5.5), None), (None, Some(".A")), (None, Some(".Z")), (None, None)))
   }
 
+  test("merged mode renders date/time columns (r4: previously threw)") {
+    import scala.jdk.CollectionConverters._
+    // --- dta %td with a .a-tagged missing: write the raw int days (stata
+    // 1960 epoch), then patch the display format to %td so the reader types
+    // the column as a date — the writer has no way to emit tagged missings
+    // for DateType directly
+    val days = java.time.LocalDate.parse("2021-06-01").toEpochDay.toInt
+    val schema = StructType(Seq(StructField("d", IntegerType)))
+    val rows = Seq(Row(days + 3653), Row(0x7fffffe5 + 1), Row(null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("merged_td.dta")
+    DtaWriter.write(df, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val marker = "<formats>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val at = bytes.indexOfSlice(marker)
+    assert(at > 0)
+    val fmt = "%td".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    java.util.Arrays.fill(bytes, at + marker.length, at + marker.length + 57, 0.toByte)
+    System.arraycopy(fmt, 0, bytes, at + marker.length, fmt.length)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    // sanity: the patched column reads back as a date without the option
+    assert(spark.read.format("readstat").load(path).schema("d").dataType === DateType)
+    val mg = spark.read.format("readstat")
+      .option("informativeNulls", "merged").load(path)
+    assert(mg.schema("d").dataType === StringType)
+    assert(mg.collect().map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("2021-06-01"), Some(".a"), None))
+
+    // --- sav DATE with a declared-missing date code
+    val missRaw = (java.time.LocalDate.parse("1999-12-31").toEpochDay * 86400L +
+      12219379200L).toDouble
+    val schema2 = StructType(Seq(StructField("d", DateType)))
+    val rows2 = Seq(Row(java.sql.Date.valueOf("2021-06-01")),
+      Row(java.sql.Date.valueOf("1999-12-31")), Row(null))
+    val df2 = spark.createDataFrame(rows2.asJava, schema2)
+    val path2 = tmp("merged_date.sav")
+    SavWriter.write(df2, path2, missingValues = Map("d" -> Seq(missRaw)))
+    val mg2 = spark.read.format("readstat")
+      .option("informativeNulls", "merged").load(path2)
+    assert(mg2.schema("d").dataType === StringType)
+    assert(mg2.collect().map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("2021-06-01"), Some("13165977600"), None))
+
+    // --- sas DATETIME: value rows render, plain missing stays null
+    val schema3 = StructType(Seq(StructField("t", TimestampNTZType)))
+    val rows3 = Seq(
+      Row(java.time.LocalDateTime.parse("2021-06-01T12:34:56")),
+      Row(java.time.LocalDateTime.parse("2021-06-01T12:34:56.789")), Row(null))
+    val df3 = spark.createDataFrame(rows3.asJava, schema3)
+    val path3 = tmp("merged_dt.sas7bdat")
+    SasFixtureWriter.write(df3, path3)
+    val mg3 = spark.read.format("readstat")
+      .option("informativeNulls", "merged").load(path3)
+    assert(mg3.schema("t").dataType === StringType)
+    assert(mg3.collect().map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("2021-06-01 12:34:56"), Some("2021-06-01 12:34:56.789000"), None))
+  }
+
   test("informativeNullColumns restricts tracking") {
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", IntegerType)))
