@@ -25,7 +25,21 @@ final case class ReadstatOptions(
     /** vectorized scan (escape hatch; row path remains for coercion/structs). */
     columnar: Boolean = true,
     /** streaming source: cap files admitted per micro-batch. */
-    maxFilesPerTrigger: Option[Int] = None) extends Serializable {
+    maxFilesPerTrigger: Option[Int] = None,
+    /** scan-level narrowing, the reference's `CompressOptionsLite`
+      * (`src/lib.rs:142-161`): `option("compress", true)` narrows the scan
+      * schema like the `Compress.compressDf` library call; the per-toggle
+      * options mirror the reference's fields.
+      */
+    compress: Boolean = false,
+    /** compress: restrict narrowing to these columns (reference `cols`). */
+    compressColumns: Option[Seq[String]] = None,
+    /** compress: numeric → smallest integral (reference `compress_numeric`). */
+    compressNumeric: Boolean = true,
+    /** compress: all-midnight datetime → date (reference `datetime_to_date`). */
+    compressDatetimeToDate: Boolean = true,
+    /** compress: all-parseable string → double (reference `string_to_numeric`). */
+    compressStringToNumeric: Boolean = false) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -52,7 +66,13 @@ object ReadstatOptions {
       valueLabels = get("valueLabels"),
       variableLabels = get("variableLabels"),
       columnar = get("columnar").forall(_.toBoolean),
-      maxFilesPerTrigger = get("maxFilesPerTrigger").map(_.toInt).filter(_ > 0))
+      maxFilesPerTrigger = get("maxFilesPerTrigger").map(_.toInt).filter(_ > 0),
+      compress = get("compress").exists(_.toBoolean),
+      compressColumns =
+        get("compressColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      compressNumeric = get("compressNumeric").forall(_.toBoolean),
+      compressDatetimeToDate = get("compressDatetimeToDate").forall(_.toBoolean),
+      compressStringToNumeric = get("compressStringToNumeric").exists(_.toBoolean))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

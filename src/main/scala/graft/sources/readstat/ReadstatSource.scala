@@ -76,24 +76,36 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
       }
     }
 
-    if (!opts.inferSchema) raw
+    if (!opts.inferSchema && !opts.compress) raw
     else {
       // two-pass schema inference (reference SCHEMA_INFERENCE.md:90-108):
       // pass 1 parsed the container schema above; pass 2 scans the data via
-      // this same source (without inferSchema) and narrows with Compress's
-      // min/max/int-ness aggregation. Full integer bounds, not Stata
-      // sentinel bounds — this is source inference, not dta re-export.
+      // this same source (without the narrowing options) and narrows with
+      // Compress's min/max/int-ness aggregation. Full integer bounds, not
+      // Stata sentinel bounds — this is source inference, not dta re-export.
+      // `inferSchema` narrows everything; `compress` (the reference's
+      // CompressOptionsLite scan knob, `src/lib.rs:142-161`) narrows per its
+      // cols/numeric/datetimeToDate/stringToNumeric toggles.
       val spark = org.apache.spark.sql.SparkSession.active
       val passOpts = {
         val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
-        m.remove("inferschema"); m.remove("inferSchema"); m.remove("path"); m.remove("paths")
+        Seq("inferschema", "inferSchema", "path", "paths", "compress",
+          "compresscolumns", "compressnumeric", "compressdatetimetodate",
+          "compressstringtonumeric").foreach(m.remove)
         m
       }
       val df = spark.read.format("readstat")
         .options(scala.jdk.CollectionConverters.MapHasAsScala(passOpts).asScala.toMap)
         .load(ps: _*)
-      val narrowed = Compress.compressDf(df,
-        Compress.CompressOptions(stataBounds = false)).schema
+      val copts =
+        if (opts.inferSchema) Compress.CompressOptions(stataBounds = false)
+        else Compress.CompressOptions(
+          cols = opts.compressColumns,
+          numeric = opts.compressNumeric,
+          datetimeToDate = opts.compressDatetimeToDate,
+          stringToNumeric = opts.compressStringToNumeric,
+          stataBounds = false)
+      val narrowed = Compress.compressDf(df, copts).schema
       // casts drop field metadata (formats/labels) — restore from the raw parse
       StructType(narrowed.fields.map { f =>
         raw.fields.find(_.name == f.name)

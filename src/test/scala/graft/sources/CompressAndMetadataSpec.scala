@@ -48,6 +48,45 @@ class CompressAndMetadataSpec extends SparkSpec {
     assert(Compress.compressDf(df).schema("ts").dataType === TimestampNTZType)
   }
 
+  test("option(compress) narrows the scan like the library call (r4)") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("small", DoubleType), StructField("wide", DoubleType),
+      StructField("ts", TimestampNTZType), StructField("numstr", StringType)))
+    val rows = Seq(
+      Row(100.0, 3e9, java.time.LocalDateTime.parse("2020-01-01T00:00"), "12.5"),
+      Row(-100.0, -3e9, java.time.LocalDateTime.parse("2021-06-15T00:00"), "7"))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("copt.dta")
+    DtaWriter.write(df, path)
+
+    // default toggles: numeric + datetimeToDate on, stringToNumeric off —
+    // matches Compress.compressDf defaults with full (non-Stata) bounds
+    val c1 = spark.read.format("readstat").option("compress", "true").load(path)
+    val t1 = c1.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(t1("small") === ByteType)
+    assert(t1("wide") === DoubleType)
+    assert(t1("ts") === DateType)
+    assert(t1("numstr") === StringType)
+    assert(c1.count() === 2)
+
+    // cols restriction: only the named column narrows
+    val c2 = spark.read.format("readstat")
+      .option("compress", "true").option("compressColumns", "ts").load(path)
+    val t2 = c2.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(t2("small") === DoubleType)
+    assert(t2("ts") === DateType)
+
+    // stringToNumeric toggle
+    val c3 = spark.read.format("readstat")
+      .option("compress", "true").option("compressStringToNumeric", "true")
+      .option("compressDatetimeToDate", "false").load(path)
+    val t3 = c3.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(t3("numstr") === DoubleType)
+    assert(t3("ts") === TimestampNTZType)
+    assert(c3.select("numstr").collect().map(_.getDouble(0)).sorted.toSeq === Seq(7.0, 12.5))
+  }
+
   test("metadata probe returns per-column facts without reading data") {
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(
