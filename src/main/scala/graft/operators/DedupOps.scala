@@ -139,14 +139,15 @@ object DedupOps {
       // intersect join) — uncached, the whole 2-md5-per-shingle signature
       // chain runs twice; `shc` feeds three (counts + both join sides) —
       // uncached, tokenize+shingle+explode runs three more times.
-      val sh = shingles(s, d)
       val cand = lshCandidates(rawShingles(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // only candidate docs matter for the verify stage: semi-filter the
-      // shingle table once on the (small) candidate id set, then every
-      // downstream join and count is candidate-sized, not corpus-sized
+      // only candidate docs matter for the verify stage: semi-filter the RAW
+      // shingle table on the (small) candidate id set BEFORE the distinct,
+      // so the dedup shuffle — and every downstream join and count — is
+      // candidate-sized, not corpus-sized (filter-then-distinct ≡
+      // distinct-then-filter on a per-doc predicate)
       val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-      val shc = sh.join(broadcast(ids), "doc_id")
+      val shc = rawShingles(s, d).join(broadcast(ids), "doc_id").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
