@@ -8,12 +8,44 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Large-file scan benchmark (BASELINE.md sanity bar: ≥100 MB/s/core):
-  * generates a ~1 GB uncompressed `.dta` and `.sas7bdat` once (cached in
-  * /tmp across runs), then times a full-column read and a 3-column
-  * projection through the DSv2 source. Emitted as the `scan` section of
-  * Bench's JSON line, in MB/s/core (wall throughput / cores).
+  * generates a ~1 GB-per-8-cores uncompressed `.dta` and `.sas7bdat` once
+  * (cached in /tmp across runs), then times a full-column read and a
+  * 3-column projection through the DSv2 source. Emitted as the `scan`
+  * section of Bench's JSON line, in MB/s/core (wall throughput / cores).
+  *
+  * Measurement shape (r5): the timed load lists the file `scanFiles`=4
+  * times, so one measurement decodes ~17 GB across ~540 tasks. At 32 cores
+  * a single ~4 GB file finishes in 0.6–0.9 s, where the ~0.2 s per-job
+  * constant (planning, scheduling, result collection) and machine
+  * memory-bandwidth jitter swamp the decode rate — r4's apparent 20–25%
+  * "full-scan regression" reproduced on NEITHER r3 nor r4 code when
+  * re-measured on one machine (r3 e9be562: 161–171 dta; r4 HEAD: 158–191
+  * dta, overlapping bands). The sustained multi-file number is stable
+  * (±2% across runs) and is the cluster-relevant shape: a 100 TB load is
+  * many files scanned back-to-back, not one short job. `scan_files` in the
+  * JSON records the multiplier; sizes/rates are per total bytes decoded.
   */
 object ScanBench {
+
+  /** Standalone runner (`runMain graft.ScanBench`): scan numbers without the
+    * 50-query Bench preamble, so throughput regressions are bisectable in
+    * isolation (r4 verdict "what's wrong" #1/#2 — Bench-embedded scans
+    * inherit the query suite's heap state and machine contention).
+    */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = run(spark, cpus.toInt)
+    println(out.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
 
   private val dir = new File("/tmp/graft_bigscan")
   private val baseRows = 9000000 // ~120 B/row → ~1.05 GB per file
@@ -57,13 +89,15 @@ object ScanBench {
       sources.readstat.sas.SasFixtureWriter.writeRowsStreaming(
         schema, rowIter(nRows), p, widths, nRows.toLong))
 
+    val scanFiles = 4
     val out = scala.collection.mutable.Map[String, Double]()
+    out("scan_files") = scanFiles.toDouble
     for (f <- Seq(dta, sas)) {
       val fmt = if (f.getName.endsWith(".dta")) "dta" else "sas"
-      val sizeMb = f.length() / 1e6
+      val sizeMb = f.length() / 1e6 * scanFiles
       def read() = spark.read.format("readstat")
         .option("maxPartitionBytes", (32L * 1024 * 1024).toString)
-        .load(f.getPath)
+        .load(Seq.fill(scanFiles)(f.getPath): _*)
       // warm-up: metadata parse + page cache (the reference's baseline also
       // times an already-opened reader)
       read().count()

@@ -64,6 +64,27 @@ object InformativeNulls {
     if (frac == 0L) base else base + f".${frac / 1000}%06d"
   }
 
+  /** Fail fast when a `<col><suffix>` indicator name collides with a real
+    * column in the file (reference `check_informative_null_collisions`,
+    * `src/lib.rs:165-183` — called in every mode, `src/sas/polars_output.rs:
+    * 819-820`): a file with a column literally named `x_null` plus
+    * informativeNulls on `x` must error, not emit duplicate column names.
+    */
+  def checkCollisions(
+      allNames: Seq[String],
+      eligibleTracked: Seq[String],
+      mode: Option[Mode],
+      suffix: String): Unit = {
+    if (mode.isEmpty) return
+    val existing = allNames.toSet
+    eligibleTracked.foreach { n =>
+      val ind = n + suffix
+      if (existing.contains(ind)) throw new IllegalArgumentException(
+        s"readstat: informative null indicator column '$ind' conflicts with " +
+          "an existing column; choose a different informativeNullSuffix")
+    }
+  }
+
   def structTypeFor(valueType: DataType): StructType =
     StructType(Seq(
       StructField("value", valueType, nullable = true),

@@ -72,6 +72,10 @@ object SasModule extends ReadstatFormats.FormatModule {
 
   def fieldsWithRoles(meta: Metadata, opts: ReadstatOptions): Seq[(StructField, Role, Column)] = {
     val mode = opts.inMode
+    InformativeNulls.checkCollisions(
+      meta.columns.map(_.name).toSeq,
+      meta.columns.filter(c => !c.isChar && opts.inTracked(c.name)).map(_.name).toSeq,
+      mode, opts.informativeNullSuffix)
     meta.columns.toSeq.flatMap { c =>
       val f = sparkField(c)
       val elig = !c.isChar && opts.inTracked(c.name)
@@ -260,24 +264,27 @@ object SasDecode {
         case RStruct => (row, base) =>
           new GenericInternalRow(
             Array[Any](valueDecode(row, base), indicatorFor(c, le, row, base)))
-        case RMerged => (row, base) => {
-          val ind = indicatorFor(c, le, row, base)
-          if (ind != null) ind
-          else {
-            val d = decodeNumeric(row, base + c.offset, c.length, le)
-            if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
-            else UTF8String.fromString(kindFor(c) match {
-              // temporal: render the converted value, like the reference's
-              // cast-to-String merge (lib.rs:339-355)
-              case KDate => graft.sources.readstat.InformativeNulls.renderDays(dateDays(d))
-              case KDateTime =>
-                graft.sources.readstat.InformativeNulls.renderMicros(datetimeMicros(d))
-              case KTime =>
-                graft.sources.readstat.InformativeNulls.renderNanosOfDay((d * 1e9).toLong)
-              case _ => graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d)
-            })
+        case RMerged =>
+          // per-COLUMN render closure — the kind dispatch resolves once, not
+          // per value (r4 verdict #1). Temporal: render the converted value,
+          // like the reference's cast-to-String merge (lib.rs:339-355).
+          val render: Double => String = kindFor(c) match {
+            case KDate => d => graft.sources.readstat.InformativeNulls.renderDays(dateDays(d))
+            case KDateTime =>
+              d => graft.sources.readstat.InformativeNulls.renderMicros(datetimeMicros(d))
+            case KTime =>
+              d => graft.sources.readstat.InformativeNulls.renderNanosOfDay((d * 1e9).toLong)
+            case _ => d => graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d)
           }
-        }
+          (row, base) => {
+            val ind = indicatorFor(c, le, row, base)
+            if (ind != null) ind
+            else {
+              val d = decodeNumeric(row, base + c.offset, c.length, le)
+              if (missingDouble(java.lang.Double.doubleToRawLongBits(d))) null
+              else UTF8String.fromString(render(d))
+            }
+          }
       }
       Plan(c, decode)
     }

@@ -57,6 +57,10 @@ object SavModule extends ReadstatFormats.FormatModule {
 
   def fieldsWithRoles(meta: Metadata, opts: ReadstatOptions): Seq[(StructField, Role, Variable)] = {
     val mode = opts.inMode
+    InformativeNulls.checkCollisions(
+      meta.variables.map(_.name).toSeq,
+      meta.variables.filter(v => eligible(v) && opts.inTracked(v.name)).map(_.name).toSeq,
+      mode, opts.informativeNullSuffix)
     meta.variables.toSeq.flatMap { v =>
       val f = sparkField(v, meta, opts)
       val elig = eligible(v) && opts.inTracked(v.name)
@@ -138,27 +142,31 @@ final class SavDecode(meta: Sav.Metadata, opts: ReadstatOptions) {
         case RStruct => row =>
           new GenericInternalRow(
             Array[Any](valueDecode(row), indicatorFor(v, row, off)))
-        case RMerged => row => {
-          val ind = indicatorFor(v, row, off)
-          if (ind != null) ind
-          else if (v.isString) valueDecode(row)
-          else {
-            val d = numericOrNull(v, row, off)
-            if (d == null) null
-            else UTF8String.fromString(formatClass(v.formatType) match {
-              // temporal: render the converted value, like the reference's
-              // cast-to-String merge (lib.rs:339-355)
-              case Some(FDate) => graft.sources.readstat.InformativeNulls
-                .renderDays(((d.doubleValue().toLong - SecShift) / 86400L).toInt)
-              case Some(FDateTime) => graft.sources.readstat.InformativeNulls
-                .renderMicros((d.doubleValue().toLong - SecShift) * 1000000L)
-              case Some(FTime) => graft.sources.readstat.InformativeNulls
-                .renderNanosOfDay(d.doubleValue().toLong * 1000000000L)
-              case None =>
-                graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d.doubleValue())
-            })
+        case RMerged =>
+          // per-COLUMN render closure — the format-class dispatch resolves
+          // once, not per value (r4 verdict #1). Temporal: render the
+          // converted value, like the reference's cast-to-String merge
+          // (lib.rs:339-355).
+          val render: Double => String = formatClass(v.formatType) match {
+            case Some(FDate) => d => graft.sources.readstat.InformativeNulls
+              .renderDays(((d.toLong - SecShift) / 86400L).toInt)
+            case Some(FDateTime) => d => graft.sources.readstat.InformativeNulls
+              .renderMicros((d.toLong - SecShift) * 1000000L)
+            case Some(FTime) => d => graft.sources.readstat.InformativeNulls
+              .renderNanosOfDay(d.toLong * 1000000000L)
+            case None =>
+              d => graft.sources.readstat.stata.DtaRowDecoder.renderNumber(d)
           }
-        }
+          row => {
+            val ind = indicatorFor(v, row, off)
+            if (ind != null) ind
+            else if (v.isString) valueDecode(row)
+            else {
+              val d = numericOrNull(v, row, off)
+              if (d == null) null
+              else UTF8String.fromString(render(d.doubleValue()))
+            }
+          }
       }
       Plan(v, off, decode)
     }

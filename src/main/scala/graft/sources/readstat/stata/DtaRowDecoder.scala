@@ -97,7 +97,7 @@ object DtaRowDecoder {
     */
   def fieldsWithRoles(meta: Metadata, opts: ReadstatOptions): Seq[(StructField, Role, Variable)] = {
     val mode = opts.inMode
-    meta.variables.toSeq.flatMap { v =>
+    val expanded = meta.variables.toSeq.map { v =>
       val labeled = opts.valueLabelsAsStrings && v.valueLabelName.exists(n =>
         meta.valueLabels.get(n).exists(_.nonEmpty))
       val f = sparkField(v, opts, labeled)
@@ -106,6 +106,13 @@ object DtaRowDecoder {
         case _ => true
       }
       val eligible = numeric && !labeled && meta.header.version >= 113 && opts.inTracked(v.name)
+      (v, f, eligible)
+    }
+    InformativeNulls.checkCollisions(
+      meta.variables.map(_.name).toSeq,
+      expanded.collect { case (v, _, true) => v.name },
+      mode, opts.informativeNullSuffix)
+    expanded.flatMap { case (v, f, eligible) =>
       InformativeNulls.expand(f, eligible, mode, opts.informativeNullSuffix)
         .map { case (fld, role) => (fld, role, v) }
     }
@@ -301,29 +308,43 @@ object DtaRowDecoder {
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](decode(b, base), ind))
         }
-        case RMerged => (b, base) => {
-          val k = tagOf(v.varType, b, base + off, le, rules)
-          if (k >= 1) org.apache.spark.unsafe.types.UTF8String.fromString(tagLabel(k))
-          else kind match {
-            // temporal columns: render the CONVERTED value (the reference
-            // casts the decoded Date/Datetime series to String)
-            case Some(tk) =>
+        case RMerged =>
+          // per-COLUMN render closure: the temporal-kind dispatch resolves
+          // once here, not per value (r4 verdict #1). Temporal columns
+          // render the CONVERTED value (the reference casts the decoded
+          // Date/Datetime series to String).
+          val render: (Array[Byte], Int) => String = kind match {
+            case Some(KDate) => (b, base) => {
               val dv = decode(b, base)
               if (dv == null) null
-              else org.apache.spark.unsafe.types.UTF8String.fromString(tk match {
-                case KDate => graft.sources.readstat.InformativeNulls
-                  .renderDays(dv.asInstanceOf[java.lang.Integer].intValue())
-                case KDateTime => graft.sources.readstat.InformativeNulls
-                  .renderMicros(dv.asInstanceOf[java.lang.Long].longValue())
-                case KTime(_) => graft.sources.readstat.InformativeNulls
-                  .renderNanosOfDay(dv.asInstanceOf[java.lang.Long].longValue())
-              })
-            case None =>
+              else graft.sources.readstat.InformativeNulls
+                .renderDays(dv.asInstanceOf[java.lang.Integer].intValue())
+            }
+            case Some(KDateTime) => (b, base) => {
+              val dv = decode(b, base)
+              if (dv == null) null
+              else graft.sources.readstat.InformativeNulls
+                .renderMicros(dv.asInstanceOf[java.lang.Long].longValue())
+            }
+            case Some(KTime(_)) => (b, base) => {
+              val dv = decode(b, base)
+              if (dv == null) null
+              else graft.sources.readstat.InformativeNulls
+                .renderNanosOfDay(dv.asInstanceOf[java.lang.Long].longValue())
+            }
+            case None => (b, base) => {
               val d = numRaw(b, base + off)
-              if (d == null) null
-              else org.apache.spark.unsafe.types.UTF8String.fromString(renderNumber(d.doubleValue()))
+              if (d == null) null else renderNumber(d.doubleValue())
+            }
           }
-        }
+          (b, base) => {
+            val k = tagOf(v.varType, b, base + off, le, rules)
+            if (k >= 1) org.apache.spark.unsafe.types.UTF8String.fromString(tagLabel(k))
+            else {
+              val s = render(b, base)
+              if (s == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            }
+          }
       }
       ColPlan(f, off, finalDecode)
     }

@@ -154,6 +154,29 @@ class InformativeNullsSpec extends SparkSpec {
       Seq(Some("2021-06-01 12:34:56"), Some("2021-06-01 12:34:56.789000"), None))
   }
 
+  test("indicator name colliding with a real column errors (ref lib.rs:165-183)") {
+    import scala.jdk.CollectionConverters._
+    // a file that REALLY contains `x_null` next to `x`: the default suffix
+    // would duplicate the name, so the read must fail naming the collision
+    val schema = StructType(Seq(StructField("x", IntegerType), StructField("x_null", IntegerType)))
+    val df = spark.createDataFrame(Seq(Row(1, 2)).asJava, schema)
+    val path = tmp("collide.dta")
+    DtaWriter.write(df, path)
+    val e = intercept[Exception] {
+      spark.read.format("readstat")
+        .option("informativeNulls", "separate").load(path).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null)).mkString(" | ")
+    assert(rootMsg(e).contains("x_null"))
+    // a different suffix avoids the collision
+    val ok = spark.read.format("readstat")
+      .option("informativeNulls", "separate")
+      .option("informativeNullSuffix", "_miss").load(path)
+    assert(ok.columns.toSeq === Seq("x", "x_miss", "x_null", "x_null_miss"))
+  }
+
   test("informativeNullColumns restricts tracking") {
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", IntegerType)))
