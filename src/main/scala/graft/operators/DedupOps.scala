@@ -28,12 +28,18 @@ object DedupOps {
     */
   val maxShingleDf = 100
 
+  /** doc_id, sh — the word-3-gram shingle ARRAY per document (duplicates
+    * kept; callers distinct/explode as needed).
+    */
+  private def withShingleArray(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))").as("sh"))
+
   /** doc_id, s — word-3-gram shingles per document (with duplicates). */
   private def rawShingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")).as("s"))
+    withShingleArray(documents(s, d)).select(col("doc_id"), explode(col("sh")).as("s"))
 
   /** distinct variant for the set-based Jaccard math. */
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -88,14 +94,14 @@ object DedupOps {
     }),
 
     // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
-    // collide on any band. The 8 lanes are 8-hex-char slices of TWO md5s
-    // per shingle (not 8 separate md5s) — 4× less hashing on the hot path,
-    // identical minwise semantics: each lane is an independent uniform
-    // hash of the shingle.
+    // collide on any band. The 8 lanes are 4-hex-char (16-bit) slices of
+    // ONE md5 per shingle (r4 verdict #2: was two md5s), and the per-doc
+    // lane minima are computed on the shingle ARRAY with
+    // array_min(transform(...)) — no explode, no signature shuffle
+    // (measured 5× on the chain: 0.53 → 0.10 s at sf0.1). min() is
+    // duplicate-insensitive, so shingle duplicates need no dedup first.
     "q35_minhash_lsh" -> ((s, d) => {
-      // no .distinct() before the signature: min() is duplicate-insensitive,
-      // so skipping the dedup shuffle changes nothing (oracle keeps DISTINCT)
-      lshCandidates(rawShingles(s, d)).orderBy("id_a", "id_b")
+      lshCandidates(documents(s, d)).orderBy("id_a", "id_b")
     }),
 
     // SimHash (16-bit, md5-nibble-derived) per document + near-dup pairs at
@@ -131,34 +137,31 @@ object DedupOps {
     // (q34's math) — quadratic work only inside LSH buckets, never across
     // the corpus. Fills the q40 numbering gap.
     "q40_lsh_jaccard_verified" -> ((s, d) => {
-      // the corpus-sized shingle table is deliberately NOT persisted: the
-      // signature stage streams it once, and caching it to serve the tiny
-      // verify slice costs more than the recompute (measured 3.1s → 9.4s at
-      // sf0.1). What IS persisted is everything candidate-bounded (r3
-      // verdict #1): `cand` feeds two consumers (the id set and the
-      // intersect join) — uncached, the whole 2-md5-per-shingle signature
-      // chain runs twice; `shc` feeds three (counts + both join sides) —
-      // uncached, tokenize+shingle+explode runs three more times.
-      val cand = lshCandidates(rawShingles(s, d))
+      // Everything candidate-bounded is persisted (r3 verdict #1): `cand`
+      // feeds two consumers (the id set and the verify join) — uncached,
+      // the whole signature chain runs twice; `sharr` feeds both join
+      // sides. The corpus-sized stages run exactly once.
+      val cand = lshCandidates(documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // only candidate docs matter for the verify stage: semi-filter the RAW
-      // shingle table on the (small) candidate id set BEFORE the distinct,
-      // so the dedup shuffle — and every downstream join and count — is
-      // candidate-sized, not corpus-sized (filter-then-distinct ≡
-      // distinct-then-filter on a per-doc predicate)
+      // only candidate docs matter for the verify stage: filter DOCUMENTS on
+      // the (small) candidate id set BEFORE tokenizing, so the second
+      // shingle pass is candidate-sized, not corpus-sized.
       val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-      val shc = rawShingles(s, d).join(broadcast(ids), "doc_id").distinct()
+      // exact Jaccard per candidate pair on the per-doc DISTINCT shingle
+      // array (r5): |A∩B| = size(array_intersect) right in the pair row —
+      // no exploded shingle table, no counts aggregation, no count joins.
+      // Sound at scale because doc length is bounded (arrays are
+      // shingle-count-sized) while the corpus is not; the expensive
+      // dimension stays candidate-bounded.
+      val sharr = withShingleArray(documents(s, d).join(broadcast(ids), "doc_id"))
+        .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(shc.select(col("doc_id").as("id_a"), col("s")), "id_a")
-        .join(shc.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+      cand
+        .join(sharr.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+        .join(sharr.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jacc",
+          col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
         .orderBy("id_a", "id_b")
@@ -213,24 +216,32 @@ object DedupOps {
   }
 
   /** MinHash signature → 4 band keys → colliding (id_a, id_b) candidate
-    * pairs. Works on raw or distinct shingles identically (min() is
-    * duplicate-insensitive). Shared by q35 and q40's composition.
+    * pairs. Shared by q35 and q40's composition.
+    *
+    * The signature never leaves the document row: shingle → md5 → 8
+    * lane-minima all happen inside one projection over the shingle array
+    * (`array_min(transform(...))`), so the only shuffle in the whole
+    * operator is the band-bucket self-join. At 100 TB that matters: the
+    * explode-and-groupBy formulation shuffles one row per shingle
+    * OCCURRENCE (~corpus token count); this shuffles one row per doc.
     */
-  private def lshCandidates(sh0: DataFrame): DataFrame = {
-    val sh = sh0
-      .withColumn("ma", md5(concat(lit("a|"), col("s"))))
-      .withColumn("mb", md5(concat(lit("b|"), col("s"))))
-    val sigAggs = (0 until nHashes).map { i =>
-      val src = if (i < 4) "ma" else "mb"
-      min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"h$i")
-    }
-    val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  private def lshCandidates(docs: DataFrame): DataFrame = {
+    val sig = withShingleArray(docs)
+      .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("ms"))
+      .select(Seq(col("doc_id")) ++ (0 until nHashes).map(i =>
+        expr(s"array_min(transform(ms, m -> substring(m, ${1 + 4 * i}, 4)))").as(s"h$i")): _*)
+    // persisted: the band self-join consumes `banded` on BOTH sides and the
+    // union-of-4-selects defeats Spark's exchange reuse (no ReusedExchange
+    // in the executed plan — r4 verdict #6), so without the cache the whole
+    // corpus-sized shingle+signature chain runs twice. One row per doc
+    // (doc_id + 4 hashes), MEMORY_AND_DISK spills.
     val banded = sig.select(
       col("doc_id"),
       md5(concat(col("h0"), col("h1"))).as("b0"),
       md5(concat(col("h2"), col("h3"))).as("b1"),
       md5(concat(col("h4"), col("h5"))).as("b2"),
       md5(concat(col("h6"), col("h7"))).as("b3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = (0 until 4).map(i =>
       banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
       .reduce(_.unionByName(_))
@@ -242,11 +253,18 @@ object DedupOps {
       .distinct()
   }
 
-  private val minhashAggs =
-    (0 until nHashes).map { i =>
-      val src = if (i < 4) "ma" else "mb"
-      s"min(substr($src, ${1 + 8 * (i % 4)}, 8)) AS h$i"
-    }.mkString(", ")
+  /** DuckDB mirror of the array-based signature: per-doc md5 list, 8
+    * list_min lane minima (lockstep with `lshCandidates`).
+    */
+  private val duckSig =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       msig AS (SELECT doc_id,
+           list_transform(range(1, greatest(len(t)-1, 2)),
+                          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ms
+         FROM toks),
+       sig AS (SELECT doc_id, ${(0 until nHashes).map(i =>
+             s"list_min(list_transform(ms, m -> substr(m, ${1 + 4 * i}, 4))) AS h$i").mkString(", ")}
+         FROM msig)"""
 
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -271,9 +289,7 @@ object DedupOps {
          ORDER BY id_a, id_b""",
 
     "q35_minhash_lsh" ->
-      s"""WITH sh0 AS ($duckShingles),
-         sh AS (SELECT doc_id, md5('a|' || s) AS ma, md5('b|' || s) AS mb FROM sh0),
-         sig AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+      s"""WITH $duckSig,
          banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
                            md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
          buckets AS (
@@ -288,8 +304,7 @@ object DedupOps {
 
     "q40_lsh_jaccard_verified" ->
       s"""WITH sh AS ($duckShingles),
-         shm AS (SELECT doc_id, md5('a|' || s) AS ma, md5('b|' || s) AS mb FROM sh),
-         sig AS (SELECT doc_id, $minhashAggs FROM shm GROUP BY doc_id),
+         $duckSig,
          banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
                            md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
          buckets AS (
