@@ -22,6 +22,16 @@ final case class ReadstatOptions(
     valueLabels: Option[String] = None,
     /** sink: JSON `{"col":"Column label",...}`. */
     variableLabels: Option[String] = None,
+    /** sav sink: JSON `{"col":[97,99],...}` — declared numeric missings. */
+    missingValues: Option[String] = None,
+    /** sav sink: JSON `{"col":{"val":"label",...},...}` — long-string value
+      * labels (subtype 21).
+      */
+    stringValueLabels: Option[String] = None,
+    /** sav sink: JSON `{"col":["NA","??"],...}` — long-string missings
+      * (subtype 22).
+      */
+    stringMissingValues: Option[String] = None,
     /** vectorized scan (escape hatch; row path remains for coercion/structs). */
     columnar: Boolean = true,
     /** streaming source: cap files admitted per micro-batch. */
@@ -65,6 +75,9 @@ object ReadstatOptions {
       compression = get("compression").map(_.toLowerCase).filter(_ != "none"),
       valueLabels = get("valueLabels"),
       variableLabels = get("variableLabels"),
+      missingValues = get("missingValues"),
+      stringValueLabels = get("stringValueLabels"),
+      stringMissingValues = get("stringMissingValues"),
       columnar = get("columnar").forall(_.toBoolean),
       maxFilesPerTrigger = get("maxFilesPerTrigger").map(_.toInt).filter(_ > 0),
       compress = get("compress").exists(_.toBoolean),

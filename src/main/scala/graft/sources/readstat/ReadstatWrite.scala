@@ -72,7 +72,11 @@ class ReadstatBatchWrite(path: String, schema: StructType, opts: ReadstatOptions
             schema, parts, widths, local,
             compress = zsav || opts.compression.contains("bytecode"),
             valueLabels = vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toDouble -> v } },
-            zsav = zsav)
+            zsav = zsav,
+            missingValues = ReadstatWriteSupport.parseListMap(opts.missingValues)
+              .map { case (c, vs) => c -> vs.map(_.toDouble) },
+            stringValueLabels = ReadstatWriteSupport.parseLabelMap(opts.stringValueLabels),
+            stringMissingValues = ReadstatWriteSupport.parseListMap(opts.stringMissingValues))
         case "sas7bdat" =>
           val rdc = opts.compression.contains("rdc")
           if (rdc || opts.compression.contains("rle"))
@@ -248,11 +252,17 @@ object ReadstatWriteSupport {
       path: String,
       compress: Boolean,
       valueLabels: Map[String, Map[Double, String]],
-      zsav: Boolean): Long = {
+      zsav: Boolean,
+      missingValues: Map[String, Seq[Double]] = Map.empty,
+      stringValueLabels: Map[String, Map[String, String]] = Map.empty,
+      stringMissingValues: Map[String, Seq[String]] = Map.empty): Long = {
     import spss.SavWriter
     val specs = SavWriter.buildSpecs(schema, widths)
     val isString = schema.fields.map(_.dataType == StringType)
-    SavWriter.writeFramed(schema, specs, path, compress, valueLabels, zsav = zsav) { sink =>
+    SavWriter.writeFramed(schema, specs, path, compress, valueLabels,
+      missingValues = missingValues, zsav = zsav,
+      stringValueLabels = stringValueLabels,
+      stringMissingValues = stringMissingValues) { sink =>
       var n = 0L
       parts.foreach { m =>
         val in = partStream(m)
@@ -394,6 +404,22 @@ object ReadstatWriteSupport {
         val it2 = e.getValue.fields()
         while (it2.hasNext) { val f = it2.next(); inner += f.getKey -> f.getValue.asText() }
         cols += e.getKey -> inner.result()
+      }
+      cols.result()
+    }.getOrElse(Map.empty)
+
+  /** JSON `{"col":["a","b"],...}` → map of lists (values as text). */
+  def parseListMap(js: Option[String]): Map[String, Seq[String]] =
+    js.map { s =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(s)
+      val cols = Map.newBuilder[String, Seq[String]]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val arr = e.getValue
+        require(arr.isArray, s"expected JSON array for ${e.getKey}")
+        cols += e.getKey -> (0 until arr.size()).map(i => arr.get(i).asText())
       }
       cols.result()
     }.getOrElse(Map.empty)

@@ -357,9 +357,12 @@ object SasDecode {
       import graft.sources.readstat.RowFilter
       val roles = SasModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
       val names = filters.flatMap(RowFilter.referenced).flatten.distinct
+      // role-AWARE decode (r5 fix, same as sav): filters on informative-null
+      // indicator/merged columns must evaluate the rendered column, not the
+      // raw value — otherwise decode-skip drops every matching row
       val fdec = names.map { n =>
-        val (_, _, c) = roles(n)
-        n -> decoderFor(c, meta, opts)
+        val (fld, _, _) = roles(n)
+        n -> rowPlans(meta, opts, StructType(Seq(fld))).head.decode
       }.toMap
       (buf: Array[Byte], base: Int) => {
         val value = (n: String) => fdec(n)(buf, base)

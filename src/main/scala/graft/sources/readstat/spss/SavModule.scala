@@ -217,9 +217,14 @@ final class SavDecode(meta: Sav.Metadata, opts: ReadstatOptions) {
       import graft.sources.readstat.RowFilter
       val roles = SavModule.fieldsWithRoles(meta, opts).map(t => t._1.name -> t).toMap
       val names = filters.flatMap(RowFilter.referenced).flatten.distinct
+      // role-AWARE decode (r5 fix): a filter on an informative-null
+      // indicator/merged column must evaluate that column's rendered value,
+      // not the underlying raw value — the raw decoder yields null exactly
+      // where the indicator is non-null, so decode-skip dropped every
+      // matching row
       val fdec = names.map { n =>
-        val (_, _, v) = roles(n)
-        n -> decoderFor(v, v.offsetSegments * 8)
+        val (fld, _, _) = roles(n)
+        n -> plans(StructType(Seq(fld))).head.decode
       }.toMap
       (row: Array[Byte]) => {
         val value = (n: String) => fdec(n)(row)

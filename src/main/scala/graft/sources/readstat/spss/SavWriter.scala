@@ -4,7 +4,6 @@ import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.{col, max, octet_length}
 import org.apache.spark.sql.types._
 
 /** SPSS `.sav` writer (S9 in SURVEY.md §2.1): header, variable records with
@@ -98,6 +97,13 @@ object SavWriter {
     }
   }
 
+  /** All cases route through the distributed DSv2 sink (r4 verdict #3 —
+    * declared missings / string labels / string missings previously fell
+    * back to a driver-side `toLocalIterator` row loop, the last
+    * driver-bottleneck write path): executors encode part buffers in
+    * parallel; the driver frames the container and threads the extras into
+    * the variable-record / subtype-21 / subtype-22 framing.
+    */
   def write(
       df: DataFrame,
       path: String,
@@ -107,35 +113,48 @@ object SavWriter {
       stringValueLabels: Map[String, Map[String, String]] = Map.empty,
       stringMissingValues: Map[String, Seq[String]] = Map.empty): Unit = {
     val zsav = path.toLowerCase.endsWith(".zsav")
-    if (missingValues.isEmpty && stringValueLabels.isEmpty && stringMissingValues.isEmpty) {
-      // common case goes through the distributed DSv2 sink: executors
-      // encode part buffers in parallel, the driver frames and concatenates
-      var w = df.write.format("readstat").mode("overwrite")
-      if (compress && !zsav) w = w.option("compression", "bytecode")
-      if (valueLabels.nonEmpty)
-        w = w.option("valueLabels", graft.sources.readstat.stata.DtaWriter.labelsJson(
-          valueLabels.map { case (c, m) =>
-            c -> m.map { case (k, v) => k.toString -> v }
-          }))
-      w.save(path)
-      return
-    }
-    // fixture-grade extras (declared missings, string labels) keep the
-    // driver-side row path
-    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    val widths: Map[String, Int] =
-      if (strCols.isEmpty) Map.empty
-      else {
-        val aggs = strCols.map(c => max(octet_length(col(c))).as(c))
-        val r = df.select(aggs.toIndexedSeq: _*).collect()(0)
-        strCols.zipWithIndex.map { case (c, i) =>
-          c -> (if (r.isNullAt(i)) 1 else r.getInt(i))
-        }.toMap
+    var w = df.write.format("readstat").mode("overwrite")
+    if (compress && !zsav) w = w.option("compression", "bytecode")
+    if (valueLabels.nonEmpty)
+      w = w.option("valueLabels", graft.sources.readstat.stata.DtaWriter.labelsJson(
+        valueLabels.map { case (c, m) =>
+          c -> m.map { case (k, v) => k.toString -> v }
+        }))
+    if (missingValues.nonEmpty)
+      w = w.option("missingValues", jsonListMap(missingValues.map {
+        case (c, vs) => c -> vs.map(v => v: Any)
+      }))
+    if (stringValueLabels.nonEmpty)
+      w = w.option("stringValueLabels", jsonNestedMap(stringValueLabels))
+    if (stringMissingValues.nonEmpty)
+      w = w.option("stringMissingValues", jsonListMap(stringMissingValues.map {
+        case (c, vs) => c -> vs.map(v => v: Any)
+      }))
+    w.save(path)
+  }
+
+  private def jsonListMap(m: Map[String, Seq[Any]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    m.foreach { case (c, vs) =>
+      val arr = root.putArray(c)
+      vs.foreach {
+        case d: Double => arr.add(d)
+        case s: String => arr.add(s)
+        case x => arr.add(x.toString)
       }
-    import scala.jdk.CollectionConverters._
-    writeRows(df.schema, df.toLocalIterator().asScala, path, widths,
-      compress || zsav, valueLabels, missingValues, zsav,
-      stringValueLabels, stringMissingValues)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def jsonNestedMap(m: Map[String, Map[String, String]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    m.foreach { case (c, inner) =>
+      val o = root.putObject(c)
+      inner.foreach { case (k, v) => o.put(k, v) }
+    }
+    mapper.writeValueAsString(root)
   }
 
   def writeRows(

@@ -46,6 +46,44 @@ class FilterPushdownSpec extends SparkSpec {
   test("dta filter decode-skip matches Spark-side filtering") {
     check((df, p) => DtaWriter.write(df, p), "dta")
   }
+
+  test("filters on informative-null indicator columns decode-skip role-aware (r5 fix)") {
+    import scala.jdk.CollectionConverters._
+    // sas: .B-tagged missing; the raw value decoder yields null exactly
+    // where the indicator is non-null, so a role-blind decode-skip dropped
+    // every matching row
+    def tagged(letter: Char): Double = {
+      val typeByte = (0xFF ^ letter.toInt).toLong
+      java.lang.Double.longBitsToDouble(0x7ff0000000000000L | (typeByte << 40))
+    }
+    val s1 = StructType(Seq(StructField("v", DoubleType)))
+    val r1 = (0 until 300).map(i =>
+      Row(if (i % 3 == 0) tagged('B') else i.toDouble))
+    val sasPath = tmp("ind.sas7bdat")
+    SasFixtureWriter.write(spark.createDataFrame(r1.asJava, s1), sasPath)
+    val sas = spark.read.format("readstat")
+      .option("informativeNulls", "separate").load(sasPath)
+    assert(sas.filter(col("v_null") === ".B").count() === 100)
+    // sav: declared-missing code
+    val s2 = StructType(Seq(StructField("code", DoubleType)))
+    // note: row i=97 stores the REAL value 97.0, which equals the declared
+    // missing code — it is correctly treated as declared-missing too (101)
+    val r2 = (0 until 300).map(i => Row(if (i % 3 == 0) 97.0 else i.toDouble))
+    val savPath = tmp("ind.sav")
+    SavWriter.write(spark.createDataFrame(r2.asJava, s2), savPath,
+      missingValues = Map("code" -> Seq(97.0)))
+    val sav = spark.read.format("readstat")
+      .option("informativeNulls", "separate").load(savPath)
+    assert(sav.filter(col("code_null") === "97").count() === 101)
+    // dta was already role-aware; keep it covered
+    val s3 = StructType(Seq(StructField("x", IntegerType)))
+    val r3 = (0 until 300).map(i => Row(if (i % 3 == 0) 0x7fffffe5 + 2 else i))
+    val dtaPath = tmp("ind.dta")
+    DtaWriter.write(spark.createDataFrame(r3.asJava, s3), dtaPath)
+    val dta = spark.read.format("readstat")
+      .option("informativeNulls", "separate").load(dtaPath)
+    assert(dta.filter(col("x_null") === ".b").count() === 100)
+  }
   test("sav (bytecode) filter decode-skip matches") {
     check((df, p) => SavWriter.write(df, p, compress = true), "sav")
   }
