@@ -62,7 +62,16 @@ object Bench {
       else try ScanBench.run(spark, cpus.toInt) catch { case _: Throwable => Map.empty[String, Double] }
     val scanJson = scan.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},"scan":$scanJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},"scan":$scanJson,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full line to a file: BENCH_r04's captured stdout was
+    // truncated (q01 lost), which made the driver numbers undiagnosable
+    // (r4 verdict #5) — the on-disk copy survives any capture pipeline
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -37,13 +37,14 @@ object DedupOps {
       .select(col("doc_id"), expr(
         "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))").as("sh"))
 
-  /** doc_id, s — word-3-gram shingles per document (with duplicates). */
-  private def rawShingles(s: SparkSession, d: String): DataFrame =
-    withShingleArray(documents(s, d)).select(col("doc_id"), explode(col("sh")).as("s"))
-
-  /** distinct variant for the set-based Jaccard math. */
+  /** doc_id, s — per-document DISTINCT word-3-gram shingles, for the
+    * set-based Jaccard math. (doc_id, s)-distinct ≡ per-doc array dedup, so
+    * `array_distinct` before the explode does what was a full corpus-sized
+    * `.distinct()` shuffle as row-local work instead (r5).
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    rawShingles(s, d).distinct()
+    withShingleArray(documents(s, d))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
 
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
