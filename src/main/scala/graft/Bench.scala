@@ -17,6 +17,13 @@ object Bench {
     // warmup: absorb JVM/codegen/scan-cache startup so per-query numbers
     // measure the queries, not the first query's JIT
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // ~17 GB sustained scan throughput (BASELINE.md ≥100 MB/s/core bar);
+    // measured BEFORE the query suite so the scan numbers see a fresh heap
+    // rather than 50 queries' tenured garbage; disable with
+    // SPARK_GRAFT_BIGSCAN=0
+    val scan =
+      if (sys.env.get("SPARK_GRAFT_BIGSCAN").contains("0")) Map.empty[String, Double]
+      else try ScanBench.run(spark, cpus.toInt) catch { case _: Throwable => Map.empty[String, Double] }
     // per-query best-of-2 (same policy as ScanBench): round-level contention
     // inflates single-shot numbers, never deflates them — r2's q37 tripled
     // with an unchanged plan. Both runs are recorded for judgeability.
@@ -55,11 +62,6 @@ object Bench {
     }
     val maxSkew = skews(0.5).foldLeft(1.0)(math.max)
     val maxSkewAll = skews(0.0).foldLeft(1.0)(math.max)
-    // ~1 GB single-file scan throughput (BASELINE.md ≥100 MB/s/core bar);
-    // disable with SPARK_GRAFT_BIGSCAN=0
-    val scan =
-      if (sys.env.get("SPARK_GRAFT_BIGSCAN").contains("0")) Map.empty[String, Double]
-      else try ScanBench.run(spark, cpus.toInt) catch { case _: Throwable => Map.empty[String, Double] }
     val scanJson = scan.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val line =
