@@ -22,6 +22,20 @@ object DedupOps {
 
   private val nHashes = 8 // 4 bands × 2 rows
 
+  /** Eager finish for operators that persist corpus-sized intermediates:
+    * materialize `out` (persisted; output-sized by construction) and then
+    * unpersist the upstream caches deterministically instead of leaving
+    * corpus-sized blocks to the ContextCleaner (ADVICE r5). The extra
+    * count() is free in net terms — the caller's first action reads the
+    * cached result instead of recomputing the chain.
+    */
+  private def finishAndRelease(out: DataFrame, upstream: DataFrame*): DataFrame = {
+    val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    o.count()
+    upstream.foreach(_.unpersist(false))
+    o
+  }
+
   /** q34 stop-shingle bound: shingles in more than this many documents are
     * dropped before the self-join (they are corpus boilerplate and make the
     * join bucket quadratic). Mirrored verbatim in the DuckDB oracle.
@@ -85,22 +99,24 @@ object DedupOps {
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("inter"))
-      inter
+      val res = inter
         .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
         .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
-        .orderBy("id_a", "id_b")
+      finishAndRelease(res, sh).orderBy("id_a", "id_b")
     }),
 
     // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
-    // collide on any band. The 8 lanes are 4-hex-char (16-bit) slices of
-    // ONE md5 per shingle (r4 verdict #2: was two md5s), and the per-doc
-    // lane minima are computed on the shingle ARRAY with
-    // array_min(transform(...)) — no explode, no signature shuffle
-    // (measured 5× on the chain: 0.53 → 0.10 s at sf0.1). min() is
-    // duplicate-insensitive, so shingle duplicates need no dedup first.
+    // collide on any band. The 8 lanes are 8-hex-char (32-bit) slices of the
+    // concatenation of TWO salted md5s per shingle — 16-bit lanes (r5) made
+    // unrelated docs tie on a lane with probability ~n/65536 (~1% at n=1000
+    // shingles), so candidate pairs grew quadratically with corpus size
+    // (ADVICE r5). The per-doc lane minima are still computed on the shingle
+    // ARRAY with array_min(transform(...)) — no explode, no signature
+    // shuffle. min() is duplicate-insensitive, so shingle duplicates need no
+    // dedup first.
     "q35_minhash_lsh" -> ((s, d) => {
       lshCandidates(documents(s, d)).orderBy("id_a", "id_b")
     }),
@@ -142,8 +158,8 @@ object DedupOps {
       // feeds two consumers (the id set and the verify join) — uncached,
       // the whole signature chain runs twice; `sharr` feeds both join
       // sides. The corpus-sized stages run exactly once.
+      // (`lshCandidates` returns its result already persisted+materialized.)
       val cand = lshCandidates(documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // only candidate docs matter for the verify stage: filter DOCUMENTS on
       // the (small) candidate id set BEFORE tokenizing, so the second
       // shingle pass is candidate-sized, not corpus-sized.
@@ -157,7 +173,7 @@ object DedupOps {
       val sharr = withShingleArray(documents(s, d).join(broadcast(ids), "doc_id"))
         .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cand
+      val res = cand
         .join(sharr.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
         .join(sharr.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -165,7 +181,7 @@ object DedupOps {
           col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
-        .orderBy("id_a", "id_b")
+      finishAndRelease(res, cand, sharr).orderBy("id_a", "id_b")
     })
   )
 
@@ -227,10 +243,14 @@ object DedupOps {
     * OCCURRENCE (~corpus token count); this shuffles one row per doc.
     */
   private def lshCandidates(docs: DataFrame): DataFrame = {
+    // 64 hex chars per shingle (two salted md5s) → 8 lanes × 8 hex chars
+    // (32 bits each). Lowercase-hex substrings compare lexicographically ==
+    // numerically, so array_min is a true 32-bit lane minimum.
     val sig = withShingleArray(docs)
-      .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("ms"))
+      .select(col("doc_id"),
+        expr("transform(sh, x -> concat(md5(concat('a|', x)), md5(concat('b|', x))))").as("ms"))
       .select(Seq(col("doc_id")) ++ (0 until nHashes).map(i =>
-        expr(s"array_min(transform(ms, m -> substring(m, ${1 + 4 * i}, 4)))").as(s"h$i")): _*)
+        expr(s"array_min(transform(ms, m -> substring(m, ${1 + 8 * i}, 8)))").as(s"h$i")): _*)
     // persisted: the band self-join consumes `banded` on BOTH sides and the
     // union-of-4-selects defeats Spark's exchange reuse (no ReusedExchange
     // in the executed plan — r4 verdict #6), so without the cache the whole
@@ -246,25 +266,30 @@ object DedupOps {
     val buckets = (0 until 4).map(i =>
       banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
       .reduce(_.unionByName(_))
-    buckets.as("a")
+    val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // returned persisted+materialized (candidate-bounded, small); `banded`
+    // (corpus-sized) is released here, not left to the ContextCleaner
+    finishAndRelease(cand, banded)
   }
 
-  /** DuckDB mirror of the array-based signature: per-doc md5 list, 8
-    * list_min lane minima (lockstep with `lshCandidates`).
+  /** DuckDB mirror of the array-based signature: per-doc list of two salted
+    * md5s concatenated (64 hex chars), 8 list_min 32-bit lane minima
+    * (lockstep with `lshCandidates`).
     */
   private val duckSig =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        msig AS (SELECT doc_id,
            list_transform(range(1, greatest(len(t)-1, 2)),
-                          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ms
+                          i -> md5('a|' || t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                            || md5('b|' || t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ms
          FROM toks),
        sig AS (SELECT doc_id, ${(0 until nHashes).map(i =>
-             s"list_min(list_transform(ms, m -> substr(m, ${1 + 4 * i}, 4))) AS h$i").mkString(", ")}
+             s"list_min(list_transform(ms, m -> substr(m, ${1 + 8 * i}, 8))) AS h$i").mkString(", ")}
          FROM msig)"""
 
   val oracle: Map[String, String] = Map(
