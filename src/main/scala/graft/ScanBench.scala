@@ -98,6 +98,18 @@ object ScanBench {
       def read() = spark.read.format("readstat")
         .option("maxPartitionBytes", (32L * 1024 * 1024).toString)
         .load(Seq.fill(scanFiles)(f.getPath): _*)
+      // partition-count guard (ADVICE r5): the ×scanFiles measurement
+      // depends on repeated path entries NOT being deduplicated by the
+      // source — if dedup is ever added, throughput would silently inflate
+      // scanFiles-fold. (Rates below are warm-cache DECODE throughput over
+      // total bytes decoded, not cold I/O — see BASELINE.md.)
+      val singleParts = spark.read.format("readstat")
+        .option("maxPartitionBytes", (32L * 1024 * 1024).toString)
+        .load(f.getPath).rdd.getNumPartitions
+      val multiParts = read().rdd.getNumPartitions
+      require(multiParts == scanFiles * singleParts,
+        s"$fmt: expected ${scanFiles}x$singleParts partitions, got $multiParts — " +
+          "did the source start deduplicating repeated paths?")
       // warm-up: metadata parse + page cache (the reference's baseline also
       // times an already-opened reader)
       read().count()
@@ -120,6 +132,33 @@ object ScanBench {
       out(s"${fmt}_proj_sec") = tProj
       out(s"${fmt}_proj_mbps_core") = sizeMb / tProj / cpus
     }
+
+    // zsav single-file: decode is one sequential task, so this measures the
+    // r6 parallel block inflate (lookahead pipeline) against the sequential
+    // reference shape (zsavLookahead=1) on the same file. Not scaled with
+    // the core count — a single stream only fans out its inflate stage.
+    val zsav = ensure(new File(dir, "bigz1.zsav"), 50L * 1000 * 1000, p =>
+      sources.readstat.spss.SavWriter.writeRows(
+        schema, rowIter(baseRows), p, widths,
+        compress = false, valueLabels = Map.empty, zsav = true))
+    def readZ(lookahead: Int) = spark.read.format("readstat")
+      .option("zsavLookahead", lookahead.toString)
+      .load(zsav.getPath)
+    readZ(1).count() // warm-up: page cache + codegen
+    val zAggs = (0 until 10).map(i => sum(col(s"d$i"))) ++
+      Seq(sum(length(col("s0"))), sum(length(col("s1"))))
+    def timeZ(lookahead: Int): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        readZ(lookahead).agg(zAggs.head, zAggs.tail: _*).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val tSeq = timeZ(1)
+    val tPar = timeZ(32) // deep pipeline (default scales with core count)
+    out("zsav_size_mb") = zsav.length() / 1e6
+    out("zsav_seq_sec") = tSeq
+    out("zsav_par_sec") = tPar
+    out("zsav_speedup") = tSeq / tPar
     out.toMap
   }
 }

@@ -100,6 +100,34 @@ object ReadstatQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // orders → zsav (compression 2: deflate blocks over the bytecode
+    // stream) → aggregate. Exercises the zsav writer, the ztrailer block
+    // index, and the parallel block inflate (r6).
+    "q56_zsav_roundtrip_agg" -> ((s, d) => {
+      val key = s"$d/orders_zsav"
+      val path = cache.getOrElseUpdate(key, {
+        val dir = Files.createDirectories(
+          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
+        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".zsav").toString
+        SavWriter.write(
+          orders(s, d).select(
+            col("o_orderkey").cast("double").as("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice"),
+            to_date(col("o_orderdate")).as("o_orderdate")),
+          p)
+        p
+      })
+      s.read.format("readstat").load(path)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("tot"),
+          round(avg("o_totalprice"), 4).as("avg_price"),
+          min("o_orderdate").as("first_d"),
+          max("o_orderdate").as("last_d"))
+        .orderBy("o_orderpriority")
+    }),
+
     // customer → sas7bdat (uncompressed + RLE) → join-style aggregate.
     // Exercises the SAS page/subheader reader and both decompression paths.
     "q54_sas_roundtrip_agg" -> ((s, d) => {
@@ -194,6 +222,12 @@ object ReadstatQueries {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS tot,
          CAST(min(o_orderdate) AS DATE) AS first_d, CAST(max(o_orderdate) AS DATE) AS last_d
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q56_zsav_roundtrip_agg" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS tot,
+         round(avg(o_totalprice),4) AS avg_price,
+         CAST(min(o_orderdate) AS DATE) AS first_d, CAST(max(o_orderdate) AS DATE) AS last_d
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q52_dta_roundtrip_events" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_v,

@@ -49,7 +49,12 @@ final case class ReadstatOptions(
     /** compress: all-midnight datetime → date (reference `datetime_to_date`). */
     compressDatetimeToDate: Boolean = true,
     /** compress: all-parseable string → double (reference `string_to_numeric`). */
-    compressStringToNumeric: Boolean = false) extends Serializable {
+    compressStringToNumeric: Boolean = false,
+    /** zsav scan: zlib blocks inflated ahead of the sequential bytecode
+      * decoder (bounded pipeline depth per stream). 1 = sequential inflate
+      * (the reference's behavior); default scales with the core count.
+      */
+    zsavLookahead: Option[Int] = None) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -85,7 +90,8 @@ object ReadstatOptions {
         get("compressColumns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       compressNumeric = get("compressNumeric").forall(_.toBoolean),
       compressDatetimeToDate = get("compressDatetimeToDate").forall(_.toBoolean),
-      compressStringToNumeric = get("compressStringToNumeric").exists(_.toBoolean))
+      compressStringToNumeric = get("compressStringToNumeric").exists(_.toBoolean),
+      zsavLookahead = get("zsavLookahead").map(_.toInt).filter(_ > 0))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

@@ -95,7 +95,7 @@ object SavModule extends ReadstatFormats.FormatModule {
       filters: Seq[org.apache.spark.sql.sources.Filter]): PartitionReader[InternalRow] = {
     val meta = ctx.asInstanceOf[SavContext].meta
     val dec = new SavDecode(meta, opts)
-    val cursor = new SavRowCursor(part, meta, dec.filterEval(filters))
+    val cursor = new SavRowCursor(part, meta, dec.filterEval(filters), opts.zsavLookahead)
     new SavPartitionReader(cursor, dec.plans(required))
   }
 
@@ -107,7 +107,7 @@ object SavModule extends ReadstatFormats.FormatModule {
       filters: Seq[org.apache.spark.sql.sources.Filter]): Option[(RowCursor, Array[ColumnAppender])] = {
     val meta = ctx.asInstanceOf[SavContext].meta
     val dec = new SavDecode(meta, opts)
-    val cursor = new SavRowCursor(part, meta, dec.filterEval(filters))
+    val cursor = new SavRowCursor(part, meta, dec.filterEval(filters), opts.zsavLookahead)
     Some((cursor, dec.appenders(required)))
   }
 }
@@ -401,7 +401,8 @@ final class SavDecode(meta: Sav.Metadata, opts: ReadstatOptions) {
 final class SavRowCursor(
     part: ReadstatInputPartition,
     meta: Sav.Metadata,
-    filterEval: Array[Byte] => Boolean) extends RowCursor {
+    filterEval: Array[Byte] => Boolean,
+    zsavLookahead: Option[Int] = None) extends RowCursor {
   import Sav._
 
   private val h = meta.header
@@ -449,9 +450,11 @@ final class SavRowCursor(
         val nBlocks = Bin.i32(tr.readFully(4), 0, le)
         val entries = (0 until nBlocks).map { _ =>
           val e = tr.readFully(24)
-          (Bin.i64(e, 8, le), Bin.i32(e, 20, le)) // compressed_ofs, compressed_size
-        }
-        in = new SequenceZlibStream(part.path, entries)
+          // compressed_ofs, uncompressed_size, compressed_size
+          (Bin.i64(e, 8, le), Bin.i32(e, 16, le), Bin.i32(e, 20, le))
+        }.toIndexedSeq
+        in = new LookaheadZlibStream(part.path, entries,
+          zsavLookahead.getOrElse(LookaheadZlibStream.defaultLookahead))
         decompressor = new SavByteCode(le, h.bias)
         skipRows = part.rowStart
       case c => throw new UnsupportedOperationException(s"sav compression $c")
@@ -583,26 +586,56 @@ final class SavByteCode(le: Boolean, bias: Double) {
   }
 }
 
-/** Concatenated inflate of zsav blocks as a single InputStream. */
-final class SequenceZlibStream(path: String, blocks: Seq[(Long, Int)]) extends InputStream {
-  private var idx = 0
-  private var cur: InputStream = _
+/** Concatenated inflate of zsav blocks as a single InputStream, with the
+  * INFLATE stage parallelized (r5 verdict #1): the ztrailer's block index
+  * makes every zlib block independently decodable even though the bytecode
+  * decode that consumes this stream is inherently sequential, so up to
+  * `lookahead` blocks are inflated ahead on a shared executor-local pool
+  * while the decoder drains the current one. (The reference inflates
+  * strictly sequentially — `/root/reference/src/spss/data.rs:1687-1761` —
+  * leaving cores idle on a large single zsav file.)
+  *
+  * Compressed bytes are still READ on the consumer thread (sequential I/O,
+  * one reader per stream); only the CPU-bound inflate is fanned out. Memory
+  * bound: ≤ lookahead inflated blocks (+ their compressed inputs) in flight,
+  * ~4 MB each at the SPSS default block size.
+  */
+final class LookaheadZlibStream(
+    path: String,
+    blocks: IndexedSeq[(Long, Int, Int)], // (compressed_ofs, uncompressed_size, compressed_size)
+    lookahead: Int = LookaheadZlibStream.defaultLookahead) extends InputStream {
   private val fsin = ReadstatIO.open(path)
+  private var nextIdx = 0
+  private val pending = new java.util.ArrayDeque[java.util.concurrent.Future[Array[Byte]]]()
+  private var cur: Array[Byte] = _
+  private var pos = 0
+
+  /** Top the pipeline up to `lookahead` in-flight inflates. */
+  private def schedule(): Unit = {
+    while (pending.size < lookahead && nextIdx < blocks.length) {
+      val (ofs, usize, csize) = blocks(nextIdx)
+      nextIdx += 1
+      fsin.seek(ofs)
+      val compressed = new Array[Byte](csize)
+      var off = 0
+      while (off < csize) {
+        val r = fsin.read(compressed, off, csize - off)
+        require(r >= 0, "zsav: truncated block")
+        off += r
+      }
+      pending.addLast(LookaheadZlibStream.pool.submit(
+        new java.util.concurrent.Callable[Array[Byte]] {
+          override def call(): Array[Byte] =
+            LookaheadZlibStream.inflate(compressed, usize)
+        }))
+    }
+  }
 
   private def advance(): Boolean = {
-    if (idx >= blocks.length) return false
-    val (ofs, size) = blocks(idx)
-    idx += 1
-    fsin.seek(ofs)
-    val compressed = new Array[Byte](size)
-    var off = 0
-    while (off < size) {
-      val r = fsin.read(compressed, off, size - off)
-      require(r >= 0, "zsav: truncated block")
-      off += r
-    }
-    cur = new java.util.zip.InflaterInputStream(
-      new java.io.ByteArrayInputStream(compressed))
+    schedule()
+    if (pending.isEmpty) return false
+    cur = pending.removeFirst().get()
+    pos = 0
     true
   }
 
@@ -613,18 +646,63 @@ final class SequenceZlibStream(path: String, blocks: Seq[(Long, Int)]) extends I
   }
 
   override def read(b: Array[Byte], off: Int, len: Int): Int = {
-    while (true) {
-      if (cur == null && !advance()) return -1
-      val n = cur.read(b, off, len)
-      if (n > 0) return n
-      cur.close()
+    while (cur == null || pos == cur.length) {
       cur = null
+      if (!advance()) return -1
     }
-    -1
+    val n = math.min(len, cur.length - pos)
+    System.arraycopy(cur, pos, b, off, n)
+    pos += n
+    n
   }
 
   override def close(): Unit = {
-    if (cur != null) cur.close()
+    while (!pending.isEmpty) pending.removeFirst().cancel(true)
     fsin.close()
+  }
+}
+
+object LookaheadZlibStream {
+  /** Bounded pipeline depth per stream: deep enough to keep the pool busy
+    * on a single-file scan, shallow enough that 32 concurrent single-file
+    * partitions stay ~2 GB total at the 4 MB SPSS block size.
+    */
+  val defaultLookahead: Int =
+    math.max(2, math.min(16, Runtime.getRuntime.availableProcessors()))
+
+  /** Shared daemon pool, one per executor JVM — streams submit short
+    * CPU-bound inflate tasks; sizing past the core count only adds
+    * contention.
+    */
+  lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors()),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-zsav-inflate-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** One-shot exact-size inflate of a zsav block (the ztrailer records the
+    * uncompressed size, so no growable buffer is needed).
+    */
+  def inflate(compressed: Array[Byte], usize: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(compressed)
+      val out = new Array[Byte](usize)
+      var off = 0
+      while (off < usize) {
+        val n = inf.inflate(out, off, usize - off)
+        if (n == 0)
+          throw new java.io.IOException(
+            s"zsav: zlib block ended at $off of $usize declared bytes")
+        off += n
+      }
+      out
+    } finally inf.end()
   }
 }

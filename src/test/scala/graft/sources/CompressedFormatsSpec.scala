@@ -32,6 +32,30 @@ class CompressedFormatsSpec extends SparkSpec {
     assert(back.filter(col("x").isNull).count() === 1)
   }
 
+  test("zsav parallel block inflate equals sequential (zsavLookahead=1)") {
+    // r6: the inflate stage is pipelined ahead of the sequential bytecode
+    // decoder — results must be byte-identical to the lookahead=1
+    // (sequential, reference-shaped) path, across a block boundary
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("s", StringType)))
+    // ~50k rows of poorly-compressible strings so the bytecode stream spans
+    // multiple zlib blocks even at the SPSS block size
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50000).map(i =>
+      Row(i * 0.25, s"v${rnd.nextLong()}_${rnd.nextLong()}"))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("par.zsav")
+    SavWriter.write(df, path)
+    def readAll(lookahead: Int) = spark.read.format("readstat")
+      .option("zsavLookahead", lookahead.toString)
+      .load(path).orderBy("x").collect().map(_.toSeq).toSeq
+    val seq = readAll(1)
+    val par = readAll(16)
+    assert(seq.length === 50000)
+    assert(par === seq)
+  }
+
   test("RDC encoder/decoder round-trips mixed content") {
     val rnd = new scala.util.Random(11)
     (0 until 40).foreach { _ =>
