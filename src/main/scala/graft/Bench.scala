@@ -29,7 +29,7 @@ object Bench {
     // with an unchanged plan. Both runs are recorded for judgeability.
     val results: Seq[(String, Double, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val runs = (1 to 2).map { _ =>
+        def oneRun(): Double = {
           // every run starts cache-cold: operators that persist() internal
           // frames (q34/q36/q40) must not leak cached partitions into the
           // next run or the next query — r3's q40 first-run 21.1s was q34's
@@ -42,6 +42,12 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
+        val two = Seq(oneRun(), oneRun())
+        // a >1.3× disagreement between the two runs means one of them hit
+        // round-level contention (r5: q36 "regressed" 1.35→1.50 s with no
+        // code change, max_run_skew_all 2.90) — take a third so best-of-N
+        // reflects the query, not the machine
+        val runs = if (two.max / math.max(two.min, 1e-9) > 1.3) two :+ oneRun() else two
         (name, runs.min, runs)
       }
     val qs = results.map { case (k, best, _) => s"\"" + k + "\":" + best }

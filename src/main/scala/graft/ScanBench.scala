@@ -159,6 +159,42 @@ object ScanBench {
     out("zsav_seq_sec") = tSeq
     out("zsav_par_sec") = tPar
     out("zsav_speedup") = tSeq / tPar
+
+    // multi-file compressed-scan scaling proof (SURVEY §3.3): bytecode/zsav
+    // files decode on ONE partition each, and the planning rule claims a
+    // DIRECTORY of such files recovers cluster parallelism. Prove it at
+    // local[32]: the same bytecode-sav file listed 32× (identical decode
+    // work per entry; warm-cache decode throughput, like everything here)
+    // should finish in ~one file's wall time. scaling = t1/t32: 1.0 is
+    // perfectly linear (32× bytes, same wall), floor asserted at 0.55 to
+    // catch structural regressions without tripping on machine contention.
+    val savBc = ensure(new File(dir, "bigbc1.sav"), 180L * 1000 * 1000, p =>
+      sources.readstat.spss.SavWriter.writeRows(
+        schema, rowIter(2000000), p, widths,
+        compress = true, valueLabels = Map.empty))
+    def readBc(n: Int) = spark.read.format("readstat")
+      .load(Seq.fill(n)(savBc.getPath): _*)
+    val bcFiles = math.max(2, cpus)
+    require(readBc(bcFiles).rdd.getNumPartitions == bcFiles,
+      "bytecode sav must plan exactly one partition per file")
+    readBc(1).count() // warm-up
+    val bcAggs = zAggs
+    def timeBc(n: Int): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        readBc(n).agg(bcAggs.head, bcAggs.tail: _*).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val t1 = timeBc(1)
+    val tN = timeBc(bcFiles)
+    val scaling = t1 / tN
+    out("savbc_files") = bcFiles.toDouble
+    out("savbc_1file_sec") = t1
+    out("savbc_nfile_sec") = tN
+    out("savbc_multifile_scaling") = scaling
+    require(scaling >= 0.55,
+      f"multi-file compressed scan scaled at $scaling%.2f of linear — " +
+        "single-partition-per-compressed-file parallelism regressed")
     out.toMap
   }
 }

@@ -54,7 +54,12 @@ final case class ReadstatOptions(
       * decoder (bounded pipeline depth per stream). 1 = sequential inflate
       * (the reference's behavior); default scales with the core count.
       */
-    zsavLookahead: Option[Int] = None) extends Serializable {
+    zsavLookahead: Option[Int] = None,
+    /** dta scan: cap on strL (GSO) content bytes loaded by the driver —
+      * the table is broadcast to executors, so an unbounded GSO section
+      * would pressure the driver silently. Named error past the cap.
+      */
+    maxStrlBytes: Long = 1L << 30) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -91,7 +96,8 @@ object ReadstatOptions {
       compressNumeric = get("compressNumeric").forall(_.toBoolean),
       compressDatetimeToDate = get("compressDatetimeToDate").forall(_.toBoolean),
       compressStringToNumeric = get("compressStringToNumeric").exists(_.toBoolean),
-      zsavLookahead = get("zsavLookahead").map(_.toInt).filter(_ > 0))
+      zsavLookahead = get("zsavLookahead").map(_.toInt).filter(_ > 0),
+      maxStrlBytes = get("maxStrlBytes").map(_.toLong).getOrElse(1L << 30))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

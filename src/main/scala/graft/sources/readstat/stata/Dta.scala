@@ -497,14 +497,23 @@ object Dta {
     out.toMap
   }
 
-  /** Load the strL (GSO) table; xmlish formats only. */
-  def parseStrls(r: ByteReader, meta: Metadata): Map[(Int, Long), String] = {
+  /** Load the strL (GSO) table; xmlish formats only.
+    *
+    * The whole table is parsed on the driver and shipped to executors as a
+    * broadcast lookup (J1), so an unbounded GSO section would pressure the
+    * driver heap with no diagnostic — `maxBytes` caps the loaded content
+    * bytes and fails with a named, size-reporting error instead (SURVEY
+    * §7.4 risk 4).
+    */
+  def parseStrls(r: ByteReader, meta: Metadata,
+      maxBytes: Long = Long.MaxValue): Map[(Int, Long), String] = {
     val h = meta.header
     if (h.version < 117) return Map.empty
     val le = h.littleEndian
     val cs = meta.charset
     r.expectTag("<strls>")
     val out = scala.collection.mutable.Map[(Int, Long), String]()
+    var loaded = 0L
     var done = false
     while (!done) {
       val tag = r.readFully(3)
@@ -518,6 +527,13 @@ object Dta {
         val len = Bin.i32(r.readFully(4), 0, le)
         require(len >= 0, "negative strL length")
         if (typ == 0x82) {
+          loaded += len
+          if (loaded > maxBytes)
+            throw new IllegalStateException(
+              s"dta: strL (GSO) table exceeds maxStrlBytes=$maxBytes " +
+                s"($loaded bytes across ${out.size + 1} entries so far) — the " +
+                "table is driver-parsed and broadcast to every executor; " +
+                "raise .option(\"maxStrlBytes\", <bytes>) if this is intended")
           val data = r.readFully(len)
           var s = new String(data, cs)
           while (s.nonEmpty && s.charAt(s.length - 1) == ' ') s = s.substring(0, s.length - 1)

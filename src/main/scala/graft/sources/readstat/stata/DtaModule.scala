@@ -43,7 +43,8 @@ object DtaModule extends ReadstatFormats.FormatModule {
     }
   }
 
-  private def loadStrls(path: String, meta: Metadata): Map[(Int, Long), String] = {
+  private def loadStrls(path: String, meta: Metadata,
+      opts: ReadstatOptions): Map[(Int, Long), String] = {
     val hasStrl = meta.variables.exists(_.varType == TStrL)
     if (!hasStrl) return Map.empty
     meta.strlsOffset match {
@@ -51,7 +52,8 @@ object DtaModule extends ReadstatFormats.FormatModule {
         val fsin = ReadstatIO.open(path)
         try {
           fsin.seek(off)
-          Dta.parseStrls(ByteReader(new BufferedInputStream(fsin, 1 << 20)), meta)
+          Dta.parseStrls(ByteReader(new BufferedInputStream(fsin, 1 << 20)), meta,
+            opts.maxStrlBytes)
         } finally fsin.close()
       case _ => Map.empty
     }
@@ -73,7 +75,7 @@ object DtaModule extends ReadstatFormats.FormatModule {
 
   override def fileContext(path: String, opts: ReadstatOptions): ReadstatFormats.FileContext = {
     val meta = withLabels(path, parseMeta(path))
-    DtaContext(meta, loadStrls(path, meta))
+    DtaContext(meta, loadStrls(path, meta, opts))
   }
 
   /** P4 EXT: decode only the filter columns first; skip the row when the

@@ -90,6 +90,33 @@ class DtaRoundTripSpec extends SparkSpec {
     assert(back.collect().map(_.getString(0)).toSeq === Seq(big, "short-but-strl-column", null))
   }
 
+  test("strL GSO table over maxStrlBytes fails with a named, size-reporting error") {
+    // SURVEY §7.4 risk 4: the GSO table is driver-parsed and broadcast, so
+    // a multi-GB strL section must fail loudly (naming the size and the
+    // option that raises the cap), not silently pressure the driver
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("t", StringType)))
+    val rows = (0 until 64).map(i => Row(s"row$i:" + ("y" * 4000)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = tmp("strl_big.dta")
+    DtaWriter.write(df, path)
+
+    // count() alone is answered from metadata (COUNT(*) pushdown) — force
+    // actual column decode so the GSO table loads
+    val e = intercept[Exception] {
+      spark.read.format("readstat").option("maxStrlBytes", "10000")
+        .load(path).agg(sum(length(col("t")))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msgs.contains("maxStrlBytes=10000"), s"unexpected error: $msgs")
+    assert(msgs.contains("maxStrlBytes"), s"error must name the option: $msgs")
+
+    // default cap (1 GiB) admits it
+    assert(spark.read.format("readstat").load(path)
+      .filter(length(col("t")) > 4000).count() === 64)
+  }
+
   test("projection, limit and offset pushdown slice correctly") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey").cast("double").as("okey"),
