@@ -1,0 +1,138 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× dedup-chain scale smoke (r5 verdict #5): generates a synthetic
+  * documents corpus 10× the sf0.1 fixture (same columns: doc_id, text,
+  * lang, source, n_chars; ~45–60-word docs with planted near-duplicates),
+  * runs the near-dup chain (q34/q35/q36/q40) once each at the default 16g
+  * heap, and writes `SCALE_SMOKE.json` with wall times and task-duration
+  * spread — the bounded-bucket plan-shape arguments are only believable if
+  * no task goes an order of magnitude past the median at scale.
+  *
+  * Straggler metric: `max_task_sec / max(median_task_sec, 0.1)` — the
+  * 100 ms floor keeps millisecond scheduling noise on tiny tasks from
+  * reading as skew.
+  */
+object ScaleSmoke {
+
+  private val smokeQueries = Seq(
+    "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
+    "q40_lsh_jaccard_verified")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DOCS", "50000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // the 10× corpus is still only ~25 MB of parquet — at default split
+      // sizing Spark packs it into ONE input task, serializing the
+      // corpus-sized signature/shingle stages. A real 100 TB corpus has
+      // thousands of splits; emulate that shape so the smoke measures the
+      // operators' task spread, not small-file packing.
+      .config("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (64 << 10).toString)
+      // likewise AQE's 64 MB advisory size would coalesce every shuffle of
+      // this corpus into ONE partition — a small-data artifact, not the
+      // 100 TB shape the smoke is probing
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (1L << 20).toString)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", (256 << 10).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = new File("/tmp/graft_scale")
+    val docsPath = new File(dir, "documents.parquet")
+    if (!docsPath.exists() || spark.read.parquet(docsPath.getPath).count() != nDocs) {
+      dir.mkdirs()
+      generate(spark, nDocs).write.mode("overwrite").parquet(docsPath.getPath)
+      System.err.println(s"[scalesmoke] generated $nDocs docs at $docsPath")
+    }
+
+    // task-duration listener: collects (stageId, wall) per task — straggler
+    // ratios are computed WITHIN a stage (peers doing the same work), so
+    // pipeline structure (cheap stages vs expensive stages) doesn't read
+    // as skew
+    val durations = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long)]())
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        durations.add((t.stageId, t.taskInfo.duration))
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageNames.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
+    })
+
+    val out = new StringBuilder
+    out.append(s"""{"docs":$nDocs,"cpus":$cpus""")
+    val selected = if (args.nonEmpty) smokeQueries.filter(args.contains) else smokeQueries
+    for (q <- selected) {
+      spark.catalog.clearCache()
+      durations.clear()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, dir.getPath).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // drain listener events before reading durations (the bus is async
+      // and private; settle-poll instead)
+      var last = -1
+      while (durations.size() != last) { last = durations.size(); Thread.sleep(300) }
+      val byStage = durations.toArray(new Array[(Int, Long)](0))
+        .groupBy(_._1).view.mapValues(_.map(_._2.toDouble / 1000).sorted).toSeq
+      val nTasks = byStage.map(_._2.length).sum
+      val maxT = byStage.map(_._2.last).max
+      // per-stage straggler: max vs its own stage's median (≥100 ms floor —
+      // millisecond scheduling noise is not skew)
+      val straggler = byStage
+        .map { case (_, ds) => ds.last / math.max(ds(ds.length / 2), 0.1) }.max
+      val slowStages = byStage.sortBy(-_._2.last).take(3)
+        .map { case (sid, ds) =>
+          val nm = Option(stageNames.get(sid)).getOrElse("?")
+          f"[$nm n=${ds.length} max=${ds.last}%.2f med=${ds(ds.length / 2)}%.3f]"
+        }.mkString(" ")
+      System.err.println(
+        f"[scalesmoke] $q: $wall%.2f s, $rows rows, $nTasks tasks, " +
+          f"max task $maxT%.3f s, worst in-stage straggler $straggler%.2f; " +
+          s"slowest stages $slowStages")
+      out.append(f""","${q}_sec":$wall%.2f,"${q}_rows":$rows""")
+      out.append(f""","${q}_tasks":$nTasks,"${q}_max_task_sec":$maxT%.3f""")
+      out.append(f""","${q}_straggler":$straggler%.2f""")
+    }
+    out.append("}")
+    println(out.toString)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_SMOKE.json"),
+      (out.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  /** Deterministic corpus, generated distributed (no driver-side rows):
+    * ~45–60 words per doc from a 5k vocab via xxhash64 mixing, with every
+    * 33rd document a near-duplicate of its predecessor (same words plus a
+    * unique tail token — pairwise Jaccard ≈ 0.9, well over the 0.3
+    * thresholds, so q34/q35/q40 have real work to find).
+    */
+  private[graft] def generate(spark: SparkSession, nDocs: Int) = {
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("is_dup", col("doc_id") % 33 === 0 && col("doc_id") > 0)
+      .withColumn("src_id", when(col("is_dup"), col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("len", (pmod(xxhash64(concat(lit("len"), col("src_id"))), lit(16)) + 45).cast("int"))
+      .withColumn("text",
+        concat(
+          array_join(
+            expr("transform(sequence(1, len), j -> concat('w', pmod(xxhash64(concat('tok', src_id, '_', j)), 5000)))"),
+            " "),
+          when(col("is_dup"), concat(lit(" dup"), col("doc_id"))).otherwise(lit(""))))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("synth/"), pmod(col("doc_id"), lit(10))))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+}
