@@ -14,9 +14,10 @@ import graft.util.Tables._
   * run LSH first and feed only candidate pairs to the exact Jaccard
   * verifier, which is precisely how the queries below compose.
   *
-  * MinHash here is md5-based (min of md5(seed|shingle) hex strings): fully
-  * deterministic, engine-portable (DuckDB computes the identical signature),
-  * and requires no UDF — every step is a codegen'd builtin expression.
+  * MinHash here is sha256-based (8 × 32-bit hex-slice lanes of one digest
+  * per shingle): fully deterministic, engine-portable (DuckDB computes the
+  * identical signature), and requires no UDF — every step is a codegen'd
+  * builtin expression.
   */
 object DedupOps {
 
@@ -109,14 +110,14 @@ object DedupOps {
     }),
 
     // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
-    // collide on any band. The 8 lanes are 8-hex-char (32-bit) slices of the
-    // concatenation of TWO salted md5s per shingle — 16-bit lanes (r5) made
-    // unrelated docs tie on a lane with probability ~n/65536 (~1% at n=1000
-    // shingles), so candidate pairs grew quadratically with corpus size
-    // (ADVICE r5). The per-doc lane minima are still computed on the shingle
-    // ARRAY with array_min(transform(...)) — no explode, no signature
-    // shuffle. min() is duplicate-insensitive, so shingle duplicates need no
-    // dedup first.
+    // collide on any band. The 8 lanes are 8-hex-char (32-bit) slices of
+    // ONE sha256 per shingle — 16-bit lanes (r5) made unrelated docs tie on
+    // a lane with probability ~n/65536 (~1% at n=1000 shingles), so
+    // candidate pairs grew quadratically with corpus size (ADVICE r5); a
+    // 256-bit digest restores 32-bit lanes in a single hash call. The
+    // per-doc lane minima are still computed on the shingle ARRAY with
+    // array_min(transform(...)) — no explode, no signature shuffle. min()
+    // is duplicate-insensitive, so shingle duplicates need no dedup first.
     "q35_minhash_lsh" -> ((s, d) => {
       lshCandidates(documents(s, d)).orderBy("id_a", "id_b")
     }),
@@ -243,12 +244,11 @@ object DedupOps {
     * OCCURRENCE (~corpus token count); this shuffles one row per doc.
     */
   private def lshCandidates(docs: DataFrame): DataFrame = {
-    // 64 hex chars per shingle (two salted md5s) → 8 lanes × 8 hex chars
+    // 64 hex chars per shingle (one sha256) → 8 lanes × 8 hex chars
     // (32 bits each). Lowercase-hex substrings compare lexicographically ==
     // numerically, so array_min is a true 32-bit lane minimum.
     val sig = withShingleArray(docs)
-      .select(col("doc_id"),
-        expr("transform(sh, x -> concat(md5(concat('a|', x)), md5(concat('b|', x))))").as("ms"))
+      .select(col("doc_id"), expr("transform(sh, x -> sha2(x, 256))").as("ms"))
       .select(Seq(col("doc_id")) ++ (0 until nHashes).map(i =>
         expr(s"array_min(transform(ms, m -> substring(m, ${1 + 8 * i}, 8)))").as(s"h$i")): _*)
     // persisted: the band self-join consumes `banded` on BOTH sides and the
@@ -277,16 +277,15 @@ object DedupOps {
     finishAndRelease(cand, banded)
   }
 
-  /** DuckDB mirror of the array-based signature: per-doc list of two salted
-    * md5s concatenated (64 hex chars), 8 list_min 32-bit lane minima
-    * (lockstep with `lshCandidates`).
+  /** DuckDB mirror of the array-based signature: per-doc list of sha256
+    * digests (64 hex chars), 8 list_min 32-bit lane minima (lockstep with
+    * `lshCandidates`).
     */
   private val duckSig =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        msig AS (SELECT doc_id,
            list_transform(range(1, greatest(len(t)-1, 2)),
-                          i -> md5('a|' || t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                            || md5('b|' || t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ms
+                          i -> sha256(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ms
          FROM toks),
        sig AS (SELECT doc_id, ${(0 until nHashes).map(i =>
              s"list_min(list_transform(ms, m -> substr(m, ${1 + 8 * i}, 8))) AS h$i").mkString(", ")}
