@@ -615,6 +615,11 @@ final class LookaheadZlibStream(
     while (pending.size < lookahead && nextIdx < blocks.length) {
       val (ofs, usize, csize) = blocks(nextIdx)
       nextIdx += 1
+      // a zero uncompressed size with compressed payload would silently
+      // truncate the bytecode stream (rows dropped, not an error) — the
+      // ztrailer always records real sizes; fail loudly if it doesn't
+      require(usize > 0 || csize == 0,
+        s"zsav: ztrailer block ${nextIdx - 1} declares 0 uncompressed bytes for $csize compressed")
       fsin.seek(ofs)
       val compressed = new Array[Byte](csize)
       var off = 0

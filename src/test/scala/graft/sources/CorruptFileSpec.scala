@@ -50,6 +50,23 @@ class CorruptFileSpec extends SparkSpec {
     assert(rows.zipWithIndex.forall { case (v, i) => v == i.toDouble })
   }
 
+  test("zsav truncated mid-block fails with a named error, not silent row drop") {
+    val p = tmp("trunc.zsav")
+    spark.range(200000).select(col("id").cast("double").as("x"))
+      .write.format("readstat").mode("overwrite").save(p)
+    // cut into the deflate blocks but keep the header region: the ztrailer
+    // (end of file) is gone and block reads run past EOF — the lookahead
+    // stream must surface a zsav-named error from whichever stage hits it
+    truncate(p, 0.7)
+    val e = intercept[Exception] {
+      spark.read.format("readstat").load(p).agg(sum("x")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("zsav") || m.toLowerCase.contains("eof")),
+      s"expected a zsav/EOF error, got: ${msgs(e)}")
+  }
+
   test("header-corrupt file fails fast with a format error") {
     val p = tmp("garbage.dta")
     Files.write(Paths.get(p), Array.fill[Byte](4096)(0x5A))
