@@ -133,6 +133,21 @@ object ScanBench {
       out(s"${fmt}_proj_mbps_core") = sizeMb / tProj / cpus
     }
 
+    // the auxiliary sections below fail independently: a zsav/savbc section
+    // error (incl. the scaling floor assert) must not take the dta/sas
+    // numbers down with it — r4 lost a whole round's scan data to one
+    // embedded failure
+    def section(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[scanbench] $name section failed: ${e.getMessage}")
+          out(s"${name}_error") = 1.0
+      }
+
+    val zAggs = (0 until 10).map(i => sum(col(s"d$i"))) ++
+      Seq(sum(length(col("s0"))), sum(length(col("s1"))))
+
+    section("zsav") {
     // zsav single-file: decode is one sequential task, so this measures the
     // r6 parallel block inflate (lookahead pipeline) against the sequential
     // reference shape (zsavLookahead=1) on the same file. Not scaled with
@@ -145,8 +160,6 @@ object ScanBench {
       .option("zsavLookahead", lookahead.toString)
       .load(zsav.getPath)
     readZ(1).count() // warm-up: page cache + codegen
-    val zAggs = (0 until 10).map(i => sum(col(s"d$i"))) ++
-      Seq(sum(length(col("s0"))), sum(length(col("s1"))))
     def timeZ(lookahead: Int): Double =
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -159,7 +172,9 @@ object ScanBench {
     out("zsav_seq_sec") = tSeq
     out("zsav_par_sec") = tPar
     out("zsav_speedup") = tSeq / tPar
+    }
 
+    section("savbc") {
     // multi-file compressed-scan scaling proof (SURVEY §3.3): bytecode/zsav
     // files decode on ONE partition each, and the planning rule claims a
     // DIRECTORY of such files recovers cluster parallelism. Prove it at
@@ -195,6 +210,7 @@ object ScanBench {
     require(scaling >= 0.55,
       f"multi-file compressed scan scaled at $scaling%.2f of linear — " +
         "single-partition-per-compressed-file parallelism regressed")
+    }
     out.toMap
   }
 }
