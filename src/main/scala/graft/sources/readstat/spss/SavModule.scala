@@ -448,10 +448,19 @@ final class SavRowCursor(
         tr.readFully(8); tr.readFully(8) // bias, zero
         tr.readFully(4) // block_size
         val nBlocks = Bin.i32(tr.readFully(4), 0, le)
-        val entries = (0 until nBlocks).map { _ =>
+        var expectUofs = -1L
+        val entries = (0 until nBlocks).map { i =>
           val e = tr.readFully(24)
-          // compressed_ofs, uncompressed_size, compressed_size
-          (Bin.i64(e, 8, le), Bin.i32(e, 16, le), Bin.i32(e, 20, le))
+          // uncompressed_ofs, compressed_ofs, uncompressed_size, compressed_size
+          val uofs = Bin.i64(e, 0, le)
+          val usize = Bin.i32(e, 16, le)
+          // blocks must chain contiguously in uncompressed space — a corrupt
+          // trailer would otherwise silently desynchronize the bytecode
+          // decoder mid-stream rather than fail at open
+          require(expectUofs < 0 || uofs == expectUofs,
+            s"zsav: ztrailer block $i uncompressed_ofs $uofs breaks the chain (expected $expectUofs)")
+          expectUofs = uofs + usize
+          (Bin.i64(e, 8, le), usize, Bin.i32(e, 20, le))
         }.toIndexedSeq
         in = new LookaheadZlibStream(part.path, entries,
           zsavLookahead.getOrElse(LookaheadZlibStream.defaultLookahead))
