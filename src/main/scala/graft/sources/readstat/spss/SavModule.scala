@@ -604,10 +604,13 @@ final class SavByteCode(le: Boolean, bias: Double) {
   * strictly sequentially — `/root/reference/src/spss/data.rs:1687-1761` —
   * leaving cores idle on a large single zsav file.)
   *
-  * Compressed bytes are still READ on the consumer thread (sequential I/O,
-  * one reader per stream); only the CPU-bound inflate is fanned out. Memory
-  * bound: ≤ lookahead inflated blocks (+ their compressed inputs) in flight,
-  * ~4 MB each at the SPSS default block size.
+  * Each pool task fetches its block with a Hadoop POSITIONED read
+  * (`readFully(position, ...)` — thread-safe by the PositionedReadable
+  * contract, implemented by every Hadoop FS stream) and then inflates, so
+  * on object-store-backed clusters the block fetches parallelize along
+  * with the inflate instead of serializing on the consumer thread. Memory
+  * bound: ≤ lookahead inflated blocks (+ their compressed inputs) in
+  * flight, ~4 MB each at the SPSS default block size.
   */
 final class LookaheadZlibStream(
     path: String,
@@ -619,7 +622,7 @@ final class LookaheadZlibStream(
   private var cur: Array[Byte] = _
   private var pos = 0
 
-  /** Top the pipeline up to `lookahead` in-flight inflates. */
+  /** Top the pipeline up to `lookahead` in-flight fetch+inflates. */
   private def schedule(): Unit = {
     while (pending.size < lookahead && nextIdx < blocks.length) {
       val (ofs, usize, csize) = blocks(nextIdx)
@@ -629,18 +632,17 @@ final class LookaheadZlibStream(
       // ztrailer always records real sizes; fail loudly if it doesn't
       require(usize > 0 || csize == 0,
         s"zsav: ztrailer block ${nextIdx - 1} declares 0 uncompressed bytes for $csize compressed")
-      fsin.seek(ofs)
-      val compressed = new Array[Byte](csize)
-      var off = 0
-      while (off < csize) {
-        val r = fsin.read(compressed, off, csize - off)
-        require(r >= 0, "zsav: truncated block")
-        off += r
-      }
       pending.addLast(LookaheadZlibStream.pool.submit(
         new java.util.concurrent.Callable[Array[Byte]] {
-          override def call(): Array[Byte] =
+          override def call(): Array[Byte] = {
+            val compressed = new Array[Byte](csize)
+            try fsin.readFully(ofs, compressed, 0, csize)
+            catch {
+              case e: java.io.EOFException =>
+                throw new java.io.EOFException(s"zsav: truncated block (${e.getMessage})")
+            }
             LookaheadZlibStream.inflate(compressed, usize)
+          }
         }))
     }
   }
