@@ -373,17 +373,22 @@ final class SavDecode(meta: Sav.Metadata, opts: ReadstatOptions) {
     val widthBytes = v.widthSegments * 8
     val s =
       if (v.stringLen > 255) {
-        // very-long string: 252 content bytes per 256-byte segment
-        val sb = new java.lang.StringBuilder()
+        // very-long string: 252 content bytes per 256-byte segment. The
+        // BYTES are coalesced before the single charset decode — a
+        // multi-byte character split across a segment boundary must not be
+        // decoded as two broken pieces (fuzz-caught r6)
+        val buf = new Array[Byte](v.stringLen)
+        var filled = 0
         var remaining = v.stringLen
         var segOff = off
         while (remaining > 0 && segOff < off + widthBytes) {
           val take = math.min(252, math.min(remaining, off + widthBytes - segOff))
-          sb.append(new String(row, segOff, take, cs))
+          System.arraycopy(row, segOff, buf, filled, take)
+          filled += take
           remaining -= take
           segOff += 256
         }
-        sb.toString
+        new String(buf, 0, filled, cs)
       } else {
         val n = math.min(v.stringLen, widthBytes)
         new String(row, off, n, cs)

@@ -548,7 +548,12 @@ object SavWriter {
 
     def numCell(d: Double): Unit = {
       val c = d + bias
-      if (c == Math.rint(c) && c >= 1.0 && c <= 251.0) emit(c.toInt, null)
+      // the round-trip check (c.toInt - bias == d) is essential: for a tiny
+      // |d| the addition ABSORBS d (1e-69 + 100 == 100.0 exactly), so the
+      // integrality test alone would encode it as code 100 and decode 0.0
+      // (fuzz-caught r6)
+      if (c == Math.rint(c) && c >= 1.0 && c <= 251.0 && c.toInt.toDouble - bias == d)
+        emit(c.toInt, null)
       else {
         val bits = java.lang.Double.doubleToLongBits(d)
         val b = new Array[Byte](8)

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sources.readstat.sas.SasFixtureWriter
+import graft.sources.readstat.spss.SavWriter
+import graft.sources.readstat.stata.DtaWriter
+
+/** Deterministic fuzz round trips: random schemas and values (nulls,
+  * unicode, boundary-ish doubles, strings past the short-string limits so
+  * dta strL / sav VLS engage) through each writer → DSv2 reader → exact
+  * compare. Seeded, so a failure is a reproducible case, not a flake.
+  *
+  * Expected-value normalization mirrors the formats' fixed-width
+  * semantics: trailing spaces are padding (stripped on read) and
+  * empty/whitespace-only strings read back as null under the default
+  * `missingStringAsNull`.
+  */
+class FuzzRoundTripSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft_fuzz").resolve(name).toString
+
+  private val asciiPool = "abcdefgh XYZ09_-,."
+  private val uniPool = "äöüßéñ中文字αβγ «»"
+
+  private def randString(r: Random, maxLen: Int): String = {
+    val pool = if (r.nextBoolean()) asciiPool else uniPool
+    (0 until r.nextInt(maxLen + 1)).map(_ => pool(r.nextInt(pool.length))).mkString
+  }
+
+  private def randDouble(r: Random): Double = r.nextInt(6) match {
+    case 0 => r.nextInt(2000) - 1000.0
+    case 1 => (r.nextInt(4000) - 2000) * 0.25
+    case 2 => r.nextDouble() * 2 - 1
+    case 3 => r.nextDouble() * 1e12 - 5e11
+    case 4 => r.nextDouble() * 1e-8
+    case _ => math.pow(10, r.nextInt(200) - 100) * (r.nextInt(9) + 1)
+  }
+
+  /** What the scan should yield for a written string cell: trailing spaces
+    * strip on read (space-padded sav/sas cells; dta str# trims like the
+    * reference, src/stata/data.rs:827-832) and empty reads back as null
+    * (missingStringAsNull). dta strL PRESERVES trailing spaces (reference
+    * load_strls strips NULs only) — the fuzz generator therefore avoids
+    * trailing spaces for dta so one normalization covers both paths; the
+    * str#-vs-strL asymmetry is pinned by the dedicated test below.
+    */
+  private def normString(s: String): String =
+    if (s == null) null
+    else {
+      val t = s.replaceAll(" +$", "")
+      if (t.isEmpty) null else t
+    }
+
+  private def runTrial(seed: Int, fmt: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val r = new Random(seed)
+    val nRows = 200 + r.nextInt(300)
+    // key + a random mix of columns the format supports
+    val colDefs = scala.collection.mutable.ArrayBuffer[(String, DataType, Int)]()
+    colDefs += (("k", DoubleType, 0))
+    val nCols = 2 + r.nextInt(4)
+    for (i <- 0 until nCols) {
+      val t = r.nextInt(4) match {
+        case 0 => ("d", DoubleType, 0)
+        case 1 => ("s", StringType, 1 + r.nextInt(40))
+        // long strings: sav VLS (>255) / dta strL (>2045) territory
+        case 2 => ("l", StringType, 200 + r.nextInt(if (fmt == "dta") 2200 else 200))
+        case 3 => if (fmt == "sas") ("d", DoubleType, 0) else ("t", DateType, 0)
+      }
+      colDefs += ((s"${t._1}$i", t._2, t._3))
+    }
+    val schema = StructType(colDefs.map(c => StructField(c._1, c._2)).toSeq)
+    val rows = (0 until nRows).map { i =>
+      Row.fromSeq(colDefs.map {
+        case ("k", _, _) => i.toDouble
+        case (_, _, w) if r.nextInt(10) == 0 => null // ~10% nulls everywhere
+        case (_, DoubleType, _) => randDouble(r)
+        case (_, StringType, w) =>
+          val s = randString(r, w)
+          if (fmt == "dta") s.replaceAll(" +$", "") else s
+        case (_, DateType, _) => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(r.nextInt(40000) - 20000L))
+        case other => throw new IllegalStateException(other.toString)
+      }.toSeq)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = fmt match {
+      case "dta" => val p = tmp(s"f$seed.dta"); DtaWriter.write(df, p); p
+      case "sav" => val p = tmp(s"f$seed.sav"); SavWriter.write(df, p, compress = r.nextBoolean()); p
+      case "zsav" => val p = tmp(s"f$seed.zsav"); SavWriter.write(df, p); p
+      case "sas" => val p = tmp(s"f$seed.sas7bdat"); SasFixtureWriter.write(df, p, rle = r.nextBoolean()); p
+    }
+    val back = spark.read.format("readstat").load(path)
+      .orderBy("k").collect()
+    assert(back.length === nRows, s"$fmt seed $seed: row count")
+    val expected = rows.sortBy(r => r.getDouble(0))
+    for ((exp, got) <- expected.zip(back); ci <- colDefs.indices) {
+      val e = colDefs(ci)._2 match {
+        case StringType => normString(exp.getAs[String](ci))
+        case _ => exp.get(ci)
+      }
+      assert(got.get(ci) === e,
+        s"$fmt seed $seed row ${exp.get(0)} col ${colDefs(ci)._1}: wrote ${exp.get(ci)}, read ${got.get(ci)}")
+    }
+  }
+
+  for (fmt <- Seq("dta", "sav", "zsav", "sas"); seed <- 1 to 3)
+    test(s"fuzz round trip $fmt seed $seed") { runTrial(seed * 7919, fmt) }
+
+  test("dta trailing spaces: str# trims (reference parity), strL preserves") {
+    // reference: str# cells trim trailing spaces after decode
+    // (src/stata/data.rs:827-832); strL values strip trailing NULs only
+    // (load_strls src/stata/data.rs:909-912) — spaces are strL data
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("k", DoubleType),
+      StructField("short", StringType), StructField("big", StringType)))
+    val pad = "x" * 2500 // forces the `big` column to strL (> 2045 bytes)
+    val rows = Seq(Row(1.0, "abc  ", pad + "tail  "), Row(2.0, "d", pad))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val p = tmp("trailing.dta")
+    DtaWriter.write(df, p)
+    val got = spark.read.format("readstat").load(p).orderBy("k")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got(0)._1 === "abc")             // str# trimmed
+    assert(got(0)._2 === pad + "tail  ")    // strL preserved
+    assert(got(1)._1 === "d")
+    assert(got(1)._2 === pad)
+  }
+}
