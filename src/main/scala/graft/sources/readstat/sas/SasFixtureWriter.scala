@@ -459,9 +459,13 @@ object SasFixtureWriter {
       rle: Boolean, rdc: Boolean): Seq[Array[Byte]] = {
     val n = cols.length
 
-    // column text payload: u16 remainder + (optional compression sig) + strings
+    // column text payload: u16 text-block size + (optional compression sig)
+    // + strings. The leading u16 is patched to the final payload length
+    // below — pandas' reader slices the text block to this size before
+    // resolving name refs, so a zero here reads every name as empty
+    // (fuzz-crosscheck-caught r6; our own reader ignores the field)
     val text = new java.io.ByteArrayOutputStream()
-    text.write(0); text.write(0) // remainder u16 (unused by our reader)
+    text.write(0); text.write(0) // u16 text block size (patched below)
     if (rle) text.write("SASYZCRL".getBytes(StandardCharsets.US_ASCII))
     else if (rdc) text.write("SASYZCR2".getBytes(StandardCharsets.US_ASCII))
     val nameRefs = cols.map { c =>
@@ -480,6 +484,7 @@ object SasFixtureWriter {
       }
     }
     val textPayload = text.toByteArray
+    putU16(textPayload, 0, textPayload.length)
 
     // subheaders: (signature ++ body)
     def sub(sig: Array[Int], body: Array[Byte]): Array[Byte] =
@@ -613,12 +618,14 @@ object RleEncode {
         var left = runLen
         while (left > 0) {
           if (left >= 18) {
-            // INSERT_BYTE18: count = (lo<<4) + nb + 18, lo ≤ 15, nb ≤ 255 → ≤ 513
-            val count = math.min(left, 513)
-            val rem = count - 18
-            val lo2 = math.min(rem >> 4, 15)
-            val nb = rem - (lo2 << 4)
-            out.write(0x40 | lo2); out.write(nb); out.write(b)
+            // INSERT_BYTE18 with the control nibble ALWAYS 0: decoders
+            // disagree on its weight (readstat/the reference read
+            // (nibble<<4)+nb+18, pandas reads nibble*256+nb+18 — real SAS
+            // apparently never sets it), so the portable encoding caps each
+            // command at the single count byte: ≤ 255+18 per command
+            // (fuzz-crosscheck-caught r6)
+            val count = math.min(left, 255 + 18)
+            out.write(0x40); out.write(count - 18); out.write(b)
             left -= count
           } else if (left >= 3) {
             out.write(0xC0 | (left - 3)); out.write(b) // INSERT_BYTE3

@@ -225,8 +225,14 @@ object DtaWriter {
     val strlsStart = out.count
     tag("<strls>")
     strls.foreach { case (v, o, data) =>
-      tag("GSO"); u32(v.toLong); u64(o); out.write(0x82); u32(data.length.toLong)
+      // type 130 (0x82, ASCII): Stata stores these with a terminating NUL
+      // and len INCLUDES it — pandas' reader drops the last byte
+      // unconditionally, so omitting the terminator corrupts the value for
+      // every other parser (fuzz-crosscheck-caught r6; readers that strip
+      // trailing NULs, like ours and the reference, accept both)
+      tag("GSO"); u32(v.toLong); u64(o); out.write(0x82); u32(data.length.toLong + 1)
       out.write(data)
+      out.write(0)
     }
     tag("</strls>")
 
