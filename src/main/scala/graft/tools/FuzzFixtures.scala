@@ -62,18 +62,22 @@ object FuzzFixtures {
         StructField("k", DoubleType),
         StructField("d0", DoubleType),
         StructField("s0", StringType),
-        StructField("l0", StringType)) ++
-        (if (fmt == "dta") Seq(StructField("t0", DateType)) else Nil))
+        StructField("l0", StringType),
+        StructField("t0", DateType),
+        StructField("ts0", TimestampNTZType)))
       val rows = (0 until nRows).map { i =>
         Row.fromSeq(Seq[Any](
           i.toDouble,
           if (r.nextInt(10) == 0) null else randDouble(r),
           if (r.nextInt(10) == 0) null else randString(r, 30),
-          if (r.nextInt(10) == 0) null else randString(r, longWidth)) ++
-          (if (fmt == "dta")
-            Seq[Any](if (r.nextInt(10) == 0) null
-              else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(r.nextInt(40000) - 20000L)))
-          else Nil))
+          if (r.nextInt(10) == 0) null else randString(r, longWidth),
+          if (r.nextInt(10) == 0) null
+          else java.time.LocalDate.ofEpochDay(r.nextInt(40000) - 20000L),
+          // whole seconds: dta %tc stores ms, SAS DATETIME seconds — both
+          // exact at second precision for the pandas compare
+          if (r.nextInt(10) == 0) null
+          else java.time.LocalDateTime.ofEpochSecond(
+            (r.nextInt(2000000000) - 1000000000).toLong, 0, java.time.ZoneOffset.UTC)))
       }
       val df = spark.createDataFrame(rows.asJava, schema)
       val name = s"fuzz${seed}_$fmt"
