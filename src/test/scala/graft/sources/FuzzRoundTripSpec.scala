@@ -115,6 +115,71 @@ class FuzzRoundTripSpec extends SparkSpec {
   for (fmt <- Seq("dta", "sav", "zsav", "sas"); seed <- 1 to 3)
     test(s"fuzz round trip $fmt seed $seed") { runTrial(seed * 7919, fmt) }
 
+  test("fuzz labeled round trip: unicode value labels + unlabeled fallback (dta)") {
+    // labels decode through the P8 path; codes without a label fall back to
+    // renderNumber — both with non-ASCII label text
+    import scala.jdk.CollectionConverters._
+    val r = new Random(424243)
+    val labels = (0 until 12).map(c => c -> s"label_${randString(r, 12)}_中$c").toMap
+    val schema = StructType(Seq(
+      StructField("k", DoubleType), StructField("code", IntegerType)))
+    val rows = (0 until 300).map { i =>
+      Row(i.toDouble,
+        if (r.nextInt(10) == 0) null
+        else Integer.valueOf(r.nextInt(20))) // 12..19 have no label → fallback
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val p = tmp("labeled.dta")
+    DtaWriter.write(df, p, valueLabels = Map("code" -> labels))
+    val got = spark.read.format("readstat").load(p).orderBy("k")
+      .collect().map(r0 => Option(r0.getString(1)))
+    rows.zip(got).foreach { case (exp, g) =>
+      val e = Option(exp.get(1)).map(_.asInstanceOf[Int])
+        .map(c => labels.getOrElse(c, c.toString))
+      assert(g === e)
+    }
+    // raw codes with labels disabled
+    val raw = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "false").load(p).orderBy("k")
+      .collect().map(r0 => Option(r0.get(1)))
+    rows.zip(raw).foreach { case (exp, g) =>
+      assert(g === Option(exp.get(1)))
+    }
+  }
+
+  test("fuzz declared-missings round trip: sav user-missing codes null out (and indicate)") {
+    import scala.jdk.CollectionConverters._
+    val r = new Random(777777)
+    val missing = Seq(97.0, 98.0, 99.0)
+    val schema = StructType(Seq(
+      StructField("k", DoubleType), StructField("x", DoubleType)))
+    val rows = (0 until 300).map { i =>
+      Row(i.toDouble,
+        if (r.nextInt(10) == 0) null
+        else if (r.nextInt(4) == 0) missing(r.nextInt(3))
+        else r.nextInt(90).toDouble)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val p = tmp("missings.sav")
+    SavWriter.write(df, p, missingValues = Map("x" -> missing))
+    // default: declared missings read as null
+    val got = spark.read.format("readstat").load(p).orderBy("k")
+      .collect().map(r0 => Option(r0.get(1)))
+    rows.zip(got).foreach { case (exp, g) =>
+      val e = Option(exp.get(1)).filterNot(v => missing.contains(v))
+      assert(g === e)
+    }
+    // informative nulls: the indicator renders the declared-missing code
+    val ind = spark.read.format("readstat")
+      .option("informativeNulls", "separate").load(p).orderBy("k")
+      .collect().map(r0 => Option(r0.getString(2)))
+    rows.zip(ind).foreach { case (exp, g) =>
+      val e = Option(exp.get(1)).filter(v => missing.contains(v))
+        .map(v => v.asInstanceOf[Double].toInt.toString)
+      assert(g === e)
+    }
+  }
+
   test("dta trailing spaces: str# trims (reference parity), strL preserves") {
     // reference: str# cells trim trailing spaces after decode
     // (src/stata/data.rs:827-832); strL values strip trailing NULs only
