@@ -29,7 +29,7 @@ object Bench {
     // with an unchanged plan. Both runs are recorded for judgeability.
     val results: Seq[(String, Double, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def oneRun(): Double = {
+        def oneRun(): (Double, Boolean) = {
           // every run starts cache-cold: operators that persist() internal
           // frames (q34/q36/q40) must not leak cached partitions into the
           // next run or the next query — r3's q40 first-run 21.1s was q34's
@@ -39,16 +39,21 @@ object Bench {
           // both runs pay the full write+read cost
           if (name.startsWith("q5")) operators.ReadstatQueries.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
         val two = Seq(oneRun(), oneRun())
         // a >1.3× disagreement between the two runs means one of them hit
         // round-level contention (r5: q36 "regressed" 1.35→1.50 s with no
         // code change, max_run_skew_all 2.90) — take a third so best-of-N
         // reflects the query, not the machine
-        val runs = if (two.max / math.max(two.min, 1e-9) > 1.3) two :+ oneRun() else two
-        (name, runs.min, runs)
+        val runs =
+          if (two.map(_._1).max / math.max(two.map(_._1).min, 1e-9) > 1.3) two :+ oneRun()
+          else two
+        // best = fastest SUCCESSFUL run; a query whose every run failed
+        // reports -1, never its time-to-failure as if it were a result
+        val good = runs.collect { case (t, true) => t }
+        (name, if (good.nonEmpty) good.min else -1.0, runs.map(_._1))
       }
     val qs = results.map { case (k, best, _) => s"\"" + k + "\":" + best }
       .mkString("{", ",", "}")

@@ -50,7 +50,12 @@ object ScaleSmoke {
 
     val dir = new File("/tmp/graft_scale")
     val docsPath = new File(dir, "documents.parquet")
-    if (!docsPath.exists() || spark.read.parquet(docsPath.getPath).count() != nDocs) {
+    // a partial cached corpus (interrupted previous run) must regenerate,
+    // not crash every subsequent run
+    val cachedOk = docsPath.exists() &&
+      (try spark.read.parquet(docsPath.getPath).count() == nDocs
+       catch { case _: Exception => false })
+    if (!cachedOk) {
       dir.mkdirs()
       generate(spark, nDocs).write.mode("overwrite").parquet(docsPath.getPath)
       System.err.println(s"[scalesmoke] generated $nDocs docs at $docsPath")

@@ -92,8 +92,21 @@ object ScanBench {
     val scanFiles = 4
     val out = scala.collection.mutable.Map[String, Double]()
     out("scan_files") = scanFiles.toDouble
+
+    // every section fails independently: one format's failure (incl. the
+    // partition-count guard) must not take the other sections' numbers
+    // down with it — r4 lost a whole round's scan data to one embedded
+    // failure
+    def section(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[scanbench] $name section failed: ${e.getMessage}")
+          out(s"${name}_error") = 1.0
+      }
+
     for (f <- Seq(dta, sas)) {
       val fmt = if (f.getName.endsWith(".dta")) "dta" else "sas"
+      section(fmt) {
       val sizeMb = f.length() / 1e6 * scanFiles
       def read() = spark.read.format("readstat")
         .option("maxPartitionBytes", (32L * 1024 * 1024).toString)
@@ -131,18 +144,8 @@ object ScanBench {
       out(s"${fmt}_full_mbps_core") = sizeMb / tFull / cpus
       out(s"${fmt}_proj_sec") = tProj
       out(s"${fmt}_proj_mbps_core") = sizeMb / tProj / cpus
-    }
-
-    // the auxiliary sections below fail independently: a zsav/savbc section
-    // error (incl. the scaling floor assert) must not take the dta/sas
-    // numbers down with it — r4 lost a whole round's scan data to one
-    // embedded failure
-    def section(name: String)(body: => Unit): Unit =
-      try body catch {
-        case e: Throwable =>
-          System.err.println(s"[scanbench] $name section failed: ${e.getMessage}")
-          out(s"${name}_error") = 1.0
       }
+    }
 
     val zAggs = (0 until 10).map(i => sum(col(s"d$i"))) ++
       Seq(sum(length(col("s0"))), sum(length(col("s1"))))

@@ -26,19 +26,27 @@ object ReadstatQueries {
     */
   def clearCache(): Unit = cache.clear()
 
-  private def roundTrip(s: SparkSession, key: String, build: => DataFrame,
-      labels: DataFrame => Map[String, Map[Int, String]] = _ => Map.empty): DataFrame = {
+  /** Write-once (per cache key) container via `write(path)`, then scan it
+    * through the DSv2 source — one helper for all four container formats.
+    */
+  private def roundTripFile(
+      s: SparkSession, key: String, ext: String)(write: String => Unit): DataFrame = {
     val path = cache.getOrElseUpdate(key, {
       val dir = Files.createDirectories(
         Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
-      val p = dir.resolve(
-        key.replaceAll("[^a-zA-Z0-9]", "_") + ".dta").toString
-      val df = build
-      DtaWriter.write(df, p, valueLabels = labels(df))
+      val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ext).toString
+      write(p)
       p
     })
     s.read.format("readstat").load(path)
   }
+
+  private def roundTrip(s: SparkSession, key: String, build: => DataFrame,
+      labels: DataFrame => Map[String, Map[Int, String]] = _ => Map.empty): DataFrame =
+    roundTripFile(s, key, ".dta") { p =>
+      val df = build
+      DtaWriter.write(df, p, valueLabels = labels(df))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // lineitem → dta (doubles, int32, strings, %td dates) → aggregate.
@@ -77,20 +85,14 @@ object ReadstatQueries {
     // orders → sav with bytecode compression → aggregate. Exercises the
     // sav writer, the bytecode decompressor and the DATE epoch conversion.
     "q53_sav_roundtrip_agg" -> ((s, d) => {
-      val key = s"$d/orders_sav"
-      val path = cache.getOrElseUpdate(key, {
-        val dir = Files.createDirectories(
-          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
-        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".sav").toString
+      roundTripFile(s, s"$d/orders_sav", ".sav") { p =>
         SavWriter.write(
           orders(s, d).select(
             col("o_orderkey").cast("double").as("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"),
             to_date(col("o_orderdate")).as("o_orderdate")),
           p, compress = true)
-        p
-      })
-      s.read.format("readstat").load(path)
+      }
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("n"),
@@ -104,20 +106,14 @@ object ReadstatQueries {
     // stream) → aggregate. Exercises the zsav writer, the ztrailer block
     // index, and the parallel block inflate (r6).
     "q56_zsav_roundtrip_agg" -> ((s, d) => {
-      val key = s"$d/orders_zsav"
-      val path = cache.getOrElseUpdate(key, {
-        val dir = Files.createDirectories(
-          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
-        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".zsav").toString
+      roundTripFile(s, s"$d/orders_zsav", ".zsav") { p =>
         SavWriter.write(
           orders(s, d).select(
             col("o_orderkey").cast("double").as("o_orderkey"),
             col("o_orderpriority"), col("o_totalprice"),
             to_date(col("o_orderdate")).as("o_orderdate")),
           p)
-        p
-      })
-      s.read.format("readstat").load(path)
+      }
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
@@ -131,20 +127,14 @@ object ReadstatQueries {
     // customer → sas7bdat (uncompressed + RLE) → join-style aggregate.
     // Exercises the SAS page/subheader reader and both decompression paths.
     "q54_sas_roundtrip_agg" -> ((s, d) => {
-      val key = s"$d/customer_sas"
-      val path = cache.getOrElseUpdate(key, {
-        val dir = Files.createDirectories(
-          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
-        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".sas7bdat").toString
+      roundTripFile(s, s"$d/customer_sas", ".sas7bdat") { p =>
         SasFixtureWriter.write(
           customer(s, d).select(
             col("c_custkey").cast("double").as("c_custkey"),
             col("c_name"), col("c_nationkey").cast("double").as("c_nationkey"),
             col("c_acctbal"), col("c_mktsegment")),
           p, rle = false)
-        p
-      })
-      s.read.format("readstat").load(path)
+      }
         .groupBy("c_mktsegment")
         .agg(
           count(lit(1)).as("n"),
@@ -154,11 +144,7 @@ object ReadstatQueries {
     }),
 
     "q55_sas_rle_roundtrip" -> ((s, d) => {
-      val key = s"$d/part_sas_rle"
-      val path = cache.getOrElseUpdate(key, {
-        val dir = Files.createDirectories(
-          Paths.get(System.getProperty("java.io.tmpdir"), "graft_rt"))
-        val p = dir.resolve(key.replaceAll("[^a-zA-Z0-9]", "_") + ".sas7bdat").toString
+      roundTripFile(s, s"$d/part_sas_rle", ".sas7bdat") { p =>
         SasFixtureWriter.write(
           part(s, d).select(
             col("p_partkey").cast("double").as("p_partkey"),
@@ -166,9 +152,7 @@ object ReadstatQueries {
             col("p_size").cast("double").as("p_size"),
             col("p_retailprice")),
           p, rle = true)
-        p
-      })
-      s.read.format("readstat").load(path)
+      }
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n"),

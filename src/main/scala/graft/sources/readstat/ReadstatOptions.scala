@@ -96,7 +96,9 @@ object ReadstatOptions {
       compressNumeric = get("compressNumeric").forall(_.toBoolean),
       compressDatetimeToDate = get("compressDatetimeToDate").forall(_.toBoolean),
       compressStringToNumeric = get("compressStringToNumeric").exists(_.toBoolean),
-      zsavLookahead = get("zsavLookahead").map(_.toInt).filter(_ > 0),
+      // 0/negative reads as "no prefetch" → sequential (1), never silently
+      // the parallel default
+      zsavLookahead = get("zsavLookahead").map(v => math.max(1, v.toInt)),
       maxStrlBytes = get("maxStrlBytes").map(_.toLong).getOrElse(1L << 30))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,

@@ -516,6 +516,10 @@ final class SavRowCursor(
 
   override def close(): Unit = {
     if (in != null) in.close()
+    // compression 0 reads fsin directly; the zsav path abandons it after
+    // the ztrailer parse (LookaheadZlibStream opens its own handle) — close
+    // unconditionally or executors leak one fd per scanned partition
+    if (fsin != null) try fsin.close() catch { case _: java.io.IOException => }
   }
 }
 
@@ -723,6 +727,13 @@ object LookaheadZlibStream {
             s"zsav: zlib block ended at $off of $usize declared bytes")
         off += n
       }
+      // the block must END here: the chain check validates every usize
+      // against the NEXT block's offset except the last block's — an
+      // understated final usize would otherwise silently drop rows
+      val extra = inf.inflate(new Array[Byte](1))
+      if (extra > 0 || !inf.finished())
+        throw new java.io.IOException(
+          s"zsav: zlib block holds more than the declared $usize bytes (trailer understated)")
       out
     } finally inf.end()
   }

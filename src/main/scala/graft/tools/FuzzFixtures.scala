@@ -23,16 +23,22 @@ object FuzzFixtures {
   private val asciiPool = "abcdefgh XYZ09_-,."
   private val uniPool = "äöüßéñ中文字αβγ «»"
 
-  private def randString(r: Random, maxLen: Int): String = {
+  /** Shared with FuzzRoundTripSpec so the pandas crosscheck and the
+    * round-trip spec fuzz the same value space.
+    */
+  def randString(r: Random, maxLen: Int): String = {
     val pool = if (r.nextBoolean()) asciiPool else uniPool
-    // no trailing spaces: str# trims them (reference parity) while strL
-    // keeps them — pandas mirrors that split, but normalization here stays
-    // simpler without them
-    (0 until r.nextInt(maxLen + 1)).map(_ => pool(r.nextInt(pool.length)))
-      .mkString.replaceAll(" +$", "")
+    (0 until r.nextInt(maxLen + 1)).map(_ => pool(r.nextInt(pool.length))).mkString
   }
 
-  private def randDouble(r: Random): Double = r.nextInt(6) match {
+  /** `randString` without trailing spaces: dta str# trims them (reference
+    * parity) while strL keeps them — values without them round-trip
+    * identically on both paths.
+    */
+  def randStringNoTrailSpace(r: Random, maxLen: Int): String =
+    randString(r, maxLen).replaceAll(" +$", "")
+
+  def randDouble(r: Random): Double = r.nextInt(6) match {
     case 0 => r.nextInt(2000) - 1000.0
     case 1 => (r.nextInt(4000) - 2000) * 0.25
     case 2 => r.nextDouble() * 2 - 1
@@ -69,8 +75,8 @@ object FuzzFixtures {
         Row.fromSeq(Seq[Any](
           i.toDouble,
           if (r.nextInt(10) == 0) null else randDouble(r),
-          if (r.nextInt(10) == 0) null else randString(r, 30),
-          if (r.nextInt(10) == 0) null else randString(r, longWidth),
+          if (r.nextInt(10) == 0) null else randStringNoTrailSpace(r, 30),
+          if (r.nextInt(10) == 0) null else randStringNoTrailSpace(r, longWidth),
           if (r.nextInt(10) == 0) null
           else java.time.LocalDate.ofEpochDay(r.nextInt(40000) - 20000L),
           // whole seconds: dta %tc stores ms, SAS DATETIME seconds — both

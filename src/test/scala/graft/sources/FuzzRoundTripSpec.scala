@@ -27,22 +27,9 @@ class FuzzRoundTripSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory("graft_fuzz").resolve(name).toString
 
-  private val asciiPool = "abcdefgh XYZ09_-,."
-  private val uniPool = "äöüßéñ中文字αβγ «»"
-
-  private def randString(r: Random, maxLen: Int): String = {
-    val pool = if (r.nextBoolean()) asciiPool else uniPool
-    (0 until r.nextInt(maxLen + 1)).map(_ => pool(r.nextInt(pool.length))).mkString
-  }
-
-  private def randDouble(r: Random): Double = r.nextInt(6) match {
-    case 0 => r.nextInt(2000) - 1000.0
-    case 1 => (r.nextInt(4000) - 2000) * 0.25
-    case 2 => r.nextDouble() * 2 - 1
-    case 3 => r.nextDouble() * 1e12 - 5e11
-    case 4 => r.nextDouble() * 1e-8
-    case _ => math.pow(10, r.nextInt(200) - 100) * (r.nextInt(9) + 1)
-  }
+  // one generator stack shared with the pandas crosscheck fixtures, so both
+  // harnesses fuzz the same value space
+  import graft.tools.FuzzFixtures.{randDouble, randString}
 
   /** What the scan should yield for a written string cell: trailing spaces
     * strip on read (space-padded sav/sas cells; dta str# trims like the
