@@ -175,6 +175,10 @@ object ScanBench {
     out("zsav_seq_sec") = tSeq
     out("zsav_par_sec") = tPar
     out("zsav_speedup") = tSeq / tPar
+    // measured 1.8-1.9x; a drop under 1.2 means the inflate pipeline
+    // regressed to (near-)sequential — fail this section loudly
+    require(tSeq / tPar >= 1.2,
+      f"zsav parallel inflate speedup ${tSeq / tPar}%.2f — lookahead pipeline regressed")
     }
 
     section("savbc") {
