@@ -167,6 +167,37 @@ class FuzzRoundTripSpec extends SparkSpec {
     }
   }
 
+  test("fuzz columnar/row path parity across formats") {
+    // the vectorized ColumnAppender path and the row-decode path must agree
+    // cell-for-cell on fuzzed values (unicode, nulls, boundary doubles)
+    import scala.jdk.CollectionConverters._
+    for ((fmt, ext) <- Seq(("dta", ".dta"), ("sav", ".sav"), ("sas", ".sas7bdat"))) {
+      val r = new Random(99991)
+      val schema = StructType(Seq(
+        StructField("k", DoubleType), StructField("d", DoubleType),
+        StructField("s", StringType)))
+      val rows = (0 until 400).map { i =>
+        Row(i.toDouble,
+          if (r.nextInt(8) == 0) null else randDouble(r),
+          if (r.nextInt(8) == 0) null else randString(r, 24))
+      }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val p = tmp(s"parity$ext")
+      fmt match {
+        case "dta" => DtaWriter.write(df, p)
+        case "sav" => SavWriter.write(df, p, compress = true)
+        case "sas" => SasFixtureWriter.write(df, p, rle = true)
+      }
+      def readAll(columnar: Boolean) = spark.read.format("readstat")
+        .option("columnar", columnar.toString)
+        .load(p).orderBy("k").collect().map(_.toSeq).toSeq
+      val col = readAll(true)
+      val row = readAll(false)
+      assert(col.length === 400, s"$fmt row count")
+      assert(col === row, s"$fmt: columnar and row paths disagree")
+    }
+  }
+
   test("dta trailing spaces: str# trims (reference parity), strL preserves") {
     // reference: str# cells trim trailing spaces after decode
     // (src/stata/data.rs:827-832); strL values strip trailing NULs only
