@@ -82,6 +82,24 @@ class PairPlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q35 LSH precision and recall on a planted corpus (32-bit lanes)") {
+    // ADVICE r5: 16-bit minhash lanes made unrelated docs tie on a lane with
+    // probability ~n/65536, growing candidates quadratically. With 32-bit
+    // lanes the expected spurious-candidate count on 5,000 unrelated ~50-word
+    // docs is ≪1 — assert EXACTLY the planted near-dup pairs come back:
+    // zero spurious (precision) and none missed (recall; pairwise Jaccard
+    // ≈0.9 → band-collision probability ~1 at 4 bands of 2).
+    val docs = graft.ScaleSmoke.generate(spark, 5000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.queries("q35_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (1 until 5000).filter(_ % 33 == 0).map(i => (i.toLong - 1, i.toLong)).toSet
+    assert(got === planted,
+      s"spurious: ${(got -- planted).take(5)}; missed: ${(planted -- got).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("q34 frequent-shingle guard drops hot shingles before the self-join") {
     // a stop-shingle shared by every document would make its self-join
     // bucket quadratic in corpus size; the guard (df > maxShingleDf) must
