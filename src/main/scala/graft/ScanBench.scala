@@ -179,6 +179,22 @@ object ScanBench {
     // regressed to (near-)sequential — fail this section loudly
     require(tSeq / tPar >= 1.2,
       f"zsav parallel inflate speedup ${tSeq / tPar}%.2f — lookahead pipeline regressed")
+
+    // multi-file contention: 8 concurrent zsav streams share the executor
+    // inflate pool — wall should stay near ONE file's parallel time (the 8
+    // sequential decoders run on 8 cores while inflate fills the rest), not
+    // degrade toward 8 × single. scaling = tPar / t8, 1.0 = ideal.
+    val t8 = {
+      def read8() = spark.read.format("readstat")
+        .load(Seq.fill(8)(zsav.getPath): _*)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        read8().agg(zAggs.head, zAggs.tail: _*).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    out("zsav_8file_sec") = t8
+    out("zsav_8file_scaling") = tPar / t8
     }
 
     section("savbc") {
