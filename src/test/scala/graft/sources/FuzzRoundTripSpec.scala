@@ -99,7 +99,7 @@ class FuzzRoundTripSpec extends SparkSpec {
     }
   }
 
-  for (fmt <- Seq("dta", "sav", "zsav", "sas"); seed <- 1 to 3)
+  for (fmt <- Seq("dta", "sav", "zsav", "sas"); seed <- 1 to 5)
     test(s"fuzz round trip $fmt seed $seed") { runTrial(seed * 7919, fmt) }
 
   test("fuzz labeled round trip: unicode value labels + unlabeled fallback (dta)") {
