@@ -198,6 +198,44 @@ class FuzzRoundTripSpec extends SparkSpec {
     }
   }
 
+  test("fuzz filter pushdown: decode-skip returns exactly the engine-filtered rows") {
+    // pushed filters take the EXT decode-skip path inside the scan; the
+    // result must equal filtering the full read Spark-side, over fuzzed
+    // values (tiny magnitudes, negatives, nulls)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    for ((fmt, ext) <- Seq(("dta", ".dta"), ("sav", ".sav"), ("sas", ".sas7bdat"))) {
+      val r = new Random(31337)
+      val schema = StructType(Seq(
+        StructField("k", DoubleType), StructField("d", DoubleType),
+        StructField("s", StringType)))
+      val rows = (0 until 500).map { i =>
+        Row(i.toDouble,
+          if (r.nextInt(8) == 0) null else randDouble(r),
+          if (r.nextInt(8) == 0) null else randString(r, 16))
+      }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val p = tmp(s"filter$ext")
+      fmt match {
+        case "dta" => DtaWriter.write(df, p)
+        case "sav" => SavWriter.write(df, p, compress = true)
+        case "sas" => SasFixtureWriter.write(df, p, rle = false)
+      }
+      val full = spark.read.format("readstat").load(p)
+      for (pred <- Seq(col("d") > 0.5, col("d") <= 1e-6, col("s").startsWith("a"),
+          col("d").isNull, col("s").isNotNull && col("d") < 0)) {
+        val pushed = spark.read.format("readstat").load(p)
+          .filter(pred).select("k").collect().map(_.getDouble(0)).toSet
+        // baseline: decode everything first, then filter in pure Spark on
+        // the already-decoded rows — no scan-level pushdown involved
+        val expected = spark.createDataFrame(
+          full.collect().toSeq.asJava, full.schema).filter(pred)
+          .select("k").collect().map(_.getDouble(0)).toSet
+        assert(pushed === expected, s"$fmt pred $pred")
+      }
+    }
+  }
+
   test("dta trailing spaces: str# trims (reference parity), strL preserves") {
     // reference: str# cells trim trailing spaces after decode
     // (src/stata/data.rs:827-832); strL values strip trailing NULs only
