@@ -236,6 +236,38 @@ class FuzzRoundTripSpec extends SparkSpec {
     }
   }
 
+  test("fuzz inferSchema: narrowed reads preserve every value") {
+    // inferSchema narrows integral doubles to byte/short/int — values after
+    // widening back must equal the full-width read, over random mixtures of
+    // ranges, nulls, and a 0/1 boolean-ish column
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val r = new Random(5150)
+    val schema = StructType(Seq(
+      StructField("k", DoubleType), StructField("b", DoubleType),
+      StructField("small", DoubleType), StructField("wide", DoubleType)))
+    val rows = (0 until 400).map { i =>
+      Row(i.toDouble,
+        if (r.nextInt(10) == 0) null else r.nextInt(2).toDouble,
+        if (r.nextInt(10) == 0) null else (r.nextInt(200) - 100).toDouble,
+        if (r.nextInt(10) == 0) null else (r.nextLong() % 1000000000L).toDouble)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val p = tmp("infer.dta")
+    DtaWriter.write(df, p)
+    val plain = spark.read.format("readstat").load(p)
+      .orderBy("k").collect().map(_.toSeq)
+    val inferred = spark.read.format("readstat").option("inferSchema", "true").load(p)
+    // narrowing happened (the point of the option)
+    assert(inferred.schema("b").dataType === BooleanType)
+    assert(inferred.schema("small").dataType === ByteType)
+    val widened = inferred
+      .select(col("k"), col("b").cast("double").as("b"),
+        col("small").cast("double").as("small"), col("wide").cast("double").as("wide"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(widened.toSeq === plain.toSeq)
+  }
+
   test("dta trailing spaces: str# trims (reference parity), strL preserves") {
     // reference: str# cells trim trailing spaces after decode
     // (src/stata/data.rs:827-832); strL values strip trailing NULs only
