@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the dot product of two ARRAY<DOUBLE>
   * columns — the hot primitive of similarity search (SURVEY.md §7.1 M6).
@@ -56,16 +58,74 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All 8 minhash lane minima of a shingle array in ONE pass — the hot
+  * primitive of the LSH dedup chain (SURVEY.md §7.1 M6).
+  *
+  * The SQL formulation (`transform(sh, x -> sha2(x, 256))` + 8 ×
+  * `array_min(transform(ms, m -> substring(m, 1+8i, 8)))`) runs its lambdas
+  * in the interpreter (higher-order functions don't codegen), allocates a
+  * fresh MessageDigest per sha2 call, materializes every 64-hex digest
+  * string, and traverses the digest array nine times. This expression
+  * reuses one digest, compares lanes as unsigned 32-bit ints, and renders
+  * only the 8 winning lanes as lowercase hex — bit-identical output
+  * (lowercase-hex lexicographic min == numeric min), so the DuckDB oracle
+  * formulation is unchanged.
+  *
+  * Returns null for an empty (or all-null) array, like `array_min` over an
+  * empty transform result; null elements are skipped like `array_min`.
+  */
+case class MinhashLanes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val nLanes = 8
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(nLanes)(0xFFFFFFFFL)
+    var any = false
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var lane = 0
+        while (lane < nLanes) {
+          val o = 4 * lane
+          val v = ((digest(o) & 0xffL) << 24) | ((digest(o + 1) & 0xffL) << 16) |
+            ((digest(o + 2) & 0xffL) << 8) | (digest(o + 3) & 0xffL)
+          if (v < mins(lane)) mins(lane) = v
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else new GenericArrayData(
+      mins.map(v => UTF8String.fromString(f"$v%08x"): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashLanes =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   @volatile private var registered = Set.empty[SparkSession]
 
-  /** Register `graft_dot(a, b)` in the session's function registry so it is
-    * usable from `expr(...)` and `spark.sql(...)`.
+  /** Register `graft_dot(a, b)` and `graft_minhash_lanes(arr)` in the
+    * session's function registry so they are usable from `expr(...)` and
+    * `spark.sql(...)`.
     */
   def register(spark: SparkSession): Unit = synchronized {
     if (!registered.contains(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash_lanes", exprs => MinhashLanes(exprs.head), "scala_udf")
       registered += spark
     }
   }

@@ -244,13 +244,17 @@ object DedupOps {
     * OCCURRENCE (~corpus token count); this shuffles one row per doc.
     */
   private def lshCandidates(docs: DataFrame): DataFrame = {
-    // 64 hex chars per shingle (one sha256) → 8 lanes × 8 hex chars
-    // (32 bits each). Lowercase-hex substrings compare lexicographically ==
-    // numerically, so array_min is a true 32-bit lane minimum.
+    // 8 lanes × 8 hex chars (32 bits each) from one sha256 per shingle,
+    // computed by the native MinhashLanes expression: one digest pass per
+    // shingle, no per-lane string materialization (the equivalent SQL —
+    // transform + 8 × array_min(transform(substring)) — runs interpreted;
+    // LaneExprSpec locks bit-identical output against it, and the DuckDB
+    // oracle keeps the SQL formulation).
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val sig = withShingleArray(docs)
-      .select(col("doc_id"), expr("transform(sh, x -> sha2(x, 256))").as("ms"))
+      .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"))
       .select(Seq(col("doc_id")) ++ (0 until nHashes).map(i =>
-        expr(s"array_min(transform(ms, m -> substring(m, ${1 + 8 * i}, 8)))").as(s"h$i")): _*)
+        col("lanes")(i).as(s"h$i")): _*)
     // persisted: the band self-join consumes `banded` on BOTH sides and the
     // union-of-4-selects defeats Spark's exchange reuse (no ReusedExchange
     // in the executed plan — r4 verdict #6), so without the cache the whole

@@ -82,6 +82,30 @@ class PairPlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("graft_minhash_lanes is bit-identical to the SQL sha256 lane formulation") {
+    // the native expression must reproduce the interpreted SQL (and thus
+    // the DuckDB oracle) exactly: same sha256, same 8-hex lowercase slices,
+    // same minima
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val docs = graft.ScaleSmoke.generate(spark, 500)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))").as("sh"))
+    val both = sh
+      .withColumn("fast", expr("graft_minhash_lanes(sh)"))
+      .withColumn("ms", expr("transform(sh, x -> sha2(x, 256))"))
+      .withColumn("slow", array((0 until 8).map(i =>
+        expr(s"array_min(transform(ms, m -> substring(m, ${1 + 8 * i}, 8)))")): _*))
+      .select("doc_id", "fast", "slow")
+      .collect()
+    assert(both.length === 500)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.get(0)}")
+    }
+  }
+
   test("q35 LSH precision and recall on a planted corpus (32-bit lanes)") {
     // ADVICE r5: 16-bit minhash lanes made unrelated docs tie on a lane with
     // probability ~n/65536, growing candidates quadratically. With 32-bit
