@@ -113,6 +113,59 @@ case class MinhashLanes(child: Expression)
     copy(child = newChild)
 }
 
+/** 16-bit SimHash of a token array in one pass — row-local, so the q36
+  * chain shuffles one row per DOCUMENT instead of one per token occurrence
+  * (the SQL formulation explodes tokens and aggregates 16 vote columns by
+  * doc_id — a corpus-token-sized shuffle at scale).
+  *
+  * Bit-identical to the SQL/DuckDB formulation: per token, the first 4 hex
+  * digits of md5 (= first 2 digest bytes, big-endian) vote ±1 per bit over
+  * every OCCURRENCE (duplicates and empty tokens included); a bit is set
+  * iff its vote sum is > 0. Null for an empty/all-null array (the SQL
+  * groupBy simply has no row).
+  */
+case class Simhash16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](16)
+    var count = 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        count += 1
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        val h16 = ((digest(0) & 0xff) << 8) | (digest(1) & 0xff)
+        var b = 0
+        while (b < 16) {
+          votes(b) += (if (((h16 >> b) & 1) == 1) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (count == 0) null
+    else {
+      var sim = 0L
+      var b = 0
+      while (b < 16) {
+        if (votes(b) > 0) sim |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sim)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   @volatile private var registered = Set.empty[SparkSession]
 
@@ -126,6 +179,8 @@ object VectorFunctions {
         "graft_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_minhash_lanes", exprs => MinhashLanes(exprs.head), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash16", exprs => Simhash16(exprs.head), "scala_udf")
       registered += spark
     }
   }

@@ -134,19 +134,14 @@ object DedupOps {
     // (cf. Manku et al., WWW'07 simhash dedup). Doc pairs are expanded only
     // for value pairs that matched, which is output-bound work.
     "q36_simhash" -> ((s, d) => {
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("h16", expr(
-          """(instr('0123456789abcdef', substr(md5(w),1,1))-1)*4096 +
-             (instr('0123456789abcdef', substr(md5(w),2,1))-1)*256 +
-             (instr('0123456789abcdef', substr(md5(w),3,1))-1)*16 +
-             (instr('0123456789abcdef', substr(md5(w),4,1))-1)"""))
-      val voteAggs = (0 until 16).map(b =>
-        sum(expr(s"CASE WHEN (h16 DIV ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"v$b"))
-      val votes = tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      val sim = votes.select(col("doc_id") +:
-        Seq(expr((0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
-          .mkString(" + ")).cast("long").as("simhash")): _*)
+      // native Simhash16 (r6): the signature is computed ROW-LOCALLY from
+      // the token array — the SQL formulation (kept verbatim in the DuckDB
+      // oracle, and locked bit-identical by PairPlanSpec) explodes tokens
+      // and aggregates 16 vote columns by doc_id, a corpus-token-sized
+      // shuffle; this shuffles nothing before the value-space pair stage
+      graft.functions.VectorFunctions.register(s)
+      val sim = documents(s, d).select(col("doc_id"),
+        expr("graft_simhash16(split(text, ' '))").as("simhash"))
       simhashPairs(sim).orderBy("id_a", "id_b")
     }),
 
