@@ -204,8 +204,9 @@ object ScanBench {
     // local[32]: the same bytecode-sav file listed 32× (identical decode
     // work per entry; warm-cache decode throughput, like everything here)
     // should finish in ~one file's wall time. scaling = t1/t32: 1.0 is
-    // perfectly linear (32× bytes, same wall), floor asserted at 0.55 to
-    // catch structural regressions without tripping on machine contention.
+    // perfectly linear (32× bytes, same wall), floor asserted at 0.60 to
+    // catch structural regressions without tripping on machine contention
+    // (measured 0.69/0.65 over r6/r7 — 0.65 is the observed low-water mark).
     val savBc = ensure(new File(dir, "bigbc1.sav"), 180L * 1000 * 1000, p =>
       sources.readstat.spss.SavWriter.writeRows(
         schema, rowIter(2000000), p, widths,
@@ -230,7 +231,7 @@ object ScanBench {
     out("savbc_1file_sec") = t1
     out("savbc_nfile_sec") = tN
     out("savbc_multifile_scaling") = scaling
-    require(scaling >= 0.55,
+    require(scaling >= 0.60,
       f"multi-file compressed scan scaled at $scaling%.2f of linear — " +
         "single-partition-per-compressed-file parallelism regressed")
     }

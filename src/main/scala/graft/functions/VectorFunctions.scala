@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,20 +72,96 @@ case class ArrayDot(left: Expression, right: Expression)
   *
   * Returns null for an empty (or all-null) array, like `array_min` over an
   * empty transform result; null elements are skipped like `array_min`.
+  * Because a non-null input can yield a null RESULT, `nullable` must be an
+  * unconditional `true` — inheriting `child.nullable` would let null-aware
+  * optimizer rules (IsNull folding, null-check elimination) miscompile
+  * queries over non-nullable children (array literals, non-null columns).
   */
 case class MinhashLanes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
-  private val nLanes = 8
+  override def nullable: Boolean = true
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashLanes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.HashKernels.minhashLanes($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashLanes =
+    copy(child = newChild)
+}
+
+/** 16-bit SimHash of a token array in one pass — row-local, so the q36
+  * chain shuffles one row per DOCUMENT instead of one per token occurrence
+  * (the SQL formulation explodes tokens and aggregates 16 vote columns by
+  * doc_id — a corpus-token-sized shuffle at scale).
+  *
+  * Bit-identical to the SQL/DuckDB formulation: per token, the first 4 hex
+  * digits of md5 (= first 2 digest bytes, big-endian) vote ±1 per bit over
+  * every OCCURRENCE (duplicates and empty tokens included); a bit is set
+  * iff its vote sum is > 0. Null for an empty/all-null array (the SQL
+  * groupBy simply has no row) — so, as for [[MinhashLanes]], `nullable`
+  * must be an unconditional `true` regardless of the child's nullability.
+  */
+case class Simhash16(child: Expression)
+    extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sim")
+      s"""
+         |java.lang.Long $tmp = graft.functions.HashKernels.simhash16($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
+/** Row-local hash kernels shared by the interpreted `nullSafeEval` paths and
+  * the generated code of [[MinhashLanes]] / [[Simhash16]] (codegen calls the
+  * static forwarders, e.g. `graft.functions.HashKernels.minhashLanes(...)`).
+  * One `MessageDigest` per thread — codegen'd projections are single-threaded
+  * per task, so a ThreadLocal removes the per-row allocation without locking.
+  */
+object HashKernels {
+
+  private val nLanes = 8
+
+  private val sha256 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("SHA-256"))
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** All 8 unsigned-32-bit lane minima of one sha256 per element, rendered
+    * as 8-hex-char strings; null for an empty/all-null array.
+    */
+  def minhashLanes(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(nLanes)(0xFFFFFFFFL)
     var any = false
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = sha256.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
@@ -109,32 +184,12 @@ case class MinhashLanes(child: Expression)
       mins.map(v => UTF8String.fromString(f"$v%08x"): Any))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinhashLanes =
-    copy(child = newChild)
-}
-
-/** 16-bit SimHash of a token array in one pass — row-local, so the q36
-  * chain shuffles one row per DOCUMENT instead of one per token occurrence
-  * (the SQL formulation explodes tokens and aggregates 16 vote columns by
-  * doc_id — a corpus-token-sized shuffle at scale).
-  *
-  * Bit-identical to the SQL/DuckDB formulation: per token, the first 4 hex
-  * digits of md5 (= first 2 digest bytes, big-endian) vote ±1 per bit over
-  * every OCCURRENCE (duplicates and empty tokens included); a bit is set
-  * iff its vote sum is > 0. Null for an empty/all-null array (the SQL
-  * groupBy simply has no row).
-  */
-case class Simhash16(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 16-bit per-occurrence-vote simhash; null for an empty/all-null array. */
+  def simhash16(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     val votes = new Array[Int](16)
     var count = 0
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = this.md5.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
@@ -161,9 +216,6 @@ case class Simhash16(child: Expression)
       java.lang.Long.valueOf(sim)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
-    copy(child = newChild)
 }
 
 object VectorFunctions {

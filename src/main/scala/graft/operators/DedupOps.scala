@@ -29,6 +29,15 @@ object DedupOps {
     * corpus-sized blocks to the ContextCleaner (ADVICE r5). The extra
     * count() is free in net terms — the caller's first action reads the
     * cached result instead of recomputing the chain.
+    *
+    * Cache contract: the RETURNED frame is persisted (it is output-sized by
+    * construction — candidate pairs, never the corpus) and the caller owns
+    * it — `result.unpersist()` when done with it. The returned Dataset's own
+    * logical plan is the cached plan (queries persist AFTER their final
+    * orderBy), so the caller's `unpersist()` actually matches in the
+    * CacheManager — persisting a sub-plan and sorting on top would make it a
+    * silent no-op. No corpus-sized block outlives the operator call
+    * (CacheReleaseSpec pins both properties via `getPersistentRDDs`).
     */
   private def finishAndRelease(out: DataFrame, upstream: DataFrame*): DataFrame = {
     val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -106,7 +115,7 @@ object DedupOps {
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
-      finishAndRelease(res, sh).orderBy("id_a", "id_b")
+      finishAndRelease(res.orderBy("id_a", "id_b"), sh)
     }),
 
     // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
@@ -119,7 +128,11 @@ object DedupOps {
     // array_min(transform(...)) — no explode, no signature shuffle. min()
     // is duplicate-insensitive, so shingle duplicates need no dedup first.
     "q35_minhash_lsh" -> ((s, d) => {
-      lshCandidates(documents(s, d)).orderBy("id_a", "id_b")
+      // re-persist the ORDERED output and release the unordered candidate
+      // cache so the returned frame is itself the cached plan (see the
+      // finishAndRelease cache contract)
+      val cand = lshCandidates(documents(s, d))
+      finishAndRelease(cand.orderBy("id_a", "id_b"), cand)
     }),
 
     // SimHash (16-bit, md5-nibble-derived) per document + near-dup pairs at
@@ -142,7 +155,8 @@ object DedupOps {
       graft.functions.VectorFunctions.register(s)
       val sim = documents(s, d).select(col("doc_id"),
         expr("graft_simhash16(split(text, ' '))").as("simhash"))
-      simhashPairs(sim).orderBy("id_a", "id_b")
+      val pairs = simhashPairs(sim)
+      finishAndRelease(pairs.orderBy("id_a", "id_b"), pairs)
     }),
 
     // LSH → exact-verify composition (the 100 TB near-dup pipeline): MinHash
@@ -177,7 +191,7 @@ object DedupOps {
           col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
-      finishAndRelease(res, cand, sharr).orderBy("id_a", "id_b")
+      finishAndRelease(res.orderBy("id_a", "id_b"), cand, sharr)
     })
   )
 
@@ -198,7 +212,10 @@ object DedupOps {
     *    `(simhash, doc_id)` table once per side — output-bound work.
     *  - `sim` is persisted (4 consumers: distinct values, both cross sides,
     *    both same-value sides); it is (doc_id, simhash) — 16 bytes/row —
-    *    and MEMORY_AND_DISK spills.
+    *    and MEMORY_AND_DISK spills. It is corpus-sized, so it is released
+    *    eagerly via `finishAndRelease` once the (output-sized) pair frame is
+    *    materialized; the returned frame follows the caller-owns-cache
+    *    contract documented on `finishAndRelease`.
     */
   def simhashPairs(sim0: DataFrame): DataFrame = {
     val sim = sim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -225,7 +242,9 @@ object DedupOps {
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         lit(0L).as("dist"))
-    cross.unionByName(same).select(col("id_a"), col("id_b"), col("dist"))
+    finishAndRelease(
+      cross.unionByName(same).select(col("id_a"), col("id_b"), col("dist")),
+      sim)
   }
 
   /** MinHash signature → 4 band keys → colliding (id_a, id_b) candidate

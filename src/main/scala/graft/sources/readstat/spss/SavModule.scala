@@ -722,9 +722,17 @@ object LookaheadZlibStream {
       var off = 0
       while (off < usize) {
         val n = inf.inflate(out, off, usize - off)
-        if (n == 0)
-          throw new java.io.IOException(
-            s"zsav: zlib block ended at $off of $usize declared bytes")
+        if (n == 0) {
+          // inflate() returning 0 has three distinct causes — name the right one
+          val why =
+            if (inf.finished())
+              s"deflate stream ended at $off of $usize declared bytes (ztrailer overstates the uncompressed size)"
+            else if (inf.needsInput())
+              s"compressed input exhausted at $off of $usize declared bytes (block truncated or ztrailer understates the compressed size)"
+            else
+              s"inflate made no progress at $off of $usize declared bytes"
+          throw new java.io.IOException(s"zsav: $why")
+        }
         off += n
       }
       // the block must END here: the chain check validates every usize

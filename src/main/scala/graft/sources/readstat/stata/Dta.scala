@@ -536,7 +536,7 @@ object Dta {
                 "raise .option(\"maxStrlBytes\", <bytes>) if this is intended")
           val data = r.readFully(len)
           var s = new String(data, cs)
-          while (s.nonEmpty && s.charAt(s.length - 1) == ' ') s = s.substring(0, s.length - 1)
+          while (s.nonEmpty && s.charAt(s.length - 1) == '\u0000') s = s.substring(0, s.length - 1)
           out((v.toInt, o)) = s
         } else r.skip(len)
       } else if (java.util.Arrays.equals(tag, "</s".getBytes(StandardCharsets.US_ASCII))) {
