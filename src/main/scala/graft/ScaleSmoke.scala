@@ -17,12 +17,34 @@ import org.apache.spark.sql.functions._
   * Straggler metric: `max_task_sec / max(median_task_sec, 0.1)` — the
   * 100 ms floor keeps millisecond scheduling noise on tiny tasks from
   * reading as skew.
+  *
+  * Adversarial hot-key section (r6 verdict #2): a second corpus plants 20%
+  * of all documents on ONE simhash value and ONE boilerplate shingle set
+  * (identical text), then re-runs q34/q36/q40. This exercises exactly the
+  * degenerate-corpus claims argued from plan shape in DedupOps: q34's
+  * df-guard must drop the boilerplate shingles BEFORE the self-join, and
+  * q36/q40's hot key must stay row-shaped (streamed join output, AQE skew
+  * split) instead of OOMing one task. The hot key's pair OUTPUT is
+  * inherently quadratic in the hot-doc count — that is the operator's
+  * contract — so the skew corpus is sized down (default 10k docs → 2k hot
+  * → ~2M output pairs) to keep the smoke's wall time bounded while still
+  * concentrating ~20% of the corpus on single keys.
   */
 object ScaleSmoke {
 
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
     "q40_lsh_jaccard_verified")
+
+  private val skewQueries = Seq(
+    "q34_ngram_jaccard", "q36_simhash", "q40_lsh_jaccard_verified")
+
+  /** Alarm bar for the worst in-stage straggler ratio: a bounded-bucket
+    * plan whose max task runs ≥10× its stage median has a hot task, which
+    * at 1000 executors is the difference between "done" and "one straggler
+    * holds the stage" (README §scale-smoke).
+    */
+  private val stragglerBar = 10.0
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,18 +70,26 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = new File("/tmp/graft_scale")
-    val docsPath = new File(dir, "documents.parquet")
-    // a partial cached corpus (interrupted previous run) must regenerate,
-    // not crash every subsequent run
-    val cachedOk = docsPath.exists() &&
-      (try spark.read.parquet(docsPath.getPath).count() == nDocs
-       catch { case _: Exception => false })
-    if (!cachedOk) {
-      dir.mkdirs()
-      generate(spark, nDocs).write.mode("overwrite").parquet(docsPath.getPath)
-      System.err.println(s"[scalesmoke] generated $nDocs docs at $docsPath")
+    val nSkewDocs = sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "10000").toInt
+
+    def ensureCorpus(dir: File, n: Int, gen: (SparkSession, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val docsPath = new File(dir, "documents.parquet")
+      // a partial cached corpus (interrupted previous run) must regenerate,
+      // not crash every subsequent run
+      val cachedOk = docsPath.exists() &&
+        (try spark.read.parquet(docsPath.getPath).count() == n
+         catch { case _: Exception => false })
+      if (!cachedOk) {
+        dir.mkdirs()
+        gen(spark, n).write.mode("overwrite").parquet(docsPath.getPath)
+        System.err.println(s"[scalesmoke] generated $n docs at $docsPath")
+      }
     }
+
+    val dir = new File("/tmp/graft_scale")
+    ensureCorpus(dir, nDocs, generate)
+    val skewDir = new File("/tmp/graft_scale_skew")
+    ensureCorpus(skewDir, nSkewDocs, generateSkew)
 
     // task-duration listener: collects (stageId, wall) per task — straggler
     // ratios are computed WITHIN a stage (peers doing the same work), so
@@ -77,13 +107,16 @@ object ScaleSmoke {
     })
 
     val out = new StringBuilder
-    out.append(s"""{"docs":$nDocs,"cpus":$cpus""")
-    val selected = if (args.nonEmpty) smokeQueries.filter(args.contains) else smokeQueries
-    for (q <- selected) {
+    out.append(s"""{"docs":$nDocs,"skew_docs":$nSkewDocs,"cpus":$cpus""")
+    var worstStraggler = 0.0
+
+    def runQuery(q: String, corpusDir: File, prefix: String): Unit = {
       spark.catalog.clearCache()
       durations.clear()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, dir.getPath).count()
+      val res = SparkEntry.queries(q)(spark, corpusDir.getPath)
+      val rows = res.count()
+      res.unpersist(blocking = true) // caller-owns-cache contract
       val wall = (System.nanoTime() - t0) / 1e9
       // drain listener events before reading durations (the bus is async
       // and private; settle-poll instead)
@@ -97,25 +130,35 @@ object ScaleSmoke {
       // millisecond scheduling noise is not skew)
       val straggler = byStage
         .map { case (_, ds) => ds.last / math.max(ds(ds.length / 2), 0.1) }.max
+      worstStraggler = math.max(worstStraggler, straggler)
       val slowStages = byStage.sortBy(-_._2.last).take(3)
         .map { case (sid, ds) =>
           val nm = Option(stageNames.get(sid)).getOrElse("?")
           f"[$nm n=${ds.length} max=${ds.last}%.2f med=${ds(ds.length / 2)}%.3f]"
         }.mkString(" ")
       System.err.println(
-        f"[scalesmoke] $q: $wall%.2f s, $rows rows, $nTasks tasks, " +
+        f"[scalesmoke] $prefix$q: $wall%.2f s, $rows rows, $nTasks tasks, " +
           f"max task $maxT%.3f s, worst in-stage straggler $straggler%.2f; " +
           s"slowest stages $slowStages")
-      out.append(f""","${q}_sec":$wall%.2f,"${q}_rows":$rows""")
-      out.append(f""","${q}_tasks":$nTasks,"${q}_max_task_sec":$maxT%.3f""")
-      out.append(f""","${q}_straggler":$straggler%.2f""")
+      out.append(f""","$prefix${q}_sec":$wall%.2f,"$prefix${q}_rows":$rows""")
+      out.append(f""","$prefix${q}_tasks":$nTasks,"$prefix${q}_max_task_sec":$maxT%.3f""")
+      out.append(f""","$prefix${q}_straggler":$straggler%.2f""")
     }
-    out.append("}")
+
+    val selected = if (args.nonEmpty) smokeQueries.filter(args.contains) else smokeQueries
+    for (q <- selected) runQuery(q, dir, "")
+    val selectedSkew = if (args.nonEmpty) skewQueries.filter(args.contains) else skewQueries
+    for (q <- selectedSkew) runQuery(q, skewDir, "skew_")
+
+    out.append(f""","straggler_bar":$stragglerBar%.1f}""")
     println(out.toString)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_SMOKE.json"),
       (out.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // completion itself is the no-OOM assert; the straggler bar is explicit
+    require(worstStraggler < stragglerBar,
+      f"worst in-stage straggler $worstStraggler%.2f breached the $stragglerBar%.1f bar")
   }
 
   /** Deterministic corpus, generated distributed (no driver-side rows):
@@ -135,6 +178,28 @@ object ScaleSmoke {
             expr("transform(sequence(1, len), j -> concat('w', pmod(xxhash64(concat('tok', src_id, '_', j)), 5000)))"),
             " "),
           when(col("is_dup"), concat(lit(" dup"), col("doc_id"))).otherwise(lit(""))))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("synth/"), pmod(col("doc_id"), lit(10))))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Adversarial hot-key corpus: every 5th document (20%) is the IDENTICAL
+    * ~50-word boilerplate — one simhash value, one shingle set, one LSH
+    * bucket across a fifth of the corpus — the rest are unique docs as in
+    * [[generate]]. Deterministic and fully distributed like the base
+    * generator.
+    */
+  private[graft] def generateSkew(spark: SparkSession, nDocs: Int) = {
+    val boiler = (0 until 50).map(i => s"boiler$i").mkString(" ")
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("hot", pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("len", (pmod(xxhash64(concat(lit("len"), col("doc_id"))), lit(16)) + 45).cast("int"))
+      .withColumn("text",
+        when(col("hot"), lit(boiler)).otherwise(
+          array_join(
+            expr("transform(sequence(1, len), j -> concat('w', pmod(xxhash64(concat('tok', doc_id, '_', j)), 5000)))"),
+            " ")))
       .withColumn("lang", lit("en"))
       .withColumn("source", concat(lit("synth/"), pmod(col("doc_id"), lit(10))))
       .withColumn("n_chars", length(col("text")))
