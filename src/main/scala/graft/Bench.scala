@@ -27,8 +27,13 @@ object Bench {
     // per-query best-of-2 (same policy as ScanBench): round-level contention
     // inflates single-shot numbers, never deflates them — r2's q37 tripled
     // with an unchanged plan. Both runs are recorded for judgeability.
+    // args select a subset of queries — for isolating one query's wall time
+    // from round-level contention (e.g. `runMain graft.Bench q56_zsav_roundtrip_agg`)
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.toSeq.filter(kv => args.contains(kv._1))
+      else SparkEntry.queries.toSeq
     val results: Seq[(String, Double, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.sortBy(_._1).map { case (name, fn) =>
         def oneRun(): (Double, Boolean) = {
           // every run starts cache-cold: operators that persist() internal
           // frames (q34/q36/q40) must not leak cached partitions into the
@@ -80,7 +85,9 @@ object Bench {
     println(line)
     // also persist the full line to a file: BENCH_r04's captured stdout was
     // truncated (q01 lost), which made the driver numbers undiagnosable
-    // (r4 verdict #5) — the on-disk copy survives any capture pipeline
+    // (r4 verdict #5) — the on-disk copy survives any capture pipeline.
+    // A filtered (args) run must NOT clobber the full-suite artifact.
+    if (args.isEmpty)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
