@@ -33,11 +33,15 @@ object DedupOps {
     * Cache contract: the RETURNED frame is persisted (it is output-sized by
     * construction — candidate pairs, never the corpus) and the caller owns
     * it — `result.unpersist()` when done with it. The returned Dataset's own
-    * logical plan is the cached plan (queries persist AFTER their final
-    * orderBy), so the caller's `unpersist()` actually matches in the
-    * CacheManager — persisting a sub-plan and sorting on top would make it a
-    * silent no-op. No corpus-sized block outlives the operator call
-    * (CacheReleaseSpec pins both properties via `getPersistentRDDs`).
+    * logical plan IS the cached plan — persisting a sub-plan and stacking an
+    * operator on top would make the caller's `unpersist()` a silent
+    * plan-mismatch no-op in the CacheManager. For that reason (and for cost:
+    * materializing a global sort pays a RangePartitioning sampling pass over
+    * the whole chain) the pair queries return UNORDERED sets — they are
+    * full-set operators, not top-k, and the correctness comparator is
+    * row-sorted; a consumer needing order sorts the output-sized result.
+    * No corpus-sized block outlives the operator call (CacheReleaseSpec pins
+    * both properties via `getPersistentRDDs`).
     */
   private def finishAndRelease(out: DataFrame, upstream: DataFrame*): DataFrame = {
     val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -115,7 +119,7 @@ object DedupOps {
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
-      finishAndRelease(res.orderBy("id_a", "id_b"), sh)
+      finishAndRelease(res, sh)
     }),
 
     // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
@@ -128,11 +132,7 @@ object DedupOps {
     // array_min(transform(...)) — no explode, no signature shuffle. min()
     // is duplicate-insensitive, so shingle duplicates need no dedup first.
     "q35_minhash_lsh" -> ((s, d) => {
-      // re-persist the ORDERED output and release the unordered candidate
-      // cache so the returned frame is itself the cached plan (see the
-      // finishAndRelease cache contract)
-      val cand = lshCandidates(documents(s, d))
-      finishAndRelease(cand.orderBy("id_a", "id_b"), cand)
+      lshCandidates(documents(s, d))
     }),
 
     // SimHash (16-bit, md5-nibble-derived) per document + near-dup pairs at
@@ -155,8 +155,7 @@ object DedupOps {
       graft.functions.VectorFunctions.register(s)
       val sim = documents(s, d).select(col("doc_id"),
         expr("graft_simhash16(split(text, ' '))").as("simhash"))
-      val pairs = simhashPairs(sim)
-      finishAndRelease(pairs.orderBy("id_a", "id_b"), pairs)
+      simhashPairs(sim)
     }),
 
     // LSH → exact-verify composition (the 100 TB near-dup pipeline): MinHash
@@ -191,7 +190,7 @@ object DedupOps {
           col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
-      finishAndRelease(res.orderBy("id_a", "id_b"), cand, sharr)
+      finishAndRelease(res, cand, sharr)
     })
   )
 
@@ -216,8 +215,15 @@ object DedupOps {
     *    eagerly via `finishAndRelease` once the (output-sized) pair frame is
     *    materialized; the returned frame follows the caller-owns-cache
     *    contract documented on `finishAndRelease`.
+    *
+    * `finish = true` (the operator path) runs the single finishAndRelease
+    * layer (output-sized pair frame persisted, `sim`
+    * released). `finish = false` returns the RAW un-persisted pair frame —
+    * for plan-shape inspection in specs (a cached frame's executedPlan
+    * collapses to InMemoryTableScan, hiding the join structure the spec
+    * asserts on) — and leaves `sim` cached for the caller to clear.
     */
-  def simhashPairs(sim0: DataFrame): DataFrame = {
+  def simhashPairs(sim0: DataFrame, finish: Boolean = true): DataFrame = {
     val sim = sim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vals = sim.select("simhash").distinct() // ≤ 65,536 rows
     // the distance-1/2 Hamming ball: 16 single-bit + 120 two-bit masks
@@ -242,9 +248,8 @@ object DedupOps {
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         lit(0L).as("dist"))
-    finishAndRelease(
-      cross.unionByName(same).select(col("id_a"), col("id_b"), col("dist")),
-      sim)
+    val out = cross.unionByName(same).select(col("id_a"), col("id_b"), col("dist"))
+    if (finish) finishAndRelease(out, sim) else out
   }
 
   /** MinHash signature → 4 band keys → colliding (id_a, id_b) candidate

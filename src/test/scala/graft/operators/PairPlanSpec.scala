@@ -71,7 +71,10 @@ class PairPlanSpec extends SparkSpec {
       .toDF("doc_id", "simhash")
     val far = Seq((900010L, 56L), (900011L, 56L)) // 7 xor 56 = 63 → dist 6, excluded
       .toDF("doc_id", "simhash")
-    val pairs = DedupOps.simhashPairs(hot.unionByName(near).unionByName(far))
+    // finish=false: the raw pair frame keeps the join structure visible in
+    // executedPlan (the persisted path collapses to InMemoryTableScan)
+    val pairs = DedupOps.simhashPairs(hot.unionByName(near).unionByName(far),
+      finish = false)
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("collect_list"), "q36 pair plan rebuilt an id array")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
