@@ -152,6 +152,9 @@ object ScaleSmoke {
 
     out.append(f""","straggler_bar":$stragglerBar%.1f}""")
     println(out.toString)
+    // a filtered (args) run must NOT clobber the full artifact (same guard
+    // as Bench's BENCH_LOCAL.json)
+    if (args.isEmpty)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_SMOKE.json"),
       (out.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -99,6 +99,16 @@ object DedupOps {
     // identical document-frequency WHERE). One window pass (single shuffle
     // by s) tags each shingle with its df; WindowExec spills, so even the
     // hot partition is disk-bound, not memory-bound.
+    //
+    // r8 measured alternative, rejected: a groupBy(s) df blacklist +
+    // broadcast LEFT ANTI join looks better on paper (map-side combine,
+    // no per-partition sort) but loses at BOTH sf0.1 (2.7 vs 2.0 s) and
+    // the 10× smoke corpus (9.5 vs 7.7 s): after per-doc array_distinct
+    // the shingles are mostly df=1, so combiners collapse almost nothing
+    // and the groupBy ships nearly the full table anyway, while the
+    // anti-join re-traverses the cache once per consumer. The window's
+    // single shuffle + spillable sort + one cached guarded table is the
+    // measured winner.
     "q34_ngram_jaccard" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // three consumers (counts + both self-join sides): persist so the
