@@ -43,7 +43,7 @@ object DedupOps {
     * No corpus-sized block outlives the operator call (CacheReleaseSpec pins
     * both properties via `getPersistentRDDs`).
     */
-  private def finishAndRelease(out: DataFrame, upstream: DataFrame*): DataFrame = {
+  private[operators] def finishAndRelease(out: DataFrame, upstream: DataFrame*): DataFrame = {
     val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     o.count()
     upstream.foreach(_.unpersist(false))
@@ -272,7 +272,7 @@ object DedupOps {
     * explode-and-groupBy formulation shuffles one row per shingle
     * OCCURRENCE (~corpus token count); this shuffles one row per doc.
     */
-  private def lshCandidates(docs: DataFrame): DataFrame = {
+  private[operators] def lshCandidates(docs: DataFrame): DataFrame = {
     // 8 lanes × 8 hex chars (32 bits each) from one sha256 per shingle,
     // computed by the native MinhashLanes expression: one digest pass per
     // shingle, no per-lane string materialization (the equivalent SQL —

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Near-duplicate CLUSTERING — the step a real training-data dedup pipeline
+  * runs after pair generation: connected components over the near-dup pair
+  * graph, assigning every document a canonical `cluster_id` (the minimum
+  * doc_id of its component) so "keep one per cluster" is a trivial filter.
+  *
+  * The reference has no graph operator (this is part of the EXT
+  * training-data pack, like DedupOps/SimilarityOps); the algorithm is the
+  * alternating large-star/small-star method of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (ACM SoCC 2014): O(log² n) rounds
+  * regardless of component diameter, each round a constant number of
+  * aggregations and equi-joins.
+  *
+  * Scale design: everything stays row-shaped — per-node minima are
+  * AGGREGATIONS and star re-wiring is an equi-join against those minima, so
+  * a node with millions of neighbors is a hot join key (streamed, spilled,
+  * AQE-splittable), never a `collect_list` neighbor array in one task row
+  * (the same rule the simhash pair expansion follows). Naive min-label
+  * propagation was rejected: its round count is the component DIAMETER,
+  * and an adversarial near-dup chain (doc i ~ doc i+1) makes that O(n)
+  * shuffles; the star algorithm collapses such chains in logarithmic
+  * rounds. The per-round driver loop exchanges one (count, hash-sum) row —
+  * the standard Spark iterative-algorithm shape (GraphX/ALS do the same),
+  * not a driver-side data path.
+  */
+object GraphOps {
+
+  /** Hard stop for the star iteration: the algorithm converges in
+    * O(log² n) rounds (≈ 25 at n = 10¹² with the paper's constants); a
+    * graph still moving after 50 rounds means a logic bug, and failing
+    * loudly beats silently emitting partial components.
+    */
+  private val maxIters = 50
+
+  /** Connected components of an undirected graph given as (u, v) BIGINT
+    * edge pairs (self-loops and duplicates tolerated). Returns one row per
+    * node that appears in at least one edge: (doc_id, cluster_id) where
+    * cluster_id is the component's minimum node id.
+    *
+    * Follows the DedupOps cache contract: the returned frame is persisted
+    * (node-count-sized, bounded by 2× the edge count), the caller owns it,
+    * and every per-round intermediate cache is released before return.
+    */
+  def connectedComponents(edges0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges0.sparkSession
+
+    // Per-round lineage truncation: every round's frame is rebuilt from a
+    // persisted RDD[Row] (LogicalRDD plan). Without this, round k's logical
+    // plan embeds MULTIPLE copies of round k-1's plan (incidence union +
+    // joins), so the lineage — and every analysis/optimization/explain pass
+    // over it — grows exponentially with the round count; caching alone
+    // does not truncate logical plans. The RDD handle also gives
+    // deterministic release (rdd.unpersist) per round.
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(MEMORY_AND_DISK)
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
+    // one scalar row per round: (edge count, order-insensitive hash XOR —
+    // edges are distinct, so xor-cancellation needs a 64-bit collision; sum
+    // would overflow under ANSI mode) — equality means the edge set is a
+    // fixpoint of large-star ∘ small-star, and a fixpoint that preserves
+    // connectivity (both stars do) must be one star per component (two
+    // stable stars in one component would disconnect it)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // canonical edge orientation (u < v), loops dropped
+    var (cur, curRdd) = materialize(edges0
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct())
+
+    var sig = signature(cur)
+    var converged = sig._1 == 0L
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // LARGE-STAR: for every node x, hook each LARGER neighbor y to
+      // m(x) = min(N(x) ∪ {x}). Incidence in both directions, one
+      // aggregation for the minima, one equi-join to re-wire.
+      val inc = cur.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(cur.select(col("v").as("x"), col("u").as("y")))
+      val ml = inc.groupBy("x").agg(min("y").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      // m ≤ x < y, so (m, y) is already canonically ordered
+      val (ls, lsRdd) = materialize(
+        inc.join(ml, "x").filter(col("y") > col("x"))
+          .select(col("m").as("u"), col("y").as("v"))
+          .distinct())
+      curRdd.unpersist(false)
+
+      // SMALL-STAR: group each node's SMALLER neighbors (edges arrive
+      // canonically (u, v) with u < v, so group by v), hook them and v
+      // itself to their minimum.
+      val ms = ls.groupBy("v").agg(min("u").as("m"))
+      val (ss, ssRdd) = materialize(
+        ls.join(ms, "v").select(col("u").as("y"), col("m"))
+          .unionByName(ms.select(col("v").as("y"), col("m")))
+          .filter(col("y") =!= col("m"))
+          .select(col("m").as("u"), col("y").as("v")) // m < y by min-ness
+          .distinct())
+      lsRdd.unpersist(false)
+
+      val newSig = signature(ss)
+      cur = ss
+      curRdd = ssRdd
+      converged = newSig == sig
+      sig = newSig
+      iters += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters star rounds")
+
+    // converged state is one star per component rooted at its minimum:
+    // members are the v side, roots label themselves
+    val labels = cur
+      .select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .unionByName(
+        cur.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
+      .persist(MEMORY_AND_DISK)
+    labels.count()
+    curRdd.unpersist(false)
+    labels
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dedup clustering over the MinHash/LSH candidate graph (q35's pairs):
+    // every document gets a canonical cluster_id; documents in no near-dup
+    // pair are their own singleton cluster. "Keep one per cluster" is then
+    // `WHERE doc_id = cluster_id` — the terminal step of the 100 TB
+    // near-dup pipeline (q35 candidates → q40 verify → q45 clusters).
+    "q45_dedup_clusters" -> ((s, d) => {
+      val cand = DedupOps.lshCandidates(documents(s, d))
+      val labels = connectedComponents(
+        cand.select(col("id_a").as("u"), col("id_b").as("v")))
+      val res = documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      DedupOps.finishAndRelease(res, cand, labels)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Recursive-CTE transitive closure over the same candidate pairs —
+    // tractable at oracle scale (tens of pairs at sf0.01), where the
+    // closure's quadratic blowup cannot bite; the Spark side uses the
+    // logarithmic star algorithm instead.
+    "q45_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         cand AS (SELECT id_a, id_b FROM (${DedupOps.oracle("q35_minhash_lsh")}) q35),
+         edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                   UNION SELECT id_b, id_a FROM cand),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+         SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         FROM documents d LEFT JOIN comp c ON c.a = d.doc_id"""
+  )
+}

@@ -17,11 +17,11 @@ class CacheReleaseSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   for (q <- Seq("q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
-      "q40_lsh_jaccard_verified")) {
+      "q40_lsh_jaccard_verified", "q45_dedup_clusters")) {
     test(s"$q leaves only its (caller-owned, releasable) output cached") {
       spark.catalog.clearCache()
       val before = persistedIds
-      val res = DedupOps.queries(q)(spark, d)
+      val res = graft.SparkEntry.queries(q)(spark, d)
       assert(res.count() > 0)
       val afterRun = persistedIds -- before
       // exactly the materialized output frame — every corpus-sized

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-components clustering (q45): the alternating star algorithm
+  * must agree exactly with a driver-side union-find on arbitrary graphs,
+  * converge logarithmically on the adversarial chain (where min-label
+  * propagation would need O(n) rounds), and stay row-shaped on a hot hub.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root every node at its component minimum
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) =>
+      val m = ns.min
+      ns.map(_ -> m)
+    }
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val res = GraphOps.connectedComponents(edges.toDF("u", "v"))
+    val out = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.unpersist(blocking = true)
+    out
+  }
+
+  test("matches driver-side union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 300
+      val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val got = ccOf(edges)
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("adversarial chain (diameter n) collapses to one cluster in log rounds") {
+    // 0-1-2-...-999: min-label propagation needs ~1000 rounds; the star
+    // algorithm must finish well inside the 50-round guard (it throws on
+    // non-convergence, so passing IS the round-count assertion)
+    val edges = (0L until 999L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.size === 1000)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("hot hub stays row-shaped: no neighbor arrays, exact star output") {
+    import spark.implicits._
+    val leaves = 20000L
+    val edges = spark.range(1, leaves + 1)
+      .select(lit(0L).as("u"), col("id").as("v"))
+    val res = GraphOps.connectedComponents(edges)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      "CC plan rebuilt a neighbor array")
+    assert(res.count() === leaves + 1)
+    assert(res.filter(col("cluster_id") =!= 0L).count() === 0)
+    res.unpersist(blocking = true)
+  }
+
+  test("duplicate, reversed and self-loop edges are tolerated") {
+    val got = ccOf(Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 5L), (7L, 9L)))
+    assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("q45 assigns singletons their own cluster and near-dups a shared one") {
+    val d = "/root/testdata/sf0.001"
+    val res = SparkEntry_q45(d)
+    val docs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(res.count() === docs, "one row per document")
+    // the planted near-dup pairs (q35's candidates) must share clusters:
+    // every candidate pair's two docs map to the same cluster_id
+    val cand = DedupOps.queries("q35_minhash_lsh")(spark, d)
+    val byDoc = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cand.collect().foreach { r =>
+      assert(byDoc(r.getLong(0)) === byDoc(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+    cand.unpersist(blocking = true)
+    res.unpersist(blocking = true)
+    spark.catalog.clearCache()
+  }
+
+  private def SparkEntry_q45(d: String) =
+    GraphOps.queries("q45_dedup_clusters")(spark, d)
+}
