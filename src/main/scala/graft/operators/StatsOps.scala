@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Distribution statistics and sampling for a training-data pipeline:
+  * grouped exact percentiles (data profiling) and deterministic stratified
+  * sampling (per-source quota downsampling). Both pure Catalyst — no UDFs.
+  */
+object StatsOps {
+
+  /** Per-stratum keep thresholds for q47, as 8-hex-digit string bounds:
+    * lowercase-hex string comparison on the md5 prefix is identical to the
+    * numeric comparison of the first 32 hash bits, and every engine renders
+    * md5 the same way — so the SAMPLE ITSELF is bit-identical across
+    * engines (Spark rand()/TABLESAMPLE never is). '40000000' keeps 25% of
+    * the uniform space, 'c0000000' keeps 75%.
+    */
+  private val evenRate = "40000000"
+  private val oddRate = "c0000000"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Grouped EXACT percentiles of extended price per return flag — the
+    // profiling pass before outlier filtering. Exact (sort-based) because
+    // the oracle must agree bit-for-bit after rounding; the 100 TB path is
+    // approx_percentile (t-digest sketch, merge-able map-side like q26's
+    // HLL), which no two engines implement identically — same reason q26
+    // is pinned by a tolerance spec instead of a hash oracle.
+    "q46_group_percentiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D, 0.99D))").as("p"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(col("p")(0), 4).as("p25"),
+          round(col("p")(1), 4).as("p50"),
+          round(col("p")(2), 4).as("p90"),
+          round(col("p")(3), 4).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic stratified sample: even-numbered sources keep 25%,
+    // odd-numbered 75%, decided row-locally by an md5-prefix threshold on
+    // (source, doc_id) — zero shuffle, embarrassingly parallel at any
+    // scale, reproducible across engines and runs (no rand()).
+    "q47_stratified_sample" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("h", substring(md5(concat(col("source"), lit(":"),
+          col("doc_id").cast("string"))), 1, 8))
+        .withColumn("keep",
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+            col("h") < evenRate)
+            .otherwise(col("h") < oddRate))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q46_group_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+         round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q47_stratified_sample" ->
+      s"""SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+                  CAST(substr(source, 4) AS INT) AS srcnum
+           FROM documents) t
+         WHERE (srcnum % 2 = 0 AND h < '$evenRate')
+            OR (srcnum % 2 <> 0 AND h < '$oddRate')
+         ORDER BY doc_id"""
+  )
+}

@@ -50,6 +50,29 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF: term frequency per (doc, token) × smoothed inverse document
+    // frequency, top 20 scored terms corpus-wide. Scale shape: tf is a
+    // combiner-friendly groupBy (duplicate tokens collapse map-side —
+    // unlike q34's per-doc-distinct shingles, token repetition is real
+    // here), df is a groupBy over the per-doc-distinct token table, the
+    // corpus size joins in as a broadcast scalar, and top-k is
+    // TakeOrdered (per-partition heaps, no global sort).
+    "q48_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(dfreq, "w")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"), col("tf"),
+          round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 4)
+            .as("score"))
+        .orderBy(desc("score"), col("doc_id"), col("w"))
+        .limit(20)
+    }),
+
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
       documents(s, d)
@@ -88,6 +111,19 @@ object TextOps {
     "q33_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "q48_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         dfreq AS (SELECT w, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT tf.doc_id, tf.w, tf.tf,
+                round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS score
+         FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+         ORDER BY score DESC, tf.doc_id, tf.w
+         LIMIT 20""",
 
     "q38_quality_score" ->
       """SELECT doc_id, round(score, 4) AS score,

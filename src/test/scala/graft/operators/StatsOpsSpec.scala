@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q46 grouped percentiles, q47 deterministic stratified sampling, q48
+  * TF-IDF: properties beyond the hash oracle — monotone quantiles, rates
+  * that concentrate at the configured strata quotas, run-to-run
+  * determinism (the whole point of hash-threshold sampling vs rand()).
+  */
+class StatsOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("q46 percentiles are monotone and group counts cover the table") {
+    val rows = StatsOps.queries("q46_group_percentiles")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(p25, p50, p90, p99) = Seq(2, 3, 4, 5).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p99, s"non-monotone: $r")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === spark.read.parquet(s"$d/lineitem.parquet").count())
+  }
+
+  test("q47 strata rates concentrate at 25% (even sources) and 75% (odd)") {
+    val sample = StatsOps.queries("q47_stratified_sample")(spark, d)
+      .withColumn("srcnum", substring(col("source"), 4, 10).cast("int"))
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("srcnum", substring(col("source"), 4, 10).cast("int"))
+    val perStratum = docs.groupBy(col("srcnum") % 2).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val kept = sample.groupBy(col("srcnum") % 2).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val evenRate = kept(0).toDouble / perStratum(0)
+    val oddRate = kept(1).toDouble / perStratum(1)
+    // 250 docs per parity at sf0.01: ±3σ of Binomial(250, p)
+    assert(math.abs(evenRate - 0.25) < 0.09, s"even rate $evenRate")
+    assert(math.abs(oddRate - 0.75) < 0.09, s"odd rate $oddRate")
+  }
+
+  test("q47 is bit-identical across runs (no rand() anywhere)") {
+    def run() = StatsOps.queries("q47_stratified_sample")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(run() === run())
+  }
+
+  test("q48 returns exactly 20 rows with non-increasing scores and the smoothed formula") {
+    val rows = TextOps.queries("q48_tfidf")(spark, d).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not sorted")
+    // recompute the winner's score independently from raw counts
+    val top = rows.head
+    val (docId, w, tf) = (top.getLong(0), top.getString(1), top.getLong(2))
+    val tok = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    val tfChk = tok.filter(col("doc_id") === docId && col("w") === w).count()
+    val dfChk = tok.filter(col("w") === w).select("doc_id").distinct().count()
+    assert(tfChk === tf)
+    val expected = BigDecimal(tf * (math.log((n + 1.0) / (dfChk + 1.0)) + 1.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getDouble(3) === expected)
+  }
+}
