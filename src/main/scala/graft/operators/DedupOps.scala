@@ -201,6 +201,33 @@ object DedupOps {
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
       finishAndRelease(res, cand, sharr)
+    }),
+
+    // MinHash similarity ESTIMATION (the third leg of the sketch story:
+    // bands find candidates, lane agreement ESTIMATES Jaccard without
+    // touching the shingle sets, exact intersect verifies). est_jacc =
+    // fraction of agreeing minhash lanes — the classic unbiased estimator
+    // E[agree/k] = J (Broder '97) — reported next to the exact value so the
+    // estimator's error is visible in-engine. Everything after the
+    // candidate stage is candidate-bounded, like q40; one shingle pass
+    // computes BOTH the signature and the distinct-shingle array.
+    "q49_minhash_estimate" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val cand = lshCandidates(documents(s, d))
+      val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val both = withShingleArray(documents(s, d).join(broadcast(ids), "doc_id"))
+        .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"),
+          array_distinct(col("sh")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val res = cand
+        .join(both.select(col("doc_id").as("id_a"), col("lanes").as("la"), col("sh").as("sa")), "id_a")
+        .join(both.select(col("doc_id").as("id_b"), col("lanes").as("lb"), col("sh").as("sb")), "id_b")
+        .withColumn("agree", expr("size(filter(zip_with(la, lb, (x, y) -> x = y), b -> b))"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .select(col("id_a"), col("id_b"),
+          round(col("agree") / 8.0, 4).as("est_jacc"),
+          round(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 4).as("jacc"))
+      finishAndRelease(res, cand, both)
     })
   )
 
@@ -387,6 +414,37 @@ object DedupOps {
          JOIN cnt cb ON cb.doc_id = id_b
          WHERE inter/(ca.n + cb.n - inter) >= 0.3
          ORDER BY id_a, id_b""",
+
+    "q49_minhash_estimate" ->
+      s"""WITH sh AS ($duckShingles),
+         $duckSig,
+         banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
+                           md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
+         buckets AS (
+           SELECT doc_id, 0 AS bi, b0 AS bk FROM banded
+           UNION ALL SELECT doc_id, 1, b1 FROM banded
+           UNION ALL SELECT doc_id, 2, b2 FROM banded
+           UNION ALL SELECT doc_id, 3, b3 FROM banded),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS inter
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+           GROUP BY c.id_a, c.id_b)
+         SELECT c.id_a, c.id_b,
+           round((${(0 until nHashes).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 4) AS est_jacc,
+           round(coalesce(i.inter, 0) / (ca.n + cb.n - coalesce(i.inter, 0)), 4) AS jacc
+         FROM cand c
+         JOIN sig sa ON sa.doc_id = c.id_a
+         JOIN sig sb ON sb.doc_id = c.id_b
+         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         JOIN cnt ca ON ca.doc_id = c.id_a
+         JOIN cnt cb ON cb.doc_id = c.id_b""",
 
     "q36_simhash" ->
       s"""WITH tok AS (

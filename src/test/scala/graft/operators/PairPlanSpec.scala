@@ -127,6 +127,27 @@ class PairPlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q49 lane-agreement estimator tracks exact Jaccard on planted near-dups") {
+    // Broder's estimator: E[agree/k] = J, sd = sqrt(J(1-J)/k) ≈ 0.11 at
+    // J ≈ 0.9, k = 8 — the MEAN error over ~150 planted pairs concentrates
+    // near sd/sqrt(pairs), so a 0.15 mean-error bar has huge slack while
+    // still catching a broken estimator (e.g. comparing the wrong lanes,
+    // which scores ~J·(spurious agreement) ≈ 0).
+    val docs = graft.ScaleSmoke.generate(spark, 5000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_est").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.queries("q49_minhash_estimate")(spark, dir).collect()
+    assert(rows.length > 100, s"only ${rows.length} candidate pairs")
+    val errs = rows.map(r => math.abs(r.getDouble(2) - r.getDouble(3)))
+    val meanErr = errs.sum / errs.length
+    assert(meanErr < 0.15, f"mean |est - exact| = $meanErr%.3f")
+    // and the estimate must genuinely discriminate: planted pairs are
+    // J ≈ 0.9, so the mean estimate must sit far above 0.5
+    val meanEst = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanEst > 0.6, f"mean estimate $meanEst%.3f too low")
+    spark.catalog.clearCache()
+  }
+
   test("q34 frequent-shingle guard drops hot shingles before the self-join") {
     // a stop-shingle shared by every document would make its self-join
     // bucket quadratic in corpus size; the guard (df > maxShingleDf) must
