@@ -23,6 +23,22 @@ class StatsOpsSpec extends SparkSpec {
     assert(total === spark.read.parquet(s"$d/lineitem.parquet").count())
   }
 
+  test("approx_percentile (the 100 TB path) tracks q46's exact percentiles") {
+    // q46 is exact so the DuckDB oracle can hash-match; at scale the
+    // operator of choice is approx_percentile (mergeable sketch, map-side
+    // partials). Pin the substitution's error the same way q26 pins HLL:
+    // within 1% of the exact value at the default accuracy.
+    val exact = StatsOps.queries("q46_group_percentiles")(spark, d)
+      .collect().map(r => r.getString(0) -> Seq(2, 3, 4, 5).map(r.getDouble)).toMap
+    val approx = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D, 0.99D))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet === approx.keySet)
+    for ((flag, ps) <- exact; (e, a) <- ps.zip(approx(flag)))
+      assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
+  }
+
   test("q47 strata rates concentrate at 25% (even sources) and 75% (odd)") {
     val sample = StatsOps.queries("q47_stratified_sample")(spark, d)
       .withColumn("srcnum", substring(col("source"), 4, 10).cast("int"))
