@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape guards for the claims the scaladocs make: map-only operators
+  * must not shuffle (their only exchange is the cosmetic output sort's
+  * range partitioning), top-k must be TakeOrdered (per-partition heaps),
+  * and the grouped aggregate must shuffle exactly once.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("map-only text/sampling operators have zero hash exchanges") {
+    for (q <- Seq("q31_text_stats", "q32_lang_score", "q33_fingerprint",
+        "q38_quality_score", "q47_stratified_sample")) {
+      val p = plan(q)
+      assert(hashExchanges(p) === 0,
+        s"$q claims map-only but plans a hash shuffle")
+    }
+  }
+
+  test("q48 top-k is TakeOrdered, not a global sort") {
+    val p = plan("q48_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), "q48 lost TakeOrdered")
+  }
+
+  test("q46 grouped percentile shuffles exactly once (partial merge first)") {
+    val p = plan("q46_group_percentiles")
+    assert(hashExchanges(p) === 1,
+      s"q46 expected exactly the aggregation exchange:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "q46 percentile aggregate missing")
+  }
+}
