@@ -37,15 +37,17 @@ class GraphOpsSpec extends SparkSpec {
     out
   }
 
-  test("matches driver-side union-find on seeded random graphs") {
+  test("matches driver-side union-find on seeded random graphs across densities") {
     val rnd = new scala.util.Random(42)
-    for (trial <- 1 to 3) {
-      val n = 300
-      val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // (nodes, edges): forest-sparse, sub-critical, near the giant-component
+    // threshold (m ≈ n/2), super-critical, dense
+    val shapes = Seq((400, 80), (300, 140), (300, 160), (300, 450), (120, 900))
+    for (((n, m), trial) <- shapes.zipWithIndex) {
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val expected = unionFind(edges)
       val got = ccOf(edges)
-      assert(got === expected, s"trial $trial")
+      assert(got === expected, s"trial $trial (n=$n m=$m)")
     }
   }
 
