@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming document-intake specs (MemoryStream-driven, like
+  * EventStreamsSpec): cross-batch fingerprint dedup, quality gating
+  * bit-identical to batch q38, and windowed per-source admission counts.
+  */
+class DocStreamsSpec extends SparkSpec {
+
+  final case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long, ingest_ts: Timestamp)
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // 80 × 4-char tokens: avg_wlen 4 (inside 2.5–8.0), score = 80/200 = 0.4
+  private val goodText = Array.fill(80)("data").mkString(" ")
+  private val shortText = "too short" // score ~0.01, rejected
+
+  test("streaming intake dedups fingerprints ACROSS micro-batches and gates quality") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStreams.intake(input.toDF()).writeStream
+      .format("memory").queryName("intake").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, goodText, "en", "src0", goodText.length, ts("2024-01-01 10:00:00")),
+        // same text, different punctuation — same canonical fingerprint
+        Doc(2, goodText + "!!!", "en", "src1", goodText.length + 3, ts("2024-01-01 10:01:00")),
+        Doc(3, shortText, "en", "src0", shortText.length, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch must still be dropped
+      // (state carries across batches — that's the point of streaming dedup)
+      input.addData(
+        Doc(4, goodText, "en", "src2", goodText.length, ts("2024-01-01 10:10:00")),
+        Doc(5, goodText + " extra unique tail of words", "en", "src3",
+          goodText.length + 27, ts("2024-01-01 10:11:00")))
+      q.processAllAvailable()
+      val ids = sp.sql("SELECT doc_id FROM intake ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // doc 2 (same fp as 1), doc 3 (low quality), doc 4 (cross-batch dup) out
+      assert(ids === Seq(1L, 5L))
+    } finally q.stop()
+  }
+
+  test("streaming quality gate admits exactly the docs batch q38 scores >= 0.35") {
+    val sp = spark
+    import sp.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = sp.read.parquet(s"$d/documents.parquet")
+      .withColumn("ingest_ts", org.apache.spark.sql.functions.lit(ts("2024-01-01 00:00:00")))
+    val streamedRule = DocStreams.qualityAdmit(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchRule = graft.operators.TextOps.queries("q38_quality_score")(sp, d)
+      .filter("score >= 0.35").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedRule === batchRule)
+    assert(streamedRule.nonEmpty)
+  }
+
+  test("windowed admission counts aggregate per source and hour") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStreams.admissionCounts(input.toDF()).writeStream
+      .format("memory").queryName("admissions").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Doc(1, goodText, "en", "srcA", 1, ts("2024-01-01 10:05:00")),
+        Doc(2, goodText, "en", "srcA", 1, ts("2024-01-01 10:55:00")),
+        Doc(3, goodText, "en", "srcB", 1, ts("2024-01-01 10:20:00")),
+        Doc(4, goodText, "en", "srcA", 1, ts("2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT source, n_admitted FROM admissions ORDER BY hour, source")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows === Seq(("srcA", 2L), ("srcB", 1L), ("srcA", 1L)))
+    } finally q.stop()
+  }
+}
