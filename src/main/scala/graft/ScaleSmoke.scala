@@ -116,8 +116,10 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val res = SparkEntry.queries(q)(spark, corpusDir.getPath)
       val rows = res.count()
-      res.unpersist(blocking = true) // caller-owns-cache contract
       val wall = (System.nanoTime() - t0) / 1e9
+      // caller-owns-cache contract; outside the timed window so *_sec stays
+      // comparable with prior-round artifacts (query time, not teardown)
+      res.unpersist(blocking = true)
       // drain listener events before reading durations (the bus is async
       // and private; settle-poll instead)
       var last = -1

@@ -86,30 +86,9 @@ object GraphOps {
     var converged = sig._1 == 0L
     var iters = 0
     while (!converged && iters < maxIters) {
-      // LARGE-STAR: for every node x, hook each LARGER neighbor y to
-      // m(x) = min(N(x) ∪ {x}). Incidence in both directions, one
-      // aggregation for the minima, one equi-join to re-wire.
-      val inc = cur.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(cur.select(col("v").as("x"), col("u").as("y")))
-      val ml = inc.groupBy("x").agg(min("y").as("mn"))
-        .select(col("x"), least(col("x"), col("mn")).as("m"))
-      // m ≤ x < y, so (m, y) is already canonically ordered
-      val (ls, lsRdd) = materialize(
-        inc.join(ml, "x").filter(col("y") > col("x"))
-          .select(col("m").as("u"), col("y").as("v"))
-          .distinct())
+      val (ls, lsRdd) = materialize(largeStar(cur))
       curRdd.unpersist(false)
-
-      // SMALL-STAR: group each node's SMALLER neighbors (edges arrive
-      // canonically (u, v) with u < v, so group by v), hook them and v
-      // itself to their minimum.
-      val ms = ls.groupBy("v").agg(min("u").as("m"))
-      val (ss, ssRdd) = materialize(
-        ls.join(ms, "v").select(col("u").as("y"), col("m"))
-          .unionByName(ms.select(col("v").as("y"), col("m")))
-          .filter(col("y") =!= col("m"))
-          .select(col("m").as("u"), col("y").as("v")) // m < y by min-ness
-          .distinct())
+      val (ss, ssRdd) = materialize(smallStar(ls))
       lsRdd.unpersist(false)
 
       val newSig = signature(ss)
@@ -132,6 +111,37 @@ object GraphOps {
     labels.count()
     curRdd.unpersist(false)
     labels
+  }
+
+  /** One LAZY large-star re-wiring of a canonical (u < v) edge frame: for
+    * every node x, hook each LARGER neighbor y to m(x) = min(N(x) ∪ {x}).
+    * Incidence in both directions, one aggregation for the minima, one
+    * equi-join to re-wire. Exposed un-materialized so specs can assert the
+    * per-round plan shape — the materialized rounds collapse to LogicalRDD
+    * scans that hide the join structure.
+    */
+  private[operators] def largeStar(cur: DataFrame): DataFrame = {
+    val inc = cur.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(cur.select(col("v").as("x"), col("u").as("y")))
+    val ml = inc.groupBy("x").agg(min("y").as("mn"))
+      .select(col("x"), least(col("x"), col("mn")).as("m"))
+    // m ≤ x < y, so (m, y) is already canonically ordered
+    inc.join(ml, "x").filter(col("y") > col("x"))
+      .select(col("m").as("u"), col("y").as("v"))
+      .distinct()
+  }
+
+  /** One LAZY small-star re-wiring: group each node's SMALLER neighbors
+    * (edges arrive canonically (u, v) with u < v, so group by v), hook
+    * them and v itself to their minimum.
+    */
+  private[operators] def smallStar(ls: DataFrame): DataFrame = {
+    val ms = ls.groupBy("v").agg(min("u").as("m"))
+    ls.join(ms, "v").select(col("u").as("y"), col("m"))
+      .unionByName(ms.select(col("v").as("y"), col("m")))
+      .filter(col("y") =!= col("m"))
+      .select(col("m").as("u"), col("y").as("v")) // m < y by min-ness
+      .distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -47,14 +47,17 @@ object StatsOps {
     // (source, doc_id) — zero shuffle, embarrassingly parallel at any
     // scale, reproducible across engines and runs (no rand()).
     "q47_stratified_sample" -> ((s, d) => {
+      // try_cast + two explicit branch predicates, mirroring the oracle's
+      // WHERE exactly: a source that doesn't parse as 'src<digits>' yields
+      // a null stratum and is EXCLUDED in both engines (a when/otherwise
+      // would silently route nulls into the odd branch, and a plain cast
+      // would throw under ANSI mode)
       documents(s, d)
         .withColumn("h", substring(md5(concat(col("source"), lit(":"),
           col("doc_id").cast("string"))), 1, 8))
-        .withColumn("keep",
-          when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
-            col("h") < evenRate)
-            .otherwise(col("h") < oddRate))
-        .filter(col("keep"))
+        .withColumn("srcnum", expr("try_cast(substring(source, 4, 10) AS int)"))
+        .filter((col("srcnum") % 2 === 0 && col("h") < evenRate) ||
+          (col("srcnum") % 2 =!= 0 && col("h") < oddRate))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     })
@@ -73,7 +76,7 @@ object StatsOps {
       s"""SELECT doc_id, source FROM (
            SELECT doc_id, source,
                   substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
-                  CAST(substr(source, 4) AS INT) AS srcnum
+                  TRY_CAST(substr(source, 4) AS INT) AS srcnum
            FROM documents) t
          WHERE (srcnum % 2 = 0 AND h < '$evenRate')
             OR (srcnum % 2 <> 0 AND h < '$oddRate')

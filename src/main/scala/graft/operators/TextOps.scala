@@ -15,6 +15,22 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** q33's canonical-form fingerprint (lowercase, strip non-alphanumerics,
+    * md5) as a reusable column — the streaming intake (DocStreams) applies
+    * the SAME expression so batch and streaming dedup keys are
+    * bit-identical by construction, not by parallel maintenance.
+    */
+  def fingerprintCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  /** q38's quality score as a reusable column (same sharing rationale). */
+  def qualityScoreCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nTokens = size(split(text, " "))
+    val avgWlen = (length(text) - nTokens + 1) / nTokens
+    least(lit(1.0), nTokens / 200.0) *
+      when(avgWlen.between(2.5, 8.0), 1.0).otherwise(0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + distinct-token stats per document.
     "q31_text_stats" -> ((s, d) => {
@@ -44,9 +60,7 @@ object TextOps {
     // non-alphanumerics) — the canonical-form dedup key.
     "q33_fingerprint" -> ((s, d) => {
       documents(s, d)
-        .select(
-          col("doc_id"),
-          md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
+        .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -61,8 +75,10 @@ object TextOps {
       val docs = documents(s, d)
       val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.select("doc_id", "w").distinct()
-        .groupBy("w").agg(count(lit(1)).as("df"))
+      // tf is already one row per (doc, w), so document frequency is a
+      // row-count per w OVER TF — the corpus-sized token explode runs once
+      // (a separate distinct+groupBy branch would re-scan the corpus)
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       tf.join(dfreq, "w")
         .crossJoin(broadcast(n))
@@ -76,12 +92,7 @@ object TextOps {
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
       documents(s, d)
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("len", length(col("text")))
-        .withColumn("avg_wlen", (col("len") - col("n_tokens") + 1) / col("n_tokens"))
-        .withColumn("score",
-          least(lit(1.0), col("n_tokens") / 200.0) *
-            when(col("avg_wlen").between(2.5, 8.0), 1.0).otherwise(0.5))
+        .withColumn("score", qualityScoreCol(col("text")))
         .select(
           col("doc_id"),
           round(col("score"), 4).as("score"),

@@ -13,42 +13,36 @@ import org.apache.spark.sql.functions._
   *
   * Inputs use the `documents` schema (doc_id, text, lang, source, n_chars)
   * plus an `ingest_ts` TIMESTAMP column stamped by the ingest edge — the
-  * watermark on it is what bounds the dedup state: a fingerprint seen
-  * longer ago than the watermark delay can be evicted, trading bounded
-  * state for possible re-admission of very-late duplicates (the standard
-  * streaming-dedup contract; run the batch q30/q33 pass periodically to
-  * reconcile).
+  * watermark on it is what bounds the dedup state
+  * (`dropDuplicatesWithinWatermark`: a fingerprint's state is evicted once
+  * the watermark passes it, trading bounded state for possible
+  * re-admission of duplicates that arrive further apart than the delay —
+  * the standard streaming-dedup contract; run the batch q30/q33 pass
+  * periodically to reconcile). Plain `dropDuplicates("fp")` would keep
+  * every fingerprint ever seen: its state eviction only engages when the
+  * event-time column is part of the dedup KEYS.
   */
 object DocStreams {
 
-  /** q33's canonical-form fingerprint as a column (lowercase, strip
-    * non-alphanumerics, md5) — shared by batch and streaming paths.
-    */
-  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
-
-  /** Streaming exact dedup on the canonical fingerprint, state bounded by
-    * the `ingest_ts` watermark.
+  /** Streaming exact dedup on the canonical fingerprint (q33's expression,
+    * shared via [[graft.operators.TextOps.fingerprintCol]]), state bounded
+    * by the `ingest_ts` watermark.
     */
   def dedupDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("fp", graft.operators.TextOps.fingerprintCol(col("text")))
       .withWatermark("ingest_ts", watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
-  /** q38's quality score + bucket as an admission filter: only docs scoring
-    * at least `minScore` pass. Pure row-local projection — no state.
+  /** q38's quality score (the shared
+    * [[graft.operators.TextOps.qualityScoreCol]] expression) as an
+    * admission filter: only docs scoring at least `minScore` pass. Pure
+    * row-local projection — no state.
     */
   def qualityAdmit(docs: DataFrame, minScore: Double = 0.35): DataFrame =
     docs
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("avg_wlen",
-        (length(col("text")) - col("n_tokens") + 1) / col("n_tokens"))
-      .withColumn("score",
-        least(lit(1.0), col("n_tokens") / 200.0) *
-          when(col("avg_wlen").between(2.5, 8.0), 1.0).otherwise(0.5))
+      .withColumn("score", graft.operators.TextOps.qualityScoreCol(col("text")))
       .filter(col("score") >= minScore)
-      .drop("n_tokens", "avg_wlen")
 
   /** Per-source admitted-document counts over tumbling windows of
     * `ingest_ts` — the intake dashboard aggregate. Watermarked, so window

@@ -32,9 +32,14 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
 
-  /** Stateful exactly-once-per-key dedup bounded by the watermark. */
+  /** Stateful exactly-once-per-key dedup, state genuinely bounded by the
+    * watermark: `dropDuplicatesWithinWatermark` evicts a key's state once
+    * the watermark passes it. Plain `dropDuplicates("event_id")` would keep
+    * every id forever — its eviction only engages when the event-time
+    * column is among the dedup KEYS.
+    */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -62,14 +62,20 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("hot hub stays row-shaped: no neighbor arrays, exact star output") {
-    import spark.implicits._
     val leaves = 20000L
     val edges = spark.range(1, leaves + 1)
       .select(lit(0L).as("u"), col("id").as("v"))
+    // plan-shape assertion on the LAZY per-round frames — the returned
+    // labels frame collapses to LogicalRDD scans, which would make this
+    // assertion vacuous (it could never contain the round's joins)
+    for (roundPlan <- Seq(GraphOps.largeStar(edges),
+        GraphOps.smallStar(edges))) {
+      val p = roundPlan.queryExecution.executedPlan.toString
+      assert(!p.contains("collect_list") && !p.contains("collect_set"),
+        "a star round rebuilt a neighbor array")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    }
     val res = GraphOps.connectedComponents(edges)
-    val plan = res.queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
-      "CC plan rebuilt a neighbor array")
     assert(res.count() === leaves + 1)
     assert(res.filter(col("cluster_id") =!= 0L).count() === 0)
     res.unpersist(blocking = true)
