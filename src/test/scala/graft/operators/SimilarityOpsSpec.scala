@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN quality beyond the hash oracle. The sf embeddings are only WEAKLY
+  * label-clustered (measured quantizer purity 0.41 vs 0.10 for random
+  * assignment over 10 labels), so these specs pin "substantially better
+  * than chance" floors rather than near-perfect recall — the honest
+  * property of IVF with 2-of-10 probes on diffuse data, and exactly the
+  * probe-count trade the q43 scaladoc documents. Everything here is
+  * deterministic (fixed data, rounded dots, tiebroken ranks), so the
+  * floors sit just under the measured values, not far under.
+  */
+class SimilarityOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("q43 IVF top-5 recall beats random 2-of-10 list probing") {
+    def topSets(q: String): Map[Long, Set[Long]] =
+      SimilarityOps.queries(q)(spark, d).collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+    val brute = topSets("q37_sim_topk")
+    val ivf = topSets("q43_ivf_search")
+    assert(brute.keySet === ivf.keySet)
+    val recalls = brute.map { case (qid, bf) =>
+      ivf(qid).intersect(bf).size.toDouble / bf.size
+    }
+    val mean = recalls.sum / recalls.size
+    // random 2-of-10 probing expects ~0.20; measured 0.27 on this data —
+    // modest by design (weak clusters, 2 probes), but must stay above chance
+    assert(mean >= 0.25, f"mean IVF recall@5 = $mean%.2f")
+    // and every IVF hit must be a REAL neighbor score: cosines of shared
+    // (qid, cid) pairs agree with brute force exactly (same rounding)
+    val bfCos = SimilarityOps.queries("q37_sim_topk")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    SimilarityOps.queries("q43_ivf_search")(spark, d).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bfCos.get(key).foreach(c => assert(c === r.getDouble(2), s"cos mismatch at $key"))
+    }
+  }
+
+  test("q41 coarse quantizer separates labels far better than chance") {
+    val rows = SimilarityOps.queries("q41_ivf_assign")(spark, d).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+        r.getLong(2)))
+    val total = rows.map(_._3).sum
+    val diagonal = rows.collect { case (l, a, n) if l == a => n }.sum
+    assert(total > 0)
+    val purity = diagonal.toDouble / total
+    // measured 0.41; random assignment over 10 labels gives 0.10
+    assert(purity >= 0.35, f"assignment purity $purity%.2f")
+  }
+}
