@@ -99,7 +99,11 @@ class FuzzRoundTripSpec extends SparkSpec {
     }
   }
 
-  for (fmt <- Seq("dta", "sav", "zsav", "sas"); seed <- 1 to 5)
+  // default 5 trials per format in CI; widen locally for a deeper sweep,
+  // e.g. GRAFT_FUZZ_TRIALS=30 sbt "Test/testOnly graft.sources.FuzzRoundTripSpec"
+  private val nTrials = sys.env.getOrElse("GRAFT_FUZZ_TRIALS", "5").toInt
+
+  for (fmt <- Seq("dta", "sav", "zsav", "sas"); seed <- 1 to nTrials)
     test(s"fuzz round trip $fmt seed $seed") { runTrial(seed * 7919, fmt) }
 
   test("fuzz labeled round trip: unicode value labels + unlabeled fallback (dta)") {
