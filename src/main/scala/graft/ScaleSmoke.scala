@@ -34,7 +34,7 @@ object ScaleSmoke {
 
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
-    "q40_lsh_jaccard_verified")
+    "q40_lsh_jaccard_verified", "q45_dedup_clusters")
 
   private val skewQueries = Seq(
     "q34_ngram_jaccard", "q36_simhash", "q40_lsh_jaccard_verified")
