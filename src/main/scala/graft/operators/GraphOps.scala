@@ -75,8 +75,11 @@ object GraphOps {
       (r.getLong(0), r.getLong(1))
     }
 
-    // canonical edge orientation (u < v), loops dropped
+    // canonical edge orientation (u < v), loops dropped; BIGINT-normalized
+    // so callers can pass any integral node-id type and the output schema
+    // is stable
     var (cur, curRdd) = materialize(edges0
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))

@@ -86,6 +86,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("integer-typed edges are accepted and labeled as BIGINT") {
+    import spark.implicits._
+    val res = GraphOps.connectedComponents(
+      Seq((1, 2), (2, 3), (9, 8)).toDF("u", "v"))
+    assert(res.schema.fields.forall(_.dataType ===
+      org.apache.spark.sql.types.LongType))
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    res.unpersist(blocking = true)
+  }
+
   test("q45 assigns singletons their own cluster and near-dups a shared one") {
     val d = "/root/testdata/sf0.001"
     val res = SparkEntry_q45(d)
