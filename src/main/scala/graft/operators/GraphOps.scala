@@ -37,16 +37,31 @@ object GraphOps {
     */
   private val maxIters = 50
 
-  /** Connected components of an undirected graph given as (u, v) BIGINT
-    * edge pairs (self-loops and duplicates tolerated). Returns one row per
-    * node that appears in at least one edge: (doc_id, cluster_id) where
-    * cluster_id is the component's minimum node id.
+  /** Below this canonical-edge count the component computation runs as a
+    * driver-local union-find over the collected edge set — the same
+    * adaptive principle as Spark's broadcast-join threshold: under it, the
+    * star iteration's ~3 jobs per round cost more wall than shipping ≤1.6 MB
+    * of (long, long) pairs once. Above it, the distributed star path runs
+    * (the 100 TB route). Both paths produce identical labels
+    * (GraphOpsSpec pins them against each other).
+    */
+  val localCcMaxEdges = 100000L
+
+  /** Connected components of an undirected graph given as (u, v) integral
+    * edge pairs (self-loops and duplicates tolerated; ids normalized to
+    * BIGINT). Returns one row per node that appears in at least one edge:
+    * (doc_id, cluster_id) where cluster_id is the component's minimum node
+    * id.
     *
     * Follows the DedupOps cache contract: the returned frame is persisted
     * (node-count-sized, bounded by 2× the edge count), the caller owns it,
     * and every per-round intermediate cache is released before return.
+    *
+    * `localThreshold` overrides [[localCcMaxEdges]] (0 forces the
+    * distributed star path — used by specs to pin path equivalence).
     */
-  def connectedComponents(edges0: DataFrame): DataFrame = {
+  def connectedComponents(edges0: DataFrame,
+      localThreshold: Long = localCcMaxEdges): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = edges0.sparkSession
 
@@ -86,6 +101,38 @@ object GraphOps {
       .distinct())
 
     var sig = signature(cur)
+
+    // adaptive local path: tiny edge sets union-find on the driver
+    if (sig._1 <= localThreshold) {
+      val edges = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      curRdd.unpersist(false)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val byRoot = nodes.groupBy(find)
+      val rows = byRoot.iterator.flatMap { case (_, ns) =>
+        val m = ns.min
+        ns.iterator.map(n => org.apache.spark.sql.Row(n, m))
+      }.toSeq
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .persist(MEMORY_AND_DISK)
+      labels.count()
+      return labels
+    }
+
     var converged = sig._1 == 0L
     var iters = 0
     while (!converged && iters < maxIters) {

@@ -29,15 +29,18 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** localThreshold = 0 forces the distributed star path; the default
+    * exercises the adaptive local union-find path.
+    */
+  private def ccOf(edges: Seq[(Long, Long)], localThreshold: Long): Map[Long, Long] = {
     import spark.implicits._
-    val res = GraphOps.connectedComponents(edges.toDF("u", "v"))
+    val res = GraphOps.connectedComponents(edges.toDF("u", "v"), localThreshold)
     val out = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     res.unpersist(blocking = true)
     out
   }
 
-  test("matches driver-side union-find on seeded random graphs across densities") {
+  test("both paths match driver-side union-find on seeded random graphs across densities") {
     val rnd = new scala.util.Random(42)
     // (nodes, edges): forest-sparse, sub-critical, near the giant-component
     // threshold (m ≈ n/2), super-critical, dense
@@ -46,17 +49,20 @@ class GraphOpsSpec extends SparkSpec {
       val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val expected = unionFind(edges)
-      val got = ccOf(edges)
-      assert(got === expected, s"trial $trial (n=$n m=$m)")
+      assert(ccOf(edges, localThreshold = 0) === expected,
+        s"distributed star path, trial $trial (n=$n m=$m)")
+      assert(ccOf(edges, GraphOps.localCcMaxEdges) === expected,
+        s"local path, trial $trial (n=$n m=$m)")
     }
   }
 
   test("adversarial chain (diameter n) collapses to one cluster in log rounds") {
     // 0-1-2-...-999: min-label propagation needs ~1000 rounds; the star
     // algorithm must finish well inside the 50-round guard (it throws on
-    // non-convergence, so passing IS the round-count assertion)
+    // non-convergence, so passing IS the round-count assertion); threshold
+    // 0 forces the distributed path — the whole point of this test
     val edges = (0L until 999L).map(i => (i, i + 1))
-    val got = ccOf(edges)
+    val got = ccOf(edges, localThreshold = 0)
     assert(got.size === 1000)
     assert(got.values.forall(_ == 0L))
   }
@@ -75,15 +81,17 @@ class GraphOpsSpec extends SparkSpec {
         "a star round rebuilt a neighbor array")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     }
-    val res = GraphOps.connectedComponents(edges)
+    val res = GraphOps.connectedComponents(edges, localThreshold = 0)
     assert(res.count() === leaves + 1)
     assert(res.filter(col("cluster_id") =!= 0L).count() === 0)
     res.unpersist(blocking = true)
   }
 
-  test("duplicate, reversed and self-loop edges are tolerated") {
-    val got = ccOf(Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 5L), (7L, 9L)))
-    assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 9L -> 7L))
+  test("duplicate, reversed and self-loop edges are tolerated on both paths") {
+    val edges = Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 5L), (7L, 9L))
+    val expected = Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 9L -> 7L)
+    assert(ccOf(edges, localThreshold = 0) === expected)
+    assert(ccOf(edges, GraphOps.localCcMaxEdges) === expected)
   }
 
   test("integer-typed edges are accepted and labeled as BIGINT") {
