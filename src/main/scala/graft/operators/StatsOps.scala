@@ -20,6 +20,13 @@ object StatsOps {
   private val evenRate = "40000000"
   private val oddRate = "c0000000"
 
+  /** q57 training-sequence capacity in tokens. Documents longer than the
+    * capacity still get a bin (greedy fill lets the last doc overflow) —
+    * the packer's contract is "no bin STARTS past the capacity", matching
+    * how sequence packing feeds fixed-context training.
+    */
+  val packCapacity = 512
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Grouped EXACT percentiles of extended price per return flag — the
     // profiling pass before outlier filtering. Exact (sort-based) because
@@ -60,6 +67,26 @@ object StatsOps {
           (col("srcnum") % 2 =!= 0 && col("h") < oddRate))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // Sequence packing: greedy-fill documents into fixed token-capacity
+    // training bins, in deterministic doc_id order WITHIN each source — a
+    // running token sum over a per-source window, bin = tokens-before-me
+    // div capacity. Scale shape: one shuffle by source, then the cumsum is
+    // sequential only within a source partition (packing is inherently
+    // order-dependent); a source too hot for one partition composes the
+    // partition key with a shard column — pack per (source, shard) — which
+    // changes no math, only the key.
+    "q57_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(packCapacity.toDouble))
+            .cast("long").as("bin_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -80,6 +107,17 @@ object StatsOps {
            FROM documents) t
          WHERE (srcnum % 2 = 0 AND h < '$evenRate')
             OR (srcnum % 2 <> 0 AND h < '$oddRate')
+         ORDER BY doc_id""",
+
+    "q57_pack_sequences" ->
+      s"""SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / ${packCapacity.toDouble}) AS BIGINT) AS bin_id
+         FROM (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    OVER (PARTITION BY source ORDER BY doc_id) AS cum
+           FROM documents) t
          ORDER BY doc_id"""
   )
 }

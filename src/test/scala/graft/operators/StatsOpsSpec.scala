@@ -61,6 +61,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("q57 packing invariants: contiguous bins, no bin starts past capacity, order preserved") {
+    val rows = StatsOps.queries("q57_pack_sequences")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((src, docs) <- rows.groupBy(_._2)) {
+      val inOrder = docs.sortBy(_._1)
+      // bin ids start at 0, never decrease, never skip
+      val bins = inOrder.map(_._4)
+      assert(bins.head === 0L, s"$src first bin")
+      bins.zip(bins.tail).foreach { case (a, b) =>
+        assert(b === a || b === a + 1, s"$src bins skipped: $a -> $b")
+      }
+      // independent recomputation of the greedy-fill rule: a doc's bin is
+      // the capacity-quotient of the tokens packed before it
+      var before = 0L
+      inOrder.foreach { case (id, _, n, b) =>
+        assert(b === before / StatsOps.packCapacity, s"$src doc $id bin")
+        before += n
+      }
+    }
+  }
+
   test("q48 returns exactly 20 rows with non-increasing scores and the smoothed formula") {
     val rows = TextOps.queries("q48_tfidf")(spark, d).collect()
     assert(rows.length === 20)
