@@ -36,8 +36,13 @@ object ScaleSmoke {
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
     "q40_lsh_jaccard_verified", "q45_dedup_clusters")
 
+  // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
+  // block yields ~2M candidate edges in ONE dense component — far past the
+  // adaptive local threshold, so the star iteration itself runs against a
+  // hot component
   private val skewQueries = Seq(
-    "q34_ngram_jaccard", "q36_simhash", "q40_lsh_jaccard_verified")
+    "q34_ngram_jaccard", "q36_simhash", "q40_lsh_jaccard_verified",
+    "q45_dedup_clusters")
 
   /** Alarm bar for the worst in-stage straggler ratio: a bounded-bucket
     * plan whose max task runs ≥10× its stage median has a hot task, which
