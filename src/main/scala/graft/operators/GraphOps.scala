@@ -49,9 +49,13 @@ object GraphOps {
 
   /** Connected components of an undirected graph given as (u, v) integral
     * edge pairs (self-loops and duplicates tolerated; ids normalized to
-    * BIGINT). Returns one row per node that appears in at least one edge:
-    * (doc_id, cluster_id) where cluster_id is the component's minimum node
-    * id.
+    * BIGINT). Returns one row per node that appears in at least one
+    * NON-self-loop edge: (doc_id, cluster_id) where cluster_id is the
+    * component's minimum node id. A node whose only edges are self-loops
+    * carries no connectivity information and gets no output row — callers
+    * wanting singleton rows for such nodes left-join the node universe and
+    * `coalesce(cluster_id, doc_id)`, exactly as q45 does for documents in
+    * no candidate pair at all.
     *
     * Follows the DedupOps cache contract: the returned frame is persisted
     * (node-count-sized, bounded by 2× the edge count), the caller owns it,
@@ -106,21 +110,8 @@ object GraphOps {
     if (sig._1 <= localThreshold) {
       val edges = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
       curRdd.unpersist(false)
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-      val byRoot = nodes.groupBy(find)
-      val rows = byRoot.iterator.flatMap { case (_, ns) =>
-        val m = ns.min
-        ns.iterator.map(n => org.apache.spark.sql.Row(n, m))
-      }.toSeq
+      val rows = localUnionFind(edges).iterator
+        .map { case (n, m) => org.apache.spark.sql.Row(n, m) }.toSeq
       val labels = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         org.apache.spark.sql.types.StructType(Seq(
@@ -161,6 +152,35 @@ object GraphOps {
     labels.count()
     curRdd.unpersist(false)
     labels
+  }
+
+  /** Driver-side union-find labeling for the adaptive local path:
+    * (node → component-minimum id) for every node in the edge list. `find`
+    * is ITERATIVE (walk to the root, then a second compression pass) — the
+    * recursive form stack-overflows on adversarial collect orders: a
+    * descending-order path graph builds an O(n) parent chain with no
+    * compression opportunity until the final labeling pass, and at the
+    * 100k-edge threshold that is up to ~200k frames deep.
+    */
+  private[operators] def localUnionFind(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.groupBy(find).iterator.flatMap { case (_, ns) =>
+      val m = ns.min
+      ns.iterator.map(n => n -> m)
+    }.toMap
   }
 
   /** One LAZY large-star re-wiring of a canonical (u < v) edge frame: for

@@ -58,15 +58,19 @@ object StatsOps {
       // WHERE exactly: a source that doesn't parse as 'src<digits>' yields
       // a null stratum and is EXCLUDED in both engines (a when/otherwise
       // would silently route nulls into the odd branch, and a plain cast
-      // would throw under ANSI mode)
+      // would throw under ANSI mode). The stratum substring is UNBOUNDED on
+      // both sides — a length-capped Spark parse vs an uncapped oracle
+      // parse disagrees on sources with >10 trailing digits (valid int in
+      // one engine, overflow→null in the other). No output sort: the
+      // sample is corpus-sized and the caller owns ordering (a global
+      // orderBy here is a RangePartitioning sampling pass for nothing).
       documents(s, d)
         .withColumn("h", substring(md5(concat(col("source"), lit(":"),
           col("doc_id").cast("string"))), 1, 8))
-        .withColumn("srcnum", expr("try_cast(substring(source, 4, 10) AS int)"))
+        .withColumn("srcnum", expr("try_cast(substring(source, 4) AS int)"))
         .filter((col("srcnum") % 2 === 0 && col("h") < evenRate) ||
           (col("srcnum") % 2 =!= 0 && col("h") < oddRate))
         .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")
     }),
 
     // Sequence packing: greedy-fill documents into fixed token-capacity
@@ -76,7 +80,9 @@ object StatsOps {
     // sequential only within a source partition (packing is inherently
     // order-dependent); a source too hot for one partition composes the
     // partition key with a shard column — pack per (source, shard) — which
-    // changes no math, only the key.
+    // changes no math, only the key. The window's per-source sort is the
+    // operator; no GLOBAL output sort on top (corpus-sized, caller owns
+    // ordering).
     "q57_pack_sequences" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("source").orderBy("doc_id")
@@ -86,7 +92,6 @@ object StatsOps {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           floor((col("cum") - col("n_tokens")) / lit(packCapacity.toDouble))
             .cast("long").as("bin_id"))
-        .orderBy("doc_id")
     })
   )
 
@@ -106,8 +111,7 @@ object StatsOps {
                   TRY_CAST(substr(source, 4) AS INT) AS srcnum
            FROM documents) t
          WHERE (srcnum % 2 = 0 AND h < '$evenRate')
-            OR (srcnum % 2 <> 0 AND h < '$oddRate')
-         ORDER BY doc_id""",
+            OR (srcnum % 2 <> 0 AND h < '$oddRate')""",
 
     "q57_pack_sequences" ->
       s"""SELECT doc_id, source, n_tokens,
@@ -117,7 +121,6 @@ object StatsOps {
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                   sum(CAST(len(string_split(text, ' ')) AS BIGINT))
                     OVER (PARTITION BY source ORDER BY doc_id) AS cum
-           FROM documents) t
-         ORDER BY doc_id"""
+           FROM documents) t"""
   )
 }

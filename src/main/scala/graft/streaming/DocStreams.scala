@@ -55,10 +55,17 @@ object DocStreams {
       .agg(count(lit(1)).as("n_admitted"))
       .select(col("window.start").as("hour"), col("source"), col("n_admitted"))
 
-  /** The full intake pipeline: dedup → quality gate. (Counts attach as a
+  /** The full intake pipeline: quality gate → dedup. (Counts attach as a
     * separate sink off the same deduped frame.)
+    *
+    * The gate runs FIRST so only admissible documents claim a fingerprint's
+    * dedup state: with dedup first, a low-quality document consumes its
+    * fingerprint within the watermark and is then rejected, and a later
+    * admissible variant with the same canonical fingerprint (punctuation
+    * differences change the score but not the fingerprint) is dropped as a
+    * duplicate — neither copy admitted.
     */
   def intake(docs: DataFrame, watermark: String = "1 hour",
       minScore: Double = 0.35): DataFrame =
-    qualityAdmit(dedupDocs(docs, watermark), minScore)
+    dedupDocs(qualityAdmit(docs, minScore), watermark)
 }

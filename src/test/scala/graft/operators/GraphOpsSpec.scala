@@ -87,6 +87,18 @@ class GraphOpsSpec extends SparkSpec {
     res.unpersist(blocking = true)
   }
 
+  test("local union-find survives a 150k-edge descending path (iterative find, no stack overflow)") {
+    // a path graph fed root-last builds an O(n) parent chain that nothing
+    // compresses until the labeling pass — the recursive find blew the
+    // driver stack exactly here; the iterative one must label the whole
+    // chain to its minimum
+    val n = 150000L
+    val edges = (n to 1L by -1L).map(i => (i - 1, i)).toArray
+    val labels = GraphOps.localUnionFind(edges)
+    assert(labels.size === n + 1)
+    assert(labels.values.forall(_ == 0L), "chain not labeled to its minimum")
+  }
+
   test("duplicate, reversed and self-loop edges are tolerated on both paths") {
     val edges = Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 5L), (7L, 9L))
     val expected = Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 9L -> 7L)

@@ -26,6 +26,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q47 has no exchange at all (r9: cosmetic output sort removed)") {
+    val p = plan("q47_stratified_sample")
+    assert(!p.contains("Exchange"),
+      s"q47 claims zero-shuffle map-only but plans an exchange:\n${p.take(800)}")
+  }
+
+  test("q57 shuffles once for the window, with no range partitioning") {
+    val p = plan("q57_pack_sequences")
+    assert(hashExchanges(p) === 1,
+      s"q57 expected exactly the per-source window exchange:\n${p.take(800)}")
+    assert(!p.contains("rangepartitioning"),
+      "q57 regrew a global output sort (corpus-sized RangePartitioning)")
+  }
+
   test("q48 top-k is TakeOrdered, not a global sort") {
     val p = plan("q48_tfidf")
     assert(p.contains("TakeOrderedAndProject"), "q48 lost TakeOrdered")

@@ -50,6 +50,33 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a rejected low-quality doc does not claim its fingerprint's dedup state") {
+    // same canonical fingerprint as goodText (punctuation strips out), but
+    // avg word length 11 → 0.5 multiplier → score 0.2, below the gate:
+    // the gate must run BEFORE dedup, else this rejected doc consumes the
+    // fingerprint and the admissible variant below is dropped as a dup —
+    // neither copy admitted
+    val lowVariant = Array.fill(80)("data!!!!!!!").mkString(" ")
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStreams.intake(input.toDF()).writeStream
+      .format("memory").queryName("intake_order").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, lowVariant, "en", "src0", lowVariant.length, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // the admissible variant arrives in a LATER batch, same fingerprint
+      input.addData(
+        Doc(2, goodText, "en", "src1", goodText.length, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val ids = sp.sql("SELECT doc_id FROM intake_order ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(2L), "rejected doc 1 must not shadow admissible doc 2")
+    } finally q.stop()
+  }
+
   test("streaming quality gate admits exactly the docs batch q38 scores >= 0.35") {
     val sp = spark
     import sp.implicits._
