@@ -42,6 +42,43 @@ object SimilarityOps {
       .groupBy("c_label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("ce"))
 
+  /** IVF ANN top-5 for the query vectors (vec_id < 3), probing each
+    * query's `nProbes` nearest coarse centroids. More probes score more
+    * inverted lists — monotonically better recall for linearly more
+    * candidate work, the standard IVF knob (nProbes = k degenerates to
+    * brute force over a pointless extra shuffle). At 100 TB the plan is
+    * unchanged by the knob: the probe stage is a per-query top-nProbes
+    * over the broadcast centroid set, and the candidate stage stays an
+    * equi-join on centroid id whose input grows linearly with nProbes.
+    */
+  def ivfSearch(s: SparkSession, d: String, nProbes: Int = 2): DataFrame = {
+    require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+    val base = prepped(s, d)
+    val centroids = centroidsOf(base)
+    val scored = base.select(col("vec_id"), col("e"), col("nrm"))
+      .join(broadcast(centroids))
+      .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    // inverted lists: every vector in its single nearest cluster
+    val lists = ranked.filter(col("rn") === 1)
+      .select(col("c_label"), col("vec_id").as("cid"),
+        col("e").as("ce2"), col("nrm").as("cn"))
+    // queries probe their top-nProbes clusters
+    val probes = ranked.filter(col("rn") <= nProbes && col("vec_id") < 3)
+      .select(col("c_label"), col("vec_id").as("qid"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = probes.join(lists, "c_label")
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("cos", round(expr("graft_dot(qe, ce2)") / (col("qn") * col("cn")), 6))
+    val tw = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    pairs.withColumn("rn", row_number().over(tw))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 3.
     "q37_sim_topk" -> ((s, d) => {
@@ -95,37 +132,15 @@ object SimilarityOps {
         .orderBy("ia", "ib")
     }),
 
-    // IVF search: queries probe their top-2 coarse centroids and score only
-    // those clusters' inverted lists — the scale path for ANN top-k (the
-    // candidate set is cluster-sized, not corpus-sized; recall is the usual
-    // IVF trade governed by the probe count). Build: one narrow assignment
-    // pass (broadcast k×dim centroids). Search: equi-join on centroid id.
-    "q43_ivf_search" -> ((s, d) => {
-      val base = prepped(s, d)
-      val centroids = centroidsOf(base)
-      val scored = base.select(col("vec_id"), col("e"), col("nrm"))
-        .join(broadcast(centroids))
-        .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
-      val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
-      val ranked = scored.withColumn("rn", row_number().over(w))
-      // inverted lists: every vector in its single nearest cluster
-      val lists = ranked.filter(col("rn") === 1)
-        .select(col("c_label"), col("vec_id").as("cid"),
-          col("e").as("ce2"), col("nrm").as("cn"))
-      // queries probe top-2 clusters
-      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 3)
-        .select(col("c_label"), col("vec_id").as("qid"),
-          col("e").as("qe"), col("nrm").as("qn"))
-      val pairs = probes.join(lists, "c_label")
-        .filter(col("qid") =!= col("cid"))
-        .dropDuplicates("qid", "cid")
-        .withColumn("cos", round(expr("graft_dot(qe, ce2)") / (col("qn") * col("cn")), 6))
-      val tw = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
-      pairs.withColumn("rn", row_number().over(tw))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rn"))
-        .orderBy("qid", "rn")
-    }),
+    // IVF search: queries probe their top-nProbes coarse centroids and
+    // score only those clusters' inverted lists — the scale path for ANN
+    // top-k (the candidate set is cluster-sized, not corpus-sized; recall
+    // is the usual IVF trade governed by the probe count — see
+    // [[ivfSearch]]). Build: one narrow assignment pass (broadcast k×dim
+    // centroids). Search: equi-join on centroid id. The oracle pins the
+    // default nProbes=2 configuration; SimilarityOpsSpec pins the
+    // recall-vs-probes curve (recall(4) ≥ recall(2) ≥ floor).
+    "q43_ivf_search" -> ((s, d) => ivfSearch(s, d)),
 
     // Random-hyperplane (sign) LSH near-dup: the bucketed scale path for
     // embedding dedup [Charikar, STOC'02]. L bands × b sign bits per

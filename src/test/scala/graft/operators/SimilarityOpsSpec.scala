@@ -15,18 +15,24 @@ class SimilarityOpsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.01"
 
-  test("q43 IVF top-5 recall beats random 2-of-10 list probing") {
-    def topSets(q: String): Map[Long, Set[Long]] =
-      SimilarityOps.queries(q)(spark, d).collect()
-        .groupBy(_.getLong(0))
-        .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
-    val brute = topSets("q37_sim_topk")
-    val ivf = topSets("q43_ivf_search")
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+
+  private def meanRecall(brute: Map[Long, Set[Long]],
+      ivf: Map[Long, Set[Long]]): Double = {
     assert(brute.keySet === ivf.keySet)
     val recalls = brute.map { case (qid, bf) =>
       ivf(qid).intersect(bf).size.toDouble / bf.size
     }
-    val mean = recalls.sum / recalls.size
+    recalls.sum / recalls.size
+  }
+
+  test("q43 IVF top-5 recall beats random 2-of-10 list probing") {
+    val brute = topSets(SimilarityOps.queries("q37_sim_topk")(spark, d))
+    val ivf = topSets(SimilarityOps.queries("q43_ivf_search")(spark, d))
+    val mean = meanRecall(brute, ivf)
     // random 2-of-10 probing expects ~0.20; measured 0.27 on this data —
     // modest by design (weak clusters, 2 probes), but must stay above chance
     assert(mean >= 0.25, f"mean IVF recall@5 = $mean%.2f")
@@ -38,6 +44,19 @@ class SimilarityOpsSpec extends SparkSpec {
       val key = (r.getLong(0), r.getLong(1))
       bfCos.get(key).foreach(c => assert(c === r.getDouble(2), s"cos mismatch at $key"))
     }
+  }
+
+  test("recall-vs-probes curve: more probes never lose recall, full probing is exact") {
+    val brute = topSets(SimilarityOps.queries("q37_sim_topk")(spark, d))
+    val r2 = meanRecall(brute, topSets(SimilarityOps.ivfSearch(spark, d, nProbes = 2)))
+    val r4 = meanRecall(brute, topSets(SimilarityOps.ivfSearch(spark, d, nProbes = 4)))
+    assert(r2 >= 0.25, f"recall@5 with 2 probes = $r2%.2f")
+    assert(r4 >= r2, f"recall must not drop with more probes: p=4 $r4%.2f < p=2 $r2%.2f")
+    // probing ALL 10 label-centroids scores every inverted list — the
+    // candidate set is the whole corpus, so IVF must recover brute force
+    // exactly (degenerate end of the curve, pins the knob's semantics)
+    val rAll = meanRecall(brute, topSets(SimilarityOps.ivfSearch(spark, d, nProbes = 10)))
+    assert(rAll === 1.0, f"full probing should be exact, recall = $rAll%.2f")
   }
 
   test("q41 coarse quantizer separates labels far better than chance") {
