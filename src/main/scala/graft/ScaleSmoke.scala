@@ -32,9 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
+  // q49 (estimator) and q43 (IVF search) joined r9: the two newest scale
+  // claims — candidate-bounded estimation and bucketed ANN probing — get a
+  // 10× data point like the rest of the chain (their recall/quality floors
+  // are pinned at fixed size by DedupOpsSpec/SimilarityOpsSpec)
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
-    "q40_lsh_jaccard_verified", "q45_dedup_clusters")
+    "q40_lsh_jaccard_verified", "q45_dedup_clusters",
+    "q49_minhash_estimate", "q43_ivf_search")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
@@ -77,24 +82,29 @@ object ScaleSmoke {
 
     val nSkewDocs = sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "10000").toInt
 
-    def ensureCorpus(dir: File, n: Int, gen: (SparkSession, Int) => org.apache.spark.sql.DataFrame): Unit = {
-      val docsPath = new File(dir, "documents.parquet")
-      // a partial cached corpus (interrupted previous run) must regenerate,
+    def ensureTable(dir: File, file: String, n: Int,
+        gen: (SparkSession, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val path = new File(dir, file)
+      // a partial cached table (interrupted previous run) must regenerate,
       // not crash every subsequent run
-      val cachedOk = docsPath.exists() &&
-        (try spark.read.parquet(docsPath.getPath).count() == n
+      val cachedOk = path.exists() &&
+        (try spark.read.parquet(path.getPath).count() == n
          catch { case _: Exception => false })
       if (!cachedOk) {
         dir.mkdirs()
-        gen(spark, n).write.mode("overwrite").parquet(docsPath.getPath)
-        System.err.println(s"[scalesmoke] generated $n docs at $docsPath")
+        gen(spark, n).write.mode("overwrite").parquet(path.getPath)
+        System.err.println(s"[scalesmoke] generated $n rows at $path")
       }
     }
 
+    // 10× the sf0.1 embeddings fixture (2,000 vectors), for q43
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_VECS", "20000").toInt
+
     val dir = new File("/tmp/graft_scale")
-    ensureCorpus(dir, nDocs, generate)
+    ensureTable(dir, "documents.parquet", nDocs, generate)
+    ensureTable(dir, "embeddings.parquet", nVecs, generateEmbeddings)
     val skewDir = new File("/tmp/graft_scale_skew")
-    ensureCorpus(skewDir, nSkewDocs, generateSkew)
+    ensureTable(skewDir, "documents.parquet", nSkewDocs, generateSkew)
 
     // task-duration listener: collects (stageId, wall) per task — straggler
     // ratios are computed WITHIN a stage (peers doing the same work), so
@@ -112,7 +122,7 @@ object ScaleSmoke {
     })
 
     val out = new StringBuilder
-    out.append(s"""{"docs":$nDocs,"skew_docs":$nSkewDocs,"cpus":$cpus""")
+    out.append(s"""{"docs":$nDocs,"vecs":$nVecs,"skew_docs":$nSkewDocs,"cpus":$cpus""")
     var worstStraggler = 0.0
 
     def runQuery(q: String, corpusDir: File, prefix: String): Unit = {
@@ -192,6 +202,25 @@ object ScaleSmoke {
       .withColumn("source", concat(lit("synth/"), pmod(col("doc_id"), lit(10))))
       .withColumn("n_chars", length(col("text")))
       .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Deterministic label-clustered embeddings (the sf fixture's schema:
+    * vec_id BIGINT, embedding ARRAY<FLOAT> dim 64, label INT 0–9),
+    * generated distributed: each component is its label-centroid value
+    * plus per-vector noise at 0.3 amplitude, all from xxhash64 mixing —
+    * clustered enough that IVF probing has real structure to exploit,
+    * noisy enough that the probe trade-off is non-trivial (mirroring the
+    * weakly-clustered sf fixture).
+    */
+  private[graft] def generateEmbeddings(spark: SparkSession, nVecs: Int) = {
+    spark.range(nVecs).toDF("vec_id")
+      .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), p -> CAST(
+             (pmod(xxhash64(concat('c', label, '_', p)), 1000) / 1000.0 - 0.5)
+           + (pmod(xxhash64(concat('n', vec_id, '_', p)), 1000) / 1000.0 - 0.5) * 0.3
+           AS FLOAT))"""))
+      .select("vec_id", "embedding", "label")
   }
 
   /** Adversarial hot-key corpus: every 5th document (20%) is the IDENTICAL
