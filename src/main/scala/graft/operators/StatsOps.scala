@@ -20,6 +20,13 @@ object StatsOps {
   private val evenRate = "40000000"
   private val oddRate = "c0000000"
 
+  /** q58 split thresholds on the first 32 md5 bits as 8-hex-digit bounds
+    * (same engine-exact mechanism as q47's strata rates): train gets 90%
+    * of the hash space, validation the next 5%, test the rest.
+    */
+  private val trainBound = "e6666666" // 0.9 * 2^32
+  private val valBound   = "f3333333" // 0.95 * 2^32
+
   /** q57 training-sequence capacity in tokens. Documents longer than the
     * capacity still get a bin (greedy fill lets the last doc overflow) —
     * the packer's contract is "no bin STARTS past the capacity", matching
@@ -77,6 +84,24 @@ object StatsOps {
     // training bins, in deterministic doc_id order WITHIN each source — a
     // running token sum over a per-source window, bin = tokens-before-me
     // div capacity. Scale shape: one shuffle by source, then the cumsum is
+    // Deterministic train/validation/test split assignment (90/5/5): the
+    // split is a pure function of doc_id via an md5-prefix threshold —
+    // row-local, zero shuffle, reproducible across engines AND stable
+    // under corpus growth: adding documents never reassigns existing ones
+    // (the property rand()-based splits lack, and the reason training
+    // pipelines hash-split). The salt ('split:') makes this hash stream
+    // independent of q47's sampling stream — the same doc_id draws
+    // independent uniforms for sampling and for splitting.
+    "q58_split_assign" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("h", substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 8))
+        .select(col("doc_id"), col("source"),
+          when(col("h") < trainBound, "train")
+            .when(col("h") < valBound, "val")
+            .otherwise("test").as("split"))
+    }),
+
     // sequential only within a source partition (packing is inherently
     // order-dependent); a source too hot for one partition composes the
     // partition key with a shard column — pack per (source, shard) — which
@@ -112,6 +137,15 @@ object StatsOps {
            FROM documents) t
          WHERE (srcnum % 2 = 0 AND h < '$evenRate')
             OR (srcnum % 2 <> 0 AND h < '$oddRate')""",
+
+    "q58_split_assign" ->
+      s"""SELECT doc_id, source,
+           CASE WHEN h < '$trainBound' THEN 'train'
+                WHEN h < '$valBound' THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+               FROM documents) t""",
 
     "q57_pack_sequences" ->
       s"""SELECT doc_id, source, n_tokens,

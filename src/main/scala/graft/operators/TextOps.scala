@@ -89,6 +89,63 @@ object TextOps {
         .limit(20)
     }),
 
+    // Vocabulary coverage curve: the top-100 corpus tokens by frequency
+    // with cumulative coverage share — the "what vocab size covers X% of
+    // the token stream" analysis run before fixing a tokenizer vocab.
+    // Scale shape: one combiner-friendly groupBy over the exploded token
+    // stream (token frequencies are zipfian but a LONG count never skews a
+    // partial agg), corpus token total folded from the SAME frequency
+    // table (no second corpus scan), TakeOrdered for the top-k; the
+    // running-sum window runs AFTER the limit, over 100 rows on one
+    // partition — vocab-sized, not corpus-sized.
+    "q59_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val total = freq.agg(sum("freq").as("total"))
+      val w = Window.orderBy(desc("freq"), col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      freq.orderBy(desc("freq"), col("w")).limit(100)
+        .crossJoin(broadcast(total))
+        .select(
+          row_number().over(Window.orderBy(desc("freq"), col("w")))
+            .cast("long").as("rank"),
+          col("w"), col("freq"),
+          round(sum("freq").over(w) / col("total"), 6).as("cum_share"))
+        .orderBy("rank")
+    }),
+
+    // Within-document repetition signals (the Gopher-style repetition
+    // filters): distinct-token ratio, most-frequent-token share, duplicate
+    // bigram fraction. Row-local higher-order functions — zero shuffle at
+    // any corpus size. Per-row cost is O(n_tokens × n_distinct) for the
+    // top-token count, which assumes length-bounded documents (the normal
+    // case after a length gate); for unbounded documents the explode →
+    // groupBy(doc_id, w) formulation trades that for one shuffle.
+    "q60_repetition_stats" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("bigrams", expr(
+          """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                              i -> concat(toks[i], ' ', toks[i + 1]))
+               ELSE array() END"""))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(size(array_distinct(col("toks"))) / size(col("toks")).cast("double"), 6)
+            .as("distinct_ratio"),
+          round(expr(
+            "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+            / size(col("toks")).cast("double"), 6).as("top_share"),
+          when(size(col("bigrams")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("bigrams"))) / size(col("bigrams")).cast("double"), 6))
+            .as("dup_bigram_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
       documents(s, d)
@@ -135,6 +192,39 @@ object TextOps {
          FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
          ORDER BY score DESC, tf.doc_id, tf.w
          LIMIT 20""",
+
+    "q59_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+         total AS (SELECT sum(freq) AS total FROM freq),
+         top AS (SELECT w, freq FROM freq ORDER BY freq DESC, w LIMIT 100)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+                w, freq,
+                round(CAST(sum(freq) OVER (ORDER BY freq DESC, w
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      / (SELECT total FROM total), 6) AS cum_share
+         FROM top ORDER BY rank""",
+
+    "q60_repetition_stats" ->
+      """SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+             AS distinct_ratio,
+           round(list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t))))
+                 / CAST(len(toks) AS DOUBLE), 6) AS top_share,
+           CASE WHEN len(bigrams) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(bigrams))
+                           / CAST(len(bigrams) AS DOUBLE), 6) END
+             AS dup_bigram_ratio
+         FROM (
+           SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents) a) b
+         ORDER BY doc_id""",
 
     "q38_quality_score" ->
       """SELECT doc_id, round(score, 4) AS score,

@@ -19,7 +19,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("map-only text/sampling operators have zero hash exchanges") {
     for (q <- Seq("q31_text_stats", "q32_lang_score", "q33_fingerprint",
-        "q38_quality_score", "q47_stratified_sample")) {
+        "q38_quality_score", "q47_stratified_sample", "q58_split_assign",
+        "q60_repetition_stats")) {
       val p = plan(q)
       assert(hashExchanges(p) === 0,
         s"$q claims map-only but plans a hash shuffle")
@@ -43,6 +44,20 @@ class PlanShapeSpec extends SparkSpec {
   test("q48 top-k is TakeOrdered, not a global sort") {
     val p = plan("q48_tfidf")
     assert(p.contains("TakeOrderedAndProject"), "q48 lost TakeOrdered")
+  }
+
+  test("q59 top-k vocab is TakeOrdered and reuses the frequency exchange (one corpus scan)") {
+    // the total-tokens branch derives from the same token-frequency
+    // aggregate as the top-k branch; statically that is two identical
+    // exchanges, and Spark's exchange reuse must collapse them at runtime
+    // so the corpus explode+scan executes ONCE — materialize, then assert
+    // on the final adaptive plan
+    val df = graft.SparkEntry.queries("q59_vocab_coverage")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "q59 lost TakeOrdered")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"q59's total branch re-executed the corpus scan instead of reusing the exchange:\n${p.take(1200)}")
   }
 
   test("q46 grouped percentile shuffles exactly once (partial merge first)") {

@@ -61,6 +61,33 @@ class StatsOpsSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("q58 split proportions concentrate at 90/5/5 and cover every doc exactly once") {
+    val rows = StatsOps.queries("q58_split_assign")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val total = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.length === total, "every doc gets exactly one split row")
+    assert(rows.map(_._2).toSet === Set("train", "val", "test"))
+    val byFrac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / total)
+    // 500 docs: ±3σ of Binomial(500, p)
+    assert(math.abs(byFrac("train") - 0.90) < 0.05, s"train ${byFrac("train")}")
+    assert(math.abs(byFrac("val") - 0.05) < 0.04, s"val ${byFrac("val")}")
+    assert(math.abs(byFrac("test") - 0.05) < 0.04, s"test ${byFrac("test")}")
+  }
+
+  test("q58 split assignment is stable under corpus growth") {
+    // the split is a function of doc_id alone: a doc keeps its split when
+    // the corpus around it grows 10× — the property that makes hash-splits
+    // safe to recompute over an ever-growing corpus (rand() splits are not)
+    val small = StatsOps.queries("q58_split_assign")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val large = StatsOps.queries("q58_split_assign")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(small.nonEmpty)
+    small.foreach { case (id, s) =>
+      assert(large(id) === s, s"doc $id reassigned from $s to ${large(id)}")
+    }
+  }
+
   test("q57 packing invariants: contiguous bins, no bin starts past capacity, order preserved") {
     val rows = StatsOps.queries("q57_pack_sequences")(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -80,6 +107,49 @@ class StatsOpsSpec extends SparkSpec {
         assert(b === before / StatsOps.packCapacity, s"$src doc $id bin")
         before += n
       }
+    }
+  }
+
+  test("q59 coverage curve: ranks contiguous, freqs non-increasing, cum_share monotone to <= 1") {
+    val rows = TextOps.queries("q59_vocab_coverage")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq, "ranks not contiguous")
+    val freqs = rows.map(_._3)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "freqs not sorted")
+    val shares = rows.map(_._4)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b }, "cum_share not monotone")
+    assert(shares.last <= 1.0 + 1e-9)
+    // independent recompute of the top token's frequency and share
+    val tok = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val nTok = tok.count()
+    val topCnt = tok.filter(col("w") === rows.head._2).count()
+    assert(topCnt === rows.head._3)
+    assert(math.abs(rows.head._4 - topCnt.toDouble / nTok) < 1e-6)
+    // the fixture vocab is fully enumerated (< 100 tokens), so the curve
+    // must end at exactly 1.0
+    if (rows.length < 100) assert(math.abs(shares.last - 1.0) < 1e-9)
+  }
+
+  test("q60 repetition stats match a driver-side recompute on every doc") {
+    val rows = TextOps.queries("q60_repetition_stats")(spark, d).collect()
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val n = toks.length
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(2) === r6(toks.distinct.length.toDouble / n))
+      val topCnt = toks.groupBy(identity).values.map(_.length).max
+      assert(r.getDouble(3) === r6(topCnt.toDouble / n))
+      val bigrams = if (n >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+      val expected = if (bigrams.isEmpty) 0.0
+        else r6(1.0 - bigrams.distinct.length.toDouble / bigrams.length)
+      assert(r.getDouble(4) === expected, s"doc ${r.getLong(0)} dup_bigram_ratio")
     }
   }
 
