@@ -80,12 +80,14 @@ object DedupOps {
             UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: group by content hash, keep the lowest doc_id.
+    // Exact dedup: group by content hash, keep the lowest doc_id. One
+    // linear shuffle; no output sort (corpus-sized result, caller owns
+    // ordering — r9 swept the last cosmetic global sorts from every
+    // corpus-sized EXT output).
     "q30_dedup_exact" -> ((s, d) => {
       documents(s, d)
         .groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("h")
     }),
 
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
@@ -354,7 +356,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
-         FROM documents GROUP BY h ORDER BY h""",
+         FROM documents GROUP BY h""",
 
     "q34_ngram_jaccard" ->
       s"""WITH sh0 AS ($duckShingles),

@@ -229,6 +229,23 @@ object GraphOps {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       DedupOps.finishAndRelease(res, cand, labels)
+    }),
+
+    // The same clustering terminal for the EMBEDDING near-dup pipeline:
+    // q44's RP-LSH verified cosine pairs become components, every vector
+    // gets a canonical cluster_id (singletons label themselves) — "keep
+    // one per cluster" closes the embedding dedup path exactly as q45
+    // closes the text path. Composition reuses connectedComponents
+    // unchanged: the pair source is the only difference.
+    "q62_embedding_clusters" -> ((s, d) => {
+      val pairs = SimilarityOps.queries("q44_rp_lsh_neardup")(s, d)
+      val labels = connectedComponents(
+        pairs.select(col("ia").as("u"), col("ib").as("v")))
+      val res = embeddings(s, d).select("vec_id")
+        .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      DedupOps.finishAndRelease(res, labels)
     })
   )
 
@@ -248,6 +265,19 @@ object GraphOps {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
          comp AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
          SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-         FROM documents d LEFT JOIN comp c ON c.a = d.doc_id"""
+         FROM documents d LEFT JOIN comp c ON c.a = d.doc_id""",
+
+    "q62_embedding_clusters" ->
+      s"""WITH RECURSIVE
+         cand AS (SELECT ia, ib FROM (${SimilarityOps.oracle("q44_rp_lsh_neardup")}) q44),
+         edges AS (SELECT ia AS a, ib AS b FROM cand
+                   UNION SELECT ib, ia FROM cand),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+         SELECT v.vec_id, CAST(coalesce(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id
+         FROM embeddings v LEFT JOIN comp c ON c.a = v.vec_id"""
   )
 }

@@ -129,7 +129,6 @@ object SimilarityOps {
         .filter(col("cos") >= 0.45)
         .select(least(col("ia"), col("ib")).as("ia"),
           greatest(col("ia"), col("ib")).as("ib"), round(col("cos"), 6).as("cos"))
-        .orderBy("ia", "ib")
     }),
 
     // IVF search: queries probe their top-nProbes coarse centroids and
@@ -190,7 +189,48 @@ object SimilarityOps {
         .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
-        .orderBy("ia", "ib")
+    }),
+
+    // Product-quantization code assignment — the memory side of IVF-PQ
+    // ANN [Jégou et al., TPAMI'11]: the 64-dim space splits into 8
+    // subspaces of 8 dims; each subvector is assigned its nearest
+    // codeword by squared L2 distance, so a vector compresses to 8 small
+    // codes. Codebooks here are the deterministic per-(label, subspace)
+    // mean subvectors (k = 10 codewords per subspace) — the same
+    // label-means device as q41/q43, which keeps the DuckDB oracle exact
+    // (k-means iterations would diverge across engines).
+    //
+    // Scale shape: codebooks are tiny (m×k×(dim/m) values, broadcast);
+    // scoring joins each vector against the 80 broadcast codebook rows
+    // (per-row work only — the corpus never shuffles for scoring), and
+    // the argmin is a map-side-combinable MIN of a (dist, code) struct —
+    // one aggregation exchange on (vec_id, subspace), no window sort.
+    // Distances are rounded before the argmin so cross-engine float
+    // summation order cannot flip a near-tie; ties break on code id via
+    // the struct ordering.
+    "q61_pq_codes" -> ((s, d) => {
+      val m = 8       // subspaces
+      val sub = 8     // dims per subspace (64 / m)
+      val base = prepped(s, d)
+      // per-(label, subspace) mean subvector, long form (pos within
+      // subspace) — m*k*sub = 640 rows, broadcast
+      val codebook = base
+        .select(col("label").as("code"), posexplode(col("e")).as(Seq("pos", "x")))
+        .withColumn("subspace", (col("pos") / sub).cast("int"))
+        .groupBy("code", "subspace", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("code", "subspace")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("cvec"))
+      val scored = base.select(col("vec_id"), col("e"))
+        .join(broadcast(codebook))
+        .withColumn("svec", expr(s"slice(e, subspace * $sub + 1, $sub)"))
+        .withColumn("dist", round(
+          expr("aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
+      scored
+        .groupBy("vec_id", "subspace")
+        .agg(min(struct(col("dist"), col("code"))).as("best"))
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
     }),
 
     // IVF-style coarse quantizer: per-label centroids (computed distributed,
@@ -236,8 +276,7 @@ object SimilarityOps {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45
-         ORDER BY ia, ib""",
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45""",
 
     "q43_ivf_search" ->
       """WITH unpacked AS (
@@ -307,8 +346,31 @@ object SimilarityOps {
          JOIN embeddings vb ON vb.vec_id = c.ib
          WHERE list_dot_product(CAST(va.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(va.embedding AS DOUBLE[]), CAST(va.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(vb.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[])))) >= 0.45
-         ORDER BY ia, ib""",
+                * sqrt(list_dot_product(CAST(vb.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[])))) >= 0.45""",
+
+    "q61_pq_codes" ->
+      """WITH unpacked AS (
+           SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         sub AS (
+           SELECT vec_id, label, pos, x, CAST(pos // 8 AS INT) AS subspace
+           FROM unpacked),
+         codebook AS (
+           SELECT label AS code, subspace AS c_sub, pos AS c_pos, avg(x) AS cx
+           FROM sub GROUP BY label, subspace, pos),
+         scored AS (
+           SELECT s.vec_id, s.subspace, c.code,
+                  round(sum((s.x - c.cx) * (s.x - c.cx)), 6) AS dist
+           FROM sub s JOIN codebook c ON c.c_pos = s.pos AND c.c_sub = s.subspace
+           GROUP BY s.vec_id, s.subspace, c.code),
+         best AS (
+           SELECT vec_id, subspace, code, dist,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist, code) AS rn
+           FROM scored)
+         SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+                CAST(code AS BIGINT) AS code, dist
+         FROM best WHERE rn = 1""",
 
     "q41_ivf_assign" ->
       """WITH unpacked AS (

@@ -39,9 +39,7 @@ object TextOps {
           col("doc_id"),
           length(col("text")).cast("long").as("len"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
-        .orderBy("doc_id")
-    }),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))    }),
 
     // Language-ID heuristic: stopword-hit ratio (deterministic n-gram-free
     // variant; the testdata text is synthetic so the score IS the output).
@@ -52,17 +50,13 @@ object TextOps {
         .select(
           col("doc_id"), col("lang"),
           round(col("n_stop") / size(col("toks")), 4).as("stop_ratio"),
-          when(col("n_stop") / size(col("toks")) > 0.04, "en").otherwise("other").as("guess"))
-        .orderBy("doc_id")
-    }),
+          when(col("n_stop") / size(col("toks")) > 0.04, "en").otherwise("other").as("guess"))    }),
 
     // Document fingerprint: md5 over a normalized form (lowercase, strip
     // non-alphanumerics) — the canonical-form dedup key.
     "q33_fingerprint" -> ((s, d) => {
       documents(s, d)
-        .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))    }),
 
     // TF-IDF: term frequency per (doc, token) × smoothed inverse document
     // frequency, top 20 scored terms corpus-wide. Scale shape: tf is a
@@ -142,9 +136,7 @@ object TextOps {
           when(size(col("bigrams")) === 0, lit(0.0))
             .otherwise(round(lit(1.0) -
               size(array_distinct(col("bigrams"))) / size(col("bigrams")).cast("double"), 6))
-            .as("dup_bigram_ratio"))
-        .orderBy("doc_id")
-    }),
+            .as("dup_bigram_ratio"))    }),
 
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
@@ -155,9 +147,7 @@ object TextOps {
           round(col("score"), 4).as("score"),
           when(col("score") >= 0.75, "high")
             .when(col("score") >= 0.35, "mid")
-            .otherwise("low").as("bucket"))
-        .orderBy("doc_id")
-    })
+            .otherwise("low").as("bucket"))    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -165,7 +155,7 @@ object TextOps {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-         FROM documents ORDER BY doc_id""",
+         FROM documents """,
 
     "q32_lang_score" ->
       s"""SELECT doc_id, lang,
@@ -174,11 +164,11 @@ object TextOps {
          CASE WHEN CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopList))) AS BIGINT)
                    / CAST(len(string_split(text,' ')) AS BIGINT) > 0.04
               THEN 'en' ELSE 'other' END AS guess
-         FROM documents ORDER BY doc_id""",
+         FROM documents """,
 
     "q33_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
-         FROM documents ORDER BY doc_id""",
+         FROM documents """,
 
     "q48_tfidf" ->
       """WITH tok AS (
@@ -224,7 +214,7 @@ object TextOps {
                             i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
            FROM (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents) a) b
-         ORDER BY doc_id""",
+         """,
 
     "q38_quality_score" ->
       """SELECT doc_id, round(score, 4) AS score,
@@ -238,6 +228,6 @@ object TextOps {
                     (CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1)
                       / CAST(len(string_split(text,' ')) AS BIGINT) AS avg_wlen
              FROM documents) a) b
-         ORDER BY doc_id"""
+         """
   )
 }

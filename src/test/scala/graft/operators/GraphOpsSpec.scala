@@ -135,6 +135,26 @@ class GraphOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q62 assigns embedding singletons their own cluster and q44 pairs a shared one") {
+    val d = "/root/testdata/sf0.001"
+    val res = GraphOps.queries("q62_embedding_clusters")(spark, d)
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(res.count() === vecs, "one row per embedding")
+    val byVec = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SimilarityOps.queries("q44_rp_lsh_neardup")(spark, d).collect()
+    pairs.foreach { r =>
+      assert(byVec(r.getLong(0)) === byVec(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+    // vectors in no pair label themselves
+    val paired = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    byVec.foreach { case (v, c) =>
+      if (!paired.contains(v)) assert(c === v, s"singleton $v mislabeled $c")
+    }
+    res.unpersist(blocking = true)
+    spark.catalog.clearCache()
+  }
+
   private def SparkEntry_q45(d: String) =
     GraphOps.queries("q45_dedup_clusters")(spark, d)
 }

@@ -17,20 +17,26 @@ class PlanShapeSpec extends SparkSpec {
   private def hashExchanges(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).length
 
-  test("map-only text/sampling operators have zero hash exchanges") {
+  test("map-only text/sampling operators have no exchange at all") {
+    // r9 swept the cosmetic corpus-sized output sorts, so these are now
+    // pure scan→project→filter plans: not just hash-shuffle-free but free
+    // of ANY exchange (a rangepartitioning would mean a global sort grew
+    // back)
     for (q <- Seq("q31_text_stats", "q32_lang_score", "q33_fingerprint",
         "q38_quality_score", "q47_stratified_sample", "q58_split_assign",
         "q60_repetition_stats")) {
       val p = plan(q)
-      assert(hashExchanges(p) === 0,
-        s"$q claims map-only but plans a hash shuffle")
+      assert(!p.contains("Exchange"),
+        s"$q claims zero-shuffle map-only but plans an exchange:\n${p.take(800)}")
     }
   }
 
-  test("q47 has no exchange at all (r9: cosmetic output sort removed)") {
-    val p = plan("q47_stratified_sample")
-    assert(!p.contains("Exchange"),
-      s"q47 claims zero-shuffle map-only but plans an exchange:\n${p.take(800)}")
+  test("q30 exact dedup is one hash exchange, no output sort") {
+    val p = plan("q30_dedup_exact")
+    assert(hashExchanges(p) === 1,
+      s"q30 expected exactly the fingerprint-group exchange:\n${p.take(800)}")
+    assert(!p.contains("rangepartitioning"),
+      "q30 regrew a global output sort (corpus-sized RangePartitioning)")
   }
 
   test("q57 shuffles once for the window, with no range partitioning") {
