@@ -34,6 +34,27 @@ object StatsOps {
     */
   val packCapacity = 512
 
+  /** q63's operator body, reusable over any (doc_id, source, …) frame:
+    * keep rate per source = sqrt(min_count / count). At the sf fixtures
+    * every source is the same size (all rates 1.0 — the oracle pins the
+    * degenerate identity); StatsOpsSpec drives the sqrt-shrink path on a
+    * skewed synthetic corpus.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min("cnt").as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .withColumn("rate", sqrt(col("min_cnt") / col("cnt")))
+      .withColumn("bound", lower(lpad(hex(
+        floor(col("rate") * lit(4294967296.0)).cast("long")), 8, "0")))
+      .select("source", "rate", "bound")
+    docs.join(broadcast(rates), "source")
+      .withColumn("h", substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 8))
+      .filter(col("rate") >= 1.0 || col("h") < col("bound"))
+      .select(col("doc_id"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Grouped EXACT percentiles of extended price per return flag — the
     // profiling pass before outlier filtering. Exact (sort-based) because
@@ -102,6 +123,20 @@ object StatsOps {
             .otherwise("test").as("split"))
     }),
 
+    // Source-mix rebalancing: temperature-smoothed downsampling toward the
+    // smallest source — keep rate per source = sqrt(min_count / count), so
+    // over-represented sources shrink toward (not onto) the smallest one,
+    // the standard mixing move between "native proportions" and "fully
+    // balanced". Per-row keep decisions reuse q47's engine-exact
+    // md5-threshold device with a PER-SOURCE bound: the bound is computed
+    // from the rate (floor(rate·2³²) rendered as 8 hex digits), and every
+    // arithmetic step (division, sqrt, floor) is a correctly-rounded IEEE
+    // op, so both engines derive bit-identical bounds. Scale shape: one
+    // linear count aggregation, a ~source-cardinality rates table
+    // broadcast back, then a row-local filter — no corpus shuffle, no
+    // output sort.
+    "q63_source_mix" -> ((s, d) => sourceMix(documents(s, d))),
+
     // sequential only within a source partition (packing is inherently
     // order-dependent); a source too hot for one partition composes the
     // partition key with a shard column — pack per (source, shard) — which
@@ -146,6 +181,22 @@ object StatsOps {
          FROM (SELECT doc_id, source,
                  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
                FROM documents) t""",
+
+    "q63_source_mix" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         mn AS (SELECT min(cnt) AS min_cnt FROM counts),
+         rates AS (
+           SELECT source,
+                  sqrt(CAST(min_cnt AS DOUBLE) / cnt) AS rate,
+                  lower(lpad(hex(CAST(floor(
+                    sqrt(CAST(min_cnt AS DOUBLE) / cnt) * 4294967296.0)
+                    AS BIGINT)), 8, '0')) AS bound
+           FROM counts, mn)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN rates r USING (source)
+         WHERE r.rate >= 1.0
+            OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.bound""",
 
     "q57_pack_sequences" ->
       s"""SELECT doc_id, source, n_tokens,

@@ -88,6 +88,33 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q63 mix: min source kept whole, over-represented sources sqrt-shrink") {
+    val sp = spark
+    import sp.implicits._
+    // the sf fixtures have uniform sources (all rates 1.0 — the oracle
+    // pins that degenerate identity), so the shrink path needs a skewed
+    // synthetic corpus: 700 / 200 / 100
+    val docs = ((0L until 700L).map(i => (i, "big")) ++
+        (700L until 900L).map(i => (i, "mid")) ++
+        (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = StatsOps.sourceMix(docs).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") === 100L, "min source must keep everything")
+    for ((src, cnt) <- Seq("big" -> 700L, "mid" -> 200L)) {
+      val rate = math.sqrt(100.0 / cnt)
+      val sigma = math.sqrt(cnt * rate * (1 - rate))
+      assert(math.abs(kept(src) - cnt * rate) <= 3 * sigma + 1,
+        s"$src kept ${kept(src)} of $cnt at rate $rate")
+    }
+    // fixture path: uniform sources → rates 1.0 → identity
+    val fixture = StatsOps.queries("q63_source_mix")(spark, d)
+    assert(fixture.count() ===
+      spark.read.parquet(s"$d/documents.parquet").count())
+    // determinism: same rows on a second run of the skewed mix
+    def ids() = StatsOps.sourceMix(docs).collect().map(_.getLong(0)).toSet
+    assert(ids() === ids())
+  }
+
   test("q57 packing invariants: contiguous bins, no bin starts past capacity, order preserved") {
     val rows = StatsOps.queries("q57_pack_sequences")(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
