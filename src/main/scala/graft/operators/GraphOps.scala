@@ -246,26 +246,71 @@ object GraphOps {
         .select(col("vec_id"),
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       DedupOps.finishAndRelease(res, labels)
+    }),
+
+    // The pipeline's terminal selection: one representative per q45
+    // cluster — the highest-quality member (q38's score, doc_id tiebreak),
+    // plus the member count for the dedup report. "Keep best per cluster"
+    // rather than "keep lowest id" is what production dedup actually ships.
+    // Scale shape: the argmax is a map-side-combinable MIN of a
+    // (-score, doc_id) struct (same device as q61's argmin) — one
+    // aggregation exchange over the cluster labels, no per-cluster window
+    // sort; quality scores are row-local.
+    "q65_cluster_reps" -> ((s, d) => {
+      val clusters = queries("q45_dedup_clusters")(s, d)
+      val scored = documents(s, d)
+        .select(col("doc_id"),
+          round(TextOps.qualityScoreCol(col("text")), 4).as("score"))
+      val res = scored.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("best.doc_id").as("rep_id"),
+          (-col("best.ns")).as("rep_score"), col("n_members"))
+      DedupOps.finishAndRelease(res, clusters)
     })
   )
 
+  // Recursive-CTE transitive closure over the same candidate pairs —
+  // tractable at oracle scale (tens of pairs at sf0.01), where the
+  // closure's quadratic blowup cannot bite; the Spark side uses the
+  // logarithmic star algorithm instead. Shared so q65 embeds it.
+  private val q45OracleSql: String =
+    s"""WITH RECURSIVE
+       cand AS (SELECT id_a, id_b FROM (${DedupOps.oracle("q35_minhash_lsh")}) q35),
+       edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                 UNION SELECT id_b, id_a FROM cand),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+       SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+       FROM documents d LEFT JOIN comp c ON c.a = d.doc_id"""
+
   val oracle: Map[String, String] = Map(
-    // Recursive-CTE transitive closure over the same candidate pairs —
-    // tractable at oracle scale (tens of pairs at sf0.01), where the
-    // closure's quadratic blowup cannot bite; the Spark side uses the
-    // logarithmic star algorithm instead.
-    "q45_dedup_clusters" ->
-      s"""WITH RECURSIVE
-         cand AS (SELECT id_a, id_b FROM (${DedupOps.oracle("q35_minhash_lsh")}) q35),
-         edges AS (SELECT id_a AS a, id_b AS b FROM cand
-                   UNION SELECT id_b, id_a FROM cand),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
-         SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-         FROM documents d LEFT JOIN comp c ON c.a = d.doc_id""",
+    "q45_dedup_clusters" -> q45OracleSql,
+
+    "q65_cluster_reps" ->
+      s"""WITH clusters AS (SELECT * FROM ($q45OracleSql) c45),
+         scored AS (
+           SELECT doc_id,
+             round(least(1.0, n_tokens/200.0)
+               * (CASE WHEN avg_wlen BETWEEN 2.5 AND 8.0 THEN 1.0 ELSE 0.5 END), 4) AS score
+           FROM (
+             SELECT doc_id,
+                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                    (CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1)
+                      / CAST(len(string_split(text,' ')) AS BIGINT) AS avg_wlen
+             FROM documents) a),
+         ranked AS (
+           SELECT c.cluster_id, s.doc_id, s.score,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                                     ORDER BY s.score DESC, s.doc_id) AS rn,
+                  count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+           FROM clusters c JOIN scored s USING (doc_id))
+         SELECT cluster_id, doc_id AS rep_id, score AS rep_score, n_members
+         FROM ranked WHERE rn = 1""",
 
     "q62_embedding_clusters" ->
       s"""WITH RECURSIVE

@@ -138,6 +138,28 @@ object TextOps {
               size(array_distinct(col("bigrams"))) / size(col("bigrams")).cast("double"), 6))
             .as("dup_bigram_ratio"))    }),
 
+    // Sliding-window document chunking — the context-window prep step for
+    // embedding / RAG / fixed-window training: each document explodes into
+    // overlapping token windows (size 128, stride 64; the tail window may
+    // be short). Row-local: start offsets are pure arithmetic
+    // (sequence(0, n-1, stride)), chunk ids are start/stride (no ordinal
+    // bookkeeping to shuffle), the explode inflates output linearly and
+    // the plan stays a narrow map — zero shuffle at any corpus size.
+    "q64_chunk_windows" -> ((s, d) => {
+      val cs = 128
+      val stride = 64
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start", explode(expr(s"sequence(0, n - 1, $stride)")))
+        .select(
+          col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_id"),
+          col("start").cast("long").as("start_tok"),
+          least(lit(cs), col("n") - col("start")).cast("long").as("n_chunk_toks"),
+          expr(s"array_join(slice(toks, start + 1, $cs), ' ')").as("chunk_text"))
+    }),
+
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
       documents(s, d)
@@ -215,6 +237,18 @@ object TextOps {
            FROM (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents) a) b
          """,
+
+    "q64_chunk_windows" ->
+      """SELECT doc_id,
+           CAST(start // 64 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(least(128, n - start) AS BIGINT) AS n_chunk_toks,
+           array_to_string(list_slice(toks, start + 1, start + 128), ' ') AS chunk_text
+         FROM (
+           SELECT doc_id, toks, len(toks) AS n,
+                  unnest(range(0, len(toks), 64)) AS start
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents) a) b""",
 
     "q38_quality_score" ->
       """SELECT doc_id, round(score, 4) AS score,

@@ -155,6 +155,28 @@ class GraphOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q65 picks each cluster's highest-quality member and counts cover the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val reps = GraphOps.queries("q65_cluster_reps")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val clusters = GraphOps.queries("q45_dedup_clusters")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val scores = TextOps.queries("q38_quality_score")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(reps.length === members.size, "one rep per cluster")
+    assert(reps.map(_._4).sum === clusters.length, "member counts cover the corpus")
+    reps.foreach { case (cid, repId, repScore, n) =>
+      val ms = members(cid)
+      assert(n === ms.length, s"cluster $cid member count")
+      assert(ms.contains(repId), s"rep $repId not in cluster $cid")
+      val best = ms.map(m => (-scores(m), m)).min
+      assert(repId === best._2, s"cluster $cid rep should be ${best._2}, got $repId")
+      assert(repScore === scores(repId), s"cluster $cid rep score")
+    }
+    spark.catalog.clearCache()
+  }
+
   private def SparkEntry_q45(d: String) =
     GraphOps.queries("q45_dedup_clusters")(spark, d)
 }

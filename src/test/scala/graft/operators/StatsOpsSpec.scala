@@ -180,6 +180,29 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q64 chunk windows match a driver-side recompute: offsets, sizes, text") {
+    val rows = TextOps.queries("q64_chunk_windows")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(rows.nonEmpty)
+    // per-doc: ceil(n/64) chunks with contiguous ids, exact slices
+    for ((docId, chunks) <- rows.groupBy(_._1)) {
+      val toks = texts(docId)
+      val expected = (toks.length + 63) / 64
+      assert(chunks.length === expected, s"doc $docId chunk count")
+      assert(chunks.map(_._2).sorted.toSeq === (0L until expected).toSeq,
+        s"doc $docId chunk ids not contiguous")
+      chunks.foreach { case (_, cid, start, nTok, text) =>
+        assert(start === cid * 64)
+        assert(nTok === math.min(128, toks.length - start))
+        assert(text === toks.slice(start.toInt, start.toInt + 128).mkString(" "),
+          s"doc $docId chunk $cid text mismatch")
+      }
+    }
+  }
+
   test("q48 returns exactly 20 rows with non-increasing scores and the smoothed formula") {
     val rows = TextOps.queries("q48_tfidf")(spark, d).collect()
     assert(rows.length === 20)
