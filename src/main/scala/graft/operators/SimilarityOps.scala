@@ -79,6 +79,38 @@ object SimilarityOps {
       .orderBy("qid", "rn")
   }
 
+  /** PQ geometry: 64 dims = 8 subspaces × 8 dims, 10 codewords each. */
+  private[operators] val pqSub = 8
+
+  /** Per-(codeword, subspace) mean subvector — m×k×(dim/m) values, tiny,
+    * meant to be broadcast (the q61/q66 codebook; label means keep the
+    * DuckDB oracle exact where k-means iterations would diverge).
+    */
+  private[operators] def pqCodebook(base: DataFrame): DataFrame =
+    base.select(col("label").as("code"), posexplode(col("e")).as(Seq("pos", "x")))
+      .withColumn("subspace", (col("pos") / pqSub).cast("int"))
+      .groupBy("code", "subspace", "pos")
+      .agg(avg("x").as("cx"))
+      .groupBy("code", "subspace")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("cvec"))
+
+  /** PQ code assignment: (vec_id, subspace, code, dist) — each subvector's
+    * nearest codeword by rounded squared L2. The argmin is a map-side-
+    * combinable MIN of a (dist, code) struct: one aggregation exchange on
+    * (vec_id, subspace), no window sort; rounding before the argmin keeps
+    * near-ties engine-stable, ties break on code id via struct ordering.
+    */
+  private[operators] def pqCodes(base: DataFrame, codebook: DataFrame): DataFrame =
+    base.select(col("vec_id"), col("e"))
+      .join(broadcast(codebook))
+      .withColumn("svec", expr(s"slice(e, subspace * $pqSub + 1, $pqSub)"))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 3.
     "q37_sim_topk" -> ((s, d) => {
@@ -209,28 +241,42 @@ object SimilarityOps {
     // summation order cannot flip a near-tie; ties break on code id via
     // the struct ordering.
     "q61_pq_codes" -> ((s, d) => {
-      val m = 8       // subspaces
-      val sub = 8     // dims per subspace (64 / m)
       val base = prepped(s, d)
-      // per-(label, subspace) mean subvector, long form (pos within
-      // subspace) — m*k*sub = 640 rows, broadcast
-      val codebook = base
-        .select(col("label").as("code"), posexplode(col("e")).as(Seq("pos", "x")))
-        .withColumn("subspace", (col("pos") / sub).cast("int"))
-        .groupBy("code", "subspace", "pos")
-        .agg(avg("x").as("cx"))
-        .groupBy("code", "subspace")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("cvec"))
-      val scored = base.select(col("vec_id"), col("e"))
+      pqCodes(base, pqCodebook(base))
+    }),
+
+    // PQ asymmetric-distance top-k (ADC) — the query-time side of IVF-PQ:
+    // queries score CODES, never raw candidate vectors. Each query
+    // precomputes a lookup table (distance from its subvector to every
+    // codeword — q×m×k rows, tiny, broadcast); a candidate's approximate
+    // distance is then the SUM of 8 table lookups keyed by its q61 codes.
+    // Scale shape: the corpus-side input is the code table (8 small rows
+    // per vector — the compressed representation, which is the entire
+    // memory point of PQ), joined to the broadcast LUT and aggregated
+    // map-side; raw embeddings are touched only to build codebook + LUT.
+    "q66_pq_adc_topk" -> ((s, d) => {
+      val base = prepped(s, d)
+      val codebook = pqCodebook(base)
+      val codes = pqCodes(base, codebook)
+      val lut = base.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
         .join(broadcast(codebook))
-        .withColumn("svec", expr(s"slice(e, subspace * $sub + 1, $sub)"))
-        .withColumn("dist", round(
-          expr("aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
-      scored
-        .groupBy("vec_id", "subspace")
-        .agg(min(struct(col("dist"), col("code"))).as("best"))
-        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-          col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
+        .withColumn("qsub", expr(s"slice(qe, subspace * $pqSub + 1, $pqSub)"))
+        .withColumn("qdist", round(expr(
+          "aggregate(zip_with(qsub, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
+        .select("qid", "subspace", "code", "qdist")
+      val adist = codes
+        .select(col("vec_id").as("cid"), col("subspace").cast("int").as("subspace"),
+          col("code").cast("int").as("code"))
+        .join(broadcast(lut), Seq("subspace", "code"))
+        .filter(col("cid") =!= col("qid"))
+        .groupBy("qid", "cid")
+        .agg(round(sum("qdist"), 6).as("adist"))
+      val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+      adist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"), col("adist"), col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
     }),
 
     // IVF-style coarse quantizer: per-label centroids (computed distributed,
@@ -251,6 +297,31 @@ object SimilarityOps {
         .orderBy("label", "assigned")
     })
   )
+
+  // q61's oracle, shared so q66 can embed the code table it defines
+  private val q61OracleSql: String =
+    """WITH unpacked AS (
+         SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+       sub AS (
+         SELECT vec_id, label, pos, x, CAST(pos // 8 AS INT) AS subspace
+         FROM unpacked),
+       codebook AS (
+         SELECT label AS code, subspace AS c_sub, pos AS c_pos, avg(x) AS cx
+         FROM sub GROUP BY label, subspace, pos),
+       scored AS (
+         SELECT s.vec_id, s.subspace, c.code,
+                round(sum((s.x - c.cx) * (s.x - c.cx)), 6) AS dist
+         FROM sub s JOIN codebook c ON c.c_pos = s.pos AND c.c_sub = s.subspace
+         GROUP BY s.vec_id, s.subspace, c.code),
+       best AS (
+         SELECT vec_id, subspace, code, dist,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY dist, code) AS rn
+         FROM scored)
+       SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+              CAST(code AS BIGINT) AS code, dist
+       FROM best WHERE rn = 1"""
 
   val oracle: Map[String, String] = Map(
     "q37_sim_topk" ->
@@ -348,29 +419,40 @@ object SimilarityOps {
              / (sqrt(list_dot_product(CAST(va.embedding AS DOUBLE[]), CAST(va.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(vb.embedding AS DOUBLE[]), CAST(vb.embedding AS DOUBLE[])))) >= 0.45""",
 
-    "q61_pq_codes" ->
-      """WITH unpacked AS (
+    "q61_pq_codes" -> q61OracleSql,
+
+    "q66_pq_adc_topk" ->
+      s"""WITH codes AS (
+           SELECT vec_id AS cid, CAST(subspace AS INT) AS subspace,
+                  CAST(code AS INT) AS code
+           FROM ($q61OracleSql) q61),
+         qunpacked AS (
+           SELECT vec_id AS qid, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+           WHERE vec_id < 3),
+         allunpacked AS (
            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
-         sub AS (
-           SELECT vec_id, label, pos, x, CAST(pos // 8 AS INT) AS subspace
-           FROM unpacked),
          codebook AS (
-           SELECT label AS code, subspace AS c_sub, pos AS c_pos, avg(x) AS cx
-           FROM sub GROUP BY label, subspace, pos),
-         scored AS (
-           SELECT s.vec_id, s.subspace, c.code,
-                  round(sum((s.x - c.cx) * (s.x - c.cx)), 6) AS dist
-           FROM sub s JOIN codebook c ON c.c_pos = s.pos AND c.c_sub = s.subspace
-           GROUP BY s.vec_id, s.subspace, c.code),
-         best AS (
-           SELECT vec_id, subspace, code, dist,
-             row_number() OVER (PARTITION BY vec_id, subspace
-                                ORDER BY dist, code) AS rn
-           FROM scored)
-         SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
-                CAST(code AS BIGINT) AS code, dist
-         FROM best WHERE rn = 1""",
+           SELECT label AS code, CAST(pos // 8 AS INT) AS c_sub, pos AS c_pos, avg(x) AS cx
+           FROM allunpacked GROUP BY label, CAST(pos // 8 AS INT), pos),
+         lut AS (
+           SELECT q.qid, c.c_sub AS subspace, c.code,
+                  round(sum((q.x - c.cx) * (q.x - c.cx)), 6) AS qdist
+           FROM qunpacked q JOIN codebook c ON c.c_pos = q.pos
+           GROUP BY q.qid, c.c_sub, c.code),
+         adist AS (
+           SELECT l.qid, co.cid, round(sum(l.qdist), 6) AS adist
+           FROM codes co
+           JOIN lut l ON l.subspace = co.subspace AND l.code = co.code
+           WHERE co.cid != l.qid
+           GROUP BY l.qid, co.cid),
+         topk AS (
+           SELECT qid, cid, adist,
+             row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+           FROM adist)
+         SELECT qid, cid, adist, CAST(rn AS BIGINT) AS rn
+         FROM topk WHERE rn <= 5 ORDER BY qid, rn""",
 
     "q41_ivf_assign" ->
       """WITH unpacked AS (

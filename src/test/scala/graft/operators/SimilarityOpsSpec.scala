@@ -104,6 +104,28 @@ class SimilarityOpsSpec extends SparkSpec {
       f"argmin distortion $chosen%.4f exceeds own-label baseline $ownDist%.4f")
   }
 
+  test("q66 ADC top-5 beats chance and scores candidates from codes alone") {
+    val rows = SimilarityOps.queries("q66_pq_adc_topk")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(rows.forall(_._3 >= 0.0), "approximate distance negative")
+    // per query: 5 rows ranked 1..5 with non-decreasing adist
+    for ((qid, qr) <- rows.groupBy(_._1)) {
+      val byRn = qr.sortBy(_._4)
+      assert(byRn.map(_._4).toSeq === (1L to 5L).toSeq, s"q$qid ranks")
+      assert(byRn.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        s"q$qid adist not sorted")
+    }
+    // ADC sees only 8 codes per candidate (10 codewords per subspace), so
+    // recall vs exact brute force is the coarse-quantization trade —
+    // must beat the ~0.0025 chance rate of picking 5 of 2000 by a wide
+    // margin; floor just under measured (suite convention)
+    val brute = topSets(SimilarityOps.queries("q37_sim_topk")(spark, d))
+    val adc = topSets(SimilarityOps.queries("q66_pq_adc_topk")(spark, d))
+    val recall = meanRecall(brute, adc)
+    assert(recall >= 0.1, f"ADC recall@5 = $recall%.2f at chance level")
+  }
+
   test("q41 coarse quantizer separates labels far better than chance") {
     val rows = SimilarityOps.queries("q41_ivf_assign")(spark, d).collect()
       .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
