@@ -39,7 +39,7 @@ object ScaleSmoke {
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
     "q40_lsh_jaccard_verified", "q45_dedup_clusters",
-    "q49_minhash_estimate", "q43_ivf_search")
+    "q49_minhash_estimate", "q43_ivf_search", "q66_pq_adc_topk")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

@@ -90,6 +90,30 @@ object DedupOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 5-gram with the eval set (doc_id < 10 stands in for a benchmark
+    // suite), with the shared-gram count — the overlap check every
+    // training pipeline runs before shipping data. Scale shape: eval sets
+    // are tiny (benchmarks, not corpora), so their distinct grams
+    // BROADCAST; the corpus side is a row-local gram explode → broadcast
+    // hash join → per-doc count with map-side partials. The corpus never
+    // shuffles on gram values — the only exchange is the per-doc count.
+    "q67_decontam_flags" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(1, size(t) - 4),
+               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                 element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))"""
+          ))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
     // → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.3.
     //
@@ -357,6 +381,19 @@ object DedupOps {
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY h""",
+
+    "q67_decontam_flags" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+           FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 5),
+         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+         SELECT g.doc_id, count(*) AS n_hits
+         FROM grams g JOIN ev USING (g)
+         WHERE g.doc_id >= 10
+         GROUP BY g.doc_id""",
 
     "q34_ngram_jaccard" ->
       s"""WITH sh0 AS ($duckShingles),

@@ -24,6 +24,27 @@ class PairPlanSpec extends SparkSpec {
     }
   }
 
+  test("q67 decontamination matches a driver-side recompute and broadcasts the eval grams") {
+    val res = graft.operators.DedupOps.queries("q67_decontam_flags")(spark, d)
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recompute: sliding-window 5-grams in plain Scala
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def grams(t: Array[String]): Set[String] =
+      if (t.length < 5) Set.empty else t.sliding(5).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 < 10).flatMap(g => grams(g._2)).toSet
+    val expected = docs.filter(_._1 >= 10)
+      .map { case (id, t) => id -> grams(t).count(evalGrams.contains).toLong }
+      .filter(_._2 > 0).toMap
+    assert(got === expected)
+    // the eval-gram side must broadcast — a corpus gram-shuffle here would
+    // be the wrong plan at any scale
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "eval grams not broadcast")
+    assert(!p.contains("SortMergeJoin"), "gram join fell back to a corpus shuffle")
+  }
+
   test("q44 RP-LSH pairs are an exactly-verified subset of q39's pairs") {
     val lsh = graft.operators.SimilarityOps.queries("q44_rp_lsh_neardup")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
