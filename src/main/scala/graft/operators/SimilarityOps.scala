@@ -256,7 +256,14 @@ object SimilarityOps {
     // map-side; raw embeddings are touched only to build codebook + LUT.
     "q66_pq_adc_topk" -> ((s, d) => {
       val base = prepped(s, d)
+      // both the code-assignment branch and the query LUT consume the
+      // codebook; exchange reuse does NOT collapse duplicated
+      // broadcast-side subtrees here (probed empirically — unlike q59's
+      // shuffle-side reuse), so the corpus aggregation under it would run
+      // twice. Persist the (tiny, m×k-row) codebook instead and release
+      // it under the DedupOps cache contract before returning.
       val codebook = pqCodebook(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codes = pqCodes(base, codebook)
       val lut = base.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("e").as("qe"))
@@ -273,10 +280,11 @@ object SimilarityOps {
         .groupBy("qid", "cid")
         .agg(round(sum("qdist"), 6).as("adist"))
       val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
-      adist.withColumn("rn", row_number().over(w))
+      val topk = adist.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("cid"), col("adist"), col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")
+      DedupOps.finishAndRelease(topk, codebook)
     }),
 
     // IVF-style coarse quantizer: per-label centroids (computed distributed,

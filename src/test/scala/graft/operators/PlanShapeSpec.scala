@@ -66,6 +66,22 @@ class PlanShapeSpec extends SparkSpec {
       s"q59's total branch re-executed the corpus scan instead of reusing the exchange:\n${p.take(1200)}")
   }
 
+  test("q66 builds the codebook once: both branches read the cached table") {
+    // pqCodebook feeds both pqCodes and the query LUT; exchange reuse does
+    // NOT collapse duplicated broadcast-side subtrees (probed empirically —
+    // q59's shuffle-side reuse does not apply), so the operator persists
+    // the tiny codebook and both consumers must scan the cache, not
+    // re-run the corpus aggregation
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("q66_pq_adc_topk")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"q66's codebook consumers are not reading the cache:\n${p.take(1200)}")
+    df.unpersist(blocking = true)
+    spark.catalog.clearCache()
+  }
+
   test("q46 grouped percentile shuffles exactly once (partial merge first)") {
     val p = plan("q46_group_percentiles")
     assert(hashExchanges(p) === 1,
