@@ -23,6 +23,32 @@ object TextOps {
   def fingerprintCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
 
+  /** q68 scrub patterns: Java-regex and RE2 compatible (both engines),
+    * anchored to the simple token shapes that survive whitespace
+    * tokenization. Emails first so the URL pattern cannot eat an
+    * address's domain half.
+    */
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val urlRe = "https?://[^ ]+"
+
+  /** q68's operator body, reusable over any (doc_id, text) frame: redact
+    * emails then URLs, count each redaction kind. Pure row-local column
+    * expressions — zero shuffle at any corpus size. The sf fixtures
+    * contain neither pattern (the oracle pins the identity pass);
+    * TextOpsScrubSpec drives planted addresses/URLs through the same
+    * body.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    docs.select(
+      col("doc_id"),
+      regexp_replace(afterEmail, urlRe, "<URL>").as("clean_text"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      // URLs counted after email redaction so an address's domain half
+      // cannot double-count — consistent with the replacement order
+      regexp_count(afterEmail, lit(urlRe)).cast("long").as("n_urls"))
+  }
+
   /** q38's quality score as a reusable column (same sharing rationale). */
   def qualityScoreCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nTokens = size(split(text, " "))
@@ -160,6 +186,38 @@ object TextOps {
           expr(s"array_join(slice(toks, start + 1, $cs), ' ')").as("chunk_text"))
     }),
 
+    // PII / URL scrubbing: redact emails and URLs, count redactions —
+    // the C4-style decontamination pass. Row-local regex projections
+    // (Java-regex/RE2-compatible patterns), zero shuffle at any scale.
+    // The sf fixtures contain neither pattern, so the oracle pins the
+    // identity pass; TextOpsScrubSpec plants real addresses/URLs through
+    // the same piiScrub body.
+    "q68_pii_scrub" -> ((s, d) => piiScrub(documents(s, d))),
+
+    // Unigram-surprisal quality score (the CCNet-style LM filter, with
+    // the corpus's own unigram model standing in for the external LM):
+    // score_d = -mean_t log2 p(t), p from corpus token frequencies —
+    // low surprisal ≈ repetitive/common text, high ≈ rare-token soup.
+    // Scale shape: ONE token-frequency aggregation (combiner-friendly),
+    // reused for the total via the q59 exchange-reuse device; the doc
+    // side joins the frequency table (vocab-sized — broadcast here; at
+    // larger vocabs AQE picks the join) and aggregates per doc_id with
+    // map-side partials. Per-token surprisal is rounded before the mean
+    // so cross-engine summation order cannot flip the rounded output.
+    "q69_unigram_surprisal" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+      val total = freq.agg(sum("freq").as("total"))
+      val logp = freq.crossJoin(broadcast(total))
+        .select(col("w"),
+          round(-log(2.0, col("freq") / col("total")), 6).as("surprisal"))
+      tok.join(broadcast(logp), "w")
+        .groupBy("doc_id")
+        .agg(round(avg("surprisal"), 4).as("avg_surprisal"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
       documents(s, d)
@@ -249,6 +307,28 @@ object TextOps {
                   unnest(range(0, len(toks), 64)) AS start
            FROM (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents) a) b""",
+
+    "q68_pii_scrub" ->
+      s"""SELECT doc_id,
+           regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+                          '$urlRe', '<URL>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+             regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$urlRe')) AS BIGINT) AS n_urls
+         FROM documents""",
+
+    "q69_unigram_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+         total AS (SELECT sum(freq) AS total FROM freq),
+         logp AS (
+           SELECT w, round(-(ln(CAST(freq AS DOUBLE) / total) / ln(2.0)), 6) AS surprisal
+           FROM freq, total)
+         SELECT t.doc_id, round(avg(l.surprisal), 4) AS avg_surprisal,
+                count(*) AS n_tokens
+         FROM tok t JOIN logp l USING (w)
+         GROUP BY t.doc_id""",
 
     "q38_quality_score" ->
       """SELECT doc_id, round(score, 4) AS score,

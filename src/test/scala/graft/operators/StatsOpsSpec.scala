@@ -203,6 +203,28 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q69 unigram surprisal matches a driver-side recompute on every doc") {
+    val rows = TextOps.queries("q69_unigram_surprisal")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(rows.length === texts.size)
+    def rd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val freq = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = freq.values.sum.toDouble
+    val surprisal = freq.map { case (w, f) =>
+      w -> rd(-(math.log(f / total) / math.log(2.0)), 6)
+    }
+    rows.foreach { case (id, avg, n) =>
+      val toks = texts(id)
+      assert(n === toks.length.toLong)
+      assert(avg === rd(toks.map(surprisal).sum / toks.length, 4),
+        s"doc $id surprisal mismatch")
+    }
+  }
+
   test("q48 returns exactly 20 rows with non-increasing scores and the smoothed formula") {
     val rows = TextOps.queries("q48_tfidf")(spark, d).collect()
     assert(rows.length === 20)
