@@ -101,10 +101,6 @@ object StatsOps {
         .select(col("doc_id"), col("source"))
     }),
 
-    // Sequence packing: greedy-fill documents into fixed token-capacity
-    // training bins, in deterministic doc_id order WITHIN each source — a
-    // running token sum over a per-source window, bin = tokens-before-me
-    // div capacity. Scale shape: one shuffle by source, then the cumsum is
     // Deterministic train/validation/test split assignment (90/5/5): the
     // split is a pure function of doc_id via an md5-prefix threshold —
     // row-local, zero shuffle, reproducible across engines AND stable
@@ -137,6 +133,10 @@ object StatsOps {
     // output sort.
     "q63_source_mix" -> ((s, d) => sourceMix(documents(s, d))),
 
+    // Sequence packing: greedy-fill documents into fixed token-capacity
+    // training bins, in deterministic doc_id order WITHIN each source — a
+    // running token sum over a per-source window, bin = tokens-before-me
+    // div capacity. Scale shape: one shuffle by source, then the cumsum is
     // sequential only within a source partition (packing is inherently
     // order-dependent); a source too hot for one partition composes the
     // partition key with a shard column — pack per (source, shard) — which

@@ -32,21 +32,25 @@ object TextOps {
   private[operators] val urlRe = "https?://[^ ]+"
 
   /** q68's operator body, reusable over any (doc_id, text) frame: redact
-    * emails then URLs, count each redaction kind. Pure row-local column
-    * expressions — zero shuffle at any corpus size. The sf fixtures
-    * contain neither pattern (the oracle pins the identity pass);
-    * TextOpsScrubSpec drives planted addresses/URLs through the same
-    * body.
+    * emails then URLs, count each redaction kind. Counts are the MARKERS
+    * surviving in `clean_text`, so they reconcile against the output by
+    * construction — an email-shaped substring inside a URL
+    * (`…?u=bob@x.com`) is first rewritten to `<EMAIL>` and then swallowed
+    * whole by the URL pass, and counting the input would report an email
+    * marker the output doesn't have. Pure row-local column expressions —
+    * zero shuffle at any corpus size. The sf fixtures contain neither
+    * pattern (the oracle pins the identity pass); TextOpsScrubSpec drives
+    * planted addresses/URLs, including the email-inside-URL case, through
+    * the same body.
     */
   def piiScrub(docs: DataFrame): DataFrame = {
-    val afterEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val clean = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), urlRe, "<URL>")
     docs.select(
       col("doc_id"),
-      regexp_replace(afterEmail, urlRe, "<URL>").as("clean_text"),
-      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
-      // URLs counted after email redaction so an address's domain half
-      // cannot double-count — consistent with the replacement order
-      regexp_count(afterEmail, lit(urlRe)).cast("long").as("n_urls"))
+      clean.as("clean_text"),
+      regexp_count(clean, lit("<EMAIL>")).cast("long").as("n_emails"),
+      regexp_count(clean, lit("<URL>")).cast("long").as("n_urls"))
   }
 
   /** q38's quality score as a reusable column (same sharing rationale). */
@@ -65,7 +69,8 @@ object TextOps {
           col("doc_id"),
           length(col("text")).cast("long").as("len"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))    }),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+    }),
 
     // Language-ID heuristic: stopword-hit ratio (deterministic n-gram-free
     // variant; the testdata text is synthetic so the score IS the output).
@@ -76,13 +81,15 @@ object TextOps {
         .select(
           col("doc_id"), col("lang"),
           round(col("n_stop") / size(col("toks")), 4).as("stop_ratio"),
-          when(col("n_stop") / size(col("toks")) > 0.04, "en").otherwise("other").as("guess"))    }),
+          when(col("n_stop") / size(col("toks")) > 0.04, "en").otherwise("other").as("guess"))
+    }),
 
     // Document fingerprint: md5 over a normalized form (lowercase, strip
     // non-alphanumerics) — the canonical-form dedup key.
     "q33_fingerprint" -> ((s, d) => {
       documents(s, d)
-        .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))    }),
+        .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+    }),
 
     // TF-IDF: term frequency per (doc, token) × smoothed inverse document
     // frequency, top 20 scored terms corpus-wide. Scale shape: tf is a
@@ -162,7 +169,8 @@ object TextOps {
           when(size(col("bigrams")) === 0, lit(0.0))
             .otherwise(round(lit(1.0) -
               size(array_distinct(col("bigrams"))) / size(col("bigrams")).cast("double"), 6))
-            .as("dup_bigram_ratio"))    }),
+            .as("dup_bigram_ratio"))
+    }),
 
     // Sliding-window document chunking — the context-window prep step for
     // embedding / RAG / fixed-window training: each document explodes into
@@ -198,24 +206,29 @@ object TextOps {
     // the corpus's own unigram model standing in for the external LM):
     // score_d = -mean_t log2 p(t), p from corpus token frequencies —
     // low surprisal ≈ repetitive/common text, high ≈ rare-token soup.
-    // Scale shape: ONE token-frequency aggregation (combiner-friendly),
-    // reused for the total via the q59 exchange-reuse device; the doc
-    // side joins the frequency table (vocab-sized — broadcast here; at
-    // larger vocabs AQE picks the join) and aggregates per doc_id with
-    // map-side partials. Per-token surprisal is rounded before the mean
+    // Scale shape: q48's device — the corpus explodes ONCE into the tf
+    // table (combiner-friendly groupBy), corpus frequency and total both
+    // derive from tf (vocab-sized scans, not corpus re-scans), and the
+    // per-doc mean is the tf-weighted sum over the (doc, w) rows. No
+    // broadcast HINT on the log-prob table: a real vocab is unbounded
+    // (ids, typos, urls grow it with the corpus), so the join strategy is
+    // left to the planner — it broadcasts below the threshold and
+    // shuffle-joins above it, instead of force-collecting an unbounded
+    // table to the driver. Per-token surprisal is rounded before the mean
     // so cross-engine summation order cannot flip the rounded output.
     "q69_unigram_surprisal" -> ((s, d) => {
-      val tok = documents(s, d)
+      val tf = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val freq = tf.groupBy("w").agg(sum("tf").as("freq"))
       val total = freq.agg(sum("freq").as("total"))
       val logp = freq.crossJoin(broadcast(total))
         .select(col("w"),
           round(-log(2.0, col("freq") / col("total")), 6).as("surprisal"))
-      tok.join(broadcast(logp), "w")
+      tf.join(logp, "w")
         .groupBy("doc_id")
-        .agg(round(avg("surprisal"), 4).as("avg_surprisal"),
-          count(lit(1)).as("n_tokens"))
+        .agg(round(sum(col("tf") * col("surprisal")) / sum("tf"), 4).as("avg_surprisal"),
+          sum("tf").as("n_tokens"))
     }),
 
     // Quality scoring: length/token heuristics → bucketed score.
@@ -227,7 +240,8 @@ object TextOps {
           round(col("score"), 4).as("score"),
           when(col("score") >= 0.75, "high")
             .when(col("score") >= 0.35, "mid")
-            .otherwise("low").as("bucket"))    })
+            .otherwise("low").as("bucket"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -235,7 +249,7 @@ object TextOps {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-         FROM documents """,
+         FROM documents""",
 
     "q32_lang_score" ->
       s"""SELECT doc_id, lang,
@@ -244,11 +258,11 @@ object TextOps {
          CASE WHEN CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopList))) AS BIGINT)
                    / CAST(len(string_split(text,' ')) AS BIGINT) > 0.04
               THEN 'en' ELSE 'other' END AS guess
-         FROM documents """,
+         FROM documents""",
 
     "q33_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
-         FROM documents """,
+         FROM documents""",
 
     "q48_tfidf" ->
       """WITH tok AS (
@@ -309,25 +323,28 @@ object TextOps {
                  FROM documents) a) b""",
 
     "q68_pii_scrub" ->
-      s"""SELECT doc_id,
-           regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
-                          '$urlRe', '<URL>', 'g') AS clean_text,
-           CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(
-             regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$urlRe')) AS BIGINT) AS n_urls
-         FROM documents""",
+      s"""SELECT doc_id, clean_text,
+           CAST(len(regexp_extract_all(clean_text, '<EMAIL>')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(clean_text, '<URL>')) AS BIGINT) AS n_urls
+         FROM (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+                            '$urlRe', '<URL>', 'g') AS clean_text
+           FROM documents) t""",
 
     "q69_unigram_surprisal" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         freq AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         freq AS (SELECT w, sum(tf) AS freq FROM tf GROUP BY w),
          total AS (SELECT sum(freq) AS total FROM freq),
          logp AS (
            SELECT w, round(-(ln(CAST(freq AS DOUBLE) / total) / ln(2.0)), 6) AS surprisal
            FROM freq, total)
-         SELECT t.doc_id, round(avg(l.surprisal), 4) AS avg_surprisal,
-                count(*) AS n_tokens
-         FROM tok t JOIN logp l USING (w)
+         SELECT t.doc_id,
+                round(sum(t.tf * l.surprisal) / sum(t.tf), 4) AS avg_surprisal,
+                CAST(sum(t.tf) AS BIGINT) AS n_tokens
+         FROM tf t JOIN logp l USING (w)
          GROUP BY t.doc_id""",
 
     "q38_quality_score" ->

@@ -15,13 +15,23 @@ class TextOpsScrubSpec extends SparkSpec {
     val docs = Seq(
       (1L, "contact me at alice@example.com or visit https://foo.bar/baz today"),
       (2L, "two mails a@b.co and c.d+x@e.org then one link http://x.y/z"),
-      (3L, "plain text with no sensitive tokens at all")
+      (3L, "plain text with no sensitive tokens at all"),
+      // an email-shaped substring INSIDE a URL: the address is a URL
+      // component, the whole token redacts to <URL>, and the counts must
+      // reconcile with clean_text (no phantom email count)
+      (4L, "see https://site.com/unsubscribe?u=bob@example.com now")
     ).toDF("doc_id", "text")
     val out = TextOps.piiScrub(docs).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
     assert(out(1L) === (("contact me at <EMAIL> or visit <URL> today", 1L, 1L)))
     assert(out(2L) === (("two mails <EMAIL> and <EMAIL> then one link <URL>", 2L, 1L)))
     assert(out(3L) === (("plain text with no sensitive tokens at all", 0L, 0L)))
+    assert(out(4L) === (("see <URL> now", 0L, 1L)))
+    // counts always reconcile against the output markers
+    out.values.foreach { case (clean, ne, nu) =>
+      assert("<EMAIL>".r.findAllIn(clean).length.toLong === ne)
+      assert("<URL>".r.findAllIn(clean).length.toLong === nu)
+    }
   }
 
   test("q68 on the fixture corpus is a pure pass-through") {
