@@ -36,10 +36,15 @@ object ScaleSmoke {
   // claims — candidate-bounded estimation and bucketed ANN probing — get a
   // 10× data point like the rest of the chain (their recall/quality floors
   // are pinned at fixed size by DedupOpsSpec/SimilarityOpsSpec)
+  // q67/q69 joined late-r9: the two newest operators with JOIN stages
+  // (broadcast eval-gram join, vocab-frequency join) — the row-local rest
+  // of the r9 additions (q58/q60/q63/q64/q68) have no distribution risk
+  // worth a smoke slot
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
     "q40_lsh_jaccard_verified", "q45_dedup_clusters",
-    "q49_minhash_estimate", "q43_ivf_search", "q66_pq_adc_topk")
+    "q49_minhash_estimate", "q43_ivf_search", "q66_pq_adc_topk",
+    "q67_decontam_flags", "q69_unigram_surprisal")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
