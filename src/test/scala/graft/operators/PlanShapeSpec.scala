@@ -82,6 +82,18 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q69 reuses the tf exchange: the corpus explodes once") {
+    // freq (and through it the log-prob table) derives from the same tf
+    // aggregation the per-doc mean consumes — shuffle-side duplicates, so
+    // exchange reuse must collapse them (the q59 device; contrast q66's
+    // broadcast-side case, which needs the cache contract instead)
+    val df = graft.SparkEntry.queries("q69_unigram_surprisal")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"q69 re-ran the corpus explode+tf aggregation instead of reusing it:\n${p.take(1200)}")
+  }
+
   test("q46 grouped percentile shuffles exactly once (partial merge first)") {
     val p = plan("q46_group_percentiles")
     assert(hashExchanges(p) === 1,
