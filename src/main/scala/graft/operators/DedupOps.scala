@@ -57,13 +57,23 @@ object DedupOps {
   val maxShingleDf = 100
 
   /** doc_id, sh — the word-3-gram shingle ARRAY per document (duplicates
-    * kept; callers distinct/explode as needed).
+    * kept; callers distinct/explode as needed). Documents with fewer than
+    * 3 tokens have NO shingles (empty array → no candidate pairs → they
+    * cluster as singletons): the unguarded `sequence(1, …)` indexed past
+    * the array end, which THROWS under default ANSI mode on any 1- or
+    * 2-token document (reproduced on Spark 4.1.2) and, with ANSI off,
+    * silently emitted a partial shingle the oracle's NULL-propagating
+    * `t[i] || …` concatenation never produces.
     */
   private def withShingleArray(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), expr(
-        "transform(sequence(1, greatest(size(t)-2, 1)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))").as("sh"))
+        """CASE WHEN size(t) >= 3
+             THEN transform(sequence(1, size(t) - 2),
+                            i -> concat_ws(' ', element_at(t, i),
+                              element_at(t, i + 1), element_at(t, i + 2)))
+             ELSE CAST(array() AS ARRAY<STRING>) END""").as("sh"))
 
   /** doc_id, s — per-document DISTINCT word-3-gram shingles, for the
     * set-based Jaccard math. (doc_id, s)-distinct ≡ per-doc array dedup, so
@@ -77,7 +87,8 @@ object DedupOps {
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
-            UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)"""
+            UNNEST(range(1, greatest(len(t)-1, 2))) AS u(i)
+       WHERE len(t) >= 3"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep the lowest doc_id. One

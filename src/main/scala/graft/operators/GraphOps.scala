@@ -126,32 +126,37 @@ object GraphOps {
 
     var converged = sig._1 == 0L
     var iters = 0
-    while (!converged && iters < maxIters) {
-      val (ls, lsRdd) = materialize(largeStar(cur))
-      curRdd.unpersist(false)
-      val (ss, ssRdd) = materialize(smallStar(ls))
-      lsRdd.unpersist(false)
+    // any throw below (a mid-round Spark failure, or the convergence
+    // require itself — the exact scenario the guard exists for) must not
+    // leak the current round's corpus-sized persisted RDD into the rest
+    // of the session: release it on the failure path before rethrowing
+    try {
+      while (!converged && iters < maxIters) {
+        val (ls, lsRdd) = materialize(largeStar(cur))
+        curRdd.unpersist(false)
+        val (ss, ssRdd) = materialize(smallStar(ls))
+        lsRdd.unpersist(false)
 
-      val newSig = signature(ss)
-      cur = ss
-      curRdd = ssRdd
-      converged = newSig == sig
-      sig = newSig
-      iters += 1
-    }
-    require(converged,
-      s"connectedComponents did not converge in $maxIters star rounds")
+        val newSig = signature(ss)
+        cur = ss
+        curRdd = ssRdd
+        converged = newSig == sig
+        sig = newSig
+        iters += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIters star rounds")
 
-    // converged state is one star per component rooted at its minimum:
-    // members are the v side, roots label themselves
-    val labels = cur
-      .select(col("v").as("doc_id"), col("u").as("cluster_id"))
-      .unionByName(
-        cur.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
-      .persist(MEMORY_AND_DISK)
-    labels.count()
-    curRdd.unpersist(false)
-    labels
+      // converged state is one star per component rooted at its minimum:
+      // members are the v side, roots label themselves
+      val labels = cur
+        .select(col("v").as("doc_id"), col("u").as("cluster_id"))
+        .unionByName(
+          cur.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
+        .persist(MEMORY_AND_DISK)
+      labels.count()
+      labels
+    } finally curRdd.unpersist(false)
   }
 
   /** Driver-side union-find labeling for the adaptive local path:

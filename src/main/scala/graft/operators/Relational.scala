@@ -203,7 +203,7 @@ object Relational {
         .orderBy("l_partkey")
     }),
 
-    // Scalar subquery: price above 1.15× global average (broadcast the scalar).
+    // Scalar subquery: price above 1.05× global average (broadcast the scalar).
     "q17_scalar_subquery" -> ((s, d) => {
       val p = part(s, d)
       val thr = p.agg((avg("p_retailprice") * 1.05).as("thr"))

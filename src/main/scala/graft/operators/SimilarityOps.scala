@@ -111,6 +111,35 @@ object SimilarityOps {
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
 
+  /** q39's operator body with the block count exposed: exact
+    * pairwise-threshold cosine via the 1-Bucket-Theta blocked pair join.
+    * `blocks` (B) sets the B(B+1)/2 shuffle-bucket count — scale it with
+    * cluster cores; replication grows ~B/2× while per-bucket work shrinks
+    * quadratically.
+    */
+  def embeddingNeardup(s: SparkSession, d: String, blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val B = blocks
+    val base = prepped(s, d)
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
+    val a = base
+      .withColumn("bb", explode(expr(s"sequence(blk, ${B - 1})")))
+      .select(col("blk").as("ba"), col("bb"),
+        col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+    val b = base
+      .withColumn("ba", explode(expr("sequence(0, blk)")))
+      .select(col("ba"), col("blk").as("bb"),
+        col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+    // a cross-block pair appears exactly once (roles fixed by block id, in
+    // either order); a same-block pair appears in both orders → keep one
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.45)
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"), round(col("cos"), 6).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 3.
     "q37_sim_topk" -> ((s, d) => {
@@ -138,30 +167,11 @@ object SimilarityOps {
     // each side replicates to its block-pair row, and the pair stage is an
     // equi-join on (ba, bb) — B(B+1)/2 evenly sized shuffle buckets, no
     // BroadcastNestedLoopJoin (the r1 plan audit's 100 TB veto), ~B/2×
-    // replication. B scales with cluster cores (set via blocks). Pipelines
+    // replication. B scales with cluster cores via [[embeddingNeardup]]'s
+    // `blocks` parameter (this entry pins the oracle's B = 8). Pipelines
     // that can tolerate approximate recall should instead compose LSH
     // candidates with an exact verifier — the q40 pattern.
-    "q39_embedding_neardup" -> ((s, d) => {
-      val B = 8
-      val base = prepped(s, d)
-        .withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
-      val a = base
-        .withColumn("bb", explode(expr(s"sequence(blk, ${B - 1})")))
-        .select(col("blk").as("ba"), col("bb"),
-          col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
-      val b = base
-        .withColumn("ba", explode(expr("sequence(0, blk)")))
-        .select(col("ba"), col("blk").as("bb"),
-          col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
-      // a cross-block pair appears exactly once (roles fixed by block id, in
-      // either order); a same-block pair appears in both orders → keep one
-      a.join(b, Seq("ba", "bb"))
-        .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
-        .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.45)
-        .select(least(col("ia"), col("ib")).as("ia"),
-          greatest(col("ia"), col("ib")).as("ib"), round(col("cos"), 6).as("cos"))
-    }),
+    "q39_embedding_neardup" -> ((s, d) => embeddingNeardup(s, d)),
 
     // IVF search: queries probe their top-nProbes coarse centroids and
     // score only those clusters' inverted lists — the scale path for ANN
@@ -191,9 +201,12 @@ object SimilarityOps {
       val b = 8
       val base = prepped(s, d)
       val exploded = base.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
-      // tiny: L*b*dim rows (dim taken from the data) — broadcast to the
-      // per-position join; generated by explode, so no cartesian in the plan
-      val planes = exploded.select("pos").distinct()
+      // tiny: L*b*dim rows. The dimension comes from a ONE-row probe —
+      // the prior `exploded.select("pos").distinct()` ran a full corpus
+      // posexplode + distinct shuffle just to learn a constant the first
+      // row already knows
+      val dim = base.select(size(col("e")).as("n")).limit(1).head.getInt(0)
+      val planes = s.range(dim).select(col("id").cast("int").as("pos"))
         .select(col("pos"), explode(expr(s"sequence(0, ${L * b - 1})")).as("j"))
         .select(col("pos"),
           (col("j") / b).cast("int").as("band"),

@@ -27,10 +27,17 @@ object StatsOps {
   private val trainBound = "e6666666" // 0.9 * 2^32
   private val valBound   = "f3333333" // 0.95 * 2^32
 
-  /** q57 training-sequence capacity in tokens. Documents longer than the
-    * capacity still get a bin (greedy fill lets the last doc overflow) —
-    * the packer's contract is "no bin STARTS past the capacity", matching
-    * how sequence packing feeds fixed-context training.
+  /** q57 training-sequence capacity in tokens. The packer is CUMULATIVE
+    * BOUNDARY binning, not per-bin greedy reset: a document's bin is the
+    * capacity-quotient of the tokens packed before it in its source, so
+    * bins are aligned to fixed 512-token boundaries of the source's token
+    * stream. Consequences a consumer must expect: a document longer than
+    * the capacity spills across boundaries (later docs land in partially
+    * consumed bins rather than a fresh one), and bin ids can SKIP after
+    * such a doc (the boundaries it crossed get no rows). This is the
+    * prefix-sum-expressible variant — a true greedy reset is a sequential
+    * fold that no window/prefix computation distributes — and it is what
+    * the oracle and StatsOpsSpec's recompute pin.
     */
   val packCapacity = 512
 

@@ -44,32 +44,42 @@ object EventStreams {
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long, last_ts: Long)
-  final case class SessionOut(user_id: Long, n_events: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, closed: Boolean)
 
-  /** Custom per-user session state via mapGroupsWithState: events more than
-    * `gapMs` after the previous one open a new session. Event-time gap logic
-    * keeps the state a single (count, last_ts) pair per user; pair with a
+  /** Custom per-user session state via flatMapGroupsWithState: events more
+    * than `gapMs` after the previous one close the session and open a new
+    * one. Every session CLOSED within the batch emits its final count
+    * (`closed = true`) — the earlier mapGroupsWithState version could only
+    * emit ONE row per user per trigger, so a session that opened and
+    * closed between two triggers lost its count unrecoverably — and the
+    * still-open session emits its running count (`closed = false`). State
+    * stays a single (count, last_ts) pair per user; pair with a
     * watermark-driven TTL in production to bound key cardinality.
     */
   def sessionize(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionAgg, SessionOut](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Evt], state: GroupState[SessionAgg]) =>
           val evts = batch.toSeq.sortBy(_.ts.getTime)
           val prev = state.getOption.getOrElse(SessionAgg(uid, 0L, 0L))
           var n = prev.n_events
           var last = prev.last_ts
+          val closedSessions = Seq.newBuilder[SessionOut]
           evts.foreach { e =>
-            // reset the count when the inactivity gap opens a new session
-            if (last > 0 && e.ts.getTime - last > gapMs) n = 0L
+            // the inactivity gap closes the session: emit its final count
+            // before resetting for the new one
+            if (last > 0 && e.ts.getTime - last > gapMs) {
+              closedSessions += SessionOut(uid, n, closed = true)
+              n = 0L
+            }
             n += 1
             last = e.ts.getTime
           }
-          val merged = SessionAgg(uid, n, last)
-          state.update(merged)
-          SessionOut(uid, merged.n_events)
+          state.update(SessionAgg(uid, n, last))
+          (closedSessions.result() :+ SessionOut(uid, n, closed = false)).iterator
       }
   }
 }

@@ -24,6 +24,33 @@ class PairPlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup chain survives documents with fewer than 3 tokens (ANSI-safe shingles)") {
+    // the unguarded shingle sequence indexed past the token array, which
+    // THROWS under default ANSI mode (Spark 4.1.2) on any 1- or 2-token
+    // document; short docs must instead have no shingles — never
+    // candidates, singleton clusters
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shortdocs")
+    Seq(
+      (0L, "a", "en", "src0", 1L),
+      (1L, "a b", "en", "src0", 3L),
+      (2L, "one two three four five six", "en", "src1", 27L),
+      (3L, "one two three four five six", "en", "src1", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val pairs = DedupOps.queries("q34_ngram_jaccard")(sp, tmp.toString)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 3L)), "only the 3+-token twins may pair")
+    pairs.unpersist(blocking = true)
+    val clusters = GraphOps.queries("q45_dedup_clusters")(sp, tmp.toString)
+    val byDoc = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L),
+      "short docs must be singleton clusters, twins share one")
+    clusters.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
+
   test("q67 decontamination matches a driver-side recompute and broadcasts the eval grams") {
     val res = graft.operators.DedupOps.queries("q67_decontam_flags")(spark, d)
     val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -121,7 +121,10 @@ class StatsOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     for ((src, docs) <- rows.groupBy(_._2)) {
       val inOrder = docs.sortBy(_._1)
-      // bin ids start at 0, never decrease, never skip
+      // bin ids start at 0, never decrease, and never skip HERE because
+      // every fixture doc is shorter than the 512-token capacity — a doc
+      // crossing multiple boundaries legitimately skips the bins it
+      // spills through (see packCapacity's boundary-binning contract)
       val bins = inOrder.map(_._4)
       assert(bins.head === 0L, s"$src first bin")
       bins.zip(bins.tail).foreach { case (a, b) =>

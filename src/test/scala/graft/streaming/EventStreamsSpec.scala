@@ -57,7 +57,7 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("mapGroupsWithState sessionization counts per-user events") {
+  test("stateful sessionization counts per-user events") {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
@@ -70,9 +70,43 @@ class EventStreamsSpec extends SparkSpec {
         Evt(2, ts("2024-01-01 10:01:00"), 7, "view", 1.0),
         Evt(3, ts("2024-01-01 10:02:00"), 8, "click", 1.0))
       q.processAllAvailable()
-      val rows = sp.sql("SELECT user_id, n_events FROM sessions ORDER BY user_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(rows.toSeq === Seq((7L, 2L), (8L, 1L)))
+      val rows = sp.sql("SELECT user_id, n_events, closed FROM sessions ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.toSeq === Seq((7L, 2L, false), (8L, 1L, false)))
+    } finally q.stop()
+  }
+
+  test("a session that opens AND closes within one batch still reports its count") {
+    // the mapGroupsWithState version emitted exactly one row per user per
+    // trigger, so a session fully contained between two triggers lost its
+    // count unrecoverably — flatMapGroupsWithState must emit the closed
+    // session's final count alongside the new session's running count
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Evt]
+    val q = sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions_close").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Evt(1, ts("2024-01-01 10:00:00"), 9, "click", 1.0),
+        Evt(2, ts("2024-01-01 10:01:00"), 9, "view", 1.0),
+        Evt(3, ts("2024-01-01 10:02:00"), 9, "view", 1.0),
+        // 2 h gap: the 3-event session closes INSIDE this batch
+        Evt(4, ts("2024-01-01 12:02:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT n_events, closed FROM sessions_close WHERE user_id = 9 ORDER BY closed")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      assert(rows.toSeq === Seq((1L, false), (3L, true)),
+        "closed session's final count lost or running count wrong")
+      // and a later batch closing the open session reports ITS final count
+      input.addData(Evt(5, ts("2024-01-01 15:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val after = sp.sql(
+        "SELECT n_events FROM sessions_close WHERE user_id = 9 AND closed ORDER BY n_events")
+        .collect().map(_.getLong(0))
+      assert(after.toSeq === Seq(1L, 3L), "cross-batch session close lost")
     } finally q.stop()
   }
 
