@@ -129,17 +129,22 @@ object GraphOps {
     // any throw below (a mid-round Spark failure, or the convergence
     // require itself — the exact scenario the guard exists for) must not
     // leak the current round's corpus-sized persisted RDD into the rest
-    // of the session: release it on the failure path before rethrowing
+    // of the session. `curRdd` is re-pointed at each newly persisted round
+    // intermediate the moment its predecessor is released, so at every
+    // instant it names the ONE live persisted RDD and the finally releases
+    // exactly it — a throw inside materialize(smallStar) or signature can
+    // no longer leak the half-round ls/ss handle.
     try {
       while (!converged && iters < maxIters) {
         val (ls, lsRdd) = materialize(largeStar(cur))
         curRdd.unpersist(false)
+        curRdd = lsRdd
         val (ss, ssRdd) = materialize(smallStar(ls))
         lsRdd.unpersist(false)
+        curRdd = ssRdd
 
         val newSig = signature(ss)
         cur = ss
-        curRdd = ssRdd
         converged = newSig == sig
         sig = newSig
         iters += 1

@@ -204,8 +204,12 @@ object SimilarityOps {
       // tiny: L*b*dim rows. The dimension comes from a ONE-row probe —
       // the prior `exploded.select("pos").distinct()` ran a full corpus
       // posexplode + distinct shuffle just to learn a constant the first
-      // row already knows
-      val dim = base.select(size(col("e")).as("n")).limit(1).head.getInt(0)
+      // row already knows. (The probe is necessarily eager — an ARRAY
+      // schema carries no length — but it is TOTAL: an empty embeddings
+      // table yields dim 0 → zero planes → an empty result, not a
+      // NoSuchElementException at query-construction time.)
+      val dim = base.select(size(col("e")).as("n")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
       val planes = s.range(dim).select(col("id").cast("int").as("pos"))
         .select(col("pos"), explode(expr(s"sequence(0, ${L * b - 1})")).as("j"))
         .select(col("pos"),

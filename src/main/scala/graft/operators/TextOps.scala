@@ -37,8 +37,14 @@ object TextOps {
     * construction — an email-shaped substring inside a URL
     * (`…?u=bob@x.com`) is first rewritten to `<EMAIL>` and then swallowed
     * whole by the URL pass, and counting the input would report an email
-    * marker the output doesn't have. Pure row-local column expressions —
-    * zero shuffle at any corpus size. The sf fixtures contain neither
+    * marker the output doesn't have. The flip side of counting the OUTPUT:
+    * a document whose original text already contains a literal `<EMAIL>`
+    * or `<URL>` token is counted as if it were a redaction — the counts
+    * are "markers present after scrubbing", an upper bound on redactions
+    * performed, not an exact tally (consumers needing exact tallies should
+    * normalize pre-existing markers away first). Pure row-local column
+    * expressions — zero shuffle at any corpus size. The sf fixtures
+    * contain neither
     * pattern (the oracle pins the identity pass); TextOpsScrubSpec drives
     * planted addresses/URLs, including the email-inside-URL case, through
     * the same body.
