@@ -111,6 +111,80 @@ object SimilarityOps {
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
 
+  /** IVF-PQ search [Jégou et al., TPAMI'11, §IV]: the composition of q41's
+    * coarse quantizer with q61's product codes — ADC scoring runs ONLY over
+    * the probed inverted lists, which is the full published method (q66 is
+    * its exhaustive non-IVF variant).
+    *
+    * Index side (build once, amortized over queries): every vector gets a
+    * coarse cell (nearest centroid) and 8 PQ codes; the searchable
+    * structure is `(c_label, cid, subspace, code)` — the classical
+    * "inverted file with PQ codes". Both build passes are linear, and at
+    * 100 TB the index would be WRITTEN `partitionBy(c_label)` so a search
+    * scan prunes to the probed cells at the file level.
+    *
+    * Search side (per query batch): each query probes its `nProbes`
+    * nearest cells and precomputes the m×k LUT of subvector→codeword
+    * distances; the probe×LUT frame (queries × nProbes × 80 rows — tiny)
+    * broadcasts against the code table keyed `(c_label, subspace, code)`.
+    * Rows of unprobed cells are dropped AT the broadcast hash join — the
+    * per-candidate aggregation only ever sees probed-cell codes — so
+    * query-time work is nprobe/nlist-bounded instead of corpus-linear
+    * (SimilarityOpsSpec pins candidates(p=2) < candidates(exhaustive) and
+    * the p=nlist end recovering q66 exactly; PlanShapeSpec pins the
+    * broadcast join shape).
+    *
+    * `k = Int.MaxValue` returns ALL scored candidates with their ranks —
+    * the spec hook for candidate-boundedness (and what a recall-tuning
+    * harness would sweep).
+    */
+  def ivfPqSearch(s: SparkSession, d: String, nProbes: Int = 2,
+      k: Int = 5): DataFrame = {
+    require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+    val base = prepped(s, d)
+    val centroids = centroidsOf(base)
+    val scored = base.select(col("vec_id"), col("e"), col("nrm"))
+      .join(broadcast(centroids))
+      .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val lists = ranked.filter(col("rn") === 1)
+      .select(col("c_label"), col("vec_id").as("cid"))
+    val probes = ranked.filter(col("rn") <= nProbes && col("vec_id") < 3)
+      .select(col("c_label"), col("vec_id").as("qid"))
+    // same persist rationale as q66: codes and LUT both consume the (tiny)
+    // codebook, and broadcast-side subtrees get no exchange reuse
+    val codebook = pqCodebook(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the inverted file with PQ codes: one equi-join on vec_id (both sides
+    // linear — the index build)
+    val listCodes = pqCodes(base, codebook)
+      .select(col("vec_id").as("cid"), col("subspace").cast("int").as("subspace"),
+        col("code").cast("int").as("code"))
+      .join(lists, "cid")
+    val lut = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .join(broadcast(codebook))
+      .withColumn("qsub", expr(s"slice(qe, subspace * $pqSub + 1, $pqSub)"))
+      .withColumn("qdist", round(expr(
+        "aggregate(zip_with(qsub, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
+      .select("qid", "subspace", "code", "qdist")
+    // (c_label, qid, subspace, code, qdist): the per-(query, probed-cell)
+    // LUT — queries × nProbes × m × k rows, the broadcast side
+    val probeLut = probes.join(lut, "qid")
+    val adist = listCodes
+      .join(broadcast(probeLut), Seq("c_label", "subspace", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid")
+      .agg(round(sum("qdist"), 6).as("adist"))
+    val tw = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    val topk = adist.withColumn("rn", row_number().over(tw))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("adist"), col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+    DedupOps.finishAndRelease(topk, codebook)
+  }
+
   /** q39's operator body with the block count exposed: exact
     * pairwise-threshold cosine via the 1-Bucket-Theta blocked pair join.
     * `blocks` (B) sets the B(B+1)/2 shuffle-bucket count — scale it with
@@ -304,6 +378,12 @@ object SimilarityOps {
       DedupOps.finishAndRelease(topk, codebook)
     }),
 
+    // IVF-PQ search — the full composition: coarse cells bound the
+    // candidate set (q41/q43's inverted lists), PQ codes bound the
+    // per-candidate cost (q66's ADC). See [[ivfPqSearch]]; the oracle pins
+    // the default nProbes=2, k=5 configuration.
+    "q70_ivfpq_topk" -> ((s, d) => ivfPqSearch(s, d)),
+
     // IVF-style coarse quantizer: per-label centroids (computed distributed,
     // then broadcast as arrays), each vector assigned to its nearest
     // centroid by dot product. Output: label vs assigned confusion counts.
@@ -472,6 +552,57 @@ object SimilarityOps {
            JOIN lut l ON l.subspace = co.subspace AND l.code = co.code
            WHERE co.cid != l.qid
            GROUP BY l.qid, co.cid),
+         topk AS (
+           SELECT qid, cid, adist,
+             row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+           FROM adist)
+         SELECT qid, cid, adist, CAST(rn AS BIGINT) AS rn
+         FROM topk WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "q70_ivfpq_topk" ->
+      s"""WITH unpacked AS (
+           SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         centroids AS (
+           SELECT label AS c_label, pos AS c_pos, avg(x) AS cx
+           FROM unpacked GROUP BY label, pos),
+         assign_scored AS (
+           SELECT vec_id, c_label, round(sum(x * cx), 6) AS dot
+           FROM unpacked JOIN centroids ON pos = c_pos
+           GROUP BY vec_id, c_label),
+         ranked AS (
+           SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC NULLS LAST, c_label) AS rn
+           FROM assign_scored),
+         lists AS (SELECT c_label, vec_id AS cid FROM ranked WHERE rn = 1),
+         probes AS (SELECT c_label, vec_id AS qid FROM ranked WHERE rn <= 2 AND vec_id < 3),
+         codes AS (
+           SELECT vec_id AS cid, CAST(subspace AS INT) AS subspace,
+                  CAST(code AS INT) AS code
+           FROM ($q61OracleSql) q61),
+         listcodes AS (
+           SELECT l.c_label, c.cid, c.subspace, c.code
+           FROM codes c JOIN lists l USING (cid)),
+         codebook AS (
+           SELECT label AS code, CAST(pos // 8 AS INT) AS c_sub, pos AS c_pos, avg(x) AS cx
+           FROM unpacked GROUP BY label, CAST(pos // 8 AS INT), pos),
+         qunpacked AS (
+           SELECT vec_id AS qid, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+           WHERE vec_id < 3),
+         lut AS (
+           SELECT q.qid, c.c_sub AS subspace, c.code,
+                  round(sum((q.x - c.cx) * (q.x - c.cx)), 6) AS qdist
+           FROM qunpacked q JOIN codebook c ON c.c_pos = q.pos
+           GROUP BY q.qid, c.c_sub, c.code),
+         adist AS (
+           SELECT p.qid, lc.cid, round(sum(l.qdist), 6) AS adist
+           FROM probes p
+           JOIN listcodes lc ON lc.c_label = p.c_label
+           JOIN lut l ON l.qid = p.qid AND l.subspace = lc.subspace
+                     AND l.code = lc.code
+           WHERE lc.cid != p.qid
+           GROUP BY p.qid, lc.cid),
          topk AS (
            SELECT qid, cid, adist,
              row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn

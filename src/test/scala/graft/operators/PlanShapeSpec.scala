@@ -82,6 +82,27 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q70 scores probed buckets via a broadcast LUT join — never a corpus nested loop") {
+    // the ADC side must be a BroadcastHashJoin against the tiny
+    // (query × probed-cell × codebook) LUT keyed on (c_label, subspace,
+    // code): rows of unprobed cells drop at the join, so the candidate
+    // aggregation never sees the full code table. If those keys degenerate
+    // away the join falls back to a nested loop and the bucket bound is
+    // gone. (The plan's OTHER nested-loop joins are the deliberate
+    // condition-less broadcasts of the ~80-row codebook / 10-row centroid
+    // set — the q41/q66 expansion pattern — never a corpus×corpus pair.)
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("q70_ivfpq_topk")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[c_label#\\d+, subspace#\\d+, code#\\d+\\]".r
+        .findFirstIn(p).isDefined,
+      s"q70 lost the (c_label, subspace, code)-keyed broadcast LUT join:\n${p.take(1600)}")
+    assert(!p.contains("CartesianProduct"),
+      s"q70 plans an unbounded cartesian pair join:\n${p.take(1200)}")
+    df.unpersist(blocking = true)
+    spark.catalog.clearCache()
+  }
+
   test("q69 reuses the tf exchange: the corpus explodes once") {
     // freq (and through it the log-prob table) derives from the same tf
     // aggregation the per-doc mean consumes — shuffle-side duplicates, so

@@ -126,6 +126,49 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.1, f"ADC recall@5 = $recall%.2f at chance level")
   }
 
+  test("q70 IVF-PQ: candidate set is probe-bounded; full probing IS exhaustive ADC") {
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    // k=MaxValue returns every scored candidate: at the default 2-of-10
+    // probes that must be a strict subset of exhaustive ADC's 3·(n−1)
+    // scored pairs — the whole point of composing IVF with PQ
+    val cand2 = SimilarityOps.ivfPqSearch(spark, d, nProbes = 2, k = Int.MaxValue)
+    val c2 = cand2.count()
+    cand2.unpersist(blocking = true)
+    assert(c2 > 0, "IVF-PQ scored no candidates")
+    assert(c2 < 3 * (n - 1),
+      s"p=2 scored $c2 candidates — not bounded below exhaustive ${3 * (n - 1)}")
+    // probing ALL 10 cells scores every inverted list — the candidate set
+    // is the corpus, so IVF-PQ must reproduce q66's exhaustive ADC top-5
+    // EXACTLY (same scoring, same rounding, same tiebreaks)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val full = SimilarityOps.ivfPqSearch(spark, d, nProbes = 10)
+    val exh = SimilarityOps.queries("q66_pq_adc_topk")(spark, d)
+    assert(rows(full) === rows(exh), "full probing diverged from exhaustive ADC")
+    full.unpersist(blocking = true)
+    exh.unpersist(blocking = true)
+  }
+
+  test("q70 IVF-PQ recall vs exhaustive ADC: floor at p=2, monotone in probes") {
+    // recall measured against q66 (the exhaustive scorer with the SAME
+    // quantization) isolates the probing loss from the PQ loss
+    val adc = topSets(SimilarityOps.queries("q66_pq_adc_topk")(spark, d))
+    val p2df = SimilarityOps.ivfPqSearch(spark, d, nProbes = 2)
+    val p4df = SimilarityOps.ivfPqSearch(spark, d, nProbes = 4)
+    val r2 = meanRecall(adc, topSets(p2df))
+    val r4 = meanRecall(adc, topSets(p4df))
+    p2df.unpersist(blocking = true)
+    p4df.unpersist(blocking = true)
+    info(f"IVF-PQ recall@5 vs exhaustive ADC: p=2 $r2%.2f, p=4 $r4%.2f")
+    // measured 0.13 at p=2 / 0.33 at p=4 on the weakly-clustered fixture
+    // (2-of-10 probes on diffuse data — the same modest-recall regime as
+    // q43's curve); chance is 5/199 ≈ 0.025, so the floor sits 4× above
+    // chance and just under measured, per the suite's convention
+    assert(r2 >= 0.1, f"IVF-PQ recall@5 at p=2 = $r2%.2f")
+    // superset candidates + identical deterministic scoring → monotone
+    assert(r4 >= r2, f"recall dropped with more probes: p=4 $r4%.2f < p=2 $r2%.2f")
+  }
+
   test("q41 coarse quantizer separates labels far better than chance") {
     val rows = SimilarityOps.queries("q41_ivf_assign")(spark, d).collect()
       .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
