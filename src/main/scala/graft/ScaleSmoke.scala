@@ -40,11 +40,15 @@ object ScaleSmoke {
   // (broadcast eval-gram join, vocab-frequency join) — the row-local rest
   // of the r9 additions (q58/q60/q63/q64/q68) have no distribution risk
   // worth a smoke slot
+  // q62/q65/q70 joined r10: the two composed-pipeline scale claims that
+  // had no 10× data point (r9 verdict #3) and the new bucket-bounded
+  // IVF-PQ search (its probe join must stay flat when lists grow 10×)
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
     "q40_lsh_jaccard_verified", "q45_dedup_clusters",
     "q49_minhash_estimate", "q43_ivf_search", "q66_pq_adc_topk",
-    "q67_decontam_flags", "q69_unigram_surprisal")
+    "q67_decontam_flags", "q69_unigram_surprisal",
+    "q62_embedding_clusters", "q65_cluster_reps", "q70_ivfpq_topk")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
@@ -110,6 +114,15 @@ object ScaleSmoke {
     ensureTable(dir, "embeddings.parquet", nVecs, generateEmbeddings)
     val skewDir = new File("/tmp/graft_scale_skew")
     ensureTable(skewDir, "documents.parquet", nSkewDocs, generateSkew)
+    // hot-SOURCE corpus (80% of docs in ONE source) for the q57 packing
+    // stressor — the skew corpus keeps uniform sources on purpose (its
+    // queries stress hot VALUES, not hot partition keys). Sized 10× the
+    // main smoke corpus: the stall being measured is ONE task
+    // sorting+cumsumming the dominant source, which only becomes visible
+    // when that task is seconds, not milliseconds.
+    val nHotDocs = sys.env.getOrElse("SPARK_GRAFT_HOTSRC_DOCS", "500000").toInt
+    val hotSrcDir = new File("/tmp/graft_scale_hotsrc")
+    ensureTable(hotSrcDir, "documents.parquet", nHotDocs, generateHotSource)
 
     // task-duration listener: collects (stageId, wall) per task — straggler
     // ratios are computed WITHIN a stage (peers doing the same work), so
@@ -127,14 +140,16 @@ object ScaleSmoke {
     })
 
     val out = new StringBuilder
-    out.append(s"""{"docs":$nDocs,"vecs":$nVecs,"skew_docs":$nSkewDocs,"cpus":$cpus""")
+    out.append(s"""{"docs":$nDocs,"vecs":$nVecs,"skew_docs":$nSkewDocs,"hotsrc_docs":$nHotDocs,"cpus":$cpus""")
     var worstStraggler = 0.0
 
-    def runQuery(q: String, corpusDir: File, prefix: String): Unit = {
+    def runCase(q: String, corpusDir: File, prefix: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        gated: Boolean = true): Unit = {
       spark.catalog.clearCache()
       durations.clear()
       val t0 = System.nanoTime()
-      val res = SparkEntry.queries(q)(spark, corpusDir.getPath)
+      val res = fn(spark, corpusDir.getPath)
       val rows = res.count()
       val wall = (System.nanoTime() - t0) / 1e9
       // caller-owns-cache contract; outside the timed window so *_sec stays
@@ -152,7 +167,7 @@ object ScaleSmoke {
       // millisecond scheduling noise is not skew)
       val straggler = byStage
         .map { case (_, ds) => ds.last / math.max(ds(ds.length / 2), 0.1) }.max
-      worstStraggler = math.max(worstStraggler, straggler)
+      if (gated) worstStraggler = math.max(worstStraggler, straggler)
       val slowStages = byStage.sortBy(-_._2.last).take(3)
         .map { case (sid, ds) =>
           val nm = Option(stageNames.get(sid)).getOrElse("?")
@@ -167,10 +182,33 @@ object ScaleSmoke {
       out.append(f""","$prefix${q}_straggler":$straggler%.2f""")
     }
 
+    def runQuery(q: String, corpusDir: File, prefix: String): Unit =
+      runCase(q, corpusDir, prefix, SparkEntry.queries(q))
+
     val selected = if (args.nonEmpty) smokeQueries.filter(args.contains) else smokeQueries
     for (q <- selected) runQuery(q, dir, "")
     val selectedSkew = if (args.nonEmpty) skewQueries.filter(args.contains) else skewQueries
     for (q <- selectedSkew) runQuery(q, skewDir, "skew_")
+
+    // q57 hot-source section (r9 verdict #4): 80% of the corpus in ONE
+    // source makes the per-source window cumsum a single task. The
+    // UNSHARDED run is the diagnostic — its straggler documents the stall
+    // and is deliberately NOT gated (stalling there is the finding, and
+    // at 100 TB it is why the knob exists). The SHARDED run (shards=32,
+    // matching the core count the way a cluster matches its parallelism)
+    // is the scale path and IS gated: composing the key must bring the
+    // worst straggler back under the bar.
+    if (args.isEmpty || args.contains("q57_pack_sequences")) {
+      // the smoke's count() action would let Catalyst PRUNE an unused
+      // window entirely (bin_id feeds nothing) — filter on bin_id
+      // (always true, cardinality unchanged) so the measured plan is the
+      // packing, not a bare scan-count
+      def packed(shards: Int)(s: SparkSession, p: String) =
+        operators.StatsOps.packSequences(graft.util.Tables.documents(s, p),
+          shards = shards).filter(col("bin_id") >= 0L)
+      runCase("q57_pack_sequences", hotSrcDir, "hotsrc_", packed(1), gated = false)
+      runCase("q57_pack_sharded", hotSrcDir, "hotsrc_", packed(32))
+    }
 
     out.append(f""","straggler_bar":$stragglerBar%.1f}""")
     println(out.toString)
@@ -227,6 +265,18 @@ object ScaleSmoke {
            AS FLOAT))"""))
       .select("vec_id", "embedding", "label")
   }
+
+  /** Hot-SOURCE corpus for the q57 packing stressor: same documents as
+    * [[generate]], but 80% of them (doc_id % 10 < 8) collapse into the
+    * single source `synth/hot` — the "one crawl dominates the corpus"
+    * shape that serializes a per-source window into one task.
+    */
+  private[graft] def generateHotSource(spark: SparkSession, nDocs: Int) =
+    generate(spark, nDocs).drop("source")
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(10)) < 8, lit("synth/hot"))
+          .otherwise(concat(lit("synth/"), pmod(col("doc_id"), lit(10)))))
+      .select("doc_id", "text", "lang", "source", "n_chars")
 
   /** Adversarial hot-key corpus: every 5th document (20%) is the IDENTICAL
     * ~50-word boilerplate — one simhash value, one shingle set, one LSH

@@ -9,12 +9,24 @@ import graft.util.Tables._
   * metadata struct; decode / feature-extract / frame-sample run as
   * per-partition batch operations over `Dataset[MediaRow]`.
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB — the real image/audio codecs
-  * are not in this container. `decodeHeaderStub` parses graft's synthetic
-  * 12-byte header (magic "GRFT", u16 width, u16 height, u32 n_frames) so
-  * the Spark-side plumbing (schema, partitioning, batch shape, binary
-  * slicing) is real and tested; swap the stub for an actual codec UDF at
-  * deployment.
+  * Container-HEADER decode is REAL for the public formats whose layouts
+  * are specification text (r9 verdict #5):
+  *   - PNG (ISO/IEC 15948): 8-byte signature, then the IHDR chunk whose
+  *     width/height are big-endian u32 at byte offsets 16/20.
+  *   - JPEG (ITU-T T.81 §B): marker-segment walk to the first SOFn frame
+  *     header (0xC0–0xCF minus C4/C8/CC), which carries height then width
+  *     as big-endian u16 at segment offsets 5/7.
+  *   - WAV (RIFF): "RIFF…WAVE" container, chunk walk to `fmt ` (channels
+  *     u16 LE, sample rate u32 LE) and `data` (PCM frame count =
+  *     chunk size / block align). Mapped into the struct as
+  *     width = sample rate, height = channels, n_frames = PCM frames.
+  *
+  * FULL-PAYLOAD decode (pixels/samples) remains a deterministic stub —
+  * the actual codecs are not in this container: unknown magics, and
+  * graft's synthetic 12-byte "GRFT" header (u16 width, u16 height, u32
+  * n_frames), parse through the same typed path so the Spark-side
+  * plumbing (schema, partitioning, batch shape, binary slicing) is real
+  * and tested end-to-end; swap in a codec call at deployment.
   */
 object MultimodalOps {
 
@@ -38,25 +50,83 @@ object MultimodalOps {
         .otherwise("video").as("kind"))
   }
 
-  /** STUB decode: parse the synthetic header per partition. Real pipelines
-    * replace the body of this map with a codec call; the batching, schema
-    * and distribution stay identical.
+  /** Single-blob header parse — the per-row body of [[decodeHeader]],
+    * exposed so specs can drive REAL format bytes through the exact
+    * deployed code path. Unrecognized magics yield (-1, -1, -1): a
+    * quarantine row, never a throw (one corrupt blob must not fail a
+    * 100 TB decode stage).
     */
-  def decodeHeaderStub(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { r =>
-        val b = r.media
-        val ok = b.length >= 12 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T'
-        if (!ok) MediaMeta(r.doc_id, r.kind, -1, -1, -1, b.length)
-        else {
-          def u16(i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-          MediaMeta(r.doc_id, r.kind, u16(4), u16(6),
-            ((b(8) & 0xff) << 8) | (b(9) & 0xff), b.length)
-        }
+  private[operators] def parseHeader(docId: Long, kind: String,
+      b: Array[Byte]): MediaMeta = {
+    def u16be(i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32be(i: Int) = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    def u16le(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32le(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def ascii(i: Int, s: String) =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length >= 24 && b.take(8).sameElements(pngSig) && ascii(12, "IHDR"))
+      // ISO/IEC 15948 §5.2 signature + §11.2.2 IHDR: width/height u32 BE
+      MediaMeta(docId, kind, u32be(16), u32be(20), 1, b.length)
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // ITU-T T.81 §B.1.1.4: walk marker segments to the first SOFn
+      var i = 2
+      var out: MediaMeta = null
+      while (out == null && i + 1 < b.length && (b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOF segment: [len u16][precision u8][height u16][width u16]
+          if (i + 8 < b.length)
+            out = MediaMeta(docId, kind, u16be(i + 7), u16be(i + 5), 1, b.length)
+          else i = b.length // truncated SOF → quarantine
+        } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else if (i + 3 < b.length) {
+          i += 2 + u16be(i + 2) // skip segment: length includes itself
+        } else i = b.length
       }
-    }
+      if (out != null) out else MediaMeta(docId, kind, -1, -1, -1, b.length)
+    } else if (b.length >= 36 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      // RIFF chunk walk: fmt (channels u16 LE, rate u32 LE, block align
+      // u16 LE), data (frames = size / block align)
+      var i = 12
+      var rate = -1; var channels = -1; var blockAlign = 0; var frames = -1
+      while (i + 8 <= b.length) {
+        val size = u32le(i + 4)
+        if (ascii(i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
+          channels = u16le(i + 10); rate = u32le(i + 12); blockAlign = u16le(i + 20)
+        } else if (ascii(i, "data") && blockAlign > 0) {
+          frames = size / blockAlign
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (rate < 0) MediaMeta(docId, kind, -1, -1, -1, b.length)
+      else MediaMeta(docId, kind, rate, channels, frames, b.length)
+    } else if (b.length >= 12 && ascii(0, "GRFT")) {
+      // graft's synthetic container — the stand-in for formats whose
+      // codecs are out of container
+      MediaMeta(docId, kind, u16be(4), u16be(6), u16be(8), b.length)
+    } else MediaMeta(docId, kind, -1, -1, -1, b.length)
   }
+
+  /** Header decode per partition: REAL for PNG/JPEG/WAV (public layouts),
+    * synthetic GRFT plus quarantine rows for the rest — see the object
+    * doc. Real pipelines extend the same map with full codec calls; the
+    * batching, schema and distribution stay identical.
+    */
+  def decodeHeader(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseHeader(r.doc_id, r.kind, r.media)))
+  }
+
+  /** r9 name for [[decodeHeader]] — kept so round-over-round citations
+    * resolve; the decode is no longer a stub for PNG/JPEG/WAV headers.
+    */
+  def decodeHeaderStub(media: Dataset[MediaRow]): Dataset[MediaMeta] =
+    decodeHeader(media)
 
   /** Frame sampling: slice the payload into `n` evenly spaced binary chunks
     * (pure column expressions — substr on BINARY is codegen'd).
@@ -70,12 +140,15 @@ object MultimodalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // binary plumbing end-to-end: synthesize payload → stub-decode header →
-    // aggregate by kind. Oracle checks byte-lengths against the raw text.
+    // binary plumbing end-to-end: synthesize payload → header-decode
+    // (the same dispatch that parses real PNG/JPEG/WAV headers —
+    // MultimodalOpsSpec drives those; the fixture payloads route through
+    // the GRFT branch) → aggregate by kind. Oracle checks byte-lengths
+    // against the raw text.
     "q42_multimodal_stub" -> ((s, d) => {
       import s.implicits._
       val media = syntheticMedia(s, d).as[MediaRow]
-      val meta = decodeHeaderStub(media)
+      val meta = decodeHeader(media)
       meta.groupBy("kind")
         .agg(
           count(lit(1)).as("n"),

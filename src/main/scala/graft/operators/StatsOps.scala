@@ -47,6 +47,35 @@ object StatsOps {
     * degenerate identity); StatsOpsSpec drives the sqrt-shrink path on a
     * skewed synthetic corpus.
     */
+  /** q57's operator body with the hot-source escape exposed: greedy-fill
+    * documents into fixed token-capacity bins via a per-source window
+    * cumsum. Packing is inherently order-dependent, so parallelism is
+    * bounded by the partition-key cardinality; `shards > 1` composes the
+    * key — pack per `(source, shard)` with `shard =
+    * xxhash64(doc_id) mod shards` — which changes no packing math, only
+    * how the key space splits: each shard runs the same cumulative-
+    * boundary binning over its own doc_id-ordered slice, and local bins
+    * map to globally distinct ids as `bin * shards + shard`. A source too
+    * hot for one task (the 100 TB case: one crawl dominating the corpus)
+    * picks shards ≈ its size ratio and the window stage re-levels;
+    * ScaleSmoke's hot-source section measures exactly this (80%-hot
+    * corpus: unsharded straggler vs sharded under the bar). `shards = 1`
+    * is bit-identical to the oracle-pinned q57 output.
+    */
+  def packSequences(docs: DataFrame, shards: Int = 1): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    docs
+      .withColumn("shard",
+        if (shards == 1) lit(0L) else pmod(xxhash64(col("doc_id")), lit(shards.toLong)))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (floor((col("cum") - col("n_tokens")) / lit(packCapacity.toDouble))
+          .cast("long") * lit(shards.toLong) + col("shard")).as("bin_id"))
+  }
+
   def sourceMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     val minCnt = counts.agg(min("cnt").as("min_cnt"))
@@ -146,20 +175,12 @@ object StatsOps {
     // div capacity. Scale shape: one shuffle by source, then the cumsum is
     // sequential only within a source partition (packing is inherently
     // order-dependent); a source too hot for one partition composes the
-    // partition key with a shard column — pack per (source, shard) — which
+    // partition key with a shard column — [[packSequences]]'s `shards`
+    // knob, measured under an 80%-hot corpus by ScaleSmoke — which
     // changes no math, only the key. The window's per-source sort is the
     // operator; no GLOBAL output sort on top (corpus-sized, caller owns
-    // ordering).
-    "q57_pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      documents(s, d)
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / lit(packCapacity.toDouble))
-            .cast("long").as("bin_id"))
-    })
+    // ordering). The oracle pins the unsharded configuration.
+    "q57_pack_sequences" -> ((s, d) => packSequences(documents(s, d)))
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Real container-header bytes through the deployed decode path: PNG /
+  * JPEG / WAV headers are hand-assembled from their public layouts (ISO/
+  * IEC 15948, ITU-T T.81, RIFF) — no image libraries involved, which is
+  * the point: the header fields ARE spec-defined byte offsets.
+  */
+class MultimodalOpsSpec extends SparkSpec {
+
+  import MultimodalOps._
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(37) // sig + IHDR chunk + CRC
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0) // CRC (unchecked by the header parse)
+    bb.array()
+  }
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
+    bb.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    // APP0/JFIF segment (the SOF walk must skip it by its length field)
+    bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16.toShort)
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // SOF0: len 17, precision 8, height, width, 3 components
+    bb.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17.toShort).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    bb.put(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    bb.array()
+  }
+
+  private def wav(rate: Int, channels: Int, dataBytes: Int,
+      blockAlign: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.array()
+  }
+
+  test("PNG IHDR: width/height from the spec'd big-endian offsets") {
+    val m = MultimodalOps.parseHeader(1L, "image", png(640, 480))
+    assert((m.width, m.height, m.n_frames) === ((640, 480, 1)))
+    assert(m.n_bytes === png(640, 480).length)
+    // 1×1 edge and a large dimension exercise full u32 decoding
+    val tiny = MultimodalOps.parseHeader(2L, "image", png(1, 1))
+    assert((tiny.width, tiny.height) === ((1, 1)))
+    val wide = MultimodalOps.parseHeader(3L, "image", png(70000, 2))
+    assert((wide.width, wide.height) === ((70000, 2)))
+  }
+
+  test("JPEG: marker walk skips APP segments and reads SOF0 height-then-width") {
+    val m = MultimodalOps.parseHeader(1L, "image", jpeg(1920, 1080))
+    assert((m.width, m.height, m.n_frames) === ((1920, 1080, 1)))
+    // a JPEG with no SOF (SOI + APP0 + EOI) quarantines instead of throwing
+    val noSof = jpeg(8, 8).take(20) ++ Array(0xff, 0xd9).map(_.toByte)
+    val q = MultimodalOps.parseHeader(2L, "image", noSof)
+    assert((q.width, q.height, q.n_frames) === ((-1, -1, -1)))
+  }
+
+  test("WAV: fmt chunk fields and PCM frame count from the data chunk") {
+    val m = MultimodalOps.parseHeader(1L, "audio", wav(44100, 2, 400, 4))
+    assert(m.width === 44100, "sample rate")
+    assert(m.height === 2, "channels")
+    assert(m.n_frames === 100, "PCM frames = data size / block align")
+  }
+
+  test("unknown magics and truncated blobs quarantine as (-1,-1,-1), never throw") {
+    for (b <- Seq(Array[Byte](), Array[Byte](1, 2, 3),
+        "RIFFxxxxJUNK".getBytes("US-ASCII"),
+        Array(0xff, 0xd8).map(_.toByte), // bare SOI
+        png(4, 4).take(20))) { // PNG signature but truncated IHDR
+      val m = MultimodalOps.parseHeader(9L, "x", b)
+      assert((m.width, m.height, m.n_frames) === ((-1, -1, -1)), b.mkString(","))
+      assert(m.n_bytes === b.length)
+    }
+  }
+
+  test("decodeHeader routes real and synthetic containers through one Dataset pass") {
+    val sp = spark
+    import sp.implicits._
+    val grft = ("GRFT".getBytes("US-ASCII") :+ 0.toByte :+ 12.toByte :+
+      0.toByte :+ 8.toByte :+ 0.toByte :+ 3.toByte) ++ Array[Byte](0, 0, 0, 0)
+    val rows = Seq(
+      MediaRow(1L, png(320, 240), "image"),
+      MediaRow(2L, jpeg(64, 32), "image"),
+      MediaRow(3L, wav(16000, 1, 64, 2), "audio"),
+      MediaRow(4L, grft, "video"),
+      MediaRow(5L, Array[Byte](1, 2), "junk"))
+    val out = MultimodalOps.decodeHeader(rows.toDS())
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
+    assert(out(1L) === ((320, 240, 1)))
+    assert(out(2L) === ((64, 32, 1)))
+    assert(out(3L) === ((16000, 1, 32)))
+    assert(out(4L) === ((12, 8, 3)))
+    assert(out(5L) === ((-1, -1, -1)))
+  }
+}

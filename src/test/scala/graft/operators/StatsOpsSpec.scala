@@ -140,6 +140,39 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q57 sharded packing: same greedy math per (source, shard), distinct global bins") {
+    // the hot-source escape composes the window key; each shard must run
+    // the SAME cumulative-boundary binning over its own doc_id-ordered
+    // slice, with local bins mapped to bin * shards + shard
+    val shards = 4
+    val docs = graft.util.Tables.documents(spark, d)
+    val rows = StatsOps.packSequences(docs, shards = shards).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val base = StatsOps.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // same universe and token counts, packing key aside
+    assert(rows.map(r => (r._1, r._2, r._3)).sortBy(_._1).toSeq ===
+      base.map(r => (r._1, r._2, r._3)).sortBy(_._1).toSeq)
+    // independent recompute: shard = xxhash64(doc_id) % shards (Spark's
+    // pmod — recomputed via the engine to avoid reimplementing xxhash)
+    val shardOf = docs
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(shards.toLong)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    for (((_, sh), docsIn) <- rows.groupBy(r => (r._2, shardOf(r._1)))) {
+      var before = 0L
+      docsIn.sortBy(_._1).foreach { case (id, _, n, _) =>
+        val expected = (before / StatsOps.packCapacity) * shards + sh
+        assert(byId(id) === expected, s"doc $id shard $sh bin")
+        before += n
+      }
+    }
+    // shards = 1 must be bit-identical to the oracle-pinned q57 entry
+    val q57 = StatsOps.queries("q57_pack_sequences")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(q57.sortBy(_._1).toSeq === base.sortBy(_._1).toSeq)
+  }
+
   test("q59 coverage curve: ranks contiguous, freqs non-increasing, cum_share monotone to <= 1") {
     val rows = TextOps.queries("q59_vocab_coverage")(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
