@@ -46,6 +46,30 @@ object EventStreams {
   final case class SessionAgg(user_id: Long, n_events: Long, last_ts: Long)
   final case class SessionOut(user_id: Long, n_events: Long, closed: Boolean)
 
+  /** The same gap-sessionization via the BUILT-IN `session_window`
+    * aggregation — the watermark-native dual of [[sessionize]] (and the
+    * streaming dual of batch q22): per-user sessions grow while events
+    * arrive within `gap`, and a session emits exactly once, with its final
+    * count, when the watermark passes its end (Append semantics). Where
+    * [[sessionize]] closes a session only when that USER's next event
+    * arrives past the gap (and additionally streams running counts),
+    * this one closes on global event-time progress — the right tool when
+    * downstream wants only finalized sessions and eviction must not wait
+    * on per-key traffic. State is bounded by the watermark, merge-able
+    * map-side like any windowed agg. EventStreamsSpec pins the two
+    * formulations emitting IDENTICAL closed sessions on one input.
+    */
+  def sessionizeBuiltin(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+
   /** Custom per-user session state via flatMapGroupsWithState: events more
     * than `gapMs` after the previous one close the session and open a new
     * one. Every session CLOSED within the batch emits its final count

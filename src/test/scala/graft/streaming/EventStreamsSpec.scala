@@ -110,6 +110,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window closes the same sessions as flatMapGroupsWithState") {
+    // the two sessionization APIs differ in WHEN a session can close
+    // (per-user next event vs global watermark) but must agree on WHAT
+    // closed: same (user, final count) sessions from the same stream.
+    // Times are chosen so every fMGWS-closed session also has its end
+    // passed by the final watermark (11:15, zero delay), while the
+    // trailing one-event sessions (ends 11:30/11:32/11:45) stay open in
+    // BOTH formulations.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val batch1 = Seq(
+      Evt(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Evt(2, ts("2024-01-01 10:01:00"), 7, "view", 1.0),
+      Evt(3, ts("2024-01-01 10:02:00"), 8, "click", 1.0))
+    val batch2 = Seq(
+      Evt(4, ts("2024-01-01 11:00:00"), 7, "click", 1.0), // closes u7's pair
+      Evt(5, ts("2024-01-01 11:02:00"), 8, "click", 1.0), // closes u8's single
+      Evt(6, ts("2024-01-01 11:15:00"), 99, "probe", 1.0)) // watermark push
+    val inA = MemoryStream[Evt]
+    val inB = MemoryStream[Evt]
+    val qA = sessionize(inA.toDS()).writeStream
+      .format("memory").queryName("sess_fmgws").outputMode(OutputMode.Update()).start()
+    val qB = sessionizeBuiltin(inB.toDF(), watermark = "0 seconds").writeStream
+      .format("memory").queryName("sess_builtin").outputMode(OutputMode.Append()).start()
+    try {
+      for (b <- Seq(batch1, batch2)) {
+        inA.addData(b); qA.processAllAvailable()
+        inB.addData(b); qB.processAllAvailable()
+      }
+      val closedA = sp.sql(
+        "SELECT user_id, n_events FROM sess_fmgws WHERE closed")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val closedB = sp.sql(
+        "SELECT user_id, n_events FROM sess_builtin")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(closedA === Set((7L, 2L), (8L, 1L)), s"fMGWS closed $closedA")
+      assert(closedB === closedA,
+        s"session_window closed $closedB != flatMapGroupsWithState $closedA")
+      // and the built-in window's bounds are the session's actual extent:
+      // first event to last event + gap
+      val bounds = sp.sql(
+        "SELECT user_id, CAST(s_start AS STRING), CAST(s_end AS STRING) FROM sess_builtin ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(bounds.toSeq === Seq(
+        (7L, "2024-01-01 10:00:00", "2024-01-01 10:31:00"),
+        (8L, "2024-01-01 10:02:00", "2024-01-01 10:32:00")))
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("file-based streaming source reads the events table incrementally") {
     val sp = spark
     // batch-equivalence check: streaming over the parquet dir produces the
