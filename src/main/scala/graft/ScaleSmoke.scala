@@ -43,20 +43,31 @@ object ScaleSmoke {
   // q62/q65/q70 joined r10: the two composed-pipeline scale claims that
   // had no 10× data point (r9 verdict #3) and the new bucket-bounded
   // IVF-PQ search (its probe join must stay flat when lists grow 10×)
+  // q71 joined late-r10: the window explode is the corpus's token count —
+  // the largest shuffle input of any dedup operator — and the planted
+  // near-dups (every 33rd doc shares all but its tail token) give it real
+  // duplicated windows to find at 10×. q72/q73 are compositions of
+  // already-smoked stages (q41-style assign+mean aggs; the q45 chain plus
+  // three equi-joins) with no new distribution risk.
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
     "q40_lsh_jaccard_verified", "q45_dedup_clusters",
     "q49_minhash_estimate", "q43_ivf_search", "q66_pq_adc_topk",
     "q67_decontam_flags", "q69_unigram_surprisal",
-    "q62_embedding_clusters", "q65_cluster_reps", "q70_ivfpq_topk")
+    "q62_embedding_clusters", "q65_cluster_reps", "q70_ivfpq_topk",
+    "q71_window_dedup")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
   // adaptive local threshold, so the star iteration itself runs against a
   // hot component
+  // q71 on the skew corpus: the 20%-identical boilerplate concentrates
+  // every boilerplate window hash on one key with ~2k docs — the window
+  // count groupBy and the join back both take a hot key that must stay
+  // row-shaped (streamed/AQE-split), the exact q36/q40 discipline
   private val skewQueries = Seq(
     "q34_ngram_jaccard", "q36_simhash", "q40_lsh_jaccard_verified",
-    "q45_dedup_clusters")
+    "q45_dedup_clusters", "q71_window_dedup")
 
   /** Alarm bar for the worst in-stage straggler ratio: a bounded-bucket
     * plan whose max task runs ≥10× its stage median has a hot task, which

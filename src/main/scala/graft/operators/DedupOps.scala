@@ -125,6 +125,27 @@ object DedupOps {
         .agg(count(lit(1)).as("n_hits"))
     }),
 
+    // Exact substring-window dedup [Lee et al., ACL'22 "Deduplicating
+    // Training Data Makes Language Models Better" — the hashed-window
+    // formulation of its ExactSubstr method]: flag every document sharing
+    // any exact 20-token window with ANOTHER document, with the count of
+    // its shared windows. Where q30 needs whole-document equality and
+    // q34/q35 score set overlap, this catches verbatim PASSAGE reuse —
+    // quotes, licenses, templated paragraphs — the published motivation
+    // for substring-level dedup.
+    //
+    // Scale shape: the window explode is corpus-linear (~n_tokens rows per
+    // doc — the same linear blowup the suffix-array original pays, here as
+    // data parallelism instead of a global sort); windows collapse to a
+    // per-(doc, hash) row BEFORE any join (array_distinct on the hash
+    // array, row-local), the per-hash document count is a combiner-
+    // friendly groupBy on the hash, and flagged docs come from one
+    // equi-join of that (duplicated-hash-only, tiny in practice) table
+    // back to the per-doc rows — never a corpus self-join. md5 keys keep
+    // the DuckDB oracle exact; at 100 TB the key would be xxhash64 (same
+    // plan, 8-byte shuffle keys).
+    "q71_window_dedup" -> ((s, d) => windowDedup(documents(s, d))),
+
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
     // → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.3.
     //
@@ -326,6 +347,40 @@ object DedupOps {
     if (finish) finishAndRelease(out, sim) else out
   }
 
+  /** q71's operator body, reusable over any (doc_id, text) frame: flag
+    * documents sharing any exact `w`-token window with another document
+    * (hashed-window ExactSubstr — see the q71 entry's scaladoc for the
+    * method citation and scale shape). Windows dedup WITHIN a document
+    * before any join (array_distinct over the hash array, row-local), so a
+    * window repeated only inside one doc never flags it; `n_dup_windows`
+    * counts the doc's distinct windows that some OTHER doc also contains.
+    * Documents shorter than `w` tokens have no window and report 0 —
+    * sequence(0, negative) would generate a DESCENDING range, so the
+    * length gate is load-bearing, not cosmetic.
+    */
+  def windowDedup(docs: DataFrame, w: Int = 20): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    // two consumers (the shared-window aggregate and the join-back probe):
+    // persist so the corpus is scanned and window-hashed ONCE — the md5
+    // per (token × w) is the operator's dominant row-local cost
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(t) - $w),
+              i -> md5(array_join(slice(t, i + 1, $w), ' ')))"""))).as("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    val dupCounts = wins.join(shared, "wh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    val res = docs.select("doc_id").join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)) > 0).as("flagged"))
+    finishAndRelease(res, wins)
+  }
+
   /** MinHash signature → 4 band keys → colliding (id_a, id_b) candidate
     * pairs. Shared by q35 and q40's composition.
     *
@@ -405,6 +460,23 @@ object DedupOps {
          FROM grams g JOIN ev USING (g)
          WHERE g.doc_id >= 10
          GROUP BY g.doc_id""",
+
+    "q71_window_dedup" ->
+      """WITH wins AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, start + 1, start + 20), ' ')) AS wh
+           FROM (
+             SELECT doc_id, toks, unnest(range(0, len(toks) - 19)) AS start
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a
+             WHERE len(toks) >= 20) b),
+         shared AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+         counts AS (
+           SELECT doc_id, count(*) AS n_dup_windows
+           FROM wins JOIN shared USING (wh) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                coalesce(c.n_dup_windows, 0) > 0 AS flagged
+         FROM documents d LEFT JOIN counts c USING (doc_id)""",
 
     "q34_ngram_jaccard" ->
       s"""WITH sh0 AS ($duckShingles),

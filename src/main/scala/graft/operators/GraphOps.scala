@@ -278,8 +278,55 @@ object GraphOps {
         .select(col("cluster_id"), col("best.doc_id").as("rep_id"),
           (-col("best.ns")).as("rep_score"), col("n_members"))
       DedupOps.finishAndRelease(res, clusters)
+    }),
+
+    // The whole-pipeline disposition report: every document's dedup fate
+    // and the document that replaces it — what a production pipeline logs
+    // so "why was my doc dropped" is answerable. Statuses: `kept` (the
+    // doc IS its q45 cluster's best-quality representative), `exact_dup`
+    // (a byte-identical-after-normalization twin with a smaller doc_id
+    // exists — q33's fingerprint), else `near_dup` (dropped in favor of a
+    // better cluster member). `kept_id` is always the cluster
+    // representative (= doc_id when kept). A representative is never an
+    // exact_dup: same fingerprint ⇒ same text ⇒ same quality score, and
+    // the rep argmin breaks score ties on MIN doc_id, so a rep is always
+    // its own fingerprint-group keeper. Scale shape: the rep argmax and
+    // fingerprint-keeper min are both map-side-combinable aggs; the final
+    // assembly is three equi-joins on doc_id/fp/cluster_id — no new
+    // machinery beyond q45's clustering.
+    "q73_dedup_disposition" -> ((s, d) => {
+      val clusters = queries("q45_dedup_clusters")(s, d)
+      DedupOps.finishAndRelease(
+        dedupDisposition(documents(s, d), clusters), clusters)
     })
   )
+
+  /** q73's operator body, reusable over any (doc_id, text) frame plus its
+    * (doc_id, cluster_id) near-dup clustering (q45's output, or any other
+    * cluster source — the sf fixture has no normalized-identical twins, so
+    * specs plant them through this seam).
+    */
+  private[operators] def dedupDisposition(docs: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"),
+        round(TextOps.qualityScoreCol(col("text")), 4).as("score"))
+    val reps = scored.join(clusters, "doc_id")
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("best.doc_id").as("rep_id"))
+    val fp = docs.select(col("doc_id"),
+      TextOps.fingerprintCol(col("text")).as("fp"))
+    val fpKeeper = fp.groupBy("fp").agg(min("doc_id").as("fp_keeper"))
+    fp.join(fpKeeper, "fp")
+      .join(clusters, "doc_id")
+      .join(reps, "cluster_id")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("rep_id"), "kept")
+          .when(col("doc_id") =!= col("fp_keeper"), "exact_dup")
+          .otherwise("near_dup").as("status"),
+        col("rep_id").as("kept_id"))
+  }
 
   // Recursive-CTE transitive closure over the same candidate pairs —
   // tractable at oracle scale (tens of pairs at sf0.01), where the
@@ -321,6 +368,38 @@ object GraphOps {
            FROM clusters c JOIN scored s USING (doc_id))
          SELECT cluster_id, doc_id AS rep_id, score AS rep_score, n_members
          FROM ranked WHERE rn = 1""",
+
+    "q73_dedup_disposition" ->
+      s"""WITH clusters AS (SELECT * FROM ($q45OracleSql) c45),
+         scored AS (
+           SELECT doc_id,
+             round(least(1.0, n_tokens/200.0)
+               * (CASE WHEN avg_wlen BETWEEN 2.5 AND 8.0 THEN 1.0 ELSE 0.5 END), 4) AS score
+           FROM (
+             SELECT doc_id,
+                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                    (CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1)
+                      / CAST(len(string_split(text,' ')) AS BIGINT) AS avg_wlen
+             FROM documents) a),
+         reps AS (
+           SELECT cluster_id, doc_id AS rep_id FROM (
+             SELECT c.cluster_id, s.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.score DESC, s.doc_id) AS rn
+             FROM clusters c JOIN scored s USING (doc_id)) r WHERE rn = 1),
+         fp AS (SELECT doc_id,
+                  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+                FROM documents),
+         fpk AS (SELECT fp, min(doc_id) AS fp_keeper FROM fp GROUP BY fp)
+         SELECT f.doc_id,
+           CASE WHEN f.doc_id = r.rep_id THEN 'kept'
+                WHEN f.doc_id != k.fp_keeper THEN 'exact_dup'
+                ELSE 'near_dup' END AS status,
+           CAST(r.rep_id AS BIGINT) AS kept_id
+         FROM fp f
+         JOIN fpk k USING (fp)
+         JOIN clusters c USING (doc_id)
+         JOIN reps r USING (cluster_id)""",
 
     "q62_embedding_clusters" ->
       s"""WITH RECURSIVE

@@ -79,6 +79,42 @@ object SimilarityOps {
       .orderBy("qid", "rn")
   }
 
+  /** Rounded squared-L2 distance between vector columns `a` and `b` —
+    * rounding before any argmin keeps near-ties engine-stable (the q61
+    * device).
+    */
+  private def rSqDist(a: String, b: String) = round(expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"), 6)
+
+  /** One Lloyd iteration refining [[centroidsOf]]'s label-mean seed: assign
+    * every vector to its nearest seed centroid by rounded squared L2 (the
+    * argmin is a map-side-combinable MIN of a (dist, c_label) struct — one
+    * aggregation exchange, no window sort), then recompute each cluster's
+    * mean. This is real k-means training for the IVF coarse quantizer —
+    * the label-mean seeds elsewhere stand in for it only because unbounded
+    * iteration counts diverge across engines; ONE iteration from a
+    * deterministic seed with rounded assignment distances stays
+    * oracle-exact. Scale shape per iteration: broadcast k×dim centroids,
+    * one narrow assignment map + argmin exchange, one posexplode mean
+    * aggregation — the corpus never shuffles on anything wider than
+    * (vec_id) and (c_label, pos). A cluster that loses every member simply
+    * emits no refined centroid (standard empty-cluster drop).
+    */
+  private[operators] def kmeansRefined(base: DataFrame): DataFrame = {
+    val assigned = base.select(col("vec_id"), col("e"))
+      .join(broadcast(centroidsOf(base)))
+      .withColumn("dist", rSqDist("e", "ce"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("best.c_label").as("k_label"))
+    base.select(col("vec_id"), col("e")).join(assigned, "vec_id")
+      .select(col("k_label"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("k_label").as("c_label"), col("pos"))
+      .agg(avg("x").as("cx"))
+      .groupBy("c_label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("ce"))
+  }
+
   /** PQ geometry: 64 dims = 8 subspaces × 8 dims, 10 codewords each. */
   private[operators] val pqSub = 8
 
@@ -345,6 +381,9 @@ object SimilarityOps {
     // per vector — the compressed representation, which is the entire
     // memory point of PQ), joined to the broadcast LUT and aggregated
     // map-side; raw embeddings are touched only to build codebook + LUT.
+    // This is the EXHAUSTIVE variant (every code row scores); q70 is the
+    // IVF-bounded composition that scores only probed inverted lists —
+    // q66 stays as the recall reference its specs measure against.
     "q66_pq_adc_topk" -> ((s, d) => {
       val base = prepped(s, d)
       // both the code-assignment branch and the query LUT consume the
@@ -383,6 +422,24 @@ object SimilarityOps {
     // per-candidate cost (q66's ADC). See [[ivfPqSearch]]; the oracle pins
     // the default nProbes=2, k=5 configuration.
     "q70_ivfpq_topk" -> ((s, d) => ivfPqSearch(s, d)),
+
+    // Lloyd-refined coarse quantizer: one k-means iteration from the
+    // deterministic label-mean seed, then the q41-style confusion count
+    // against the REFINED centroids (L2 assignment, rounded-argmin struct
+    // MIN). The training step q41's label means approximate — see
+    // [[kmeansRefined]]; SimilarityOpsSpec pins Lloyd's monotonicity
+    // (refined total distortion ≤ seed total distortion).
+    "q72_kmeans_refine" -> ((s, d) => {
+      val base = prepped(s, d)
+      base.select(col("vec_id"), col("label"), col("e"))
+        .join(broadcast(kmeansRefined(base)))
+        .withColumn("dist", rSqDist("e", "ce"))
+        .groupBy("vec_id", "label")
+        .agg(min(struct(col("dist"), col("c_label"))).as("best"))
+        .groupBy(col("label"), col("best.c_label").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
+    }),
 
     // IVF-style coarse quantizer: per-label centroids (computed distributed,
     // then broadcast as arrays), each vector assigned to its nearest
@@ -609,6 +666,40 @@ object SimilarityOps {
            FROM adist)
          SELECT qid, cid, adist, CAST(rn AS BIGINT) AS rn
          FROM topk WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "q72_kmeans_refine" ->
+      """WITH unpacked AS (
+           SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         seed AS (
+           SELECT label AS c_label, pos AS c_pos, avg(x) AS cx
+           FROM unpacked GROUP BY label, pos),
+         d0 AS (
+           SELECT u.vec_id, s.c_label,
+                  round(sum((u.x - s.cx) * (u.x - s.cx)), 6) AS dist
+           FROM unpacked u JOIN seed s ON s.c_pos = u.pos
+           GROUP BY u.vec_id, s.c_label),
+         a0 AS (
+           SELECT vec_id, c_label AS k_label FROM (
+             SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+             FROM d0) r WHERE rn = 1),
+         refined AS (
+           SELECT a.k_label AS c_label, u.pos AS c_pos, avg(u.x) AS cx
+           FROM unpacked u JOIN a0 a USING (vec_id)
+           GROUP BY a.k_label, u.pos),
+         d1 AS (
+           SELECT u.vec_id, u.label, c.c_label,
+                  round(sum((u.x - c.cx) * (u.x - c.cx)), 6) AS dist
+           FROM unpacked u JOIN refined c ON c.c_pos = u.pos
+           GROUP BY u.vec_id, u.label, c.c_label),
+         a1 AS (
+           SELECT vec_id, label, c_label FROM (
+             SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+             FROM d1) r WHERE rn = 1)
+         SELECT label, c_label AS assigned, count(*) AS n
+         FROM a1 GROUP BY label, assigned ORDER BY label, assigned""",
 
     "q41_ivf_assign" ->
       """WITH unpacked AS (

@@ -177,6 +177,70 @@ class GraphOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q73 disposition: kept set is exactly the q65 reps, statuses justified") {
+    val d = "/root/testdata/sf0.01"
+    val disp = GraphOps.queries("q73_dedup_disposition")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clusters = SparkEntry_q45(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = GraphOps.queries("q65_cluster_reps")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // cluster_id -> rep_id
+    assert(disp.length === clusters.size, "one disposition row per document")
+    // kept == the q65 representative set, and kept_id is always the
+    // document's own cluster's representative
+    val kept = disp.collect { case (id, "kept", _) => id }.toSet
+    assert(kept === reps.values.toSet, "kept set != q65 reps")
+    disp.foreach { case (id, status, keptId) =>
+      assert(keptId === reps(clusters(id)), s"doc $id kept_id")
+      assert((status == "kept") === (id == keptId), s"doc $id status/kept_id")
+    }
+    // every exact_dup has a normalized-identical twin with a smaller id;
+    // no near_dup or kept doc does
+    val norm = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", ""))
+    val minByNorm = norm.groupBy(_._2).map { case (t, ds) => t -> ds.map(_._1).min }
+    val normOf = norm.toMap
+    disp.foreach { case (id, status, _) =>
+      val isExact = minByNorm(normOf(id)) != id
+      assert((status == "exact_dup") === isExact, s"doc $id: $status vs exact=$isExact")
+    }
+    // the fixture has no normalized-identical twins (probed), so the two
+    // statuses it CAN produce must both occur; exact_dup is exercised by
+    // the planted test below
+    val byStatus = disp.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStatus.keySet === Set("kept", "near_dup"),
+      s"statuses seen: $byStatus")
+    spark.catalog.clearCache()
+  }
+
+  test("q73 planted exact duplicates: twin with larger id is exact_dup, rep is never one") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1 and 3 are byte-identical; 2 differs only in punctuation (same
+    // normalized form — still an exact dup); 4 is a near-dup cluster-mate
+    // with a longer (higher-quality) text; 5 is a singleton
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta gamma $long",
+      2L -> s"alpha, beta. gamma! $long",
+      3L -> s"alpha beta gamma $long",
+      4L -> s"alpha beta gamma delta epsilon zeta $long $long",
+      5L -> "solo doc nothing shared").toDF("doc_id", "text")
+    val clusters = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L)
+      .toDF("doc_id", "cluster_id")
+    val out = GraphOps.dedupDisposition(docs, clusters).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 4 has the most tokens -> highest quality score -> cluster rep
+    assert(out(4L) === (("kept", 4L)))
+    assert(out(5L) === (("kept", 5L)))
+    // doc 1 is the fingerprint keeper of the {1,2,3} twin group but loses
+    // the cluster to doc 4 -> near_dup; 2 and 3 are exact_dups of doc 1
+    assert(out(1L) === (("near_dup", 4L)))
+    assert(out(2L) === (("exact_dup", 4L)))
+    assert(out(3L) === (("exact_dup", 4L)))
+  }
+
   private def SparkEntry_q45(d: String) =
     GraphOps.queries("q45_dedup_clusters")(spark, d)
 }

@@ -169,6 +169,45 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r4 >= r2, f"recall dropped with more probes: p=4 $r4%.2f < p=2 $r2%.2f")
   }
 
+  test("q72 Lloyd step: refined centroids strictly reduce total distortion") {
+    val base = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+    val refined = SimilarityOps.kmeansRefined(base).collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Double](1).toArray).toMap
+    assert(refined.nonEmpty && refined.size <= 10, s"${refined.size} centroids")
+    assert(refined.values.forall(_.length == 64), "refined centroid dim != 64")
+    // driver-side ground truth: seed = label means; distortion of a
+    // centroid SET is sum over vectors of the min squared L2 to any
+    // centroid. Lloyd's step guarantees D(refined) <= D(seed) — a refined
+    // set computed wrongly (bad means, dropped members, mixed-up labels)
+    // has no reason to satisfy it.
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val dim = vecs.head._3.length
+    val seed = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      val m = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => m(i) += v._3(i)))
+      (0 until dim).foreach(i => m(i) /= vs.length)
+      lbl.toLong -> m
+    }
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    def distortion(cs: Iterable[Array[Double]]): Double =
+      vecs.map(v => cs.map(c => sq(v._3, c)).min).sum
+    val d0 = distortion(seed.values)
+    val d1 = distortion(refined.values)
+    info(f"distortion: seed $d0%.3f -> refined $d1%.3f")
+    assert(d1 <= d0 + 1e-6, f"Lloyd step increased distortion: $d0%.4f -> $d1%.4f")
+    // the fixture is weakly clustered, so the step must actually MOVE
+    // something (a no-op "refinement" returning the seed would also pass
+    // the inequality)
+    assert(d1 < d0 - 1e-6, "refinement changed nothing on a non-degenerate fixture")
+  }
+
   test("q41 coarse quantizer separates labels far better than chance") {
     val rows = SimilarityOps.queries("q41_ivf_assign")(spark, d).collect()
       .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
