@@ -84,6 +84,21 @@ object DedupOps {
     withShingleArray(documents(s, d))
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
 
+  /** doc_id, g — per-document DISTINCT word-5-grams (the decontamination
+    * unit of q67/q74). Row-local: transform + array_distinct before the
+    * explode, so no corpus-sized distinct shuffle; documents under 5
+    * tokens contribute nothing.
+    */
+  private def wordGrams5(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(t) - 4),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+               element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))"""
+        ))).as("g"))
+
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
@@ -110,19 +125,44 @@ object DedupOps {
     // hash join → per-doc count with map-side partials. The corpus never
     // shuffles on gram values — the only exchange is the per-doc count.
     "q67_decontam_flags" -> ((s, d) => {
-      val grams = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          """transform(sequence(1, size(t) - 4),
-               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-                 element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))"""
-          ))).as("g"))
+      val grams = wordGrams5(documents(s, d))
       val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
       grams.filter(col("doc_id") >= 10)
         .join(broadcast(evalGrams), "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // Bloom-prefiltered decontamination: q67's exact semantics through the
+    // membership-sketch plan that survives when the eval-gram set outgrows
+    // a comfortable broadcast hash table (a full benchmark suite runs to
+    // 10^7–10^8 distinct grams ≈ GBs broadcast; the Bloom filter is MBs).
+    "q74_bloom_decontam" -> ((s, d) => bloomDecontam(documents(s, d))),
+
+    // Per-document boilerplate fraction (C4-style quality signal) over the
+    // same hashed 20-token windows as q71.
+    "q75_boilerplate_frac" -> ((s, d) => boilerplateFrac(documents(s, d))),
+
+    // Boilerplate MINING: the 20 most widely shared 20-token windows with
+    // their document counts — what you read before writing the removal
+    // rules the q75 fraction would then score. Explode is corpus-linear;
+    // the count is a combiner-friendly groupBy; top-k is TakeOrdered (no
+    // global sort). Grouping directly on the window TEXT keeps the output
+    // human-readable; at 100 TB group on the hash and carry min(text) as
+    // the representative — same plan, half the shuffle width.
+    "q76_top_windows" -> ((s, d) => {
+      val docs = documents(s, d)
+      val w = 20
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"""transform(sequence(0, size(t) - $w),
+                i -> array_join(slice(t, i + 1, $w), ' '))"""))).as("win"))
+        .groupBy("win").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("win"))
+        .limit(20)
     }),
 
     // Exact substring-window dedup [Lee et al., ACL'22 "Deduplicating
@@ -358,17 +398,107 @@ object DedupOps {
     * sequence(0, negative) would generate a DESCENDING range, so the
     * length gate is load-bearing, not cosmetic.
     */
-  def windowDedup(docs: DataFrame, w: Int = 20): DataFrame = {
+  /** q74: benchmark decontamination via Bloom prefilter + exact verify —
+    * bit-identical output to q67 (`doc_id`, `n_hits` over docs sharing any
+    * word-5-gram with the eval set), different physical shape:
+    *
+    *   1. build an eval-gram Bloom filter with ONE aggregation job
+    *      (`DataFrameStatFunctions.bloomFilter` — distributed build,
+    *      driver-merged sketch, exactly a broadcast build's topology);
+    *   2. drop non-matching corpus grams ROW-LOCALLY with the codegen'd
+    *      [[graft.functions.BloomMightContain]] probe (no false negatives
+    *      by construction, ~fpp false positives);
+    *   3. exact-verify the ~fpp-sized survivor stream against the real
+    *      eval-gram set — join strategy deliberately left to the planner:
+    *      at sf it broadcasts; at 10^8 eval grams (where q67's forced
+    *      broadcast breaks down) the survivors side is tiny enough that a
+    *      shuffled join is linear in SURVIVORS, not corpus grams.
+    *
+    * The sketch build and sizing count run as eager jobs at query
+    * construction (two passes over the TINY eval side only — eval sets are
+    * benchmark-sized by contract, never corpus-sized). The corpus side
+    * stays lazy and is scanned exactly once, at action time.
+    */
+  def bloomDecontam(docs: DataFrame, fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    graft.functions.BloomFunctions.register(docs.sparkSession)
+    val grams = wordGrams5(docs)
+    val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = grams.filter(col("doc_id") >= 10)
+    val nEval = evalGrams.count() // exact sketch sizing; materializes cache
+    if (nEval == 0) {
+      // nothing to decontaminate against: the exact join below is empty;
+      // skip the sketch (BloomFilter.create requires > 0 expected items)
+      val empty = corpus.join(evalGrams, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      return finishAndRelease(empty, evalGrams)
+    }
+    val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pre = corpus.where(
+      call_function("graft_bloom_might_contain", lit(bytes), col("g")))
+    val res = pre.join(evalGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    finishAndRelease(res, evalGrams)
+  }
+
+  /** doc_id, wh — per-document DISTINCT hashed w-token windows, the unit
+    * of q71/q75. Row-local (transform + array_distinct before the
+    * explode); documents under w tokens contribute no windows. NOT
+    * persisted — callers that fan out persist and release themselves.
+    */
+  private def windowHashes(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1 token, got $w")
-    // two consumers (the shared-window aggregate and the join-back probe):
-    // persist so the corpus is scanned and window-hashed ONCE — the md5
-    // per (token × w) is the operator's dominant row-local cost
-    val wins = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"""transform(sequence(0, size(t) - $w),
               i -> md5(array_join(slice(t, i + 1, $w), ' ')))"""))).as("wh"))
+  }
+
+  /** q75: per-document boilerplate fraction — the share of a document's
+    * distinct w-token windows that also appear in at least one OTHER
+    * document (C4-style: template headers, license blocks, navigation
+    * chrome score high; original prose scores 0). Emits
+    * (doc_id, n_windows, n_dup_windows, boilerplate_frac); documents too
+    * short for any window report (0, 0, 0.0).
+    *
+    * Scale shape: same corpus-linear window explode as q71 (persisted, one
+    * scan), a combiner-friendly per-hash document count, and ONE equi-join
+    * of that count table back to the per-doc window rows — never a corpus
+    * self-join. Unlike q71 the join-back keeps ALL windows (the fraction
+    * needs the denominator), so the join input is window-table-sized on
+    * both sides — linear, hash-partitioned on a 32-char key (xxhash64 at
+    * 100 TB halves the shuffle width, same plan).
+    */
+  def boilerplateFrac(docs: DataFrame, w: Int = 20): DataFrame = {
+    val wins = windowHashes(docs, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
+    val per = wins.join(dfreq, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    val res = docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows") * lit(1.0) / col("n_windows"),
+          lit(0.0)), 4).as("boilerplate_frac"))
+    finishAndRelease(res, wins)
+  }
+
+  def windowDedup(docs: DataFrame, w: Int = 20): DataFrame = {
+    // two consumers (the shared-window aggregate and the join-back probe):
+    // persist so the corpus is scanned and window-hashed ONCE — the md5
+    // per (token × w) is the operator's dominant row-local cost
+    val wins = windowHashes(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
@@ -443,23 +573,61 @@ object DedupOps {
              s"list_min(list_transform(ms, m -> substr(m, ${1 + 8 * i}, 8))) AS h$i").mkString(", ")}
          FROM msig)"""
 
+  private val duckDecontam =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (
+         SELECT DISTINCT doc_id,
+                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+         FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+         WHERE len(t) >= 5),
+       ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+       SELECT g.doc_id, count(*) AS n_hits
+       FROM grams g JOIN ev USING (g)
+       WHERE g.doc_id >= 10
+       GROUP BY g.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY h""",
 
-    "q67_decontam_flags" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         grams AS (
+    "q67_decontam_flags" -> duckDecontam,
+
+    // q74 computes q67's EXACT result through the Bloom-prefiltered plan
+    // (false positives are eliminated by the verify join), so the oracle
+    // is identical — that identity IS the correctness claim.
+    "q74_bloom_decontam" -> duckDecontam,
+
+    "q75_boilerplate_frac" ->
+      """WITH wins AS (
            SELECT DISTINCT doc_id,
-                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
-           FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
-           WHERE len(t) >= 5),
-         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
-         SELECT g.doc_id, count(*) AS n_hits
-         FROM grams g JOIN ev USING (g)
-         WHERE g.doc_id >= 10
-         GROUP BY g.doc_id""",
+             md5(array_to_string(list_slice(toks, start + 1, start + 20), ' ')) AS wh
+           FROM (
+             SELECT doc_id, toks, unnest(range(0, len(toks) - 19)) AS start
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a
+             WHERE len(toks) >= 20) b),
+         dfreq AS (SELECT wh, count(*) AS n_docs FROM wins GROUP BY wh),
+         per AS (
+           SELECT w.doc_id, count(*) AS n_windows,
+                  sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+           FROM wins w JOIN dfreq f USING (wh) GROUP BY w.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                round(coalesce(p.n_dup * 1.0 / p.n_windows, 0), 4) AS boilerplate_frac
+         FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    "q76_top_windows" ->
+      """WITH wins AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, start + 1, start + 20), ' ') AS win
+           FROM (
+             SELECT doc_id, toks, unnest(range(0, len(toks) - 19)) AS start
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a
+             WHERE len(toks) >= 20) b)
+         SELECT win, count(*) AS n_docs
+         FROM wins GROUP BY win HAVING count(*) > 1
+         ORDER BY n_docs DESC, win LIMIT 20""",
 
     "q71_window_dedup" ->
       """WITH wins AS (

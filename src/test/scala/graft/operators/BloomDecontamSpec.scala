@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.BloomFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q74 Bloom-prefiltered decontamination: bit-identity with q67 on the
+  * real corpus, the no-false-negative contract of the probe expression,
+  * and the plan shape (the bloom filter sits UNDER the verify join on the
+  * corpus side).
+  */
+class BloomDecontamSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  private def collectAndRelease(df: DataFrame) = {
+    val rows = df.collect()
+    df.unpersist(blocking = true)
+    rows
+  }
+
+  test("q74 equals q67 on the sf corpus (fp survivors all die in verify)") {
+    val q67 = DedupOps.queries("q67_decontam_flags")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q74 = collectAndRelease(DedupOps.queries("q74_bloom_decontam")(spark, d))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q74 === q67, "bloom-prefiltered result must be exact")
+    assert(q74.nonEmpty, "fixture must actually exercise the overlap path")
+  }
+
+  test("probe has no false negatives on every eval gram") {
+    val sp = spark
+    import sp.implicits._
+    BloomFunctions.register(spark)
+    val grams = (1 to 500).map(i => s"gram-$i")
+    val df = grams.toDF("g")
+    val bloom = df.stat.bloomFilter("g", grams.size.toLong, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val misses = df.where(
+      !call_function("graft_bloom_might_contain", lit(bytes), col("g"))).count()
+    assert(misses === 0L, "a Bloom filter must never reject an inserted key")
+  }
+
+  test("probe agrees with the driver-side sketch on non-members (fpp bound)") {
+    val sp = spark
+    import sp.implicits._
+    BloomFunctions.register(spark)
+    val inserted = (1 to 1000).map(i => s"in-$i")
+    val probesOnly = (1 to 1000).map(i => s"out-$i")
+    val df = inserted.toDF("g")
+    val bloom = df.stat.bloomFilter("g", 1000L, 0.001)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // the distributed probe expression and the driver-side sketch must
+    // answer identically key-for-key (same hash path: UTF-8 bytes)
+    val sparkAnswers = probesOnly.toDF("g")
+      .select(col("g"),
+        call_function("graft_bloom_might_contain", lit(bytes), col("g")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    probesOnly.foreach { k =>
+      assert(sparkAnswers(k) === bloom.mightContainString(k),
+        s"distributed probe diverged from sketch on $k")
+    }
+    // and at fpp=0.1% the 1000 non-members should essentially all miss
+    val fps = sparkAnswers.values.count(identity)
+    assert(fps <= 10, s"implausible false-positive count $fps / 1000 at fpp=0.001")
+  }
+
+  test("plan: bloom probe filters the corpus side BELOW the verify join") {
+    val out = DedupOps.queries("q74_bloom_decontam")(spark, d)
+    val plan = out.queryExecution.executedPlan.toString
+    out.unpersist(blocking = true)
+    // InMemoryRelation's treeString prints the cached child plan, so the
+    // probe-under-join structure stays auditable on the persisted frame
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"expected the native bloom probe in the physical plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "corpus-shaped join in q74 plan")
+  }
+
+  test("empty eval side returns an empty frame, not an error") {
+    val sp = spark
+    import sp.implicits._
+    // all doc_ids >= 10 → no eval docs → zero eval grams
+    val docs = Seq((10L, "a b c d e f g"), (11L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    val out = collectAndRelease(DedupOps.bloomDecontam(docs))
+    assert(out.isEmpty)
+  }
+}
