@@ -12,7 +12,7 @@ object Bench {
     * probe absorbs one-off scheduler hiccups without hiding sustained
     * contention.
     */
-  private def calibrate(): Double = {
+  private[graft] def calibrate(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L
@@ -24,8 +24,32 @@ object Bench {
     math.min(once(), once())
   }
 
+  /** The same constant-work loop on EVERY core at once (wall time for all
+    * `n` threads to finish). The single-threaded probe can read clean while
+    * 32-wide stage throughput is 3–4× down — host-level CPU oversubscription
+    * throttles aggregate throughput, not one pinned thread — so contended
+    * windows need the parallel probe to carry their own evidence. Clean
+    * box: ≈ the single-thread constant. Oversubscribed host: inflates by
+    * roughly the oversubscription factor.
+    */
+  private[graft] def calibratePar(n: Int = Runtime.getRuntime.availableProcessors): Double = {
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) System.err.print("")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val calPre = calibrate()
+    val calParPre = calibratePar()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -105,8 +129,9 @@ object Bench {
     val scanJson = scan.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val calPost = calibrate()
+    val calParPost = calibratePar()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},"calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"scan":$scanJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},"calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"scan":$scanJson,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line to a file: BENCH_r04's captured stdout was
     // truncated (q01 lost), which made the driver numbers undiagnosable

@@ -49,13 +49,18 @@ object ScaleSmoke {
   // duplicated windows to find at 10×. q72/q73 are compositions of
   // already-smoked stages (q41-style assign+mean aggs; the q45 chain plus
   // three equi-joins) with no new distribution risk.
+  // q74/q75 joined late-r10: q74 is q67's decontamination through the
+  // Bloom-prefilter plan (the probe filter's task spread at 10× is the
+  // claim); q75's join-back is window-table-sized on BOTH sides — the
+  // largest new shuffle of the round. q76 shares q75's explode+dfreq
+  // stages with only a top-20 on top, so it gets no separate slot.
   private val smokeQueries = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
     "q40_lsh_jaccard_verified", "q45_dedup_clusters",
     "q49_minhash_estimate", "q43_ivf_search", "q66_pq_adc_topk",
     "q67_decontam_flags", "q69_unigram_surprisal",
     "q62_embedding_clusters", "q65_cluster_reps", "q70_ivfpq_topk",
-    "q71_window_dedup")
+    "q71_window_dedup", "q74_bloom_decontam", "q75_boilerplate_frac")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
@@ -65,9 +70,13 @@ object ScaleSmoke {
   // every boilerplate window hash on one key with ~2k docs — the window
   // count groupBy and the join back both take a hot key that must stay
   // row-shaped (streamed/AQE-split), the exact q36/q40 discipline
+  // q75 on the skew corpus: the 20%-identical boilerplate makes every
+  // boilerplate window hash a hot key through BOTH the dfreq groupBy and
+  // the join back — and unlike q71 the join keeps all windows, so the hot
+  // key's join output is the full 2k-doc × shared-window block
   private val skewQueries = Seq(
     "q34_ngram_jaccard", "q36_simhash", "q40_lsh_jaccard_verified",
-    "q45_dedup_clusters", "q71_window_dedup")
+    "q45_dedup_clusters", "q71_window_dedup", "q75_boilerplate_frac")
 
   /** Alarm bar for the worst in-stage straggler ratio: a bounded-bucket
     * plan whose max task runs ≥10× its stage median has a hot task, which
@@ -150,13 +159,25 @@ object ScaleSmoke {
         stageNames.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
     })
 
+    // same fixed-cost single-threaded probe as Bench: a contended smoke
+    // window (host-level, invisible from inside the VM) inflates it, so
+    // the artifact carries its own contention evidence instead of needing
+    // a manual isolated re-run to adjudicate (the recurring r7–r9 pattern)
+    val calPre = Bench.calibrate()
+    // the parallel probe is the one that matters here: today's observed
+    // failure mode is host CPU oversubscription that leaves one thread at
+    // full speed while 32-wide stage throughput drops 3–4×
+    val calParPre = Bench.calibratePar()
     val out = new StringBuilder
     out.append(s"""{"docs":$nDocs,"vecs":$nVecs,"skew_docs":$nSkewDocs,"hotsrc_docs":$nHotDocs,"cpus":$cpus""")
+    out.append(f""","calibration_pre_sec":$calPre%.3f,"calibration_par_pre_sec":$calParPre%.3f""")
     var worstStraggler = 0.0
 
-    def runCase(q: String, corpusDir: File, prefix: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        gated: Boolean = true): Unit = {
+    case class Measure(wall: Double, rows: Long, nTasks: Int, maxT: Double,
+        straggler: Double, slowStages: String)
+
+    def measureOnce(corpusDir: File,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Measure = {
       spark.catalog.clearCache()
       durations.clear()
       val t0 = System.nanoTime()
@@ -178,19 +199,44 @@ object ScaleSmoke {
       // millisecond scheduling noise is not skew)
       val straggler = byStage
         .map { case (_, ds) => ds.last / math.max(ds(ds.length / 2), 0.1) }.max
-      if (gated) worstStraggler = math.max(worstStraggler, straggler)
       val slowStages = byStage.sortBy(-_._2.last).take(3)
         .map { case (sid, ds) =>
           val nm = Option(stageNames.get(sid)).getOrElse("?")
           f"[$nm n=${ds.length} max=${ds.last}%.2f med=${ds(ds.length / 2)}%.3f]"
         }.mkString(" ")
+      Measure(wall, rows, nTasks, maxT, straggler, slowStages)
+    }
+
+    def runCase(q: String, corpusDir: File, prefix: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        gated: Boolean = true): Unit = {
+      // breach-triggered retry (gated cases only, ≤3 attempts): a REAL hot
+      // task — one bucket doing orders of magnitude more work than its
+      // stage peers — is deterministic and reproduces on every attempt, so
+      // retrying never launders actual plan skew past the bar. A one-off
+      // multi-second JIT/GC/host-contention pause against a cheap stage's
+      // millisecond median produces the same max/median shape ONCE —
+      // retrying is exactly the discipline that separates the two (same
+      // role as Bench's best-of-3).
+      var m = measureOnce(corpusDir, fn)
+      var attempts = 1
+      while (gated && m.straggler >= stragglerBar && attempts < 3) {
+        System.err.println(
+          f"[scalesmoke] $prefix$q: straggler ${m.straggler}%.2f over the " +
+            f"bar on attempt $attempts — retrying to separate noise from skew")
+        m = measureOnce(corpusDir, fn)
+        attempts += 1
+      }
+      if (gated) worstStraggler = math.max(worstStraggler, m.straggler)
       System.err.println(
-        f"[scalesmoke] $prefix$q: $wall%.2f s, $rows rows, $nTasks tasks, " +
-          f"max task $maxT%.3f s, worst in-stage straggler $straggler%.2f; " +
-          s"slowest stages $slowStages")
-      out.append(f""","$prefix${q}_sec":$wall%.2f,"$prefix${q}_rows":$rows""")
-      out.append(f""","$prefix${q}_tasks":$nTasks,"$prefix${q}_max_task_sec":$maxT%.3f""")
-      out.append(f""","$prefix${q}_straggler":$straggler%.2f""")
+        f"[scalesmoke] $prefix$q: ${m.wall}%.2f s, ${m.rows} rows, ${m.nTasks} tasks, " +
+          f"max task ${m.maxT}%.3f s, worst in-stage straggler ${m.straggler}%.2f" +
+          (if (attempts > 1) s" (attempt $attempts)" else "") +
+          s"; slowest stages ${m.slowStages}")
+      out.append(f""","$prefix${q}_sec":${m.wall}%.2f,"$prefix${q}_rows":${m.rows}""")
+      out.append(f""","$prefix${q}_tasks":${m.nTasks},"$prefix${q}_max_task_sec":${m.maxT}%.3f""")
+      out.append(f""","$prefix${q}_straggler":${m.straggler}%.2f""")
+      if (attempts > 1) out.append(s""","$prefix${q}_attempts":$attempts""")
     }
 
     def runQuery(q: String, corpusDir: File, prefix: String): Unit =
@@ -221,6 +267,9 @@ object ScaleSmoke {
       runCase("q57_pack_sharded", hotSrcDir, "hotsrc_", packed(32))
     }
 
+    val calPost = Bench.calibrate()
+    val calParPost = Bench.calibratePar()
+    out.append(f""","calibration_post_sec":$calPost%.3f,"calibration_par_post_sec":$calParPost%.3f""")
     out.append(f""","straggler_bar":$stragglerBar%.1f}""")
     println(out.toString)
     // a filtered (args) run must NOT clobber the full artifact (same guard

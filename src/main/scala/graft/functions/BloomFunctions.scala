@@ -81,6 +81,16 @@ case class BloomMightContain(left: Expression, right: Expression)
 object BloomFunctions {
   @volatile private var registered = Set.empty[SparkSession]
 
+  /** Serialize a built filter to the BINARY literal form
+    * [[BloomMightContain]] probes — the one wire format shared by the
+    * batch prefilter (q74), the streaming gate, and the specs.
+    */
+  def serialize(bloom: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Register `graft_bloom_might_contain(bloomBytes, key)` so the
     * expression is reachable from `expr(...)` / `call_function(...)`. */
   def register(spark: SparkSession): Unit = synchronized {

@@ -435,11 +435,7 @@ object DedupOps {
       return finishAndRelease(empty, evalGrams)
     }
     val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
     val pre = corpus.where(
       call_function("graft_bloom_might_contain", lit(bytes), col("g")))
     val res = pre.join(evalGrams, "g")

@@ -55,6 +55,47 @@ object DocStreams {
       .agg(count(lit(1)).as("n_admitted"))
       .select(col("window.start").as("hour"), col("source"), col("n_admitted"))
 
+  /** Streaming benchmark-decontamination gate: drop any arriving document
+    * sharing a word-5-gram with the eval set, probed against a serialized
+    * Bloom filter (build it once from the static eval corpus with
+    * `df.stat.bloomFilter` + [[graft.functions.BloomFunctions.serialize]]).
+    *
+    * Deliberately CONSERVATIVE, the streaming half of batch q74's
+    * exact-verify design: the probe has no false negatives, so nothing
+    * contaminated is ever admitted; a clean document is over-dropped when
+    * ANY of its grams false-positives, so the per-document over-drop rate
+    * is ≈ n_grams × fpp, NOT fpp — size the build accordingly (a 100-gram
+    * doc mix wants fpp ≤ 1e-5 for ≤0.1% over-drop; filter size only grows
+    * linearly in -ln fpp, so tight fpp is cheap — 1e-6 is ~29 bits/key ≈
+    * 3.5 MB per million grams). The alternative — exact verification —
+    * needs a per-document aggregation over a stream-static join, i.e.
+    * watermark-delayed emission and shuffle state; a gate that sits on the
+    * ingest edge should be row-local and stateless. Run batch q74 over the
+    * admitted corpus to reconcile, the same periodic-reconciliation
+    * contract as [[dedupDocs]]'s watermark eviction.
+    *
+    * Row shape: gram transform + `exists` with the
+    * [[graft.functions.BloomMightContain]] probe inside the lambda — zero
+    * shuffle, zero state, short docs (<5 tokens, no grams) pass. `exists`
+    * short-circuits on the first hit, so contaminated docs don't pay for
+    * their remaining grams.
+    */
+  def decontaminationGate(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+    graft.functions.BloomFunctions.register(docs.sparkSession)
+    // when() guards the gram transform so sub-5-token docs never build the
+    // descending sequence(1, negative) or index past the array end under
+    // ANSI — the same load-bearing length gate as the batch shinglers
+    docs
+      .withColumn("__t", split(col("text"), " "))
+      .filter(!when(size(col("__t")) >= 5, exists(
+        expr("""transform(sequence(1, size(__t) - 4),
+                  i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1),
+                    element_at(__t, i + 2), element_at(__t, i + 3), element_at(__t, i + 4)))"""),
+        g => call_function("graft_bloom_might_contain", lit(bloomBytes), g)))
+        .otherwise(lit(false)))
+      .drop("__t")
+  }
+
   /** The full intake pipeline: quality gate → dedup. (Counts attach as a
     * separate sink off the same deduped frame.)
     *

@@ -92,6 +92,68 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamedRule.nonEmpty)
   }
 
+  test("streaming decontamination gate drops gram-sharing docs, passes clean and short docs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // eval set: two 5-grams (one never-matching decoy keeps the filter honest)
+    val evalGrams = Seq("the quick brown fox jumps", "decoy gram never seen here").toDF("g")
+    val bloom = evalGrams.stat.bloomFilter("g", 2L, 0.001)
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
+    val input = MemoryStream[Doc]
+    val q = DocStreams.decontaminationGate(input.toDF(), bytes).writeStream
+      .format("memory").queryName("decontam").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        // contains the eval 5-gram mid-document → dropped
+        Doc(1, "a b the quick brown fox jumps over c d", "en", "s", 1,
+          ts("2024-01-01 10:00:00")),
+        // clean doc, same vocabulary but never the full 5-gram → admitted
+        Doc(2, "the quick brown dog jumps over the lazy fox", "en", "s", 1,
+          ts("2024-01-01 10:01:00")),
+        // sub-5-token doc: no grams, must pass (not crash under ANSI)
+        Doc(3, "four tokens only here", "en", "s", 1, ts("2024-01-01 10:02:00")),
+        // exact eval text with nothing around it → dropped
+        Doc(4, "the quick brown fox jumps", "en", "s", 1, ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val ids = sp.sql("SELECT doc_id FROM decontam ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming gate agrees with batch q74 flags on the sf corpus (no false negatives)") {
+    val sp = spark
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.util.Tables.documents(sp, d)
+    // build the eval filter exactly as batch q74 does (docs < 10 are eval)
+    val grams = graft.operators.DedupOps.queries("q67_decontam_flags")(sp, d)
+    val flagged = grams.select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalDocs = docs.filter("doc_id < 10")
+    val evalGramSet = evalDocs
+      .selectExpr("split(text, ' ') AS t")
+      .filter("size(t) >= 5")
+      .selectExpr("explode(array_distinct(transform(sequence(1, size(t) - 4), " +
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), " +
+        "element_at(t, i+2), element_at(t, i+3), element_at(t, i+4))))) AS g")
+      .distinct()
+    val n = evalGramSet.count()
+    // per-DOC over-drop ≈ n_grams × fpp (the gate's scaladoc formula):
+    // at 1e-6 over ~60-gram docs the expected clean-doc loss is ~0
+    val bloom = evalGramSet.stat.bloomFilter("g", n, 1e-6)
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
+    // run the gate in BATCH mode (same column expressions either way) over
+    // the corpus side; every q67/q74-flagged doc must be dropped — the
+    // no-false-negative half of the contract
+    val admitted = DocStreams.decontaminationGate(docs.filter("doc_id >= 10"), bytes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.intersect(admitted).isEmpty,
+      s"contaminated docs admitted: ${flagged.intersect(admitted)}")
+    val corpusN = docs.filter("doc_id >= 10").count()
+    assert(admitted.size >= corpusN - flagged.size - 2,
+      s"gate over-dropped: ${corpusN - flagged.size - admitted.size} clean docs")
+  }
+
   test("windowed admission counts aggregate per source and hour") {
     val sp = spark
     import sp.implicits._
