@@ -38,13 +38,22 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == BinaryType &&
-        right.dataType == org.apache.spark.sql.types.StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
+    if (left.dataType != BinaryType ||
+        right.dataType != org.apache.spark.sql.types.StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"graft_bloom_might_contain expects (BINARY, STRING), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (!left.foldable)
+      // the filter deserializes once from left.eval() with NO input row
+      // (see `filter` below) — a per-row bloom column would throw at task
+      // time on the unbound attribute (or worse, silently probe one stale
+      // filter); reject it at ANALYSIS time instead, like Spark's own
+      // BloomFilterMightContain does
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_might_contain requires a constant (foldable) filter " +
+          "argument — a serialized BloomFilter literal, not a per-row column")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   // The filter deserializes ONCE per task (first eval) from the literal
@@ -79,7 +88,6 @@ case class BloomMightContain(left: Expression, right: Expression)
 }
 
 object BloomFunctions {
-  @volatile private var registered = Set.empty[SparkSession]
 
   /** Serialize a built filter to the BINARY literal form
     * [[BloomMightContain]] probes — the one wire format shared by the
@@ -91,14 +99,15 @@ object BloomFunctions {
     bos.toByteArray
   }
 
-  /** Register `graft_bloom_might_contain(bloomBytes, key)` so the
-    * expression is reachable from `expr(...)` / `call_function(...)`. */
-  def register(spark: SparkSession): Unit = synchronized {
-    if (!registered.contains(spark)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_bloom_might_contain",
-        exprs => BloomMightContain(exprs.head, exprs(1)), "scala_udf")
-      registered += spark
-    }
-  }
+  /** Register `graft_bloom_might_contain(bloomBytes, key)` on the session.
+    * Unconditional: createOrReplaceTempFunction is idempotent and cheap
+    * (register runs once per QUERY construction, not per row), and a
+    * seen-session guard would either strongly pin every stopped session's
+    * state graph for the JVM lifetime (Set[SparkSession]) or need
+    * non-public session identity.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => BloomMightContain(exprs.head, exprs(1)), "scala_udf")
 }

@@ -89,15 +89,26 @@ object DedupOps {
     * explode, so no corpus-sized distinct shuffle; documents under 5
     * tokens contribute nothing.
     */
+  /** The word-5-gram ARRAY expression over a token-array column — THE gram
+    * definition, shared by the batch decontaminators (q67/q74 via
+    * [[wordGrams5]]) and the streaming gate
+    * ([[graft.streaming.DocStreams.decontaminationGate]]): the gate's
+    * "reconcile with batch q74" contract is only sound while both sides
+    * tokenize and gram identically, so there is exactly one definition.
+    * Callers MUST gate on `size(tokCol) >= 5` first (sequence(1, negative)
+    * descends; element_at past the end throws under ANSI).
+    */
+  private[graft] def gram5ArrayExpr(tokCol: String): String =
+    s"""transform(sequence(1, size($tokCol) - 4),
+          i -> concat_ws(' ', element_at($tokCol, i), element_at($tokCol, i + 1),
+            element_at($tokCol, i + 2), element_at($tokCol, i + 3), element_at($tokCol, i + 4)))"""
+
   private def wordGrams5(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(t) - 4),
-             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-               element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))"""
-        ))).as("g"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(gram5ArrayExpr("t")))).as("g"))
 
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -387,17 +398,6 @@ object DedupOps {
     if (finish) finishAndRelease(out, sim) else out
   }
 
-  /** q71's operator body, reusable over any (doc_id, text) frame: flag
-    * documents sharing any exact `w`-token window with another document
-    * (hashed-window ExactSubstr — see the q71 entry's scaladoc for the
-    * method citation and scale shape). Windows dedup WITHIN a document
-    * before any join (array_distinct over the hash array, row-local), so a
-    * window repeated only inside one doc never flags it; `n_dup_windows`
-    * counts the doc's distinct windows that some OTHER doc also contains.
-    * Documents shorter than `w` tokens have no window and report 0 —
-    * sequence(0, negative) would generate a DESCENDING range, so the
-    * length gate is load-bearing, not cosmetic.
-    */
   /** q74: benchmark decontamination via Bloom prefilter + exact verify —
     * bit-identical output to q67 (`doc_id`, `n_hits` over docs sharing any
     * word-5-gram with the eval set), different physical shape:
@@ -425,22 +425,32 @@ object DedupOps {
     val grams = wordGrams5(docs)
     val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpus = grams.filter(col("doc_id") >= 10)
-    val nEval = evalGrams.count() // exact sketch sizing; materializes cache
-    if (nEval == 0) {
-      // nothing to decontaminate against: the exact join below is empty;
-      // skip the sketch (BloomFilter.create requires > 0 expected items)
-      val empty = corpus.join(evalGrams, "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      return finishAndRelease(empty, evalGrams)
+    // the eager sizing/sketch jobs below can throw (executor loss, sketch
+    // OOM) — the persisted eval frame must not outlive the failed call
+    // (same discipline as GraphOps' star-round finally)
+    var handedOff = false
+    try {
+      val corpus = grams.filter(col("doc_id") >= 10)
+      val nEval = evalGrams.count() // exact sketch sizing; materializes cache
+      val res = if (nEval == 0) {
+        // nothing to decontaminate against: the exact join below is empty;
+        // skip the sketch (BloomFilter.create requires > 0 expected items)
+        corpus.join(evalGrams, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      } else {
+        val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
+        val bytes = graft.functions.BloomFunctions.serialize(bloom)
+        val pre = corpus.where(
+          call_function("graft_bloom_might_contain", lit(bytes), col("g")))
+        pre.join(evalGrams, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      }
+      val out = finishAndRelease(res, evalGrams)
+      handedOff = true // finishAndRelease released evalGrams on success
+      out
+    } finally {
+      if (!handedOff) evalGrams.unpersist(false)
     }
-    val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
-    val bytes = graft.functions.BloomFunctions.serialize(bloom)
-    val pre = corpus.where(
-      call_function("graft_bloom_might_contain", lit(bytes), col("g")))
-    val res = pre.join(evalGrams, "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    finishAndRelease(res, evalGrams)
   }
 
   /** doc_id, wh — per-document DISTINCT hashed w-token windows, the unit
@@ -490,6 +500,17 @@ object DedupOps {
     finishAndRelease(res, wins)
   }
 
+  /** q71's operator body, reusable over any (doc_id, text) frame: flag
+    * documents sharing any exact `w`-token window with another document
+    * (hashed-window ExactSubstr — see the q71 entry's scaladoc for the
+    * method citation and scale shape). Windows dedup WITHIN a document
+    * before any join (array_distinct over the hash array, row-local), so a
+    * window repeated only inside one doc never flags it; `n_dup_windows`
+    * counts the doc's distinct windows that some OTHER doc also contains.
+    * Documents shorter than `w` tokens have no window and report 0 —
+    * sequence(0, negative) would generate a DESCENDING range, so the
+    * length gate is load-bearing, not cosmetic.
+    */
   def windowDedup(docs: DataFrame, w: Int = 20): DataFrame = {
     // two consumers (the shared-window aggregate and the join-back probe):
     // persist so the corpus is scanned and window-hashed ONCE — the md5

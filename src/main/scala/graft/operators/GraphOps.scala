@@ -287,10 +287,15 @@ object GraphOps {
     // (a byte-identical-after-normalization twin with a smaller doc_id
     // exists — q33's fingerprint), else `near_dup` (dropped in favor of a
     // better cluster member). `kept_id` is always the cluster
-    // representative (= doc_id when kept). A representative is never an
-    // exact_dup: same fingerprint ⇒ same text ⇒ same quality score, and
-    // the rep argmin breaks score ties on MIN doc_id, so a rep is always
-    // its own fingerprint-group keeper. Scale shape: the rep argmax and
+    // representative (= doc_id when kept). The `kept` branch is checked
+    // BEFORE `exact_dup`, and that ORDER is load-bearing: the fingerprint
+    // normalizes text (lowercase, punctuation stripped), so two docs can
+    // share a fingerprint yet differ in raw text and quality score — the
+    // higher-scoring punctuated twin can win the rep argmax while the
+    // smaller-id plain twin holds the fingerprint-keeper min, making the
+    // rep NOT its own fp_keeper. Checking `kept` first keeps the report
+    // self-consistent (a cluster's representative is never reported
+    // dropped). Scale shape: the rep argmax and
     // fingerprint-keeper min are both map-side-combinable aggs; the final
     // assembly is three equi-joins on doc_id/fp/cluster_id — no new
     // machinery beyond q45's clustering.

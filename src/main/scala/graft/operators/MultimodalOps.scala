@@ -76,8 +76,14 @@ object MultimodalOps {
       var i = 2
       var out: MediaMeta = null
       while (out == null && i + 1 < b.length && (b(i) & 0xff) == 0xff) {
-        val m = b(i + 1) & 0xff
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        // T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a
+        // marker — the marker code is the first non-FF byte after them
+        while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+        // fill bytes ran to EOF: no marker code left to read → quarantine
+        val m = if (i + 1 < b.length) b(i + 1) & 0xff else { i = b.length; 0 }
+        if (i >= b.length) {
+          // fall through to the while condition and exit with out == null
+        } else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           // SOF segment: [len u16][precision u8][height u16][width u16]
           if (i + 8 < b.length)
             out = MediaMeta(docId, kind, u16be(i + 7), u16be(i + 5), 1, b.length)
@@ -94,14 +100,20 @@ object MultimodalOps {
       // u16 LE), data (frames = size / block align)
       var i = 12
       var rate = -1; var channels = -1; var blockAlign = 0; var frames = -1
-      while (i + 8 <= b.length) {
-        val size = u32le(i + 4)
+      var ok = true
+      while (ok && i + 8 <= b.length) {
+        // chunk size is UNSIGNED u32: read into a Long, or a hostile size
+        // ≥ 2^31 turns negative as an Int and the walk either spins in
+        // place (advance of 0) or indexes b(negative) — one corrupt blob
+        // must quarantine, not hang an executor or throw
+        val size = u32le(i + 4).toLong & 0xffffffffL
         if (ascii(i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
           channels = u16le(i + 10); rate = u32le(i + 12); blockAlign = u16le(i + 20)
         } else if (ascii(i, "data") && blockAlign > 0) {
-          frames = size / blockAlign
+          frames = math.min(size / blockAlign, Int.MaxValue.toLong).toInt
         }
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        val next = i.toLong + 8 + size + (size & 1) // chunks are word-aligned
+        if (next > b.length) ok = false else i = next.toInt
       }
       if (rate < 0) MediaMeta(docId, kind, -1, -1, -1, b.length)
       else MediaMeta(docId, kind, rate, channels, frames, b.length)

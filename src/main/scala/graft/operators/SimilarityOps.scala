@@ -140,8 +140,7 @@ object SimilarityOps {
     base.select(col("vec_id"), col("e"))
       .join(broadcast(codebook))
       .withColumn("svec", expr(s"slice(e, subspace * $pqSub + 1, $pqSub)"))
-      .withColumn("dist", round(expr(
-        "aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
+      .withColumn("dist", rSqDist("svec", "cvec"))
       .groupBy("vec_id", "subspace")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
@@ -202,8 +201,7 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("e").as("qe"))
       .join(broadcast(codebook))
       .withColumn("qsub", expr(s"slice(qe, subspace * $pqSub + 1, $pqSub)"))
-      .withColumn("qdist", round(expr(
-        "aggregate(zip_with(qsub, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
+      .withColumn("qdist", rSqDist("qsub", "cvec"))
       .select("qid", "subspace", "code", "qdist")
     // (c_label, qid, subspace, code, qdist): the per-(query, probed-cell)
     // LUT — queries × nProbes × m × k rows, the broadcast side
@@ -399,8 +397,7 @@ object SimilarityOps {
         .select(col("vec_id").as("qid"), col("e").as("qe"))
         .join(broadcast(codebook))
         .withColumn("qsub", expr(s"slice(qe, subspace * $pqSub + 1, $pqSub)"))
-        .withColumn("qdist", round(expr(
-          "aggregate(zip_with(qsub, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"), 6))
+        .withColumn("qdist", rSqDist("qsub", "cvec"))
         .select("qid", "subspace", "code", "qdist")
       val adist = codes
         .select(col("vec_id").as("cid"), col("subspace").cast("int").as("subspace"),

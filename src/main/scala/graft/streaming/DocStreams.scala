@@ -88,9 +88,7 @@ object DocStreams {
     docs
       .withColumn("__t", split(col("text"), " "))
       .filter(!when(size(col("__t")) >= 5, exists(
-        expr("""transform(sequence(1, size(__t) - 4),
-                  i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1),
-                    element_at(__t, i + 2), element_at(__t, i + 3), element_at(__t, i + 4)))"""),
+        expr(graft.operators.DedupOps.gram5ArrayExpr("__t")),
         g => call_function("graft_bloom_might_contain", lit(bloomBytes), g)))
         .otherwise(lit(false)))
       .drop("__t")

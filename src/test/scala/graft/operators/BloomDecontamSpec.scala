@@ -86,6 +86,20 @@ class BloomDecontamSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), "corpus-shaped join in q74 plan")
   }
 
+  test("a per-row (non-foldable) filter argument is rejected at analysis time") {
+    val sp = spark
+    import sp.implicits._
+    BloomFunctions.register(spark)
+    // the expression deserializes the filter ONCE from a constant; a bloom
+    // COLUMN would throw at task time (or probe one stale filter) — it
+    // must fail analysis instead
+    val df = Seq(("key", Array[Byte](1, 2, 3))).toDF("g", "bloom")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bloom_might_contain", col("bloom"), col("g"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("constant"), e.getMessage)
+  }
+
   test("empty eval side returns an empty frame, not an error") {
     val sp = spark
     import sp.implicits._

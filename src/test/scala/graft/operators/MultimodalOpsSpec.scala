@@ -76,6 +76,44 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(m.n_frames === 100, "PCM frames = data size / block align")
   }
 
+  test("JPEG: 0xFF fill bytes before a marker are spec-legal and skipped") {
+    // T.81 §B.1.1.2: any number of FF fill bytes may precede a marker.
+    // Plant two fills before SOF0 — the walk must still find it, not
+    // misread the marker byte as a length and quarantine a valid image.
+    val base = jpeg(1920, 1080)
+    val sofAt = base.indexOfSlice(Array(0xff, 0xc0).map(_.toByte))
+    val filled = base.take(sofAt) ++ Array(0xff, 0xff).map(_.toByte) ++ base.drop(sofAt)
+    val m = MultimodalOps.parseHeader(1L, "image", filled)
+    assert((m.width, m.height) === ((1920, 1080)))
+    // all-FF tail (fill bytes to EOF) terminates and quarantines
+    val fftail = Array(0xff, 0xd8).map(_.toByte) ++ Array.fill(64)(0xff.toByte)
+    val q = MultimodalOps.parseHeader(2L, "image", fftail)
+    assert((q.width, q.height, q.n_frames) === ((-1, -1, -1)))
+  }
+
+  test("WAV: hostile unsigned chunk sizes terminate and quarantine, never hang") {
+    // size 0xFFFFFFF8 is -8 as a signed Int: the unfixed walk advanced by
+    // 0 forever (one corrupt blob = one hung executor task)
+    def hostile(size: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(size)
+      bb.put(Array[Byte](0, 0, 0, 0))
+      bb.array()
+    }
+    for (size <- Seq(0xfffffff8, 0x80000010, 0x7fffffff)) {
+      val m = MultimodalOps.parseHeader(7L, "audio", hostile(size))
+      assert((m.width, m.height, m.n_frames) === ((-1, -1, -1)),
+        f"size 0x$size%08x must quarantine")
+    }
+    // a hostile chunk BEFORE a valid fmt must not mask later throws either:
+    // the walk simply stops at the unwalkable chunk and quarantines
+    val m = MultimodalOps.parseHeader(8L, "audio", hostile(0xfffffff8))
+    assert(m.n_bytes === 24)
+  }
+
   test("unknown magics and truncated blobs quarantine as (-1,-1,-1), never throw") {
     for (b <- Seq(Array[Byte](), Array[Byte](1, 2, 3),
         "RIFFxxxxJUNK".getBytes("US-ASCII"),
