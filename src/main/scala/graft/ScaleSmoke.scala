@@ -267,6 +267,20 @@ object ScaleSmoke {
       runCase("q57_pack_sharded", hotSrcDir, "hotsrc_", packed(32))
     }
 
+    // q78 hot-source section (same discipline as q57): the exact tertile
+    // split ranks within source, so 80% of the corpus in ONE source makes
+    // that rank window a single sort partition — the UNSHARDED diagnostic
+    // run documents it ungated; the approx-cutoff formulation (the 100 TB
+    // path: percentile_approx partials + broadcast cutoffs, no per-source
+    // sort) is gated.
+    if (args.isEmpty || args.contains("q78_surprisal_split")) {
+      runCase("q78_surprisal_split", hotSrcDir, "hotsrc_",
+        (s, p) => operators.TextOps.surprisalSplit(graft.util.Tables.documents(s, p)),
+        gated = false)
+      runCase("q78_split_approx", hotSrcDir, "hotsrc_",
+        (s, p) => operators.TextOps.surprisalSplitApprox(graft.util.Tables.documents(s, p)))
+    }
+
     val calPost = Bench.calibrate()
     val calParPost = Bench.calibratePar()
     out.append(f""","calibration_post_sec":$calPost%.3f,"calibration_par_post_sec":$calParPost%.3f""")

@@ -67,6 +67,121 @@ object TextOps {
       when(avgWlen.between(2.5, 8.0), 1.0).otherwise(0.5)
   }
 
+  /** q69/q78 shared body: corpus-unigram surprisal per key group.
+    * `keys` is the per-document key set ("doc_id", optionally plus
+    * functionally dependent attributes like "source" that downstream
+    * consumers need carried through). Scale shape is q48's device — the
+    * corpus explodes ONCE into the tf table (combiner-friendly groupBy),
+    * corpus frequency and total both derive from tf (vocab-sized scans,
+    * not corpus re-scans), and the per-doc mean is the tf-weighted sum
+    * over the (keys, w) rows. Per-token surprisal is rounded to 6 decimals
+    * and then INTEGERIZED to micro-bits (BIGINT), so the tf-weighted sum is
+    * exact integer arithmetic — cross-engine float-summation order cannot
+    * flip the final rounding (rounding the per-token values alone was not
+    * enough: q78's regrouping changed Spark's summation order vs q69's and
+    * one doc's mean landed a last-ulp across the 4-decimal boundary). The
+    * final 4-decimal rounding is ALSO integer arithmetic — `round(a/b)`
+    * half-up as `(2a+b) div (2b)` — because exact integer sums land on
+    * exact decimal halves, which is precisely where engine `round(double)`
+    * implementations disagree (Spark rounds the shortest decimal repr via
+    * BigDecimal, DuckDB rounds the true binary value: 48896500/10 tokens
+    * → 4.88965 → Spark 4.8897, DuckDB 4.8896). The output double is
+    * int/10⁴ — identical bits in both engines. Per-DOC micro-bit sums fit
+    * a long with ample headroom (su ≤ ~64·10⁶ micro-bits/token).
+    */
+  private def surprisalBase(docs: DataFrame, keys: Seq[String]): DataFrame = {
+    val tf = docs
+      .select(keys.map(col) :+ explode(split(col("text"), " ")).as("w"): _*)
+      .groupBy((keys :+ "w").map(col): _*).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("w").agg(sum("tf").as("freq"))
+    val total = freq.agg(sum("freq").as("total"))
+    val logp = freq.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(round(-log(2.0, col("freq") / col("total")), 6) * 1e6, 0)
+          .cast("long").as("su"))
+    tf.join(logp, "w")
+      .groupBy(keys.map(col): _*)
+      .agg(
+        // round(sum_su / (sum_tf·100), 4 decimals) in pure integer math:
+        // half-up round(a/b) = (2a+b) div (2b); then /10⁴ for the double.
+        // The division uses the Column API — inside SQL text `10000.0` is
+        // a DECIMAL literal and would silently turn the column DECIMAL.
+        (expr("(2 * sum(tf * su) + sum(tf) * 100) div (sum(tf) * 200)") / lit(10000.0))
+          .as("avg_surprisal"),
+        sum("tf").as("n_tokens"))
+  }
+
+  /** q77's operator body, reusable over any (doc_id, text) frame: the four
+    * Gopher gates as 0/1 columns plus the conjunction. Every gate is an
+    * integer inequality (see the q77 entry comment), so the bits are
+    * engine-exact. Row-local — zero shuffle at any corpus size.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // single-space tokenization: total word chars = len - (n_tokens-1)
+      .withColumn("word_chars", (length(col("text")) - col("n_tokens") + 1).cast("long"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, x -> x rlike '[a-zA-Z]'))").cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, x -> x IN ($stopList)))").cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        when(col("n_tokens").between(50, 100000), 1L).otherwise(0L).as("g_len"),
+        when(col("word_chars") >= col("n_tokens") * 3 &&
+             col("word_chars") <= col("n_tokens") * 10, 1L).otherwise(0L).as("g_wlen"),
+        when(col("n_alpha") * 10 >= col("n_tokens") * 8, 1L).otherwise(0L).as("g_alpha"),
+        when(col("n_stop") >= 2, 1L).otherwise(0L).as("g_stop"))
+      .withColumn("keep",
+        (col("g_len") === 1 && col("g_wlen") === 1 &&
+          col("g_alpha") === 1 && col("g_stop") === 1).cast("long"))
+  }
+
+  /** q78's 100 TB formulation: the same tertile split with the cutoffs from
+    * `percentile_approx` per source instead of a per-source rank window —
+    * no per-source sort partition, so one giant source cannot serialize the
+    * split (the q46 exact-oracle / approx-at-scale device; the unsharded
+    * vs sharded q57 pair is the same discipline). Scale shape: surprisal
+    * (one row per doc) is persisted once, the cutoff agg is map-side
+    * combinable (QuantileSummaries partials), the two cutoffs per source
+    * broadcast back, and the bucket compare is row-local. Cache contract:
+    * the returned frame is persisted and the caller owns `unpersist()`;
+    * the upstream surprisal cache is released before return
+    * (finishAndRelease).
+    */
+  def surprisalSplitApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val surp = surprisalBase(docs, Seq("doc_id", "source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuts = surp.groupBy("source").agg(
+      percentile_approx(col("avg_surprisal"), lit(1.0 / 3), lit(accuracy)).as("c1"),
+      percentile_approx(col("avg_surprisal"), lit(2.0 / 3), lit(accuracy)).as("c2"))
+    val out = surp.join(broadcast(cuts), "source")
+      .select(
+        col("doc_id"), col("source"), col("avg_surprisal"),
+        when(col("avg_surprisal") <= col("c1"), "head")
+          .when(col("avg_surprisal") > col("c2"), "tail")
+          .otherwise("middle").as("bucket"))
+    DedupOps.finishAndRelease(out, surp)
+  }
+
+  /** q78's operator body: per-source surprisal tertiles (see the q78 entry
+    * comment for the CCNet framing and the 100 TB approx-cutoff path).
+    */
+  def surprisalSplit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val surp = surprisalBase(docs, Seq("doc_id", "source"))
+    val w = Window.partitionBy("source").orderBy(col("avg_surprisal"), col("doc_id"))
+    surp
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .select(
+        col("doc_id"), col("source"), col("avg_surprisal"),
+        when(col("r") * 3 <= col("n"), "head")
+          .when(col("r") * 3 > col("n") * 2, "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + distinct-token stats per document.
     "q31_text_stats" -> ((s, d) => {
@@ -222,20 +337,34 @@ object TextOps {
     // shuffle-joins above it, instead of force-collecting an unbounded
     // table to the driver. Per-token surprisal is rounded before the mean
     // so cross-engine summation order cannot flip the rounded output.
-    "q69_unigram_surprisal" -> ((s, d) => {
-      val tf = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val freq = tf.groupBy("w").agg(sum("tf").as("freq"))
-      val total = freq.agg(sum("freq").as("total"))
-      val logp = freq.crossJoin(broadcast(total))
-        .select(col("w"),
-          round(-log(2.0, col("freq") / col("total")), 6).as("surprisal"))
-      tf.join(logp, "w")
-        .groupBy("doc_id")
-        .agg(round(sum(col("tf") * col("surprisal")) / sum("tf"), 4).as("avg_surprisal"),
-          sum("tf").as("n_tokens"))
-    }),
+    "q69_unigram_surprisal" -> ((s, d) =>
+      surprisalBase(documents(s, d), Seq("doc_id"))),
+
+    // Gopher-style quality gates (Rae et al. 2021 §A1.1): the rule-based
+    // document filter run before any model-based scoring — word count in
+    // [50, 100k], mean word length in [3, 10], ≥80% of words contain an
+    // alphabetic character, ≥2 stopword hits. Every gate is an INTEGER
+    // inequality (mean-word-length ∈ [3,10] ⇔ 3·n_tokens ≤ word_chars ≤
+    // 10·n_tokens; the 80% alpha gate ⇔ 10·n_alpha ≥ 8·n_tokens), so the
+    // gate bits are engine-exact — no float threshold can flip between
+    // Spark and the oracle. Row-local column expressions over one scan:
+    // zero shuffle at any corpus size, and at 100 TB this is the narrow
+    // map stage fused into whatever scan feeds it.
+    "q77_gopher_rules" -> ((s, d) => gopherRules(documents(s, d))),
+    // CCNet-style head/middle/tail split (Wenzek et al. 2020): rank each
+    // document within its source by LM surprisal (the corpus-unigram model
+    // of q69 standing in for the external LM) and cut into tertiles —
+    // head = most-fluent third, the slice CCNet keeps for pretraining.
+    // Bucket assignment is integer ntile arithmetic over the per-source
+    // rank (3·r ≤ n → head, 3·r > 2·n → tail), so the cut is engine-exact
+    // — no percentile interpolation to disagree across engines. Scale
+    // shape: surprisal is q69's one-corpus-scan device; the rank is a
+    // per-source window sort, fine while sources are numerous relative to
+    // executors (the q57 discipline) — at 100 TB with few giant sources
+    // the cutoffs come from approx_percentile per source instead
+    // (broadcast two cutoffs per source, row-local compare; the q46
+    // exact-oracle / approx-at-scale device).
+    "q78_surprisal_split" -> ((s, d) => surprisalSplit(documents(s, d))),
 
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
@@ -345,13 +474,62 @@ object TextOps {
          freq AS (SELECT w, sum(tf) AS freq FROM tf GROUP BY w),
          total AS (SELECT sum(freq) AS total FROM freq),
          logp AS (
-           SELECT w, round(-(ln(CAST(freq AS DOUBLE) / total) / ln(2.0)), 6) AS surprisal
+           SELECT w, CAST(round(round(-(ln(CAST(freq AS DOUBLE) / total) / ln(2.0)), 6)
+                                * 1e6, 0) AS BIGINT) AS su
            FROM freq, total)
          SELECT t.doc_id,
-                round(sum(t.tf * l.surprisal) / sum(t.tf), 4) AS avg_surprisal,
+                ((2 * sum(t.tf * l.su) + sum(t.tf) * 100) // (sum(t.tf) * 200))
+                  / 10000.0 AS avg_surprisal,
                 CAST(sum(t.tf) AS BIGINT) AS n_tokens
          FROM tf t JOIN logp l USING (w)
          GROUP BY t.doc_id""",
+
+    "q77_gopher_rules" ->
+      s"""SELECT doc_id, n_tokens, g_len, g_wlen, g_alpha, g_stop,
+           CASE WHEN g_len = 1 AND g_wlen = 1 AND g_alpha = 1 AND g_stop = 1
+                THEN 1 ELSE 0 END :: BIGINT AS keep
+         FROM (
+           SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END :: BIGINT AS g_len,
+             CASE WHEN word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
+                  THEN 1 ELSE 0 END :: BIGINT AS g_wlen,
+             CASE WHEN n_alpha * 10 >= n_tokens * 8 THEN 1 ELSE 0 END :: BIGINT AS g_alpha,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END :: BIGINT AS g_stop
+           FROM (
+             SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) - len(toks) + 1 AS BIGINT) AS word_chars,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                 AS n_alpha,
+               CAST(len(list_filter(toks, x -> x IN ($stopList))) AS BIGINT) AS n_stop
+             FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents) a) b) c""",
+
+    "q78_surprisal_split" ->
+      """WITH tok AS (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+         tf AS (SELECT doc_id, source, w, count(*) AS tf FROM tok GROUP BY doc_id, source, w),
+         freq AS (SELECT w, sum(tf) AS freq FROM tf GROUP BY w),
+         total AS (SELECT sum(freq) AS total FROM freq),
+         logp AS (
+           SELECT w, CAST(round(round(-(ln(CAST(freq AS DOUBLE) / total) / ln(2.0)), 6)
+                                * 1e6, 0) AS BIGINT) AS su
+           FROM freq, total),
+         surp AS (
+           SELECT t.doc_id, t.source,
+                  ((2 * sum(t.tf * l.su) + sum(t.tf) * 100) // (sum(t.tf) * 200))
+                    / 10000.0 AS avg_surprisal
+           FROM tf t JOIN logp l USING (w)
+           GROUP BY t.doc_id, t.source)
+         SELECT doc_id, source, avg_surprisal,
+           CASE WHEN r * 3 <= n THEN 'head'
+                WHEN r * 3 > n * 2 THEN 'tail'
+                ELSE 'middle' END AS bucket
+         FROM (
+           SELECT *,
+             row_number() OVER (PARTITION BY source ORDER BY avg_surprisal, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM surp) ranked""",
 
     "q38_quality_score" ->
       """SELECT doc_id, round(score, 4) AS score,

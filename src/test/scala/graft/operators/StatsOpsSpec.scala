@@ -250,13 +250,18 @@ class StatsOpsSpec extends SparkSpec {
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
     val freq = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val total = freq.values.sum.toDouble
-    val surprisal = freq.map { case (w, f) =>
-      w -> rd(-(math.log(f / total) / math.log(2.0)), 6)
+    // micro-bit integerization mirrors the operator: round to 6 decimals,
+    // then to integer micro-bits; the mean is exact integer arithmetic with
+    // half-up rounding via (2a+b) div (2b)
+    val su = freq.map { case (w, f) =>
+      w -> math.round(rd(-(math.log(f / total) / math.log(2.0)), 6) * 1e6)
     }
     rows.foreach { case (id, avg, n) =>
       val toks = texts(id)
       assert(n === toks.length.toLong)
-      assert(avg === rd(toks.map(surprisal).sum / toks.length, 4),
+      val a = toks.map(su).sum
+      val b = toks.length.toLong * 100L
+      assert(avg === ((2 * a + b) / (2 * b)).toDouble / 10000.0,
         s"doc $id surprisal mismatch")
     }
   }
