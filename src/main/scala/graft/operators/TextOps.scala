@@ -111,28 +111,52 @@ object TextOps {
         sum("tf").as("n_tokens"))
   }
 
+  /** The four Gopher gates as boolean Columns over a text column — the
+    * SHARED expression set between batch q77 ([[gopherRules]]) and the
+    * streaming admission filter ([[graft.streaming.DocStreams.gopherAdmit]]),
+    * the same one-expression design as [[fingerprintCol]]/[[qualityScoreCol]]
+    * so batch and streaming gate decisions are bit-identical by
+    * construction. Every gate is an integer inequality (see the q77 entry
+    * comment), so the bits are engine-exact.
+    */
+  private[graft] def gopherGateCols(
+      text: org.apache.spark.sql.Column): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("long")
+    // single-space tokenization: total word chars = len - (n_tokens-1)
+    val wordChars = (length(text) - n + 1).cast("long")
+    val nAlpha = size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val nStop = size(filter(toks, x => x.isInCollection(stopwords))).cast("long")
+    (n.between(50, 100000),
+      wordChars >= n * 3 && wordChars <= n * 10,
+      nAlpha * 10 >= n * 8,
+      nStop >= 2)
+  }
+
+  /** The Gopher keep decision (conjunction of [[gopherGateCols]]) as one
+    * Column — the streaming admission predicate.
+    */
+  def gopherKeepCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (gLen, gWlen, gAlpha, gStop) = gopherGateCols(text)
+    gLen && gWlen && gAlpha && gStop
+  }
+
   /** q77's operator body, reusable over any (doc_id, text) frame: the four
-    * Gopher gates as 0/1 columns plus the conjunction. Every gate is an
-    * integer inequality (see the q77 entry comment), so the bits are
-    * engine-exact. Row-local — zero shuffle at any corpus size.
+    * Gopher gates as 0/1 columns plus the conjunction. Row-local — zero
+    * shuffle at any corpus size.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
+    val (gLen, gWlen, gAlpha, gStop) = gopherGateCols(col("text"))
     docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      // single-space tokenization: total word chars = len - (n_tokens-1)
-      .withColumn("word_chars", (length(col("text")) - col("n_tokens") + 1).cast("long"))
-      .withColumn("n_alpha",
-        expr("size(filter(toks, x -> x rlike '[a-zA-Z]'))").cast("long"))
-      .withColumn("n_stop",
-        expr(s"size(filter(toks, x -> x IN ($stopList)))").cast("long"))
       .select(
-        col("doc_id"), col("n_tokens"),
-        when(col("n_tokens").between(50, 100000), 1L).otherwise(0L).as("g_len"),
-        when(col("word_chars") >= col("n_tokens") * 3 &&
-             col("word_chars") <= col("n_tokens") * 10, 1L).otherwise(0L).as("g_wlen"),
-        when(col("n_alpha") * 10 >= col("n_tokens") * 8, 1L).otherwise(0L).as("g_alpha"),
-        when(col("n_stop") >= 2, 1L).otherwise(0L).as("g_stop"))
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        when(gLen, 1L).otherwise(0L).as("g_len"),
+        when(gWlen, 1L).otherwise(0L).as("g_wlen"),
+        when(gAlpha, 1L).otherwise(0L).as("g_alpha"),
+        when(gStop, 1L).otherwise(0L).as("g_stop"))
       .withColumn("keep",
         (col("g_len") === 1 && col("g_wlen") === 1 &&
           col("g_alpha") === 1 && col("g_stop") === 1).cast("long"))

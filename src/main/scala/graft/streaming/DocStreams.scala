@@ -107,4 +107,16 @@ object DocStreams {
   def intake(docs: DataFrame, watermark: String = "1 hour",
       minScore: Double = 0.35): DataFrame =
     dedupDocs(qualityAdmit(docs, minScore), watermark)
+
+  /** Gopher rule-based admission (the streaming dual of batch q77): only
+    * documents passing all four gates — word count, mean word length,
+    * alpha-word share, stopword count — are admitted. The predicate IS
+    * [[graft.operators.TextOps.gopherKeepCol]], the same Column expression
+    * batch q77 evaluates, so a document admitted here is exactly a
+    * document `gopherRules` marks keep=1 (spec-pinned). Pure row-local
+    * projection — no state, no shuffle; like [[qualityAdmit]] it sits
+    * before [[dedupDocs]] so a rejected doc never claims dedup state.
+    */
+  def gopherAdmit(docs: DataFrame): DataFrame =
+    docs.filter(graft.operators.TextOps.gopherKeepCol(col("text")))
 }

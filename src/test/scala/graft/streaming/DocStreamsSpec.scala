@@ -92,6 +92,21 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamedRule.nonEmpty)
   }
 
+  test("streaming Gopher gate admits exactly the docs batch q77 marks keep=1") {
+    val sp = spark
+    val d = "/root/testdata/sf0.001"
+    val docs = sp.read.parquet(s"$d/documents.parquet")
+    val streamedRule = DocStreams.gopherAdmit(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchRule = graft.operators.TextOps.queries("q77_gopher_rules")(sp, d)
+      .filter("keep = 1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedRule === batchRule)
+    // the gate discriminates on this corpus: some admitted, some rejected
+    assert(streamedRule.nonEmpty)
+    assert(streamedRule.size < docs.count())
+  }
+
   test("streaming decontamination gate drops gram-sharing docs, passes clean and short docs") {
     val sp = spark
     import sp.implicits._
