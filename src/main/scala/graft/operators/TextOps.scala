@@ -177,9 +177,13 @@ object TextOps {
   def surprisalSplitApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
     val surp = surprisalBase(docs, Seq("doc_id", "source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE sketch per source group (array of percentages), not one per
+    // cutoff — two scalar calls would each maintain and merge their own
+    // QuantileSummaries over every row
     val cuts = surp.groupBy("source").agg(
-      percentile_approx(col("avg_surprisal"), lit(1.0 / 3), lit(accuracy)).as("c1"),
-      percentile_approx(col("avg_surprisal"), lit(2.0 / 3), lit(accuracy)).as("c2"))
+      percentile_approx(col("avg_surprisal"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cs"))
+      .select(col("source"), col("cs")(0).as("c1"), col("cs")(1).as("c2"))
     val out = surp.join(broadcast(cuts), "source")
       .select(
         col("doc_id"), col("source"), col("avg_surprisal"),

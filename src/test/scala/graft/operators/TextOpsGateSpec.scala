@@ -44,9 +44,23 @@ class TextOpsGateSpec extends SparkSpec {
   }
 
   test("q77 is shuffle-free (row-local gate)") {
-    val docs = docsDf(Seq((1L, "the and of x", "a")))
-    val plan = TextOps.gopherRules(docs).queryExecution.executedPlan
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    // plan statically: under AQE the executed plan is an
+    // AdaptiveSparkPlanExec LEAF, so collecting ShuffleExchangeExec would
+    // find nothing even if a shuffle regressed in — the pin would be
+    // vacuous (same guard as BucketedJoinSpec)
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = docsDf(Seq((1L, "the and of x", "a")))
+      val plan = TextOps.gopherRules(docs).queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+      // the pin can fail: the same check on a genuinely shuffling plan
+      // (a groupBy over the gated frame) must see the exchange
+      val shuffling = TextOps.gopherRules(docs).groupBy("keep").count()
+        .queryExecution.executedPlan
+      assert(shuffling.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+    } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
   test("q78 tertiles: integer ntile sizes per source, head more fluent than tail") {
