@@ -110,6 +110,28 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(expr(gram5ArrayExpr("t")))).as("g"))
 
+  /** q79's operator body over any (doc_id, text) frame: per-document
+    * contamination report — distinct-5-gram count, eval-shared count, the
+    * shared FRACTION (integer half-up rounding at 4 decimals — counts
+    * divide to exact decimal halves, where engine round(double)
+    * implementations disagree; the q69/q78 device) and the ≥50% drop
+    * flag. Eval set = doc_id < 10, corpus = the rest, as in q67/q74.
+    */
+  def decontamFraction(docs: DataFrame): DataFrame = {
+    val grams = wordGrams5(docs)
+    val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
+    val corpus = grams.filter(col("doc_id") >= 10)
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contam_frac",
+        expr("(2 * n_hits * 10000 + n_grams) div (2 * n_grams)") / lit(10000.0))
+      .withColumn("flagged", col("n_hits") * 2 >= col("n_grams"))
+  }
+
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
@@ -143,6 +165,20 @@ object DedupOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
     }),
+
+    // Graded decontamination: the FRACTION of each corpus document's
+    // distinct 5-grams shared with the eval set, plus the ≥50% drop flag —
+    // the fuzzy threshold real pipelines apply on top of q67's any-hit
+    // audit (a doc half-composed of benchmark text IS the benchmark; one
+    // shared idiom is reviewable). Covers every ≥5-token corpus doc
+    // (zero-hit rows included), so the output is the per-doc report, not
+    // just the flag list. Scale shape is q67's: eval grams broadcast, the
+    // corpus side explodes row-locally and never shuffles on gram values;
+    // the only exchanges are the two per-doc counts. The fraction's
+    // 4-decimal rounding is the integer half-up device ((2a+b) div (2b))
+    // — counts divide to exact decimal halves, where engine round(double)
+    // implementations disagree (the q69/q78 lesson).
+    "q79_decontam_frac" -> ((s, d) => decontamFraction(documents(s, d))),
 
     // Bloom-prefiltered decontamination: q67's exact semantics through the
     // membership-sketch plan that survives when the eval-gram set outgrows
@@ -614,6 +650,26 @@ object DedupOps {
     // (false positives are eliminated by the verify join), so the oracle
     // is identical — that identity IS the correctness claim.
     "q74_bloom_decontam" -> duckDecontam,
+
+    "q79_decontam_frac" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (
+         SELECT DISTINCT doc_id,
+                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+         FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+         WHERE len(t) >= 5),
+       ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+       corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 10),
+       tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+       hits AS (SELECT c.doc_id, count(*) AS n_hits
+                FROM corpus c JOIN ev USING (g) GROUP BY c.doc_id)
+       SELECT t.doc_id,
+              CAST(t.n_grams AS BIGINT) AS n_grams,
+              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              ((2 * coalesce(h.n_hits, 0) * 10000 + t.n_grams) // (2 * t.n_grams))
+                / 10000.0 AS contam_frac,
+              coalesce(h.n_hits, 0) * 2 >= t.n_grams AS flagged
+       FROM tot t LEFT JOIN hits h USING (doc_id)""",
 
     "q75_boilerplate_frac" ->
       """WITH wins AS (

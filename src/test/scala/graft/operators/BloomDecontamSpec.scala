@@ -29,6 +29,34 @@ class BloomDecontamSpec extends SparkSpec {
     assert(q74.nonEmpty, "fixture must actually exercise the overlap path")
   }
 
+  test("q79 fraction and flag are exact on crafted overlap levels") {
+    val sp = spark
+    import sp.implicits._
+    // eval doc 1 contributes grams from "e1..e9" (5 distinct 5-grams);
+    // corpus docs overlap it by construction:
+    //   doc 10: fully inside eval text → frac 1.0, flagged
+    //   doc 11: first 5 tokens shared ("e1..e5" = 1 eval gram), then 8
+    //           unique tokens → 9 grams total, 1 hit → 1/9, not flagged
+    //   doc 12: no overlap → 0 hits, 0.0, not flagged
+    val evalText = (1 to 9).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (1L, evalText),
+      (10L, evalText),
+      (11L, (1 to 5).map(i => s"e$i").mkString(" ") + " " +
+        (1 to 8).map(i => s"u$i").mkString(" ")),
+      (12L, (1 to 10).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    // the SAME operator body the query entry calls
+    val rep = DedupOps.decontamFraction(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+
+    assert(rep(10L) == ((5L, 5L, 1.0, true)))
+    assert(rep(11L) == ((9L, 1L, 0.1111, false))) // 1/9 half-up at 4 dp
+    assert(rep(12L) == ((6L, 0L, 0.0, false)))
+  }
+
   test("probe has no false negatives on every eval gram") {
     val sp = spark
     import sp.implicits._
