@@ -60,7 +60,8 @@ object ScaleSmoke {
     "q49_minhash_estimate", "q43_ivf_search", "q66_pq_adc_topk",
     "q67_decontam_flags", "q69_unigram_surprisal",
     "q62_embedding_clusters", "q65_cluster_reps", "q70_ivfpq_topk",
-    "q71_window_dedup", "q74_bloom_decontam", "q75_boilerplate_frac")
+    "q71_window_dedup", "q74_bloom_decontam", "q75_boilerplate_frac",
+    "q79_decontam_frac")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
@@ -149,14 +150,34 @@ object ScaleSmoke {
     // pipeline structure (cheap stages vs expensive stages) doesn't read
     // as skew
     val durations = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[(Int, Long)]())
+      new java.util.ArrayList[(Int, Long, Long)]())
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        durations.add((t.stageId, t.taskInfo.duration))
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        // records processed, from whichever side fed the task — used to
+        // EXCLUDE zero-record tasks from the stage median: a parquet file
+        // smaller than the split size yields splits with no row group
+        // (64 of the hotsrc corpus's 96 scan splits read nothing and
+        // finish in ~15 ms), and a straggler ratio of the real tasks
+        // against that empty-split median reads as skew when the working
+        // tasks are perfectly even
+        val m = t.taskMetrics
+        val recs =
+          (if (m != null) m.inputMetrics.recordsRead else 0L) +
+            (if (m != null) m.shuffleReadMetrics.recordsRead else 0L)
+        durations.add((t.stageId, t.taskInfo.duration, recs))
+      }
       override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        stageNames.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        // the callsite name is a useless lambda in local mode — the RDD
+        // operation scopes (Exchange / WholeStageCodegen(n) / ...) are
+        // what actually identify a stage's role in the plan
+        val scopes = s.stageInfo.rddInfos
+          .flatMap(r => r.scope.map(_.name)).distinct.mkString("+")
+        stageNames.put(s.stageInfo.stageId,
+          if (scopes.nonEmpty) scopes
+          else s.stageInfo.name.takeWhile(_ != '\n'))
+      }
     })
 
     // same fixed-cost single-threaded probe as Bench: a contended smoke
@@ -191,18 +212,25 @@ object ScaleSmoke {
       // and private; settle-poll instead)
       var last = -1
       while (durations.size() != last) { last = durations.size(); Thread.sleep(300) }
-      val byStage = durations.toArray(new Array[(Int, Long)](0))
-        .groupBy(_._1).view.mapValues(_.map(_._2.toDouble / 1000).sorted).toSeq
-      val nTasks = byStage.map(_._2.length).sum
-      val maxT = byStage.map(_._2.last).max
+      val all = durations.toArray(new Array[(Int, Long, Long)](0))
+      val byStage = all.groupBy(_._1).view
+        .mapValues { ts =>
+          // median over WORKING tasks only (see the listener comment); a
+          // stage where every task read zero records keeps them all
+          val working = ts.filter(_._3 > 0)
+          val use = if (working.nonEmpty) working else ts
+          (ts.length, use.map(_._2.toDouble / 1000).sorted)
+        }.toSeq
+      val nTasks = byStage.map(_._2._1).sum
+      val maxT = byStage.map(_._2._2.last).max
       // per-stage straggler: max vs its own stage's median (≥100 ms floor —
       // millisecond scheduling noise is not skew)
       val straggler = byStage
-        .map { case (_, ds) => ds.last / math.max(ds(ds.length / 2), 0.1) }.max
-      val slowStages = byStage.sortBy(-_._2.last).take(3)
-        .map { case (sid, ds) =>
+        .map { case (_, (_, ds)) => ds.last / math.max(ds(ds.length / 2), 0.1) }.max
+      val slowStages = byStage.sortBy(-_._2._2.last).take(3)
+        .map { case (sid, (n, ds)) =>
           val nm = Option(stageNames.get(sid)).getOrElse("?")
-          f"[$nm n=${ds.length} max=${ds.last}%.2f med=${ds(ds.length / 2)}%.3f]"
+          f"[$nm n=$n working=${ds.length} max=${ds.last}%.2f med=${ds(ds.length / 2)}%.3f]"
         }.mkString(" ")
       Measure(wall, rows, nTasks, maxT, straggler, slowStages)
     }
