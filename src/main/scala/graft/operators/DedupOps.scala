@@ -132,6 +132,57 @@ object DedupOps {
       .withColumn("flagged", col("n_hits") * 2 >= col("n_grams"))
   }
 
+  /** q80's operator body: C4-style duplicate-span REMOVAL — the removal
+    * counterpart of the q71/q75/q76 detection family (C4's pipeline drops
+    * repeated three-sentence spans corpus-wide, keeping only the first
+    * occurrence; Raffel et al. 2020 §2.2 — here the span unit is a
+    * non-overlapping 10-token segment, the tokenized analogue). Each
+    * document splits into segments, a segment survives only in the
+    * lexicographically-first (doc_id, seg_idx) position its content hash
+    * appears at, and the survivors reassemble into `clean_text` — a later
+    * document quoting an earlier one loses the quoted span but keeps its
+    * own prose.
+    *
+    * Scale shape: segmentation is row-local arithmetic (the q64 chunking
+    * device with stride = size, so no overlap inflation); the first-
+    * occurrence winner per hash is `min(struct(doc_id, seg_idx))` — a
+    * map-side-combinable agg (the q65 argmax device), NOT a per-hash
+    * window sort; survivors come from one equi-join of that hash-keyed
+    * table back to the segment rows; reassembly is one groupBy(doc_id)
+    * with a row-local array_sort over the doc's own segments (documents
+    * are length-bounded after any length gate, so the per-group array is
+    * small). Two linear shuffles total (hash, then doc_id) — the q30
+    * exact-dedup shape, never a self-join. Per-doc totals are derived
+    * arithmetically from the original text (`(n+9) div 10`), not by
+    * re-counting segments, so a document whose every span was claimed
+    * earlier still reports with n_kept = 0 and empty clean_text.
+    */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val segLen = 10
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("start", explode(expr(s"sequence(0, size(toks) - 1, $segLen)")))
+      .select(
+        col("doc_id"),
+        (col("start") / segLen).cast("long").as("seg_idx"),
+        expr(s"array_join(slice(toks, start + 1, $segLen), ' ')").as("seg_text"))
+      .withColumn("h", md5(col("seg_text")))
+    val first = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    val kept = segs.join(first, "h")
+      .where(col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx"))
+    val survivors = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(seg_idx, seg_text))), x -> x.seg_text), ' ')")
+        .as("clean_text"))
+    val totals = docs.select(col("doc_id"),
+      expr(s"(size(split(text, ' ')) + ${segLen - 1}) div $segLen").as("n_segs"))
+    totals.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
@@ -232,6 +283,14 @@ object DedupOps {
     // the DuckDB oracle exact; at 100 TB the key would be xxhash64 (same
     // plan, 8-byte shuffle keys).
     "q71_window_dedup" -> ((s, d) => windowDedup(documents(s, d))),
+
+    // C4-style duplicate-span removal (Raffel et al. 2020 §2.2): where
+    // q71 FLAGS documents sharing verbatim windows, q80 REWRITES them —
+    // every non-overlapping 10-token span survives only at its first
+    // corpus occurrence and the survivors reassemble into clean_text.
+    // See [[spanDedup]] for the scale shape (two linear shuffles, argmax
+    // winner, no self-join, no per-hash window sort).
+    "q80_span_dedup" -> ((s, d) => spanDedup(documents(s, d))),
 
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
     // → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.3.
@@ -718,6 +777,31 @@ object DedupOps {
                 CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
                 coalesce(c.n_dup_windows, 0) > 0 AS flagged
          FROM documents d LEFT JOIN counts c USING (doc_id)""",
+
+    "q80_span_dedup" ->
+      """WITH segs AS (
+           SELECT doc_id, CAST(start // 10 AS BIGINT) AS seg_idx,
+                  array_to_string(list_slice(toks, start + 1, start + 10), ' ') AS seg_text
+           FROM (
+             SELECT doc_id, toks, unnest(range(0, len(toks), 10)) AS start
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a) b),
+         keyed AS (
+           SELECT doc_id, seg_idx, seg_text,
+                  row_number() OVER (PARTITION BY md5(seg_text)
+                                     ORDER BY doc_id, seg_idx) AS rn
+           FROM segs),
+         surv AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
+           FROM keyed WHERE rn = 1 GROUP BY doc_id),
+         tot AS (
+           SELECT doc_id,
+                  CAST((len(string_split(text, ' ')) + 9) // 10 AS BIGINT) AS n_segs
+           FROM documents)
+         SELECT t.doc_id, t.n_segs,
+                CAST(coalesce(s.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(s.clean_text, '') AS clean_text
+         FROM tot t LEFT JOIN surv s USING (doc_id)""",
 
     "q34_ngram_jaccard" ->
       s"""WITH sh0 AS ($duckShingles),

@@ -210,6 +210,61 @@ object TextOps {
           .otherwise("middle").as("bucket"))
   }
 
+  /** q82's operator body: DSIR-style importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by the log-likelihood ratio between a TARGET unigram
+    * bag-of-words model and the RAW-corpus model — log p_target(doc) −
+    * log p_raw(doc) — so documents distributionally close to the target
+    * domain score high and get resampled into the training mix. Here the
+    * target model is fit on one source's documents (`targetSource`, the
+    * "high-quality domain" stand-in); both models are add-one smoothed
+    * over the raw vocabulary so every corpus token has defined probability
+    * under both.
+    *
+    * Engine-exactness: each model's per-token log2-prob integerizes to
+    * micro-bit BIGINTs separately (the q69/q78 device — round to 6
+    * decimals, scale by 1e6, cast) and the ratio is the INTEGER difference
+    * of the two, so the per-doc sum is exact integer arithmetic; the
+    * output weight stays in micro-bits (no float division to disagree
+    * on). `keep` = weight > 0 (target-leaning) is the row-local selection
+    * bit; real DSIR resamples proportionally — the cutoff-percentile
+    * variant is q78's approx-cutoff device applied to lr_microbits.
+    *
+    * Scale shape: q69's one-corpus-scan device, taken one step further —
+    * the raw and target token counts come from ONE conditional
+    * aggregation over tf (`sum(tf)` + `sum(tf WHERE source = target)`),
+    * NOT two branches: a separate target branch would push its source
+    * filter into a second corpus scan and break exchange reuse (probed on
+    * the plan — the filtered subtree is no longer identical, so the
+    * corpus would explode twice). With the conditional agg the corpus
+    * explodes once, the vocab table and its one-row scalars chain off the
+    * same tf exchange (runtime-reused, the q59/q69 pin), the scalar row
+    * broadcasts, and the per-doc weight is a tf-weighted sum over
+    * (doc, w) rows. The ratio-table join back to tf is left to the
+    * planner (vocab is unbounded — the q69 rationale). The target table
+    * is vocab-sized regardless of how big the target source is.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("tf"))
+    val raw = tf.groupBy("w").agg(
+      sum("tf").as("rcnt"),
+      sum(when(col("source") === targetSource, col("tf")).otherwise(0L)).as("tcnt"))
+    val scalars = raw.agg(
+      count(lit(1)).as("v"), sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))
+    val microbits: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      p => round(round(log(2.0, p), 6) * 1e6, 0).cast("long")
+    val lr = raw.crossJoin(broadcast(scalars))
+      .select(col("w"),
+        (microbits((col("tcnt") + 1.0) / (col("ttot") + col("v"))) -
+          microbits((col("rcnt") + 1.0) / (col("rtot") + col("v")))).as("lr"))
+    tf.join(lr, "w")
+      .groupBy("doc_id", "source")
+      .agg(sum(expr("tf * lr")).as("lr_microbits"), sum("tf").as("n_tokens"))
+      .withColumn("keep", (col("lr_microbits") > 0).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + distinct-token stats per document.
     "q31_text_stats" -> ((s, d) => {
@@ -394,6 +449,35 @@ object TextOps {
     // exact-oracle / approx-at-scale device).
     "q78_surprisal_split" -> ((s, d) => surprisalSplit(documents(s, d))),
 
+    // Hashed-feature linear quality scorer — the SERVING side of a
+    // fastText-style classifier filter (Joulin et al. 2017's model shape:
+    // hashed bag-of-words features × a weight vector → linear score; the
+    // quality-classifier stage most pipeline papers run after the rule
+    // gates). The weight table here is a deterministic function of the
+    // feature bucket — (bucket · 2654435761) mod 1999 − 999, Knuth's
+    // multiplicative hash over the 16-bit md5 bucket — standing in for
+    // trained weights, so the operator exercises the real plumbing
+    // (feature hashing, weight lookup, per-occurrence accumulate) with an
+    // engine-exact oracle: every step is integer arithmetic on md5 hex
+    // (products bounded by 65535·2654435761 ≈ 1.7e14, ample long
+    // headroom). Scale shape: a single `aggregate` HOF over the token
+    // array — row-local, zero shuffle at any corpus size, and with real
+    // trained weights the lookup becomes a broadcast map, same plan.
+    "q81_hash_quality" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(
+          """aggregate(split(text, ' '), 0L,
+               (acc, x) -> acc + (cast(conv(substring(md5(x), 1, 4), 16, 10) as bigint)
+                                  * 2654435761L) % 1999 - 999)""").as("score_raw"))
+        .withColumn("keep", (col("score_raw") > 0).cast("long"))),
+
+    // DSIR importance weights (see [[dsirWeights]]): log-likelihood ratio
+    // of each document under a target-domain vs raw-corpus unigram model,
+    // in exact micro-bit integers; keep = target-leaning.
+    "q82_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
+
     // Quality scoring: length/token heuristics → bucketed score.
     "q38_quality_score" -> ((s, d) => {
       documents(s, d)
@@ -558,6 +642,42 @@ object TextOps {
              row_number() OVER (PARTITION BY source ORDER BY avg_surprisal, doc_id) AS r,
              count(*) OVER (PARTITION BY source) AS n
            FROM surp) ranked""",
+
+    "q81_hash_quality" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+             x -> (CAST('0x' || substr(md5(x), 1, 4) AS BIGINT) * 2654435761) % 1999 - 999))
+             AS BIGINT) AS score_raw,
+           CASE WHEN list_sum(list_transform(string_split(text, ' '),
+             x -> (CAST('0x' || substr(md5(x), 1, 4) AS BIGINT) * 2654435761) % 1999 - 999)) > 0
+             THEN 1 ELSE 0 END :: BIGINT AS keep
+         FROM documents""",
+
+    "q82_dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+         tf AS (SELECT doc_id, source, w, count(*) AS tf
+                FROM tok GROUP BY doc_id, source, w),
+         raw AS (
+           SELECT w, sum(tf) AS rcnt,
+                  sum(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS tcnt
+           FROM tf GROUP BY w),
+         scalars AS (
+           SELECT count(*) AS v, sum(rcnt) AS rtot, sum(tcnt) AS ttot FROM raw),
+         lr AS (
+           SELECT r.w,
+             CAST(round(round(ln((r.tcnt + 1.0) / (s.ttot + s.v)) / ln(2.0), 6)
+                        * 1e6, 0) AS BIGINT)
+             - CAST(round(round(ln((r.rcnt + 1.0) / (s.rtot + s.v)) / ln(2.0), 6)
+                          * 1e6, 0) AS BIGINT) AS lr
+           FROM raw r, scalars s)
+         SELECT f.doc_id, f.source,
+                CAST(sum(f.tf * l.lr) AS BIGINT) AS lr_microbits,
+                CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+                CASE WHEN sum(f.tf * l.lr) > 0 THEN 1 ELSE 0 END :: BIGINT AS keep
+         FROM tf f JOIN lr l USING (w)
+         GROUP BY f.doc_id, f.source""",
 
     "q38_quality_score" ->
       """SELECT doc_id, round(score, 4) AS score,

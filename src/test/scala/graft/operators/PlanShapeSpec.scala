@@ -24,7 +24,7 @@ class PlanShapeSpec extends SparkSpec {
     // back)
     for (q <- Seq("q31_text_stats", "q32_lang_score", "q33_fingerprint",
         "q38_quality_score", "q47_stratified_sample", "q58_split_assign",
-        "q60_repetition_stats")) {
+        "q60_repetition_stats", "q81_hash_quality")) {
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q claims zero-shuffle map-only but plans an exchange:\n${p.take(800)}")
@@ -121,5 +121,30 @@ class PlanShapeSpec extends SparkSpec {
       s"q46 expected exactly the aggregation exchange:\n${p.take(800)}")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       "q46 percentile aggregate missing")
+  }
+
+  test("q80 span dedup: argmax winner, no per-hash window sort, no self-join blowup") {
+    val p = plan("q80_span_dedup")
+    assert(!p.contains("Window"),
+      s"q80's first-occurrence winner must be the min(struct) agg, not a window sort:\n${p.take(800)}")
+    assert(!p.contains("rangepartitioning"),
+      "q80 grew a corpus-sized global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "q80 planned a corpus-sized non-equi join")
+  }
+
+  test("q82 reuses the tf exchange: the corpus explodes once despite three consumers") {
+    // raw counts, the one-row scalars, and the per-doc weighted sum all
+    // chain off the same (doc, source, w) tf aggregation — the conditional
+    // target sum exists precisely so no filtered second corpus branch
+    // breaks subtree identity (see dsirWeights scaladoc). Statically that
+    // is duplicated exchanges; at runtime AQE must collapse them.
+    val df = graft.SparkEntry.queries("q82_dsir_weights")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"q82 re-ran the corpus explode+tf aggregation instead of reusing it:\n${p.take(1200)}")
+    assert(!p.contains("rangepartitioning"),
+      "q82 grew a corpus-sized global sort")
   }
 }
