@@ -295,6 +295,21 @@ object ScaleSmoke {
       runCase("q57_pack_sharded", hotSrcDir, "hotsrc_", packed(32))
     }
 
+    // q83 hot-source section (same discipline as q57, whose window shape
+    // it shares): budget selection ranks within source, so the dominant
+    // source's cumsum is one sort partition — unsharded diagnostic run
+    // ungated, sharded (budget split across 32 hash shards) gated. The
+    // budget scales with the corpus (10% of ~50 tokens/doc) so the
+    // selection boundary genuinely binds in the hot source.
+    if (args.isEmpty || args.contains("q83_token_budget")) {
+      val hotBudget = nHotDocs * 5L
+      def sel(shards: Int)(s: SparkSession, p: String) =
+        operators.StatsOps.tokenBudgetSelect(graft.util.Tables.documents(s, p),
+          budget = hotBudget, shards = shards)
+      runCase("q83_token_budget", hotSrcDir, "hotsrc_", sel(1), gated = false)
+      runCase("q83_select_sharded", hotSrcDir, "hotsrc_", sel(32))
+    }
+
     // q78 hot-source section (same discipline as q57): the exact tertile
     // split ranks within source, so 80% of the corpus in ONE source makes
     // that rank window a single sort partition — the UNSHARDED diagnostic

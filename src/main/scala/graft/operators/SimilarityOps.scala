@@ -146,6 +146,35 @@ object SimilarityOps {
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
 
+  /** q84's operator body: int8 scalar quantization (SQ8) — the OTHER
+    * standard vector-compression scheme next to PQ (q61): each dimension
+    * gets a global [min, max] range and every value maps to
+    * `floor((x − mn) · 255 / (mx − mn))`, capped at 255 so `x = mx` lands
+    * in the top bin whichever way the two IEEE roundings fall. 4× smaller
+    * than float32 with no codebook training, the format faiss calls
+    * `SQ8` and most vector stores default to. Every step is a correctly-
+    * rounded IEEE double op on identical inputs in identical order, so the
+    * codes are bit-identical across engines (the q63 bound device's
+    * argument); a constant dimension (mx = mn) codes to 0 by convention.
+    *
+    * Scale shape: one linear posexplode aggregation down to `dim` rows of
+    * per-dimension ranges (map-side combinable, 64-key shuffle), broadcast
+    * back, then a row-local code map — the corpus itself never shuffles.
+    * SimilarityOpsSpec pins the reconstruction contract: decoding to the
+    * bin midpoint lands within half a bin width of the original value.
+    */
+  def sq8Codes(base: DataFrame): DataFrame = {
+    val unpacked = base
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
+    val ranges = unpacked.groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    unpacked.join(broadcast(ranges), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) * lit(255.0) /
+            (col("mx") - col("mn"))), lit(255.0)).cast("long")).as("code"))
+  }
+
   /** IVF-PQ search [Jégou et al., TPAMI'11, §IV]: the composition of q41's
     * coarse quantizer with q61's product codes — ADC scoring runs ONLY over
     * the probed inverted lists, which is the full published method (q66 is
@@ -454,7 +483,12 @@ object SimilarityOps {
         .groupBy(col("label"), col("c_label").as("assigned"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "assigned")
-    })
+    }),
+
+    // Int8 scalar quantization of the embedding corpus — see [[sq8Codes]]
+    // for the code rule, engine-exactness argument, and scale shape (one
+    // 64-key range agg + broadcast + row-local map, zero corpus shuffle).
+    "q84_sq8_codes" -> ((s, d) => sq8Codes(prepped(s, d)))
   )
 
   // q61's oracle, shared so q66 can embed the code table it defines
@@ -715,6 +749,19 @@ object SimilarityOps {
            FROM scored)
          SELECT label, c_label AS assigned, count(*) AS n
          FROM best WHERE rn = 1
-         GROUP BY label, assigned ORDER BY label, assigned"""
+         GROUP BY label, assigned ORDER BY label, assigned""",
+
+    "q84_sq8_codes" ->
+      """WITH unpacked AS (
+           SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         ranges AS (
+           SELECT dim, min(x) AS mn, max(x) AS mx
+           FROM unpacked GROUP BY dim)
+         SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
+           CASE WHEN r.mx = r.mn THEN 0
+                ELSE CAST(least(floor((u.x - r.mn) * 255.0 / (r.mx - r.mn)),
+                          255.0) AS BIGINT) END AS code
+         FROM unpacked u JOIN ranges r ON r.dim = u.dim"""
   )
 }

@@ -76,6 +76,94 @@ object StatsOps {
           .cast("long") * lit(shards.toLong) + col("shard")).as("bin_id"))
   }
 
+  /** q83 per-source token budget. 800 keeps roughly the top half of each
+    * sf0.01 source (each holds 1.1–1.6k tokens), so the selection boundary
+    * is exercised in every stratum.
+    */
+  val selectBudget = 800L
+
+  /** q83's operator body: budget-constrained data selection — per source,
+    * admit documents in descending priority order until the token budget
+    * fills (the "select the best N tokens per domain" step every
+    * curated-mixture recipe runs, e.g. quality-classifier selection).
+    * Priority is the document's alpha-word count (an INTEGER, so no float
+    * threshold can reorder ties across engines; ties break by doc_id).
+    * A document is admitted iff the budget is not yet exhausted BEFORE it
+    * (`cum - n_tokens < budget`), so one over-long top document cannot
+    * blank a source and the fill may overshoot by at most one document —
+    * the greedy knapsack convention.
+    *
+    * Scale shape: identical to [[packSequences]] — one shuffle by source,
+    * a per-source window cumsum, row-local admit — with the same hot-source
+    * escape: `shards > 1` composes the window key with
+    * `xxhash64(doc_id) mod shards` and splits the budget evenly across
+    * shards (`budget div shards` each). Because doc→shard is a uniform
+    * hash INDEPENDENT of priority, each shard sees an iid sample of the
+    * priority distribution, so the union of per-shard greedy fills
+    * converges on the global fill as shards' budgets stay large relative
+    * to document size — the admitted sets differ only near the selection
+    * boundary (the same contract as q78's approx-cutoff escape: exact
+    * ranking is a single sort partition per source; the escape trades
+    * boundary exactness for parallelism). ScaleSmoke's hot-source section
+    * measures both. `shards = 1` is bit-identical to the oracle-pinned
+    * q83 output.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long = selectBudget,
+      shards: Int = 1): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard").orderBy(desc("n_alpha"), col("doc_id"))
+    val shardBudget = budget / shards
+    docs
+      .withColumn("shard",
+        if (shards == 1) lit(0L) else pmod(xxhash64(col("doc_id")), lit(shards.toLong)))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, t -> t rlike '^[a-z]+$'))").cast("long"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < shardBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_alpha"), col("cum"))
+  }
+
+  /** q85's operator body: epoch/repeat assignment for mixture upsampling —
+    * every source is brought up to the LARGEST source's token count by
+    * repetition (the standard oversampling move when a high-quality source
+    * is small): `full = tgt div total` whole epochs for every document,
+    * plus one partial epoch holding a deterministic md5-threshold sample
+    * at the remainder rate. All arithmetic that crosses the engine
+    * boundary is integer (div, multiply) until the single correctly-
+    * rounded IEEE divide that feeds q63's floor·2³² hex-bound device, so
+    * the partial-epoch membership is bit-identical across engines. Output
+    * one row per (doc, epoch): downstream shuffles/packs epochs like any
+    * other corpus.
+    *
+    * Scale shape: one linear per-source token-count aggregation, a
+    * ~source-cardinality targets table broadcast back, then a row-local
+    * `explode(sequence(...))` — no corpus shuffle, output inflates by the
+    * mixture's mean repeat factor exactly as the training set does.
+    */
+  def epochAssign(docs: DataFrame): DataFrame = {
+    val totals = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source").agg(sum("n_tokens").as("total"))
+    val tgt = totals.agg(max("total").as("tgt"))
+    val plan = totals.crossJoin(broadcast(tgt))
+      .withColumn("full", expr("tgt div total"))
+      .withColumn("rem_rate", (col("tgt") - col("full") * col("total")) /
+        col("total").cast("double"))
+      .withColumn("bound", lower(lpad(hex(
+        floor(col("rem_rate") * lit(4294967296.0)).cast("long")), 8, "0")))
+      .select("source", "full", "bound")
+    docs.join(broadcast(plan), "source")
+      .withColumn("h", substring(md5(concat(lit("epoch:"),
+        col("doc_id").cast("string"))), 1, 8))
+      .withColumn("n_epochs",
+        col("full") + when(col("h") < col("bound"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(0L, n_epochs - 1L)")).as("epoch"))
+  }
+
   def sourceMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     val minCnt = counts.agg(min("cnt").as("min_cnt"))
@@ -180,7 +268,19 @@ object StatsOps {
     // changes no math, only the key. The window's per-source sort is the
     // operator; no GLOBAL output sort on top (corpus-sized, caller owns
     // ordering). The oracle pins the unsharded configuration.
-    "q57_pack_sequences" -> ((s, d) => packSequences(documents(s, d)))
+    "q57_pack_sequences" -> ((s, d) => packSequences(documents(s, d))),
+
+    // Token-budget data selection: per source, admit documents in
+    // descending alpha-word-count priority until `selectBudget` tokens are
+    // in — see [[tokenBudgetSelect]] for the admit rule, the integer
+    // priority rationale, and the two 100 TB escapes (shard key or
+    // sketch-threshold).
+    "q83_token_budget" -> ((s, d) => tokenBudgetSelect(documents(s, d))),
+
+    // Epoch/repeat assignment for mixture upsampling: every source brought
+    // up to the largest source's token count by whole epochs + one
+    // md5-threshold partial epoch — see [[epochAssign]].
+    "q85_epoch_assign" -> ((s, d) => epochAssign(documents(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -234,6 +334,41 @@ object StatsOps {
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                   sum(CAST(len(string_split(text, ' ')) AS BIGINT))
                     OVER (PARTITION BY source ORDER BY doc_id) AS cum
-           FROM documents) t"""
+           FROM documents) t""",
+
+    "q83_token_budget" ->
+      s"""SELECT doc_id, source, n_tokens, n_alpha,
+           CAST(cum AS BIGINT) AS cum FROM (
+           SELECT doc_id, source, n_tokens, n_alpha,
+                  sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY n_alpha DESC, doc_id) AS cum
+           FROM (
+             SELECT doc_id, source,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    CAST(len(list_filter(string_split(text, ' '),
+                      t -> regexp_matches(t, '^[a-z]+$$'))) AS BIGINT) AS n_alpha
+             FROM documents) b) t
+         WHERE cum - n_tokens < $selectBudget""",
+
+    "q85_epoch_assign" ->
+      """WITH totals AS (
+           SELECT source,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total
+           FROM documents GROUP BY source),
+         tgt AS (SELECT max(total) AS tgt FROM totals),
+         plan AS (
+           SELECT source, tgt // total AS "full",
+                  lower(lpad(hex(CAST(floor(
+                    CAST(tgt - (tgt // total) * total AS DOUBLE) / total
+                      * 4294967296.0) AS BIGINT)), 8, '0')) AS bound
+           FROM totals, tgt),
+         n AS (
+           SELECT d.doc_id, d.source,
+                  p."full" + CASE WHEN substr(md5('epoch:' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 8) < p.bound
+                    THEN 1 ELSE 0 END AS n_epochs
+           FROM documents d JOIN plan p USING (source))
+         SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+         FROM n, UNNEST(generate_series(0, CAST(n_epochs - 1 AS BIGINT))) AS u(e)"""
   )
 }

@@ -208,6 +208,33 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(d1 < d0 - 1e-6, "refinement changed nothing on a non-degenerate fixture")
   }
 
+  test("q84 SQ8: codes span [0,255], extremes hit the end bins, midpoint decode within half a bin") {
+    val codes = SimilarityOps.queries("q84_sq8_codes")(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val dims = emb.head._2.length
+    assert(codes.size === emb.length * dims)
+    (0 until dims).foreach { dim =>
+      val xs = emb.map(_._2(dim))
+      val (mn, mx) = (xs.min, xs.max)
+      assert(mx > mn, s"degenerate fixture dim $dim")
+      val w = (mx - mn) / 255.0
+      emb.foreach { case (id, vec) =>
+        val c = codes((id, dim.toLong))
+        assert(c >= 0L && c <= 255L, s"code out of range: vec $id dim $dim -> $c")
+        // midpoint decode lands within half a bin width (+1 ulp slack)
+        val recon = mn + (c + 0.5) * w
+        assert(math.abs(vec(dim) - recon) <= w / 2 * (1 + 1e-9),
+          s"vec $id dim $dim: |${vec(dim)} - $recon| > ${w / 2}")
+      }
+      // the range endpoints occupy the end bins
+      assert(codes((emb.minBy(_._2(dim))._1, dim.toLong)) === 0L)
+      assert(codes((emb.maxBy(_._2(dim))._1, dim.toLong)) === 255L)
+    }
+  }
+
   test("q41 coarse quantizer separates labels far better than chance") {
     val rows = SimilarityOps.queries("q41_ivf_assign")(spark, d).collect()
       .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),

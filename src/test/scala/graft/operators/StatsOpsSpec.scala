@@ -266,6 +266,58 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q83: admitted set is a priority prefix and stops at the budget in every source") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val admitted = StatsOps.queries("q83_token_budget")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(admitted.nonEmpty)
+    // the admit rule itself: budget not exhausted BEFORE the doc
+    admitted.foreach { case (id, _, nTok, _, cum) =>
+      assert(cum - nTok < StatsOps.selectBudget, s"doc $id over budget")
+    }
+    val bynAlpha = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, t -> t rlike '^[a-z]+$'))").cast("long"))
+      .select("doc_id", "source", "n_alpha")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val admittedIds = admitted.map(_._1).toSet
+    bynAlpha.groupBy(_._2).foreach { case (src, all) =>
+      val adm = all.filter(t => admittedIds(t._1))
+      val rej = all.filterNot(t => admittedIds(t._1))
+      assert(adm.nonEmpty, s"$src admitted nothing")
+      // prefix property: no rejected doc outranks an admitted one
+      if (rej.nonEmpty)
+        assert(rej.map(_._3).max <= adm.map(_._3).min,
+          s"$src rejected a doc with higher priority than an admitted one")
+      // the budget genuinely bound (every source has >800 tokens at sf0.01)
+      assert(rej.nonEmpty, s"$src budget did not bind")
+    }
+  }
+
+  test("q85: every doc gets full epochs 0..n-1, multiplicities differ by at most one per source") {
+    val rows = StatsOps.queries("q85_epoch_assign")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val docCount = spark.read.parquet(s"$d/documents.parquet").count()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size === docCount, "every document must appear")
+    byDoc.foreach { case (id, rs) =>
+      val epochs = rs.map(_._3).sorted.toSeq
+      assert(epochs === (0L until epochs.length.toLong).toSeq,
+        s"doc $id epochs not contiguous from 0: ${epochs.mkString(",")}")
+    }
+    // within a source the repeat factor is full or full+1 (partial epoch)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val counts = rs.groupBy(_._1).values.map(_.size).toSet
+      assert(counts.size <= 2, s"$src has >2 distinct repeat factors: $counts")
+      if (counts.size == 2)
+        assert(counts.max - counts.min === 1, s"$src repeat factors not adjacent")
+    }
+    // upsampling really happened: at least one doc drew the partial epoch
+    assert(rows.length > docCount, "no partial-epoch rows drawn")
+  }
+
   test("q48 returns exactly 20 rows with non-increasing scores and the smoothed formula") {
     val rows = TextOps.queries("q48_tfidf")(spark, d).collect()
     assert(rows.length === 20)
