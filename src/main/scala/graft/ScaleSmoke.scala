@@ -61,7 +61,12 @@ object ScaleSmoke {
     "q67_decontam_flags", "q69_unigram_surprisal",
     "q62_embedding_clusters", "q65_cluster_reps", "q70_ivfpq_topk",
     "q71_window_dedup", "q74_bloom_decontam", "q75_boilerplate_frac",
-    "q79_decontam_frac")
+    "q79_decontam_frac",
+    // q86 joined late-r10: its pair stage is an equi-join on the coarse
+    // cell, so the 10× embeddings corpus (10 cells × 2k vectors) drives
+    // the largest within-cell pair block of the ANN chain — the smoke
+    // checks the cell-bounded claim holds when cells grow 10×
+    "q86_semdedup")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

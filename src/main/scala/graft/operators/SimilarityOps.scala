@@ -175,6 +175,53 @@ object SimilarityOps {
             (col("mx") - col("mn"))), lit(255.0)).cast("long")).as("code"))
   }
 
+  /** q86's operator body: SemDeDup [Abbas et al., arXiv:2303.09540 §3] —
+    * SEMANTIC deduplication, the embedding-space sibling of the text dedup
+    * chain: cluster the corpus with the coarse quantizer (q41's centroid
+    * assignment), compute cosine similarity ONLY within a cluster, and
+    * drop all but one of any within-cluster group above the threshold.
+    * The keeper is the deterministic lowest-vec_id convention (a vector
+    * is dropped iff a LOWER id in its cell sits above θ) rather than the
+    * paper's random choice — any fixed choice satisfies the method, and a
+    * deterministic one is what a reproducible pipeline (and the oracle)
+    * needs. Output keeps every vector with its cell and keep flag — the
+    * pipeline's audit shape (q73's convention), not just the survivors.
+    *
+    * Scale shape: assignment is a broadcast k×dim join + per-vector argmax
+    * (linear); the pair stage is an equi-join on cell id, so candidate
+    * work is cell-bounded, never corpus-all-pairs — exactly the paper's
+    * reason for clustering first. A cell too hot for one task is governed
+    * by the cluster count knob (the paper re-clusters oversized clusters;
+    * operationally: raise k, or split hot cells by a salt the way q29
+    * does — cosine pairs don't cross cells, so salting only duplicates
+    * the hot cell's rows, not the corpus).
+    */
+  def semDedup(s: SparkSession, d: String, theta: Double = 0.45): DataFrame = {
+    val base = prepped(s, d)
+    val centroids = centroidsOf(base)
+    val scored = base.select(col("vec_id"), col("e"), col("nrm"))
+      .join(broadcast(centroids))
+      .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
+    val cells = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_label"))
+    val a = cells.select(col("c_label"), col("vec_id").as("ia"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = cells.select(col("c_label"), col("vec_id").as("ib"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "c_label")
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= theta)
+      .select(col("ib").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    cells.select(col("vec_id"), col("c_label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_label").cast("long").as("c_label"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   /** IVF-PQ search [Jégou et al., TPAMI'11, §IV]: the composition of q41's
     * coarse quantizer with q61's product codes — ADC scoring runs ONLY over
     * the probed inverted lists, which is the full published method (q66 is
@@ -488,7 +535,12 @@ object SimilarityOps {
     // Int8 scalar quantization of the embedding corpus — see [[sq8Codes]]
     // for the code rule, engine-exactness argument, and scale shape (one
     // 64-key range agg + broadcast + row-local map, zero corpus shuffle).
-    "q84_sq8_codes" -> ((s, d) => sq8Codes(prepped(s, d)))
+    "q84_sq8_codes" -> ((s, d) => sq8Codes(prepped(s, d))),
+
+    // SemDeDup: cluster-bounded semantic dedup with a deterministic
+    // lowest-id keeper — see [[semDedup]] for the method citation, keeper
+    // convention, and cell-bounded pair-stage scale argument.
+    "q86_semdedup" -> ((s, d) => semDedup(s, d))
   )
 
   // q61's oracle, shared so q66 can embed the code table it defines
@@ -762,6 +814,36 @@ object SimilarityOps {
            CASE WHEN r.mx = r.mn THEN 0
                 ELSE CAST(least(floor((u.x - r.mn) * 255.0 / (r.mx - r.mn)),
                           255.0) AS BIGINT) END AS code
-         FROM unpacked u JOIN ranges r ON r.dim = u.dim"""
+         FROM unpacked u JOIN ranges r ON r.dim = u.dim""",
+
+    "q86_semdedup" ->
+      """WITH unpacked AS (
+           SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         centroids AS (
+           SELECT label AS c_label, pos AS c_pos, avg(x) AS cx
+           FROM unpacked GROUP BY label, pos),
+         assign_scored AS (
+           SELECT vec_id, c_label, round(sum(x * cx), 6) AS dot
+           FROM unpacked JOIN centroids ON pos = c_pos
+           GROUP BY vec_id, c_label),
+         ranked AS (
+           SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC NULLS LAST, c_label) AS rn
+           FROM assign_scored),
+         cells AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM cells a
+           JOIN cells b ON b.c_label = a.c_label AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+           WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))
+               >= 0.45)
+         SELECT c.vec_id, CAST(c.c_label AS BIGINT) AS c_label,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id"""
   )
 }

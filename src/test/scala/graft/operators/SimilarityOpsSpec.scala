@@ -235,6 +235,36 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("q86 SemDeDup: kept set has no within-cell pair above theta; drops only have a lower-id witness") {
+    val out = SimilarityOps.queries("q86_semdedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(out.length === total, "audit shape: one row per vector")
+    assert(out.exists(_._3 == 0L), "fixture has cosine pairs >= 0.45 (q39) — something must drop")
+    // exact cosine over the same cells, recomputed independently
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var i = 0; var d0 = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = out.groupBy(_._2)
+    byCell.foreach { case (cell, vs) =>
+      val kept = vs.filter(_._3 == 1L).map(_._1).sorted
+      // no surviving within-cell pair above theta
+      for (i <- kept.indices; j <- (i + 1) until kept.length)
+        assert(cos(emb(kept(i)), emb(kept(j))) < 0.45,
+          s"cell $cell kept a duplicate pair (${kept(i)}, ${kept(j)})")
+      // every drop has a lower-id witness in its cell
+      vs.filter(_._3 == 0L).foreach { case (id, _, _) =>
+        val witnesses = vs.map(_._1).filter(u => u < id && cos(emb(u), emb(id)) >= 0.45)
+        assert(witnesses.nonEmpty, s"vec $id dropped without a lower-id witness in cell $cell")
+      }
+    }
+  }
+
   test("q41 coarse quantizer separates labels far better than chance") {
     val rows = SimilarityOps.queries("q41_ivf_assign")(spark, d).collect()
       .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
