@@ -203,9 +203,13 @@ object SimilarityOps {
       .join(broadcast(centroids))
       .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
     val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
+    // the assignment feeds BOTH pair-join sides and the final audit join —
+    // persist it once instead of re-running the scan+assign subtree three
+    // times (the q70 codebook rationale; released via the cache contract)
     val cells = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("c_label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("c_label"), col("vec_id").as("ia"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = cells.select(col("c_label"), col("vec_id").as("ib"),
@@ -216,10 +220,11 @@ object SimilarityOps {
       .filter(col("cos") >= theta)
       .select(col("ib").as("vec_id")).distinct()
       .withColumn("dup", lit(1L))
-    cells.select(col("vec_id"), col("c_label"))
+    val out = cells.select(col("vec_id"), col("c_label"))
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_label").cast("long").as("c_label"),
         when(col("dup").isNull, 1L).otherwise(0L).as("keep"))
+    DedupOps.finishAndRelease(out, cells)
   }
 
   /** IVF-PQ search [Jégou et al., TPAMI'11, §IV]: the composition of q41's
