@@ -110,6 +110,34 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(expr(gram5ArrayExpr("t")))).as("g"))
 
+  /** q90's operator body over any (source, text) frame — see the q90
+    * entry comment for the audit framing and scale shape. The distinct
+    * (source, gram) table feeds the totals agg and both pair-join sides,
+    * so it persists once under the [[finishAndRelease]] contract.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("source"),
+        explode(array_distinct(expr(gram5ArrayExpr("t")))).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val res = inter
+      .join(tot.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(tot.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
+          .as("jaccard"))
+    finishAndRelease(res, sh)
+  }
+
   /** q79's operator body over any (doc_id, text) frame: per-document
     * contamination report — distinct-5-gram count, eval-shared count, the
     * shared FRACTION (integer half-up rounding at 4 decimals — counts
@@ -291,6 +319,24 @@ object DedupOps {
     // See [[spanDedup]] for the scale shape (two linear shuffles, argmax
     // winner, no self-join, no per-hash window sort).
     "q80_span_dedup" -> ((s, d) => spanDedup(documents(s, d))),
+
+    // Cross-source overlap matrix: 5-gram Jaccard between every SOURCE
+    // pair — the corpus-composition audit run before fixing a training
+    // mix (two mirrors/crawl-snapshots of the same site show up as a
+    // high-Jaccard pair; the q63 rebalance and q85 epoch math are both
+    // wrong if two "sources" are secretly one). Gram definition is the
+    // shared q67/q74 [[gram5ArrayExpr]], so this composes with the
+    // decontamination family. Scale shape: one corpus-linear gram explode
+    // distincted to (source, gram) — row-local array_distinct first (the
+    // q34 device), then a combiner-friendly distinct whose key space is
+    // gram-vocab × n_sources; the pair stage is an equi-join on the gram
+    // value, so each gram fans out at most n_sources² pairs — sources are
+    // a small dimension (tens to hundreds), making the join output
+    // vocab-bounded, never corpus². The distinct table feeds the totals
+    // agg and both join sides, so it persists once under the
+    // finishAndRelease contract. Output is one row per co-occurring
+    // source pair (n_sources² at most).
+    "q90_source_overlap" -> ((s, d) => sourceOverlap(documents(s, d))),
 
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts
     // → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.3.
@@ -777,6 +823,26 @@ object DedupOps {
                 CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
                 coalesce(c.n_dup_windows, 0) > 0 AS flagged
          FROM documents d LEFT JOIN counts c USING (doc_id)""",
+
+    "q90_source_overlap" ->
+      """WITH sh AS (
+           SELECT DISTINCT source,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4] AS g
+           FROM (SELECT source, string_split(text, ' ') AS t FROM documents) a,
+                UNNEST(range(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 5),
+         tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         inter AS (
+           SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+           GROUP BY ALL)
+         SELECT i.src_a, i.src_b, i.n_common,
+                round(i.n_common / CAST(ta.n + tb.n - i.n_common AS DOUBLE), 6)
+                  AS jaccard
+         FROM inter i
+         JOIN tot ta ON i.src_a = ta.source
+         JOIN tot tb ON i.src_b = tb.source""",
 
     "q80_span_dedup" ->
       """WITH segs AS (

@@ -167,8 +167,43 @@ object MultimodalOps {
           sum(col("n_bytes").cast("long")).as("total_bytes"),
           min(col("n_bytes").cast("long")).as("min_bytes"))
         .orderBy("kind")
-    })
+    }),
+
+    // Exact asset dedup over the BINARY payload — the md5-digest dedup
+    // every multimodal corpus runs first (LAION-style URL/content dedup):
+    // digest the raw bytes, group, keep the lowest doc_id. The digest is
+    // md5 over the payload's hex rendering so the oracle can reproduce it
+    // byte-exactly without BLOB md5 support (hex(a||b) = hex(a)||hex(b),
+    // so the oracle concatenates hex pieces instead of slicing blobs).
+    // Scale shape: one row-local digest projection + one combiner-friendly
+    // groupBy on the digest — linear shuffle of (digest, id, bytes)
+    // triples, never payload bytes (the digest column is 32 chars however
+    // big the asset is; the binary column itself stays in the scan stage).
+    // Output is one row per distinct payload with its duplicate count,
+    // keeper, and byte size; `is_dup` marks groups a cleanup pass would
+    // collapse (the sf0.01 fixture has no exact-duplicate texts, so the
+    // oracle pins the all-singleton pass; duplicate payloads appear at
+    // sf0.1 and in MultimodalOpsSpec's planted-duplicate corpus).
+    "q87_asset_dedup" -> ((s, d) => assetDedup(syntheticMedia(s, d)))
   )
+
+  /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
+    * see the q87 entry comment for the digest construction and scale
+    * shape. MultimodalOpsSpec drives planted duplicate payloads through
+    * this body (the sf fixtures are duplicate-free at the oracle's scale).
+    */
+  def assetDedup(media: DataFrame): DataFrame =
+    media
+      .select(
+        col("doc_id"),
+        md5(hex(col("media"))).as("digest"),
+        expr("octet_length(media)").cast("long").as("n_bytes"))
+      .groupBy("digest")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min("doc_id").as("keep_id"),
+        min("n_bytes").as("n_bytes"))
+      .withColumn("is_dup", (col("n_copies") > 1).cast("long"))
 
   val oracle: Map[String, String] = Map(
     "q42_multimodal_stub" ->
@@ -177,6 +212,19 @@ object MultimodalOps {
            count(*) AS n,
            CAST(sum(least(octet_length(encode(text)), 8) + octet_length(encode(text)) + 4) AS BIGINT) AS total_bytes,
            CAST(min(least(octet_length(encode(text)), 8) + octet_length(encode(text)) + 4) AS BIGINT) AS min_bytes
-         FROM documents GROUP BY kind ORDER BY kind"""
+         FROM documents GROUP BY kind ORDER BY kind""",
+
+    "q87_asset_dedup" ->
+      """WITH payload AS (
+           SELECT doc_id,
+             md5('47524654' || substr(hex(encode(text)), 1, 16)
+                 || hex(encode(text))) AS digest,
+             CAST(4 + least(octet_length(encode(text)), 8)
+                  + octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents)
+         SELECT digest, count(*) AS n_copies, min(doc_id) AS keep_id,
+                min(n_bytes) AS n_bytes,
+                CASE WHEN count(*) > 1 THEN 1 ELSE 0 END :: BIGINT AS is_dup
+         FROM payload GROUP BY digest"""
   )
 }

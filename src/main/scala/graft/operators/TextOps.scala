@@ -210,6 +210,88 @@ object TextOps {
           .otherwise("middle").as("bucket"))
   }
 
+  /** q88's operator body: conditional BIGRAM-LM surprisal per document —
+    * the one-step-up-from-unigram LM filter (the KenLM-style fluency score
+    * most CCNet-descendant pipelines actually use, with the corpus's own
+    * bigram model standing in for the external LM): score_d =
+    * -mean over bigram positions of log2 p(w_i | w_{i-1}), with add-one
+    * smoothing p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V) so unseen
+    * continuations have defined probability. V is the corpus token
+    * vocabulary, derived from the bigram table (distinct over both
+    * positions) — vocab-sized work, not a second corpus scan. Documents
+    * with fewer than 2 tokens have no bigram positions and no output row
+    * (the oracle shares the drop).
+    *
+    * Engine-exactness is the q69/q78 micro-bit device end-to-end:
+    * per-bigram surprisal integerizes to micro-bit BIGINTs, the per-doc
+    * tf-weighted mean is exact integer arithmetic, and the final 4-decimal
+    * rounding is the integer half-up `(2a+b) div (2b)` — the output double
+    * is int/10⁴, identical bits in both engines.
+    *
+    * Scale shape: the corpus explodes ONCE into the per-doc bigram tf
+    * table (combiner-friendly groupBy); corpus bigram counts, context
+    * counts and the vocab scalar all chain off that one exchange
+    * (runtime-reused, the q59/q69/q82 pin) and are bigram-vocab-sized;
+    * the smoothed log-prob table joins back to tf with the strategy left
+    * to the planner (bigram vocab is unbounded — the q69 rationale), and
+    * the per-doc mean is one combiner-friendly aggregation.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("p", explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> struct(toks[i] AS w1, toks[i + 1] AS w2))
+             ELSE array() END""")))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val bc = tf.groupBy("w1", "w2").agg(sum("tf").as("bcnt"))
+    val cc = bc.groupBy("w1").agg(sum("bcnt").as("ccnt"))
+    val vocab = bc.select(col("w1").as("w"))
+      .union(bc.select(col("w2").as("w")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val su = bc.join(cc, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(round(-log(2.0, (col("bcnt") + 1.0) / (col("ccnt") + col("v"))), 6)
+          * 1e6, 0).cast("long").as("su"))
+    tf.join(su, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        (expr("(2 * sum(tf * su) + sum(tf) * 100) div (sum(tf) * 200)") / lit(10000.0))
+          .as("avg_bigram_surprisal"),
+        sum("tf").as("n_bigrams"))
+  }
+
+  /** q89's operator body: character-distribution Shannon entropy per
+    * document — see the q89 entry comment. Row-local HOFs only (the q60
+    * device): per distinct char, count occurrences and weight its
+    * integerized micro-bit -log2(p); the mean is the exact integer
+    * half-up device so the output double is int/10⁴ in both engines.
+    * The n=0 guard matters beyond the obvious division: Spark's
+    * `split('', '')` yields `[""]` (one empty element), so the unguarded
+    * HOF would "count" a phantom character on empty documents.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ch", split(col("text"), ""))
+      .withColumn("n", length(col("text")))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_chars"),
+        when(col("n") === 0, 0L)
+          .otherwise(size(array_distinct(col("ch"))).cast("long"))
+          .as("n_distinct_chars"),
+        when(col("n") === 0, 0.0)
+          .otherwise(expr(
+            """(2 * aggregate(
+                  transform(array_distinct(ch), t -> size(filter(ch, x -> x = t))),
+                  0L,
+                  (acc, c) -> acc + c * cast(round(round(-log2(c / cast(n as double)), 6)
+                                                   * 1000000, 0) as bigint))
+                + n * 100) div (n * 200)""") / lit(10000.0))
+          .as("char_entropy"))
+
   /** q82's operator body: DSIR-style importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"): score
     * every document by the log-likelihood ratio between a TARGET unigram
@@ -473,6 +555,24 @@ object TextOps {
                                   * 2654435761L) % 1999 - 999)""").as("score_raw"))
         .withColumn("keep", (col("score_raw") > 0).cast("long"))),
 
+    // Bigram-LM surprisal (see [[bigramSurprisal]]): conditional
+    // -mean log2 p(w_i | w_{i-1}) under an add-one-smoothed corpus bigram
+    // model — the KenLM-shaped fluency filter one step up from q69's
+    // unigram model, exact in micro-bit integers.
+    "q88_bigram_surprisal" -> ((s, d) => bigramSurprisal(documents(s, d))),
+
+    // Character-distribution Shannon entropy per document — the classic
+    // gibberish/encoding-noise gate (low entropy = repeated-char runs,
+    // high = byte soup; both tails get cut before training). Entirely
+    // row-local higher-order functions over the char array (the q60
+    // device): per distinct char, count occurrences and weight its
+    // integerized micro-bit -log2(p); the per-doc mean is the exact
+    // integer half-up device, so the output double is int/10⁴ — identical
+    // bits in both engines. Per-row cost is O(n_chars × n_distinct_chars)
+    // with n_distinct bounded by the alphabet (~100 after any sane
+    // charset gate). Zero shuffle at any corpus size.
+    "q89_char_entropy" -> ((s, d) => charEntropy(documents(s, d))),
+
     // DSIR importance weights (see [[dsirWeights]]): log-likelihood ratio
     // of each document under a target-domain vs raw-corpus unigram model,
     // in exact micro-bit integers; keep = target-leaning.
@@ -653,6 +753,43 @@ object TextOps {
              x -> (CAST('0x' || substr(md5(x), 1, 4) AS BIGINT) * 2654435761) % 1999 - 999)) > 0
              THEN 1 ELSE 0 END :: BIGINT AS keep
          FROM documents""",
+
+    "q88_bigram_surprisal" ->
+      """WITH big AS (
+           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a,
+                LATERAL (SELECT unnest(range(1, len(toks))) AS i) b),
+         tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY ALL),
+         bc AS (SELECT w1, w2, sum(tf) AS bcnt FROM tf2 GROUP BY ALL),
+         cc AS (SELECT w1, sum(bcnt) AS ccnt FROM bc GROUP BY w1),
+         vocab AS (SELECT count(*) AS v
+                   FROM (SELECT w1 FROM bc UNION SELECT w2 FROM bc)),
+         su AS (
+           SELECT b.w1, b.w2,
+             CAST(round(round(-(ln((b.bcnt + 1.0) / (c.ccnt + v.v)) / ln(2.0)), 6)
+                        * 1e6, 0) AS BIGINT) AS su
+           FROM bc b JOIN cc c USING (w1) CROSS JOIN vocab v)
+         SELECT t.doc_id,
+                ((2 * sum(t.tf * s.su) + sum(t.tf) * 100) // (sum(t.tf) * 200))
+                  / 10000.0 AS avg_bigram_surprisal,
+                CAST(sum(t.tf) AS BIGINT) AS n_bigrams
+         FROM tf2 t JOIN su s ON t.w1 = s.w1 AND t.w2 = s.w2
+         GROUP BY t.doc_id""",
+
+    "q89_char_entropy" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE len(list_distinct(ch)) END :: BIGINT AS n_distinct_chars,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             ((2 * CAST(list_sum(list_transform(list_distinct(ch),
+                 t -> len(list_filter(ch, x -> x = t)) *
+                      CAST(round(round(-(ln(len(list_filter(ch, x -> x = t))
+                                            / CAST(length(text) AS DOUBLE)) / ln(2.0)), 6)
+                                 * 1e6, 0) AS BIGINT)))
+               AS BIGINT) + length(text) * 100) // (length(text) * 200)) / 10000.0
+           END AS char_entropy
+         FROM (SELECT doc_id, text, string_split(text, '') AS ch FROM documents) a""",
 
     "q82_dsir_weights" ->
       """WITH tok AS (

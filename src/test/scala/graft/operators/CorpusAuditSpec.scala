@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** The r10 corpus-audit additions over crafted corpora: q87 binary asset
+  * dedup (planted duplicate payloads — the sf fixture is duplicate-free at
+  * the oracle's scale), q88 bigram-LM surprisal (repetition must score
+  * LOWER than novelty, sub-2-token docs drop), q89 char entropy (closed-form
+  * values on uniform alphabets, the empty-text guard), q90 cross-source
+  * 5-gram overlap (identical sources → Jaccard 1, disjoint sources → no
+  * pair row, the cache contract).
+  */
+class CorpusAuditSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("source", StringType, nullable = false)))
+
+  private def docsDf(rows: Seq[(Long, String, String)]) =
+    spark.createDataFrame(
+      rows.map { case (i, t, s) => Row(i, t, s) }.asJava, docSchema)
+
+  // ---- q87 asset dedup ----
+
+  test("q87: planted duplicate payloads collapse to one group, min id kept") {
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val blobA = Array[Byte](0x47, 0x52, 0x46, 0x54, 1, 2, 3)
+    val blobB = Array[Byte](0x47, 0x52, 0x46, 0x54, 9, 9, 9, 9)
+    val media = spark.createDataFrame(
+      Seq(Row(5L, blobA), Row(2L, blobA), Row(7L, blobB)).asJava, mediaSchema)
+
+    val out = MultimodalOps.assetDedup(media).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    val dup = out.values.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 2L)  // keep_id = min(doc_id)
+    assert(dup.getLong(3) == 7L)  // n_bytes of blobA
+    assert(dup.getLong(4) == 1L)  // is_dup
+    val single = out.values.find(_.getLong(1) == 1L).get
+    assert(single.getLong(2) == 7L && single.getLong(4) == 0L)
+  }
+
+  // ---- q88 bigram surprisal ----
+
+  test("q88: repeated bigrams score lower than novel ones; <2-token docs drop") {
+    val repeated = Seq.fill(40)("alpha beta").mkString(" ")  // "beta alpha" + "alpha beta" dominate
+    val novel = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (1L, repeated, "a"), (2L, novel, "a"), (3L, "single", "a")))
+
+    val rows = TextOps.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!rows.contains(3L)) // no bigram positions → no row (oracle shares)
+    assert(rows(1L)._2 == 79L && rows(2L)._2 == 79L)
+    assert(rows(1L)._1 < rows(2L)._1)
+    // the micro-bit device promises int/10⁴ outputs — exact 4-decimal doubles
+    rows.values.foreach { case (v, _) =>
+      assert(v == math.rint(v * 10000) / 10000.0)
+    }
+  }
+
+  // ---- q89 char entropy ----
+
+  test("q89: closed-form entropies and the empty-text guard") {
+    val docs = docsDf(Seq(
+      (1L, "aaaa", "a"),  // one symbol → 0 bits
+      (2L, "abab", "a"),  // two equiprobable → 1 bit
+      (3L, "abcd", "a"),  // four equiprobable → 2 bits
+      (4L, "", "a")))     // empty: the split('','') = [""] trap
+
+    val out = TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0)))
+    assert(out(2L) == ((4L, 2L, 1.0)))
+    assert(out(3L) == ((4L, 4L, 2.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("q89 is shuffle-free (row-local HOFs)") {
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = docsDf(Seq((1L, "some text", "a")))
+      val plan = TextOps.charEntropy(docs).queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
+  // ---- q90 source overlap ----
+
+  test("q90: identical sources Jaccard 1, disjoint sources never pair") {
+    val shared = (0 until 20).map(i => s"w$i").mkString(" ")
+    val other = (100 until 120).map(i => s"v$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (1L, shared, "mirror1"), (2L, shared, "mirror2"), (3L, other, "alone")))
+
+    val out = DedupOps.sourceOverlap(docs)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    out.unpersist()
+    assert(rows.keySet == Set(("mirror1", "mirror2")))
+    assert(rows(("mirror1", "mirror2")) == ((16L, 1.0))) // 20 tokens → 16 5-grams
+  }
+
+  test("q90 releases its gram cache (finishAndRelease contract)") {
+    val docs = docsDf(Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" "), "a"),
+      (2L, (0 until 10).map(i => s"w$i").mkString(" "), "b")))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = DedupOps.sourceOverlap(docs)
+    out.count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty) // the output frame itself is cached for the caller
+    out.unpersist()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+}
