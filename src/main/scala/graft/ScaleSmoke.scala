@@ -66,7 +66,13 @@ object ScaleSmoke {
     // cell, so the 10× embeddings corpus (10 cells × 2k vectors) drives
     // the largest within-cell pair block of the ANN chain — the smoke
     // checks the cell-bounded claim holds when cells grow 10×
-    "q86_semdedup")
+    "q86_semdedup",
+    // q88/q90 joined r10e: q88's bigram explode is a token-stream-sized
+    // shuffle (the q71 class) with a model-table join back; q90's pair
+    // stage equi-joins the (source, gram) distinct table against itself —
+    // the vocab-bounded-fanout claim needs a 10× data point. q87/q89 are
+    // row-local/linear with no distribution risk worth a slot.
+    "q88_bigram_surprisal", "q90_source_overlap")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
@@ -80,9 +86,17 @@ object ScaleSmoke {
   // boilerplate window hash a hot key through BOTH the dfreq groupBy and
   // the join back — and unlike q71 the join keeps all windows, so the hot
   // key's join output is the full 2k-doc × shared-window block
+  // q88 on the skew corpus: the 20%-identical boilerplate concentrates
+  // every boilerplate bigram on one (w1, w2) key with ~2k docs — the
+  // corpus bigram count groupBy takes it as a map-side-combinable
+  // partial, and the tf2⋈su join back fans 2k per-doc rows against ONE
+  // model row, which must stay row-shaped (the q75 discipline). q90's
+  // hot grams are a fixed ~46-window set shared by all sources — a
+  // constant-sized fan-out, no slot needed.
   private val skewQueries = Seq(
     "q34_ngram_jaccard", "q36_simhash", "q40_lsh_jaccard_verified",
-    "q45_dedup_clusters", "q71_window_dedup", "q75_boilerplate_frac")
+    "q45_dedup_clusters", "q71_window_dedup", "q75_boilerplate_frac",
+    "q88_bigram_surprisal")
 
   /** Alarm bar for the worst in-stage straggler ratio: a bounded-bucket
     * plan whose max task runs ≥10× its stage median has a hot task, which
