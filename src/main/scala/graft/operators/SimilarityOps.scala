@@ -42,6 +42,22 @@ object SimilarityOps {
       .groupBy("c_label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("ce"))
 
+  /** The coarse-cell assignment kernel shared by q41/q43/q70/q86: score
+    * `base` (vec_id plus the `carry` columns, which must include `e`)
+    * against every broadcast centroid with the rounded-dot convention and
+    * rank cells per vector by (desc r_dot, c_label). `rn === 1` IS the
+    * cell assignment; `rn <= nProbes` is the probe set. One definition so
+    * the rounding precision and tie-break can never desynchronize the
+    * four consumers from each other or from the shared oracle text.
+    */
+  private def rankedCells(base: DataFrame, carry: Seq[String]): DataFrame = {
+    val scored = base.select(("vec_id" +: carry).map(col): _*)
+      .join(broadcast(centroidsOf(base)))
+      .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
+    scored.withColumn("rn", row_number().over(w))
+  }
+
   /** IVF ANN top-5 for the query vectors (vec_id < 3), probing each
     * query's `nProbes` nearest coarse centroids. More probes score more
     * inverted lists — monotonically better recall for linearly more
@@ -54,12 +70,7 @@ object SimilarityOps {
   def ivfSearch(s: SparkSession, d: String, nProbes: Int = 2): DataFrame = {
     require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
     val base = prepped(s, d)
-    val centroids = centroidsOf(base)
-    val scored = base.select(col("vec_id"), col("e"), col("nrm"))
-      .join(broadcast(centroids))
-      .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
-    val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
-    val ranked = scored.withColumn("rn", row_number().over(w))
+    val ranked = rankedCells(base, Seq("e", "nrm"))
     // inverted lists: every vector in its single nearest cluster
     val lists = ranked.filter(col("rn") === 1)
       .select(col("c_label"), col("vec_id").as("cid"),
@@ -198,15 +209,10 @@ object SimilarityOps {
     */
   def semDedup(s: SparkSession, d: String, theta: Double = 0.45): DataFrame = {
     val base = prepped(s, d)
-    val centroids = centroidsOf(base)
-    val scored = base.select(col("vec_id"), col("e"), col("nrm"))
-      .join(broadcast(centroids))
-      .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
-    val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
     // the assignment feeds BOTH pair-join sides and the final audit join —
     // persist it once instead of re-running the scan+assign subtree three
     // times (the q70 codebook rationale; released via the cache contract)
-    val cells = scored.withColumn("rn", row_number().over(w))
+    val cells = rankedCells(base, Seq("e", "nrm"))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("c_label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -258,12 +264,7 @@ object SimilarityOps {
       k: Int = 5): DataFrame = {
     require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
     val base = prepped(s, d)
-    val centroids = centroidsOf(base)
-    val scored = base.select(col("vec_id"), col("e"), col("nrm"))
-      .join(broadcast(centroids))
-      .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
-    val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
-    val ranked = scored.withColumn("rn", row_number().over(w))
+    val ranked = rankedCells(base, Seq("e"))
     val lists = ranked.filter(col("rn") === 1)
       .select(col("c_label"), col("vec_id").as("cid"))
     val probes = ranked.filter(col("rn") <= nProbes && col("vec_id") < 3)
@@ -524,13 +525,7 @@ object SimilarityOps {
     // centroid by dot product. Output: label vs assigned confusion counts.
     "q41_ivf_assign" -> ((s, d) => {
       val base = prepped(s, d)
-      val centroids = centroidsOf(base)
-      val scored = base.select(col("vec_id"), col("label"), col("e"))
-        .join(broadcast(centroids))
-        .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
-      val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
-      scored
-        .withColumn("rn", row_number().over(w))
+      rankedCells(base, Seq("label", "e"))
         .filter(col("rn") === 1)
         .groupBy(col("label"), col("c_label").as("assigned"))
         .agg(count(lit(1)).as("n"))

@@ -275,10 +275,14 @@ object TextOps {
   def charEntropy(docs: DataFrame): DataFrame =
     docs
       .withColumn("ch", split(col("text"), ""))
-      .withColumn("n", length(col("text")))
+      // n as LONG: the mean device multiplies n by 200, which overflows
+      // 32-bit int on ~10.7M-char documents — under ANSI mode one
+      // oversized doc would throw and kill the stage (the oracle's
+      // length() is already BIGINT, so only the Spark side was at risk)
+      .withColumn("n", length(col("text")).cast("long"))
       .select(
         col("doc_id"),
-        col("n").cast("long").as("n_chars"),
+        col("n").as("n_chars"),
         when(col("n") === 0, 0L)
           .otherwise(size(array_distinct(col("ch"))).cast("long"))
           .as("n_distinct_chars"),
@@ -291,6 +295,79 @@ object TextOps {
                                                    * 1000000, 0) as bigint))
                 + n * 100) div (n * 200)""") / lit(10000.0))
           .as("char_entropy"))
+
+  /** q91's tokenizer pattern: a GPT-2-style pre-tokenizer regex ("BPE-ish"
+    * — common contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace), restricted to the Java-regex ∩ RE2
+    * subset: the real GPT-2 pattern's `\s+(?!\S)` lookahead does not
+    * exist in RE2, so the oracle engine could never match it — the
+    * portable variant drops the lookahead split and counts trailing
+    * whitespace with the final `\s+` branch instead. Shared between the
+    * operator and its oracle by construction (one definition).
+    */
+  private[operators] val bpeTokenRe =
+    """'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** q91's operator body: token counting under BOTH conventions — the
+    * whitespace count every quality heuristic uses (q31/q77) and the
+    * BPE-ish pre-tokenizer count that approximates what a trained BPE
+    * vocabulary will actually bill for the document (budget/packing math
+    * over q83/q57 is wrong by the tokens-per-word factor if it assumes
+    * whitespace tokens). tokens_per_word is the exact integer half-up
+    * device, so the ratio is int/10⁴ in both engines. Row-local regex
+    * projections — zero shuffle at any corpus size.
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit(bpeTokenRe)).cast("long").as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        expr("(2 * n_bpe_tokens * 10000 + n_ws_tokens) div (2 * n_ws_tokens)")
+          / lit(10000.0))
+
+  /** q92's operator body: winnowing document fingerprints (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03 — the MOSS local fingerprinting
+    * algorithm): hash every word-3-gram (the q34 shingle unit), slide a
+    * window of w=4 consecutive hashes, select each window's minimum, and
+    * keep the DISTINCT selected values as the document's fingerprint set.
+    * Winnowing guarantees any shared run of ≥ k+w-1 tokens contributes at
+    * least one common fingerprint, at ~2/(w+1) the storage of the full
+    * hash set — the sub-document dedup key family between q33's whole-doc
+    * hash and q71's every-window explode. Tie-break note: the classic
+    * algorithm picks the RIGHTMOST minimum per window, but the OUTPUT —
+    * the distinct value set — is tie-break-invariant (equal minima are
+    * equal values), so plain `array_min` is exact. Documents with fewer
+    * than k+w-1 tokens winnow their single short window (the global
+    * minimum); under-k-token documents have no grams and an empty
+    * fingerprint (md5 of the empty join). Entirely row-local HOFs —
+    * zero shuffle; consumers join on exploded fingerprint values exactly
+    * as q71 joins window hashes.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("hs", expr(
+        """transform(
+             CASE WHEN size(t) >= 3
+                  THEN transform(sequence(1, size(t) - 2),
+                         i -> concat_ws(' ', element_at(t, i),
+                           element_at(t, i + 1), element_at(t, i + 2)))
+                  ELSE CAST(array() AS ARRAY<STRING>) END,
+             g -> cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint))"""))
+      .withColumn("fps", expr(
+        """CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+                ELSE array_distinct(transform(
+                       sequence(1, greatest(size(hs) - 3, 1)),
+                       i -> array_min(slice(hs, i, 4)))) END"""))
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(expr(
+          "array_join(transform(array_sort(fps), x -> cast(x as string)), ',')"))
+          .as("fp_digest"))
 
   /** q82's operator body: DSIR-style importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"): score
@@ -573,6 +650,17 @@ object TextOps {
     // charset gate). Zero shuffle at any corpus size.
     "q89_char_entropy" -> ((s, d) => charEntropy(documents(s, d))),
 
+    // BPE-ish token counting (see [[bpeTokenStats]]): whitespace count
+    // next to a GPT-2-style pre-tokenizer regex count plus the
+    // tokens-per-word factor — what a trained BPE vocab will bill vs
+    // what the whitespace heuristics assume.
+    "q91_bpe_tokens" -> ((s, d) => bpeTokenStats(documents(s, d))),
+
+    // Winnowing fingerprints (see [[winnowFingerprints]]): MOSS-style
+    // local fingerprinting — window-min selection over word-3-gram
+    // hashes, the sub-document dedup key at ~2/(w+1) storage.
+    "q92_winnow_fingerprint" -> ((s, d) => winnowFingerprints(documents(s, d))),
+
     // DSIR importance weights (see [[dsirWeights]]): log-likelihood ratio
     // of each document under a target-domain vs raw-corpus unigram model,
     // in exact micro-bit integers; keep = target-leaning.
@@ -790,6 +878,41 @@ object TextOps {
                AS BIGINT) + length(text) * 100) // (length(text) * 200)) / 10000.0
            END AS char_entropy
          FROM (SELECT doc_id, text, string_split(text, '') AS ch FROM documents) a""",
+
+    // the pattern is spliced from [[bpeTokenRe]] (apostrophe doubled for
+    // the SQL literal) so operator and oracle can never drift
+    "q91_bpe_tokens" ->
+      s"""SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+           ((2 * n_bpe_tokens * 10000 + n_ws_tokens) // (2 * n_ws_tokens)) / 10000.0
+             AS tokens_per_word
+         FROM (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '${bpeTokenRe.replace("'", "''")}'))
+               AS BIGINT) AS n_bpe_tokens
+           FROM documents) a""",
+
+    "q92_winnow_fingerprint" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END,
+               g -> CAST('0x' || substr(md5(g), 1, 12) AS BIGINT)) AS hs
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) a),
+         fp AS (
+           SELECT doc_id, len(hs) AS n_grams,
+             CASE WHEN len(hs) = 0 THEN []
+                  ELSE list_distinct(list_transform(
+                         range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                         i -> list_min(hs[i:i+3]))) END AS fps
+           FROM sh)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(len(fps) AS BIGINT) AS n_fps,
+                md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+         FROM fp""",
 
     "q82_dsir_weights" ->
       """WITH tok AS (

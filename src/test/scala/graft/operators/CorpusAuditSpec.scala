@@ -111,6 +111,60 @@ class CorpusAuditSpec extends SparkSpec {
     assert(rows(("mirror1", "mirror2")) == ((16L, 1.0))) // 20 tokens → 16 5-grams
   }
 
+  // ---- q91 BPE-ish token counting ----
+
+  test("q91: GPT-2-style pre-tokenizer count on a crafted sentence; exact ratio device") {
+    val docs = docsDf(Seq(
+      (1L, "It's 2026, Dr. Smith-Jones owes $1,234.56!", "a"),
+      (2L, "plain words only here", "a")))
+    val out = TextOps.bpeTokenStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // hand-tokenized under the portable pattern: It|'s| 2026|,| Dr|.| Smith|
+    // -|Jones| owes| |$|1|,|234|.|56|! → 17 (the space before $ matches
+    // alone because '$' is not space-prefixable by the punct branch order)
+    assert(out(1L)._1 == 6L && out(1L)._2 == 17L)
+    assert(out(1L)._3 == 2.8333) // (2*170000+6) div 12 = 28333 → int/10⁴
+    assert(out(2L)._1 == 4L && out(2L)._2 == 4L && out(2L)._3 == 1.0)
+  }
+
+  // ---- q92 winnowing fingerprints ----
+
+  test("q92: fingerprints are window minima, identical docs share digests, short docs degrade") {
+    val text = (0 until 20).map(i => s"w$i").mkString(" ") // 18 grams, 15 windows
+    val docs = docsDf(Seq(
+      (1L, text, "a"), (2L, text, "b"),          // identical → same digest
+      (3L, "a b c", "a"),                        // 1 gram < w → global min
+      (4L, "a b", "a")))                         // no grams
+    val out = TextOps.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 18L)
+    assert(out(1L)._2 >= 1L && out(1L)._2 <= 15L) // ≤ one selection per window
+    assert(out(1L)._3 == out(2L)._3, "identical docs must share the digest")
+    assert(out(3L) == ((1L, 1L, out(3L)._3)))
+    assert(out(4L)._1 == 0L && out(4L)._2 == 0L)
+    // winnowing's coverage guarantee: a doc sharing a ≥ k+w-1 = 6-token run
+    // with doc 1 shares at least one fingerprint value
+    val overlapping = docsDf(Seq(
+      (1L, text, "a"),
+      (5L, "x1 x2 " + (3 until 9).map(i => s"w$i").mkString(" ") + " y1 y2", "a")))
+    val fps = TextOps.winnowFingerprints(overlapping) // digests differ, so go to values
+    // recompute selected values per doc via the same body's upstream arrays
+    val vals = overlapping
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("hs", expr(
+        """transform(transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                 element_at(t, i + 2))),
+             g -> cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint))"""))
+      .withColumn("fp", explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), i -> array_min(slice(hs, i, 4))))")))
+      .select("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = vals.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(fps.count() == 2)
+    assert((byDoc(1L) & byDoc(5L)).nonEmpty,
+      "shared 6-token run must contribute a common fingerprint")
+  }
+
   test("q90 releases its gram cache (finishAndRelease contract)") {
     val docs = docsDf(Seq(
       (1L, (0 until 10).map(i => s"w$i").mkString(" "), "a"),

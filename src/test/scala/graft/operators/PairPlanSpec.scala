@@ -15,13 +15,48 @@ class PairPlanSpec extends SparkSpec {
   private def executedPlan(q: String): String =
     graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
-  test("q36/q39/q40/q44 plans contain no BNLJ or CartesianProduct") {
+  test("q36/q39/q40/q44/q90 plans contain no BNLJ or CartesianProduct") {
+    // q90's pair stage is only scale-safe because `a.g === b.g` makes it
+    // an equi-join — losing that conjunct would leave `a.source <
+    // b.source` alone and plan a CartesianProduct over the gram table.
+    // Its queries entry materializes eagerly (finishAndRelease), so the
+    // interesting plan is the one CAPTURED during that materialization:
+    // snapshot executed plans via a listener instead of reading the
+    // post-cache frame (whose plan is just the InMemoryRelation).
     for (q <- Seq("q36_simhash", "q39_embedding_neardup", "q40_lsh_jaccard_verified",
         "q44_rp_lsh_neardup")) {
       val p = executedPlan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BroadcastNestedLoopJoin")
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
     }
+    val captured = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = graft.SparkEntry.queries("q90_source_overlap")(spark, d)
+      res.unpersist(blocking = true)
+      // the listener bus is async and private — settle-poll (ScaleSmoke's
+      // drain pattern) until no more plans arrive
+      var last = -1
+      while (captured.synchronized(captured.size) != last) {
+        last = captured.synchronized(captured.size); Thread.sleep(300)
+      }
+      val plans = captured.synchronized(captured.toSeq)
+      // non-vacuity: the pair stage's equi-join must be visible in at
+      // least one captured plan before we assert the bad shapes absent
+      assert(plans.exists(p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin")), "q90's materialization shows no equi-join")
+      for (p <- plans) {
+        assert(!p.contains("BroadcastNestedLoopJoin"), "q90 plans a BroadcastNestedLoopJoin")
+        assert(!p.contains("CartesianProduct"), "q90 plans a CartesianProduct")
+      }
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("dedup chain survives documents with fewer than 3 tokens (ANSI-safe shingles)") {

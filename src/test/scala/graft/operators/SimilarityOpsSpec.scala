@@ -236,8 +236,10 @@ class SimilarityOpsSpec extends SparkSpec {
   }
 
   test("q86 SemDeDup: kept set has no within-cell pair above theta; drops only have a lower-id witness") {
-    val out = SimilarityOps.queries("q86_semdedup")(spark, d)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // caller-owns-cache contract: semDedup returns a persisted frame
+    val outDf = SimilarityOps.queries("q86_semdedup")(spark, d)
+    val out = outDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    outDf.unpersist(blocking = true)
     val total = spark.read.parquet(s"$d/embeddings.parquet").count()
     assert(out.length === total, "audit shape: one row per vector")
     assert(out.exists(_._3 == 0L), "fixture has cosine pairs >= 0.45 (q39) — something must drop")
