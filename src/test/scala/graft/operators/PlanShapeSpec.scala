@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkSpec {
     // back)
     for (q <- Seq("q31_text_stats", "q32_lang_score", "q33_fingerprint",
         "q38_quality_score", "q47_stratified_sample", "q58_split_assign",
-        "q60_repetition_stats", "q81_hash_quality")) {
+        "q60_repetition_stats", "q81_hash_quality",
+        "q91_bpe_tokens", "q92_winnow_fingerprint")) {
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q claims zero-shuffle map-only but plans an exchange:\n${p.take(800)}")
@@ -146,5 +147,19 @@ class PlanShapeSpec extends SparkSpec {
       s"q82 re-ran the corpus explode+tf aggregation instead of reusing it:\n${p.take(1200)}")
     assert(!p.contains("rangepartitioning"),
       "q82 grew a corpus-sized global sort")
+  }
+
+  test("q88 reuses the bigram tf exchange: the corpus explodes once") {
+    // bc, cc, the vocab scalar and the per-doc mean all chain off the one
+    // (doc, w1, w2) tf aggregation — the q69/q82 discipline applied to the
+    // bigram table; without reuse the corpus bigram explode would run up
+    // to four times
+    val df = graft.SparkEntry.queries("q88_bigram_surprisal")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"q88 re-ran the corpus bigram explode instead of reusing it:\n${p.take(1200)}")
+    assert(!p.contains("rangepartitioning"),
+      "q88 grew a corpus-sized global sort")
   }
 }
