@@ -111,31 +111,48 @@ object DedupOps {
         explode(array_distinct(expr(gram5ArrayExpr("t")))).as("g"))
 
   /** q90's operator body over any (source, text) frame — see the q90
-    * entry comment for the audit framing and scale shape. The distinct
-    * (source, gram) table feeds the totals agg and both pair-join sides,
-    * so it persists once under the [[finishAndRelease]] contract.
+    * entry comment for the audit framing. Scale shape: ONE corpus-scale
+    * exchange. `collect_set(source)` per gram subsumes the (source, gram)
+    * distinct (the set dedups cross-doc repeats; `array_distinct` cuts
+    * within-doc repeats row-locally before the shuffle), so the gram
+    * table never shuffles again after the groupBy: source pairs are
+    * row-local combinations over each gram's source SET (≤ n_sources
+    * elements — sources are a small dimension, so the per-row fan-out is
+    * bounded and the collected set can never be corpus-sized), and the
+    * per-source totals explode the same set. Both consumers chain off
+    * the identical groupBy(g) subtree — runtime exchange reuse collapses
+    * them to one corpus explode (the q69/q82/q88 pin discipline; an
+    * earlier formulation self-joined a persisted distinct table on g,
+    * which shuffled the gram table three more times and measured ~2× the
+    * wall time at sf0.1). The order-nondeterminism of collect_set is
+    * immaterial: pair generation and counts are set-order-invariant.
+    * Output (source-pair rows) persists under the [[finishAndRelease]]
+    * contract.
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val sh = docs
+    val gramSources = docs
       .select(col("source"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       .select(col("source"),
         explode(array_distinct(expr(gram5ArrayExpr("t")))).as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy("g").agg(collect_set(col("source")).as("srcs"))
+    val inter = gramSources
+      .select(explode(expr(
+        """flatten(transform(srcs,
+             a -> transform(filter(srcs, b -> a < b),
+                            b -> struct(a AS src_a, b AS src_b))))""")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
+    val tot = gramSources
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
     val res = inter
       .join(tot.select(col("source").as("src_a"), col("n").as("na")), "src_a")
       .join(tot.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
       .select(col("src_a"), col("src_b"), col("n_common"),
         round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
           .as("jaccard"))
-    finishAndRelease(res, sh)
+    finishAndRelease(res)
   }
 
   /** q79's operator body over any (doc_id, text) frame: per-document
@@ -326,16 +343,11 @@ object DedupOps {
     // high-Jaccard pair; the q63 rebalance and q85 epoch math are both
     // wrong if two "sources" are secretly one). Gram definition is the
     // shared q67/q74 [[gram5ArrayExpr]], so this composes with the
-    // decontamination family. Scale shape: one corpus-linear gram explode
-    // distincted to (source, gram) — row-local array_distinct first (the
-    // q34 device), then a combiner-friendly distinct whose key space is
-    // gram-vocab × n_sources; the pair stage is an equi-join on the gram
-    // value, so each gram fans out at most n_sources² pairs — sources are
-    // a small dimension (tens to hundreds), making the join output
-    // vocab-bounded, never corpus². The distinct table feeds the totals
-    // agg and both join sides, so it persists once under the
-    // finishAndRelease contract. Output is one row per co-occurring
-    // source pair (n_sources² at most).
+    // decontamination family. See [[sourceOverlap]] for the scale shape:
+    // ONE corpus-scale exchange (groupBy gram → collect_set of sources,
+    // bounded by the source dimension), pairs and totals both row-local
+    // over the per-gram source set, exchange-reused. Output is one row
+    // per co-occurring source pair (n_sources² at most).
     "q90_source_overlap" -> ((s, d) => sourceOverlap(documents(s, d))),
 
     // N-gram Jaccard near-dup: shingle self-join → pair intersection counts

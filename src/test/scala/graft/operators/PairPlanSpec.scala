@@ -16,13 +16,18 @@ class PairPlanSpec extends SparkSpec {
     graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
   test("q36/q39/q40/q44/q90 plans contain no BNLJ or CartesianProduct") {
-    // q90's pair stage is only scale-safe because `a.g === b.g` makes it
-    // an equi-join — losing that conjunct would leave `a.source <
-    // b.source` alone and plan a CartesianProduct over the gram table.
-    // Its queries entry materializes eagerly (finishAndRelease), so the
-    // interesting plan is the one CAPTURED during that materialization:
-    // snapshot executed plans via a listener instead of reading the
-    // post-cache frame (whose plan is just the InMemoryRelation).
+    // q90 generates source pairs ROW-LOCALLY from each gram's collected
+    // source set — the only joins left are the tiny per-source-total
+    // lookups, which must stay hash joins (a Cartesian/BNLJ would mean
+    // the jaccard join conditions stopped being equi, or the pair stage
+    // regressed to a corpus-table self-join). Its queries entry
+    // materializes eagerly (finishAndRelease), so the interesting plans
+    // are the ones CAPTURED during that materialization: snapshot
+    // executed plans via a listener instead of reading the post-cache
+    // frame (whose plan is just the InMemoryRelation). The same capture
+    // checks the one-corpus-exchange claim: pairs and totals both chain
+    // off the groupBy(g) set-collection, so runtime exchange reuse must
+    // collapse the gram explode (the q69/q82/q88 discipline).
     for (q <- Seq("q36_simhash", "q39_embedding_neardup", "q40_lsh_jaccard_verified",
         "q44_rp_lsh_neardup")) {
       val p = executedPlan(q)
@@ -52,6 +57,8 @@ class PairPlanSpec extends SparkSpec {
       // least one captured plan before we assert the bad shapes absent
       assert(plans.exists(p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
         || p.contains("BroadcastHashJoin")), "q90's materialization shows no equi-join")
+      assert(plans.exists(p => p.contains("ReusedExchange") || p.contains("ReusedQueryStage")),
+        "q90 re-ran the corpus gram explode instead of reusing the groupBy(g) exchange")
       for (p <- plans) {
         assert(!p.contains("BroadcastNestedLoopJoin"), "q90 plans a BroadcastNestedLoopJoin")
         assert(!p.contains("CartesianProduct"), "q90 plans a CartesianProduct")
