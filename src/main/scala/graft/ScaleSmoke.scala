@@ -68,10 +68,12 @@ object ScaleSmoke {
     // checks the cell-bounded claim holds when cells grow 10×
     "q86_semdedup",
     // q88/q90 joined r10e: q88's bigram explode is a token-stream-sized
-    // shuffle (the q71 class) with a model-table join back; q90's pair
-    // stage equi-joins the (source, gram) distinct table against itself —
-    // the vocab-bounded-fanout claim needs a 10× data point. q87/q89 are
-    // row-local/linear with no distribution risk worth a slot.
+    // shuffle (the q71 class) with a model-table join back; q90's one
+    // corpus-scale exchange collects each gram's source SET and generates
+    // pairs row-locally — the set-stays-source-bounded claim (an
+    // ObjectHashAggregate over a corpus-sized explode) needs a 10× data
+    // point. q87/q89 are row-local/linear with no distribution risk worth
+    // a slot.
     "q88_bigram_surprisal", "q90_source_overlap")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate

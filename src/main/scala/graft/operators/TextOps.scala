@@ -911,7 +911,11 @@ object TextOps {
            FROM sh)
          SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
                 CAST(len(fps) AS BIGINT) AS n_fps,
-                md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+                -- coalesce: DuckDB's array_to_string of an EMPTY list is
+                -- NULL (not ''), so a sub-3-token doc would digest NULL
+                -- where Spark's array_join digests '' (md5('') = d41d8…)
+                md5(coalesce(array_to_string(list_sort(fps), ','), ''))
+                  AS fp_digest
          FROM fp""",
 
     "q82_dsir_weights" ->

@@ -120,8 +120,8 @@ class CorpusAuditSpec extends SparkSpec {
     val out = TextOps.bpeTokenStats(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     // hand-tokenized under the portable pattern: It|'s| 2026|,| Dr|.| Smith|
-    // -|Jones| owes| |$|1|,|234|.|56|! → 17 (the space before $ matches
-    // alone because '$' is not space-prefixable by the punct branch order)
+    // -|Jones| owes| $|1|,|234|.|56|! → 17 (the punct branch is
+    // space-prefixable — ` ?[^\s\p{L}\p{N}]+` — so ' $' is ONE token)
     assert(out(1L)._1 == 6L && out(1L)._2 == 17L)
     assert(out(1L)._3 == 2.8333) // (2*170000+6) div 12 = 28333 → int/10⁴
     assert(out(2L)._1 == 4L && out(2L)._2 == 4L && out(2L)._3 == 1.0)
@@ -142,6 +142,10 @@ class CorpusAuditSpec extends SparkSpec {
     assert(out(1L)._3 == out(2L)._3, "identical docs must share the digest")
     assert(out(3L) == ((1L, 1L, out(3L)._3)))
     assert(out(4L)._1 == 0L && out(4L)._2 == 0L)
+    // the empty-fingerprint digest is md5('') — the convention the oracle
+    // must reproduce (DuckDB's array_to_string of an empty list is NULL,
+    // which the oracle coalesces to '' for exactly this row shape)
+    assert(out(4L)._3 == "d41d8cd98f00b204e9800998ecf8427e")
     // winnowing's coverage guarantee: a doc sharing a ≥ k+w-1 = 6-token run
     // with doc 1 shares at least one fingerprint value
     val overlapping = docsDf(Seq(

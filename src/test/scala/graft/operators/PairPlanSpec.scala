@@ -46,8 +46,14 @@ class PairPlanSpec extends SparkSpec {
     try {
       val res = graft.SparkEntry.queries("q90_source_overlap")(spark, d)
       res.unpersist(blocking = true)
-      // the listener bus is async and private — settle-poll (ScaleSmoke's
-      // drain pattern) until no more plans arrive
+      // the listener bus is async and private. Unlike ScaleSmoke's drain
+      // (where events have usually already landed), zero-delivered-yet is
+      // the EXPECTED initial state here — first wait (bounded) for the
+      // materialization's onSuccess to arrive at all, then settle-poll
+      // until no more plans trickle in
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.synchronized(captured.isEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(100)
       var last = -1
       while (captured.synchronized(captured.size) != last) {
         last = captured.synchronized(captured.size); Thread.sleep(300)
