@@ -84,6 +84,33 @@ object DedupOps {
     withShingleArray(documents(s, d))
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
 
+  /** The q34/q93 shared candidate machinery: df-guarded distinct shingles
+    * self-joined into per-pair intersection counts with both docs' shingle
+    * set sizes attached — the scoring (symmetric Jaccard vs directional
+    * containment) is the only thing the two operators do differently.
+    * Returns (pairs, guardedShingles); the guarded table persists because
+    * it feeds three consumers (counts + both join sides) — the CALLER must
+    * hand it to [[finishAndRelease]]. See the q34 entry comment for the
+    * df-guard rationale and the measured r8 alternative.
+    */
+  private def guardedPairCounts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(s, d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+    (pairs, sh)
+  }
+
   /** doc_id, g — per-document DISTINCT word-5-grams (the decontamination
     * unit of q67/q74). Row-local: transform + array_distinct before the
     * explode, so no corpus-sized distinct shuffle; documents under 5
@@ -372,25 +399,33 @@ object DedupOps {
     // single shuffle + spillable sort + one cached guarded table is the
     // measured winner.
     "q34_ngram_jaccard" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // three consumers (counts + both self-join sides): persist so the
-      // shingle generation runs once; MEMORY_AND_DISK spills, never OOMs
-      val sh = shingles(s, d)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-        .filter(col("df") <= maxShingleDf)
-        .drop("df")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      val res = inter
-        .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      val (pairs, sh) = guardedPairCounts(s, d)
+      val res = pairs
         .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jacc"))
+      finishAndRelease(res, sh)
+    }),
+
+    // Shingle CONTAINMENT pairs (Broder '97's asymmetric resemblance
+    // companion): C(A→B) = |A∩B| / |A| — the fraction of A's shingles
+    // inside B. A short document quoted whole inside a long one scores
+    // ~1 on containment while its symmetric Jaccard stays far below any
+    // near-dup threshold (|A∪B| is dominated by the long doc), so q34's
+    // measure structurally cannot flag quote-inclusion — this operator
+    // exists for exactly that pair class. Emits both directions and
+    // keeps pairs whose larger direction clears 0.8; the same guarded
+    // candidate machinery as q34 (shared [[guardedPairCounts]] — the
+    // df-guard bounds the self-join buckets identically).
+    "q93_containment" -> ((s, d) => {
+      val (pairs, sh) = guardedPairCounts(s, d)
+      val res = pairs
+        .withColumn("cont_a", col("inter") / col("na"))
+        .withColumn("cont_b", col("inter") / col("nb"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a"), 4).as("cont_a"),
+          round(col("cont_b"), 4).as("cont_b"))
       finishAndRelease(res, sh)
     }),
 
@@ -897,6 +932,25 @@ object DedupOps {
          JOIN cnt cb ON cb.doc_id = id_b
          WHERE inter/(ca.n + cb.n - inter) >= 0.3
          ORDER BY id_a, id_b""",
+
+    "q93_containment" ->
+      s"""WITH sh0 AS ($duckShingles),
+         sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+           WHERE df <= $maxShingleDf),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+                round(inter / CAST(ca.n AS DOUBLE), 4) AS cont_a,
+                round(inter / CAST(cb.n AS DOUBLE), 4) AS cont_b
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         WHERE greatest(inter / CAST(ca.n AS DOUBLE),
+                        inter / CAST(cb.n AS DOUBLE)) >= 0.8""",
 
     "q35_minhash_lsh" ->
       s"""WITH $duckSig,

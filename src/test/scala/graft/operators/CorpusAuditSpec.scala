@@ -169,6 +169,37 @@ class CorpusAuditSpec extends SparkSpec {
       "shared 6-token run must contribute a common fingerprint")
   }
 
+  // ---- q93 containment ----
+
+  test("q93: quote-inclusion scores ~1 on containment while q34's Jaccard misses it") {
+    val sp = spark
+    import sp.implicits._
+    val quoted = (0 until 10).map(i => s"q$i").mkString(" ")
+    val long = quoted + " " + (0 until 100).map(i => s"body$i").mkString(" ")
+    val other = (0 until 20).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_containment")
+    Seq(
+      (1L, quoted, "en", "src0", quoted.length.toLong),
+      (2L, long, "en", "src0", long.length.toLong),
+      (3L, other, "en", "src0", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+
+    val cont = DedupOps.queries("q93_containment")(sp, tmp.toString)
+    val got = cont.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    cont.unpersist(blocking = true)
+    // doc 1's 8 shingles all appear in doc 2 → cont_a = 1.0; doc 2 has 108
+    assert(got.keySet == Set((1L, 2L)), "only the quote-inclusion pair may clear 0.8")
+    assert(got((1L, 2L))._1 == 1.0)
+    assert(got((1L, 2L))._2 < 0.1)
+    // the same pair is invisible to q34's symmetric Jaccard (8/108 < 0.3)
+    val jacc = DedupOps.queries("q34_ngram_jaccard")(sp, tmp.toString)
+    assert(jacc.collect().isEmpty, "Jaccard must not flag the quote-inclusion pair")
+    jacc.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
+
   test("q90 releases its gram cache (finishAndRelease contract)") {
     val docs = docsDf(Seq(
       (1L, (0 until 10).map(i => s"w$i").mkString(" "), "a"),
