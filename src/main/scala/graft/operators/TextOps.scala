@@ -345,22 +345,35 @@ object TextOps {
     * zero shuffle; consumers join on exploded fingerprint values exactly
     * as q71 joins window hashes.
     */
+  /** The winnow gram-hash array over a token-array column — THE hash
+    * definition, shared by batch q92 and the streaming near-dup gate
+    * ([[graft.streaming.DocStreams.nearDupGate]]), the same one-definition
+    * contract as [[fingerprintCol]]/[[gopherKeepCol]] and DedupOps'
+    * gram5ArrayExpr: the gate's "reconcile with batch q92" story is only
+    * sound while both sides hash identical grams identically.
+    */
+  private[graft] def winnowHashArrayExpr(tCol: String): String =
+    s"""transform(
+          CASE WHEN size($tCol) >= 3
+               THEN transform(sequence(1, size($tCol) - 2),
+                      i -> concat_ws(' ', element_at($tCol, i),
+                        element_at($tCol, i + 1), element_at($tCol, i + 2)))
+               ELSE CAST(array() AS ARRAY<STRING>) END,
+          g -> cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint))"""
+
+  /** Window-min selection over a winnow hash-array column (w = 4) — the
+    * second half of the shared q92 definition. */
+  private[graft] def winnowSelectExpr(hsCol: String): String =
+    s"""CASE WHEN size($hsCol) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+             ELSE array_distinct(transform(
+                    sequence(1, greatest(size($hsCol) - 3, 1)),
+                    i -> array_min(slice($hsCol, i, 4)))) END"""
+
   def winnowFingerprints(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .withColumn("hs", expr(
-        """transform(
-             CASE WHEN size(t) >= 3
-                  THEN transform(sequence(1, size(t) - 2),
-                         i -> concat_ws(' ', element_at(t, i),
-                           element_at(t, i + 1), element_at(t, i + 2)))
-                  ELSE CAST(array() AS ARRAY<STRING>) END,
-             g -> cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint))"""))
-      .withColumn("fps", expr(
-        """CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
-                ELSE array_distinct(transform(
-                       sequence(1, greatest(size(hs) - 3, 1)),
-                       i -> array_min(slice(hs, i, 4)))) END"""))
+      .withColumn("hs", expr(winnowHashArrayExpr("t")))
+      .withColumn("fps", expr(winnowSelectExpr("hs")))
       .select(
         col("doc_id"),
         size(col("hs")).cast("long").as("n_grams"),
@@ -368,6 +381,17 @@ object TextOps {
         md5(expr(
           "array_join(transform(array_sort(fps), x -> cast(x as string)), ',')"))
           .as("fp_digest"))
+
+  /** Exploded (doc_id, fp) winnow fingerprint VALUES — the corpus-side
+    * surface consumers join or build sketches on (the streaming near-dup
+    * gate builds its historical-corpus Bloom filter over
+    * `cast(fp as string)` from exactly this frame).
+    */
+  def winnowFpValues(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("hs", expr(winnowHashArrayExpr("t")))
+      .select(col("doc_id"), explode(expr(winnowSelectExpr("hs"))).as("fp"))
 
   /** q82's operator body: DSIR-style importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"): score

@@ -94,6 +94,48 @@ object DocStreams {
       .drop("__t")
   }
 
+  /** Streaming NEAR-dup intake gate against the HISTORICAL corpus: drop
+    * any arriving document sharing a winnow fingerprint (q92's
+    * window-min selection — the same [[graft.operators.TextOps]]
+    * expressions, one definition) with the already-ingested corpus,
+    * probed against a Bloom filter built over the corpus's fingerprint
+    * values. This is the incremental-intake dual of batch q92/q93:
+    * winnowing guarantees any shared ≥ k+w-1 = 6-token run contributes a
+    * common fingerprint, so a re-crawled or lightly-edited copy of an
+    * existing document is caught at the ingest edge — where
+    * [[dedupDocs]]'s canonical fingerprint only catches EXACT
+    * (normalized) copies, and only within its watermark.
+    *
+    * The state story is the whole point: the historical corpus is
+    * corpus-sized, but winnowing keeps ~2/(w+1) of its gram hashes and
+    * the Bloom compresses those to bits — a 10⁹-fingerprint history at
+    * fpp 1e-5 is ~3 GB of broadcast-able filter, vs an unjoinable
+    * corpus-scale state store. Same conservative contract as
+    * [[decontaminationGate]]: no false negatives (nothing near-dup is
+    * admitted); a clean doc over-drops at ≈ n_fps × fpp — size fpp
+    * accordingly. Build the filter from
+    * [[graft.operators.TextOps.winnowFpValues]] with
+    * `df.stat.bloomFilter("fp", n, fpp)` — the sketch hashes the STRING
+    * rendering (`cast(fp as string)`), matching the probe here, because
+    * the membership expression's contract is STRING keys. Row-local,
+    * stateless, zero shuffle; sub-3-token docs have no fingerprints and
+    * pass (the length guard is load-bearing under ANSI, as in the batch
+    * shinglers). Reconcile periodically with batch q92/q93 over the
+    * admitted corpus, the [[decontaminationGate]] contract.
+    */
+  def nearDupGate(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+    graft.functions.BloomFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__t", split(col("text"), " "))
+      .withColumn("__hs", expr(graft.operators.TextOps.winnowHashArrayExpr("__t")))
+      .filter(!when(size(col("__hs")) > 0, exists(
+        expr(graft.operators.TextOps.winnowSelectExpr("__hs")),
+        f => call_function("graft_bloom_might_contain", lit(bloomBytes),
+          f.cast("string"))))
+        .otherwise(lit(false)))
+      .drop("__t", "__hs")
+  }
+
   /** The full intake pipeline: quality gate → dedup. (Counts attach as a
     * separate sink off the same deduped frame.)
     *

@@ -137,6 +137,62 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate drops docs sharing a winnow fingerprint with the corpus") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // historical corpus: one 30-token document
+    val corpusText = (0 until 30).map(i => s"hist$i").mkString(" ")
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val fps = graft.operators.TextOps.winnowFpValues(corpus)
+      .selectExpr("cast(fp as string) AS fp")
+    val bloom = fps.stat.bloomFilter("fp", 64L, 1e-4)
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
+    val input = MemoryStream[Doc]
+    val q = DocStreams.nearDupGate(input.toDF(), bytes).writeStream
+      .format("memory").queryName("neardup").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        // re-crawl with a new head and tail but a long shared run (tokens
+        // 5..20 of the corpus doc — ≥ 6-token run guarantees a shared
+        // fingerprint by the winnowing coverage property) → dropped
+        Doc(1, "new head " + (5 until 20).map(i => s"hist$i").mkString(" ")
+          + " new tail", "en", "s", 1, ts("2024-01-01 10:00:00")),
+        // same vocabulary, never 3 consecutive corpus tokens → admitted
+        Doc(2, (0 until 30 by 3).map(i => s"hist$i x$i y$i").mkString(" "),
+          "en", "s", 1, ts("2024-01-01 10:01:00")),
+        // sub-3-token doc: no fingerprints, must pass (ANSI guard)
+        Doc(3, "two tokens", "en", "s", 1, ts("2024-01-01 10:02:00")),
+        // unrelated doc → admitted
+        Doc(4, (0 until 25).map(i => s"fresh$i").mkString(" "), "en", "s", 1,
+          ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val ids = sp.sql("SELECT doc_id FROM neardup ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("near-dup gate probes the EXACT fingerprint values batch q92 selects") {
+    val sp = spark
+    import sp.implicits._
+    // one-definition contract: a filter built from winnowFpValues must
+    // drop the very document it was built from (its own fps all hit)
+    val text = (0 until 40).map(i => s"self$i").mkString(" ")
+    val self = Seq((1L, text)).toDF("doc_id", "text")
+    val fps = graft.operators.TextOps.winnowFpValues(self)
+      .selectExpr("cast(fp as string) AS fp")
+    val bloom = fps.stat.bloomFilter("fp", 64L, 1e-4)
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
+    // batch-mode application of the same gate body (gates are plain
+    // DataFrame transforms — the streaming wrapper adds nothing)
+    val batchDocs = Seq((1L, text), (2L, "wholly unrelated content words"))
+      .toDF("doc_id", "text")
+    val admitted = DocStreams.nearDupGate(batchDocs, bytes)
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted === Seq(2L))
+  }
+
   test("streaming gate agrees with batch q74 flags on the sf corpus (no false negatives)") {
     val sp = spark
     val d = "/root/testdata/sf0.01"
