@@ -327,24 +327,6 @@ object TextOps {
         expr("(2 * n_bpe_tokens * 10000 + n_ws_tokens) div (2 * n_ws_tokens)")
           / lit(10000.0))
 
-  /** q92's operator body: winnowing document fingerprints (Schleimer,
-    * Wilkerson & Aiken, SIGMOD'03 — the MOSS local fingerprinting
-    * algorithm): hash every word-3-gram (the q34 shingle unit), slide a
-    * window of w=4 consecutive hashes, select each window's minimum, and
-    * keep the DISTINCT selected values as the document's fingerprint set.
-    * Winnowing guarantees any shared run of ≥ k+w-1 tokens contributes at
-    * least one common fingerprint, at ~2/(w+1) the storage of the full
-    * hash set — the sub-document dedup key family between q33's whole-doc
-    * hash and q71's every-window explode. Tie-break note: the classic
-    * algorithm picks the RIGHTMOST minimum per window, but the OUTPUT —
-    * the distinct value set — is tie-break-invariant (equal minima are
-    * equal values), so plain `array_min` is exact. Documents with fewer
-    * than k+w-1 tokens winnow their single short window (the global
-    * minimum); under-k-token documents have no grams and an empty
-    * fingerprint (md5 of the empty join). Entirely row-local HOFs —
-    * zero shuffle; consumers join on exploded fingerprint values exactly
-    * as q71 joins window hashes.
-    */
   /** The winnow gram-hash array over a token-array column — THE hash
     * definition, shared by batch q92 and the streaming near-dup gate
     * ([[graft.streaming.DocStreams.nearDupGate]]), the same one-definition
@@ -369,6 +351,24 @@ object TextOps {
                     sequence(1, greatest(size($hsCol) - 3, 1)),
                     i -> array_min(slice($hsCol, i, 4)))) END"""
 
+  /** q92's operator body: winnowing document fingerprints (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03 — the MOSS local fingerprinting
+    * algorithm): hash every word-3-gram (the q34 shingle unit), slide a
+    * window of w=4 consecutive hashes, select each window's minimum, and
+    * keep the DISTINCT selected values as the document's fingerprint set.
+    * Winnowing guarantees any shared run of ≥ k+w-1 tokens contributes at
+    * least one common fingerprint, at ~2/(w+1) the storage of the full
+    * hash set — the sub-document dedup key family between q33's whole-doc
+    * hash and q71's every-window explode. Tie-break note: the classic
+    * algorithm picks the RIGHTMOST minimum per window, but the OUTPUT —
+    * the distinct value set — is tie-break-invariant (equal minima are
+    * equal values), so plain `array_min` is exact. Documents with fewer
+    * than k+w-1 tokens winnow their single short window (the global
+    * minimum); under-k-token documents have no grams and an empty
+    * fingerprint (md5 of the empty join). Entirely row-local HOFs —
+    * zero shuffle; consumers join on exploded fingerprint values exactly
+    * as q71 joins window hashes.
+    */
   def winnowFingerprints(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -383,15 +383,25 @@ object TextOps {
           .as("fp_digest"))
 
   /** Exploded (doc_id, fp) winnow fingerprint VALUES — the corpus-side
-    * surface consumers join or build sketches on (the streaming near-dup
-    * gate builds its historical-corpus Bloom filter over
-    * `cast(fp as string)` from exactly this frame).
+    * surface consumers join or build sketches on. `fp` is the STRING
+    * rendering of the 48-bit hash, NOT the bigint: Spark's
+    * `df.stat.bloomFilter` inserts integral columns via `putLong` while
+    * the [[graft.functions.BloomMightContain]] probe hashes UTF-8 string
+    * bytes — disjoint hash inputs, so a filter built over the bigint
+    * column would NEVER match a probe and the near-dup gate would
+    * silently admit every duplicate. Emitting the string here makes
+    * `winnowFpValues(corpus).stat.bloomFilter("fp", n, fpp)` the correct
+    * build recipe by construction (and string joins between two
+    * winnowFpValues frames remain exact — the rendering is injective).
     */
   def winnowFpValues(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("hs", expr(winnowHashArrayExpr("t")))
-      .select(col("doc_id"), explode(expr(winnowSelectExpr("hs"))).as("fp"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(${winnowSelectExpr("hs")}, x -> cast(x as string))"))
+          .as("fp"))
 
   /** q82's operator body: DSIR-style importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"): score

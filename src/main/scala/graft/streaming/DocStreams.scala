@@ -80,18 +80,35 @@ object DocStreams {
     * short-circuits on the first hit, so contaminated docs don't pay for
     * their remaining grams.
     */
-  def decontaminationGate(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+  def decontaminationGate(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame =
+    // the when() guards the gram transform so sub-5-token docs never build
+    // the descending sequence(1, negative) or index past the array end
+    // under ANSI — the same load-bearing length gate as the batch shinglers
+    bloomDropGate(docs, bloomBytes,
+      staging = Seq("__t" -> split(col("text"), " ")),
+      guard = size(col("__t")) >= 5,
+      probeArrayExpr = graft.operators.DedupOps.gram5ArrayExpr("__t"),
+      key = identity)
+
+  /** The shared conservative-gate scaffold behind [[decontaminationGate]]
+    * and [[nearDupGate]]: stage helper columns, probe each element of a
+    * per-row key array against the serialized Bloom filter with
+    * short-circuiting `exists`, DROP any row with a hit, pass rows whose
+    * guard is false (too short to have keys). One definition so the two
+    * gates' null/guard/drop semantics cannot drift.
+    */
+  private def bloomDropGate(docs: DataFrame, bloomBytes: Array[Byte],
+      staging: Seq[(String, org.apache.spark.sql.Column)],
+      guard: org.apache.spark.sql.Column, probeArrayExpr: String,
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     graft.functions.BloomFunctions.register(docs.sparkSession)
-    // when() guards the gram transform so sub-5-token docs never build the
-    // descending sequence(1, negative) or index past the array end under
-    // ANSI — the same load-bearing length gate as the batch shinglers
-    docs
-      .withColumn("__t", split(col("text"), " "))
-      .filter(!when(size(col("__t")) >= 5, exists(
-        expr(graft.operators.DedupOps.gram5ArrayExpr("__t")),
-        g => call_function("graft_bloom_might_contain", lit(bloomBytes), g)))
+    val staged = staging.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+    staged
+      .filter(!when(guard, exists(
+        expr(probeArrayExpr),
+        e => call_function("graft_bloom_might_contain", lit(bloomBytes), key(e))))
         .otherwise(lit(false)))
-      .drop("__t")
+      .drop(staging.map(_._1): _*)
   }
 
   /** Streaming NEAR-dup intake gate against the HISTORICAL corpus: drop
@@ -108,33 +125,35 @@ object DocStreams {
     *
     * The state story is the whole point: the historical corpus is
     * corpus-sized, but winnowing keeps ~2/(w+1) of its gram hashes and
-    * the Bloom compresses those to bits — a 10⁹-fingerprint history at
-    * fpp 1e-5 is ~3 GB of broadcast-able filter, vs an unjoinable
-    * corpus-scale state store. Same conservative contract as
+    * the Bloom compresses those to ~3 bytes per fingerprint at fpp 1e-5
+    * — vs an unjoinable corpus-scale state store. Ceiling: the
+    * serialized filter is ONE JVM byte array, capped at ~2 GB, so one
+    * filter holds up to ~7×10⁸ fingerprints at that fpp; a larger
+    * history shards into several filters (e.g. by fingerprint modulus,
+    * a gate per shard, union the drops). Same conservative contract as
     * [[decontaminationGate]]: no false negatives (nothing near-dup is
     * admitted); a clean doc over-drops at ≈ n_fps × fpp — size fpp
     * accordingly. Build the filter from
     * [[graft.operators.TextOps.winnowFpValues]] with
-    * `df.stat.bloomFilter("fp", n, fpp)` — the sketch hashes the STRING
-    * rendering (`cast(fp as string)`), matching the probe here, because
-    * the membership expression's contract is STRING keys. Row-local,
-    * stateless, zero shuffle; sub-3-token docs have no fingerprints and
-    * pass (the length guard is load-bearing under ANSI, as in the batch
-    * shinglers). Reconcile periodically with batch q92/q93 over the
-    * admitted corpus, the [[decontaminationGate]] contract.
+    * `df.stat.bloomFilter("fp", n, fpp)` — that frame's `fp` is already
+    * the STRING rendering precisely because the membership expression's
+    * contract is STRING keys (a filter built over a bigint column would
+    * hash via putLong and NEVER match the UTF-8 probe — the silent
+    * every-dup-admitted failure winnowFpValues' type rules out).
+    * Row-local, stateless, zero shuffle; sub-3-token docs have no
+    * fingerprints and pass (the length guard is load-bearing under ANSI,
+    * as in the batch shinglers). Reconcile periodically with batch
+    * q92/q93 over the admitted corpus, the [[decontaminationGate]]
+    * contract.
     */
-  def nearDupGate(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
-    graft.functions.BloomFunctions.register(docs.sparkSession)
-    docs
-      .withColumn("__t", split(col("text"), " "))
-      .withColumn("__hs", expr(graft.operators.TextOps.winnowHashArrayExpr("__t")))
-      .filter(!when(size(col("__hs")) > 0, exists(
-        expr(graft.operators.TextOps.winnowSelectExpr("__hs")),
-        f => call_function("graft_bloom_might_contain", lit(bloomBytes),
-          f.cast("string"))))
-        .otherwise(lit(false)))
-      .drop("__t", "__hs")
-  }
+  def nearDupGate(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame =
+    bloomDropGate(docs, bloomBytes,
+      staging = Seq(
+        "__t" -> split(col("text"), " "),
+        "__hs" -> expr(graft.operators.TextOps.winnowHashArrayExpr("__t"))),
+      guard = size(col("__hs")) > 0,
+      probeArrayExpr = graft.operators.TextOps.winnowSelectExpr("__hs"),
+      key = _.cast("string"))
 
   /** The full intake pipeline: quality gate → dedup. (Counts attach as a
     * separate sink off the same deduped frame.)

@@ -145,7 +145,6 @@ class DocStreamsSpec extends SparkSpec {
     val corpusText = (0 until 30).map(i => s"hist$i").mkString(" ")
     val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
     val fps = graft.operators.TextOps.winnowFpValues(corpus)
-      .selectExpr("cast(fp as string) AS fp")
     val bloom = fps.stat.bloomFilter("fp", 64L, 1e-4)
     val bytes = graft.functions.BloomFunctions.serialize(bloom)
     val input = MemoryStream[Doc]
@@ -180,8 +179,9 @@ class DocStreamsSpec extends SparkSpec {
     // drop the very document it was built from (its own fps all hit)
     val text = (0 until 40).map(i => s"self$i").mkString(" ")
     val self = Seq((1L, text)).toDF("doc_id", "text")
+    // the documented build recipe VERBATIM — winnowFpValues' fp is the
+    // string rendering, so bloomFilter("fp", …) hashes what the gate probes
     val fps = graft.operators.TextOps.winnowFpValues(self)
-      .selectExpr("cast(fp as string) AS fp")
     val bloom = fps.stat.bloomFilter("fp", 64L, 1e-4)
     val bytes = graft.functions.BloomFunctions.serialize(bloom)
     // batch-mode application of the same gate body (gates are plain
