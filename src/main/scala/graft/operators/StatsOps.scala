@@ -280,7 +280,36 @@ object StatsOps {
     // Epoch/repeat assignment for mixture upsampling: every source brought
     // up to the largest source's token count by whole epochs + one
     // md5-threshold partial epoch — see [[epochAssign]].
-    "q85_epoch_assign" -> ((s, d) => epochAssign(documents(s, d)))
+    "q85_epoch_assign" -> ((s, d) => epochAssign(documents(s, d))),
+
+    // Per-source corpus report — the datasheet block every shipped dataset
+    // carries (doc/token counts, mean quality, rule-gate pass rate per
+    // source; Datasheets for Datasets, Gebru et al. 2021, §3.2's
+    // composition questions): ONE linear scan + one map-side-combinable
+    // agg exchange keyed by the small source dimension. Engine-exactness:
+    // q38's quality score lands on exact 1e-4 multiples by construction
+    // (n·50 or n·25 capped, ×1 or ×0.5), so round(score·10⁴) is an exact
+    // integer in both engines and the per-source MEAN is the integer
+    // half-up device over those — no float-summation-order exposure; the
+    // Gopher keep rate is integer arithmetic end-to-end.
+    "q94_source_report" -> ((s, d) => {
+      val q4 = round(graft.operators.TextOps.qualityScoreCol(col("text")) * 10000, 0)
+        .cast("long")
+      val keep = when(graft.operators.TextOps.gopherKeepCol(col("text")), 1L)
+        .otherwise(0L)
+      documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          q4.as("q4"), keep.as("keep"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("total_tokens"),
+          (expr("(2 * sum(q4) + count(1)) div (2 * count(1))") / lit(10000.0))
+            .as("mean_quality"),
+          (expr("(2 * sum(keep) * 10000 + count(1)) div (2 * count(1))")
+            / lit(10000.0)).as("gopher_keep_rate"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -369,6 +398,38 @@ object StatsOps {
                     THEN 1 ELSE 0 END AS n_epochs
            FROM documents d JOIN plan p USING (source))
          SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
-         FROM n, UNNEST(generate_series(0, CAST(n_epochs - 1 AS BIGINT))) AS u(e)"""
+         FROM n, UNNEST(generate_series(0, CAST(n_epochs - 1 AS BIGINT))) AS u(e)""",
+
+    "q94_source_report" ->
+      """WITH scored AS (
+           SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(round(least(1.0, CAST(len(string_split(text, ' ')) AS BIGINT) / 200.0)
+               * (CASE WHEN (CAST(length(text) AS BIGINT)
+                             - CAST(len(string_split(text, ' ')) AS BIGINT) + 1)
+                            / CAST(len(string_split(text, ' ')) AS BIGINT)
+                            BETWEEN 2.5 AND 8.0
+                       THEN 1.0 ELSE 0.5 END) * 10000, 0) AS BIGINT) AS q4,
+             CASE WHEN n_tokens BETWEEN 50 AND 100000
+                   AND word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
+                   AND n_alpha * 10 >= n_tokens * 8
+                   AND n_stop >= 2
+                  THEN 1 ELSE 0 END :: BIGINT AS keep
+           FROM (
+             SELECT source, text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) - len(toks) + 1 AS BIGINT) AS word_chars,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                 AS n_alpha,
+               CAST(len(list_filter(toks,
+                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+             FROM (SELECT source, text, string_split(text, ' ') AS toks
+                   FROM documents) a) b)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                ((2 * sum(q4) + count(*)) // (2 * count(*))) / 10000.0 AS mean_quality,
+                ((2 * sum(keep) * 10000 + count(*)) // (2 * count(*))) / 10000.0
+                  AS gopher_keep_rate
+         FROM scored GROUP BY source"""
   )
 }

@@ -169,6 +169,29 @@ class CorpusAuditSpec extends SparkSpec {
       "shared 6-token run must contribute a common fingerprint")
   }
 
+  // ---- q94 source report ----
+
+  test("q94: hand-computed datasheet row (counts, exact mean quality, keep rate)") {
+    // fluent: 81 tokens of 4 chars → q38 score = 81/200 = 0.405 exactly
+    // (q4 = 4050), passes all Gopher gates; junk: 60 numeric 5-char
+    // tokens → q38's word-LENGTH band is satisfied (avg 5.0 ∈ [2.5, 8])
+    // so score = 60/200 = 0.30 (q4 = 3000), but the Gopher alpha and
+    // stopword gates both fail — quality score and rule gates measure
+    // different things, which is exactly why the report carries both
+    val fluent = (Seq.fill(77)("data") ++ Seq("the", "a", "of", "and")).mkString(" ")
+    val junk = Seq.fill(60)("12345").mkString(" ")
+    val docs = docsDf(Seq((1L, fluent, "s1"), (2L, junk, "s1"), (3L, fluent, "s2")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_report")
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val rows = StatsOps.queries("q94_source_report")(spark, tmp.toString)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("s1") == ((2L, 141L, 0.3525, 0.5))) // mean(4050,3000)=3525
+    assert(rows("s2") == ((1L, 81L, 0.405, 1.0)))
+  }
+
   // ---- q93 containment ----
 
   test("q93: quote-inclusion scores ~1 on containment while q34's Jaccard misses it") {
