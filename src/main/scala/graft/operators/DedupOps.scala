@@ -416,7 +416,13 @@ object DedupOps {
     // exists for exactly that pair class. Emits both directions and
     // keeps pairs whose larger direction clears 0.8; the same guarded
     // candidate machinery as q34 (shared [[guardedPairCounts]] — the
-    // df-guard bounds the self-join buckets identically).
+    // df-guard bounds the self-join buckets identically). 100 TB note:
+    // MinHash-LSH candidates (q35) recall HIGH-JACCARD pairs and will
+    // MISS high-containment/low-Jaccard pairs by construction (whole-doc
+    // signatures), so the scalable candidate source for containment is
+    // q71's shared-window hits — window hashing catches exactly the
+    // substring overlap containment scores — with this operator's exact
+    // math as the verify stage over those candidates.
     "q93_containment" -> ((s, d) => {
       val (pairs, sh) = guardedPairCounts(s, d)
       val res = pairs

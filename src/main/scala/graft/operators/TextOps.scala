@@ -271,6 +271,13 @@ object TextOps {
     * The n=0 guard matters beyond the obvious division: Spark's
     * `split('', '')` yields `[""]` (one empty element), so the unguarded
     * HOF would "count" a phantom character on empty documents.
+    * Charset caveat: "character" here is a UTF-16 code unit (Spark's
+    * split/length) while DuckDB counts codepoints — identical on BMP
+    * text (all fixtures; same latent property as q31's length), but a
+    * non-BMP symbol (emoji, rare CJK) counts as TWO units here and one
+    * there. Entropy over code units is still a well-defined gibberish
+    * signal; consumers needing codepoint-exact entropy on astral text
+    * should normalize first.
     */
   def charEntropy(docs: DataFrame): DataFrame =
     docs
