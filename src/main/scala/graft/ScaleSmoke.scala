@@ -74,7 +74,15 @@ object ScaleSmoke {
     // ObjectHashAggregate over a corpus-sized explode) needs a 10× data
     // point. q87/q89 are row-local/linear with no distribution risk worth
     // a slot.
-    "q88_bigram_surprisal", "q90_source_overlap")
+    "q88_bigram_surprisal", "q90_source_overlap",
+    // q95 joined r10f: its window-hash candidate self-join is the one new
+    // pair stage of the round (q40's discipline applied to containment) —
+    // the planted every-33rd near-dups share most windows, so the
+    // candidate and verify stages both have real work at 10×. Its skew
+    // behavior is q40/q71's (hot window keys, quadratic pair OUTPUT on
+    // boilerplate — the documented contract), already covered by
+    // skew_q40/skew_q71.
+    "q95_containment_verified")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

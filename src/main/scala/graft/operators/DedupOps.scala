@@ -435,6 +435,56 @@ object DedupOps {
       finishAndRelease(res, sh)
     }),
 
+    // Containment VERIFIED over shared-window candidates — the 100 TB
+    // composition q93's scale note names, made executable (the q40
+    // discipline applied to containment): candidates are doc pairs
+    // sharing at least one 20-token window (q71's window-hash unit — a
+    // verbatim run is exactly what containment scores, so window hits
+    // are the RIGHT candidate source where q35's whole-doc MinHash
+    // signatures would miss high-containment/low-Jaccard pairs by
+    // construction), then exact shingle containment verifies each
+    // candidate row-locally on the per-doc DISTINCT shingle arrays. The
+    // corpus-sized stages run once (window table persisted, candidate
+    // pairs persisted, shingle re-pass candidate-filtered BEFORE
+    // tokenizing); the expensive math is candidate-bounded. The verify
+    // runs on the FULL distinct shingle set — q34/q93's df guard exists
+    // to bound a corpus SELF-join's buckets, which q95 never builds, so
+    // candidate-bounded verification needs no guard (and its containment
+    // values are exact, not guard-censored). A clause-shuffled rewrite
+    // with high 3-gram containment but no 20-token verbatim run is
+    // q93-only — the documented recall trade of verbatim-run candidates.
+    // A window
+    // shared by k docs fans out k² candidate pairs (the q40/q71 skew
+    // contract: hot boilerplate's pair OUTPUT is inherently quadratic —
+    // run q80's span removal first on boilerplate-heavy corpora).
+    "q95_containment_verified" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wins = windowHashes(docs, 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = wins.as("a")
+        .join(wins.as("b"),
+          col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      val sharr = withShingleArray(docs.join(broadcast(ids), "doc_id"))
+        .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val res = cand
+        .join(sharr.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+        .join(sharr.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("cont_a", col("inter") / size(col("sa")))
+        .withColumn("cont_b", col("inter") / size(col("sb")))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a"), 4).as("cont_a"),
+          round(col("cont_b"), 4).as("cont_b"))
+      finishAndRelease(res, wins, cand, sharr)
+    }),
+
     // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
     // collide on any band. The 8 lanes are 8-hex-char (32-bit) slices of
     // ONE sha256 per shingle — 16-bit lanes (r5) made unrelated docs tie on
@@ -957,6 +1007,34 @@ object DedupOps {
          JOIN cnt cb ON cb.doc_id = id_b
          WHERE greatest(inter / CAST(ca.n AS DOUBLE),
                         inter / CAST(cb.n AS DOUBLE)) >= 0.8""",
+
+    "q95_containment_verified" ->
+      s"""WITH wins AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, start + 1, start + 20), ' ')) AS wh
+           FROM (
+             SELECT doc_id, toks, unnest(range(0, len(toks) - 19)) AS start
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a
+             WHERE len(toks) >= 20) b),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM wins a JOIN wins b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+         sh0 AS ($duckShingles),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS inter
+           FROM cand c
+           JOIN sh0 a ON a.doc_id = c.id_a
+           JOIN sh0 b ON b.doc_id = c.id_b AND b.s = a.s
+           GROUP BY c.id_a, c.id_b)
+         SELECT i.id_a, i.id_b,
+                round(i.inter / CAST(ca.n AS DOUBLE), 4) AS cont_a,
+                round(i.inter / CAST(cb.n AS DOUBLE), 4) AS cont_b
+         FROM inter i
+         JOIN cnt ca ON ca.doc_id = i.id_a
+         JOIN cnt cb ON cb.doc_id = i.id_b
+         WHERE greatest(i.inter / CAST(ca.n AS DOUBLE),
+                        i.inter / CAST(cb.n AS DOUBLE)) >= 0.8""",
 
     "q35_minhash_lsh" ->
       s"""WITH $duckSig,

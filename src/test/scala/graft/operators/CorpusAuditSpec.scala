@@ -223,6 +223,39 @@ class CorpusAuditSpec extends SparkSpec {
     sp.catalog.clearCache()
   }
 
+  // ---- q95 containment verified over shared-window candidates ----
+
+  test("q95: a >=20-token quote is found via window candidates; sub-window quotes are the q93-only trade") {
+    val sp = spark
+    import sp.implicits._
+    val quoted = (0 until 25).map(i => s"q$i").mkString(" ")      // 25 tokens → windows exist
+    val long = quoted + " " + (0 until 100).map(i => s"body$i").mkString(" ")
+    val shortQuote = (0 until 10).map(i => s"s$i").mkString(" ")  // 10 tokens → NO 20-window
+    val hostShort = shortQuote + " " + (0 until 100).map(i => s"host$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cv")
+    Seq(
+      (1L, quoted, "en", "s", 1L), (2L, long, "en", "s", 1L),
+      (3L, shortQuote, "en", "s", 1L), (4L, hostShort, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+
+    val v = DedupOps.queries("q95_containment_verified")(sp, tmp.toString)
+    val got = v.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    v.unpersist(blocking = true)
+    // the 25-token quote shares windows with its host → verified, cont 1.0
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L))._1 == 1.0 && got((1L, 2L))._2 < 0.25)
+    // the 10-token quote has no 20-token window → invisible to q95's
+    // candidates, but q93's guarded all-pairs still finds it
+    val all = DedupOps.queries("q93_containment")(sp, tmp.toString)
+    val allPairs = all.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    all.unpersist(blocking = true)
+    assert(allPairs.contains((3L, 4L)), "q93 must catch the sub-window quote")
+    assert(allPairs.contains((1L, 2L)))
+    sp.catalog.clearCache()
+  }
+
   test("q90 releases its gram cache (finishAndRelease contract)") {
     val docs = docsDf(Seq(
       (1L, (0 until 10).map(i => s"w$i").mkString(" "), "a"),
