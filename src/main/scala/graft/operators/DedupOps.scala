@@ -425,13 +425,20 @@ object DedupOps {
     // math as the verify stage over those candidates.
     "q93_containment" -> ((s, d) => {
       val (pairs, sh) = guardedPairCounts(s, d)
+      // containment is a ratio of two INTEGERS, so its 4-decimal rounding
+      // uses the exact half-up device ((2a+b) div (2b), the q69/q79
+      // discipline) instead of round(double, 4) — an odd intersection
+      // over a 20,000-shingle doc lands cont on an exact 5th-decimal 5,
+      // exactly where engine round(double) implementations disagree. The
+      // ≥0.8 threshold is integer too (5·inter ≥ 4·n can never tie-break
+      // differently across engines).
       val res = pairs
-        .withColumn("cont_a", col("inter") / col("na"))
-        .withColumn("cont_b", col("inter") / col("nb"))
-        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+        .filter(col("inter") * 5 >= least(col("na"), col("nb")) * 4)
         .select(col("id_a"), col("id_b"),
-          round(col("cont_a"), 4).as("cont_a"),
-          round(col("cont_b"), 4).as("cont_b"))
+          (expr("(2 * inter * 10000 + na) div (2 * na)") / lit(10000.0))
+            .as("cont_a"),
+          (expr("(2 * inter * 10000 + nb) div (2 * nb)") / lit(10000.0))
+            .as("cont_b"))
       finishAndRelease(res, sh)
     }),
 
@@ -444,9 +451,11 @@ object DedupOps {
     // signatures would miss high-containment/low-Jaccard pairs by
     // construction), then exact shingle containment verifies each
     // candidate row-locally on the per-doc DISTINCT shingle arrays. The
-    // corpus-sized stages run once (window table persisted, candidate
-    // pairs persisted, shingle re-pass candidate-filtered BEFORE
-    // tokenizing); the expensive math is candidate-bounded. The verify
+    // corpus-sized stages run once (window table persisted and RELEASED
+    // as soon as candidates materialize — the q40 release order, so only
+    // candidate-bounded caches are resident during verify; shingle
+    // re-pass candidate-filtered BEFORE tokenizing); the expensive math
+    // is candidate-bounded. The verify
     // runs on the FULL distinct shingle set — q34/q93's df guard exists
     // to bound a corpus SELF-join's buckets, which q95 never builds, so
     // candidate-bounded verification needs no guard (and its containment
@@ -461,28 +470,36 @@ object DedupOps {
       val docs = documents(s, d)
       val wins = windowHashes(docs, 20)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = wins.as("a")
-        .join(wins.as("b"),
-          col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize candidates, then RELEASE the corpus-token-sized window
+      // table before the verify stage runs (the q40 release order) — only
+      // the candidate-bounded caches stay resident for the verify join
+      val cand = finishAndRelease(
+        wins.as("a")
+          .join(wins.as("b"),
+            col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct(),
+        wins)
       val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .distinct()
       val sharr = withShingleArray(docs.join(broadcast(ids), "doc_id"))
         .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the exact half-up integer device for the 4-decimal containments
+      // and the integer threshold — see the q93 entry comment
       val res = cand
         .join(sharr.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
         .join(sharr.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("cont_a", col("inter") / size(col("sa")))
-        .withColumn("cont_b", col("inter") / size(col("sb")))
-        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("na", size(col("sa")).cast("long"))
+        .withColumn("nb", size(col("sb")).cast("long"))
+        .filter(col("inter") * 5 >= least(col("na"), col("nb")) * 4)
         .select(col("id_a"), col("id_b"),
-          round(col("cont_a"), 4).as("cont_a"),
-          round(col("cont_b"), 4).as("cont_b"))
-      finishAndRelease(res, wins, cand, sharr)
+          (expr("(2 * inter * 10000 + na) div (2 * na)") / lit(10000.0))
+            .as("cont_a"),
+          (expr("(2 * inter * 10000 + nb) div (2 * nb)") / lit(10000.0))
+            .as("cont_b"))
+      finishAndRelease(res, cand, sharr)
     }),
 
     // MinHash + LSH: 8 minhash lanes → 4 bands of 2 → candidate pairs that
@@ -1000,13 +1017,12 @@ object DedupOps {
            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT id_a, id_b,
-                round(inter / CAST(ca.n AS DOUBLE), 4) AS cont_a,
-                round(inter / CAST(cb.n AS DOUBLE), 4) AS cont_b
+                ((2 * inter * 10000 + ca.n) // (2 * ca.n)) / 10000.0 AS cont_a,
+                ((2 * inter * 10000 + cb.n) // (2 * cb.n)) / 10000.0 AS cont_b
          FROM inter
          JOIN cnt ca ON ca.doc_id = id_a
          JOIN cnt cb ON cb.doc_id = id_b
-         WHERE greatest(inter / CAST(ca.n AS DOUBLE),
-                        inter / CAST(cb.n AS DOUBLE)) >= 0.8""",
+         WHERE inter * 5 >= least(ca.n, cb.n) * 4""",
 
     "q95_containment_verified" ->
       s"""WITH wins AS (
@@ -1028,13 +1044,12 @@ object DedupOps {
            JOIN sh0 b ON b.doc_id = c.id_b AND b.s = a.s
            GROUP BY c.id_a, c.id_b)
          SELECT i.id_a, i.id_b,
-                round(i.inter / CAST(ca.n AS DOUBLE), 4) AS cont_a,
-                round(i.inter / CAST(cb.n AS DOUBLE), 4) AS cont_b
+                ((2 * i.inter * 10000 + ca.n) // (2 * ca.n)) / 10000.0 AS cont_a,
+                ((2 * i.inter * 10000 + cb.n) // (2 * cb.n)) / 10000.0 AS cont_b
          FROM inter i
          JOIN cnt ca ON ca.doc_id = i.id_a
          JOIN cnt cb ON cb.doc_id = i.id_b
-         WHERE greatest(i.inter / CAST(ca.n AS DOUBLE),
-                        i.inter / CAST(cb.n AS DOUBLE)) >= 0.8""",
+         WHERE i.inter * 5 >= least(ca.n, cb.n) * 4""",
 
     "q35_minhash_lsh" ->
       s"""WITH $duckSig,

@@ -403,11 +403,9 @@ object StatsOps {
     "q94_source_report" ->
       """WITH scored AS (
            SELECT source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-             CAST(round(least(1.0, CAST(len(string_split(text, ' ')) AS BIGINT) / 200.0)
-               * (CASE WHEN (CAST(length(text) AS BIGINT)
-                             - CAST(len(string_split(text, ' ')) AS BIGINT) + 1)
-                            / CAST(len(string_split(text, ' ')) AS BIGINT)
+             n_tokens AS n_toks,
+             CAST(round(least(1.0, n_tokens / 200.0)
+               * (CASE WHEN word_chars / CAST(n_tokens AS DOUBLE)
                             BETWEEN 2.5 AND 8.0
                        THEN 1.0 ELSE 0.5 END) * 10000, 0) AS BIGINT) AS q4,
              CASE WHEN n_tokens BETWEEN 50 AND 100000

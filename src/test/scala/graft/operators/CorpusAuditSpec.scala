@@ -256,6 +256,25 @@ class CorpusAuditSpec extends SparkSpec {
     sp.catalog.clearCache()
   }
 
+  test("q95 releases every internal cache (wins/cand/sharr — the finishAndRelease contract)") {
+    val sp = spark
+    import sp.implicits._
+    val text = (0 until 30).map(i => s"c$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cv_cache")
+    Seq((1L, text, "en", "s", 1L), (2L, text + " tail", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val out = DedupOps.queries("q95_containment_verified")(sp, tmp.toString)
+    out.count()
+    out.unpersist(blocking = true)
+    // q95 persists THREE internal frames (the corpus window table, the
+    // candidate pairs, the candidate shingle arrays) — all must be gone
+    // once the caller releases the output, or a reordering of the
+    // persist/release calls silently leaks a corpus-token-sized cache
+    assert((sp.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("q90 releases its gram cache (finishAndRelease contract)") {
     val docs = docsDf(Seq(
       (1L, (0 until 10).map(i => s"w$i").mkString(" "), "a"),
