@@ -176,8 +176,11 @@ object DedupOps {
     val res = inter
       .join(tot.select(col("source").as("src_a"), col("n").as("na")), "src_a")
       .join(tot.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .withColumn("u", col("na") + col("nb") - col("n_common"))
+      // integer half-up at 6 decimals (the q79/q93 device): a tie at the
+      // 7th decimal is exactly where engine round(double) rules diverge
       .select(col("src_a"), col("src_b"), col("n_common"),
-        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
+        (expr("(2 * n_common * 1000000 + u) div (2 * u)") / lit(1000000.0))
           .as("jaccard"))
     finishAndRelease(res)
   }
@@ -958,7 +961,8 @@ object DedupOps {
            FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
            GROUP BY ALL)
          SELECT i.src_a, i.src_b, i.n_common,
-                round(i.n_common / CAST(ta.n + tb.n - i.n_common AS DOUBLE), 6)
+                ((2 * i.n_common * 1000000 + (ta.n + tb.n - i.n_common))
+                   // (2 * (ta.n + tb.n - i.n_common))) / 1000000.0
                   AS jaccard
          FROM inter i
          JOIN tot ta ON i.src_a = ta.source

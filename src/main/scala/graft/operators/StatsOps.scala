@@ -401,28 +401,19 @@ object StatsOps {
          FROM n, UNNEST(generate_series(0, CAST(n_epochs - 1 AS BIGINT))) AS u(e)""",
 
     "q94_source_report" ->
-      """WITH scored AS (
+      // score / gate formulas spliced from TextOps' shared oracle
+      // fragments (r10 ADVICE): the datasheet report cannot drift from
+      // the q38/q77 operators it summarizes
+      s"""WITH scored AS (
            SELECT source,
              n_tokens AS n_toks,
-             CAST(round(least(1.0, n_tokens / 200.0)
-               * (CASE WHEN word_chars / CAST(n_tokens AS DOUBLE)
-                            BETWEEN 2.5 AND 8.0
-                       THEN 1.0 ELSE 0.5 END) * 10000, 0) AS BIGINT) AS q4,
-             CASE WHEN n_tokens BETWEEN 50 AND 100000
-                   AND word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
-                   AND n_alpha * 10 >= n_tokens * 8
-                   AND n_stop >= 2
+             CAST(round((${TextOps.oracleQualityScoreSql}) * 10000, 0) AS BIGINT) AS q4,
+             CASE WHEN ${TextOps.oracleGateLenSql}
+                   AND ${TextOps.oracleGateWlenSql}
+                   AND ${TextOps.oracleGateAlphaSql}
+                   AND ${TextOps.oracleGateStopSql}
                   THEN 1 ELSE 0 END :: BIGINT AS keep
-           FROM (
-             SELECT source, text,
-               CAST(len(toks) AS BIGINT) AS n_tokens,
-               CAST(length(text) - len(toks) + 1 AS BIGINT) AS word_chars,
-               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
-                 AS n_alpha,
-               CAST(len(list_filter(toks,
-                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
-             FROM (SELECT source, text, string_split(text, ' ') AS toks
-                   FROM documents) a) b)
+           FROM (${TextOps.oracleDocStatsSql("source")}) b)
          SELECT source, count(*) AS n_docs,
                 CAST(sum(n_toks) AS BIGINT) AS total_tokens,
                 ((2 * sum(q4) + count(*)) // (2 * count(*))) / 10000.0 AS mean_quality,

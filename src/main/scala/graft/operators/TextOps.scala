@@ -15,6 +15,35 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB oracle fragments shared by the q38 / q77 / q94 oracles (r10
+    * ADVICE): [[qualityScoreCol]] and [[gopherGateCols]] each get exactly
+    * ONE SQL rendering, spliced into every oracle that needs it — the
+    * [[bpeTokenRe]] splice discipline — so a formula change cannot
+    * silently desynchronize the q94 datasheet report from the operators
+    * it summarizes. [[oracleDocStatsSql]] renders the per-document integer
+    * stats (n_tokens / word_chars / n_alpha / n_stop) over `documents`,
+    * keyed by `keyCols`; the score/gate fragments are expressions over
+    * those four columns.
+    */
+  private[graft] def oracleDocStatsSql(keyCols: String): String =
+    s"""SELECT $keyCols,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) - len(toks) + 1 AS BIGINT) AS word_chars,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                 AS n_alpha,
+               CAST(len(list_filter(toks, x -> x IN ($stopList))) AS BIGINT) AS n_stop
+             FROM (SELECT $keyCols, text, string_split(text, ' ') AS toks
+                   FROM documents) raw_toks"""
+  private[graft] val oracleQualityScoreSql: String =
+    """least(1.0, n_tokens / 200.0)
+         * (CASE WHEN word_chars / CAST(n_tokens AS DOUBLE) BETWEEN 2.5 AND 8.0
+                 THEN 1.0 ELSE 0.5 END)"""
+  private[graft] val oracleGateLenSql   = "n_tokens BETWEEN 50 AND 100000"
+  private[graft] val oracleGateWlenSql  =
+    "word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10"
+  private[graft] val oracleGateAlphaSql = "n_alpha * 10 >= n_tokens * 8"
+  private[graft] val oracleGateStopSql  = "n_stop >= 2"
+
   /** q33's canonical-form fingerprint (lowercase, strip non-alphanumerics,
     * md5) as a reusable column — the streaming intake (DocStreams) applies
     * the SAME expression so batch and streaming dedup keys are
@@ -831,20 +860,11 @@ object TextOps {
                 THEN 1 ELSE 0 END :: BIGINT AS keep
          FROM (
            SELECT doc_id, n_tokens,
-             CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END :: BIGINT AS g_len,
-             CASE WHEN word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
-                  THEN 1 ELSE 0 END :: BIGINT AS g_wlen,
-             CASE WHEN n_alpha * 10 >= n_tokens * 8 THEN 1 ELSE 0 END :: BIGINT AS g_alpha,
-             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END :: BIGINT AS g_stop
-           FROM (
-             SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_tokens,
-               CAST(length(text) - len(toks) + 1 AS BIGINT) AS word_chars,
-               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
-                 AS n_alpha,
-               CAST(len(list_filter(toks, x -> x IN ($stopList))) AS BIGINT) AS n_stop
-             FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-                   FROM documents) a) b) c""",
+             CASE WHEN $oracleGateLenSql THEN 1 ELSE 0 END :: BIGINT AS g_len,
+             CASE WHEN $oracleGateWlenSql THEN 1 ELSE 0 END :: BIGINT AS g_wlen,
+             CASE WHEN $oracleGateAlphaSql THEN 1 ELSE 0 END :: BIGINT AS g_alpha,
+             CASE WHEN $oracleGateStopSql THEN 1 ELSE 0 END :: BIGINT AS g_stop
+           FROM (${oracleDocStatsSql("doc_id")}) b) c""",
 
     "q78_surprisal_split" ->
       """WITH tok AS (
@@ -985,17 +1005,11 @@ object TextOps {
          GROUP BY f.doc_id, f.source""",
 
     "q38_quality_score" ->
-      """SELECT doc_id, round(score, 4) AS score,
+      s"""SELECT doc_id, round(score, 4) AS score,
          CASE WHEN score >= 0.75 THEN 'high' WHEN score >= 0.35 THEN 'mid' ELSE 'low' END AS bucket
          FROM (
-           SELECT doc_id,
-             least(1.0, n_tokens/200.0) * (CASE WHEN avg_wlen BETWEEN 2.5 AND 8.0 THEN 1.0 ELSE 0.5 END) AS score
-           FROM (
-             SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-                    (CAST(length(text) AS BIGINT) - CAST(len(string_split(text,' ')) AS BIGINT) + 1)
-                      / CAST(len(string_split(text,' ')) AS BIGINT) AS avg_wlen
-             FROM documents) a) b
+           SELECT doc_id, $oracleQualityScoreSql AS score
+           FROM (${oracleDocStatsSql("doc_id")}) a) b
          """
   )
 }

@@ -59,10 +59,28 @@ final case class ReadstatOptions(
       * the table is broadcast to executors, so an unbounded GSO section
       * would pressure the driver silently. Named error past the cap.
       */
-    maxStrlBytes: Long = 1L << 30) extends Serializable {
+    maxStrlBytes: Long = 1L << 30,
+    /** Corrupt-container policy (r10 verdict #1). FAILFAST (default): any
+      * unreadable container fails the load — the reference's posture and
+      * CorruptFileSpec's pinned behavior. PERMISSIVE: a container whose
+      * header/metadata parse or data decode fails is QUARANTINED at the
+      * FILE level — its good prefix (where the format makes that
+      * detectable) still arrives, every other file's rows arrive intact,
+      * and the bad path is reported (Spark-log warning + one JSON record
+      * under [[badFilesPath]] when set). On a 100 TB lake one truncated
+      * file always exists; quarantine keeps the load alive without
+      * fabricating rows.
+      */
+    mode: String = "FAILFAST",
+    /** PERMISSIVE only: directory receiving one JSON record per
+      * quarantined container (`{"path":…,"stage":…,"error":…}`), the
+      * `badRecordsPath` analogue at file granularity.
+      */
+    badFilesPath: Option[String] = None) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
+  def permissive: Boolean = mode.equalsIgnoreCase("PERMISSIVE")
 }
 
 object ReadstatOptions {
@@ -99,7 +117,13 @@ object ReadstatOptions {
       // 0/negative reads as "no prefetch" → sequential (1), never silently
       // the parallel default
       zsavLookahead = get("zsavLookahead").map(v => math.max(1, v.toInt)),
-      maxStrlBytes = get("maxStrlBytes").map(_.toLong).getOrElse(1L << 30))
+      maxStrlBytes = get("maxStrlBytes").map(_.toLong).getOrElse(1L << 30),
+      mode = get("mode").map { m =>
+        require(m.equalsIgnoreCase("FAILFAST") || m.equalsIgnoreCase("PERMISSIVE"),
+          s"readstat: unsupported mode '$m' (FAILFAST or PERMISSIVE)")
+        m.toUpperCase
+      }.getOrElse("FAILFAST"),
+      badFilesPath = get("badFilesPath").filter(_.nonEmpty))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

@@ -56,15 +56,26 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 
     // directories (batch loads and the streaming source) resolve to their
     // contained readstat files
-    val expanded = ReadstatIO.expandPaths(ps)
-    require(expanded.nonEmpty, s"readstat: no readable files under ${ps.mkString(",")}")
-    val raw = ReadstatFormats.forPath(expanded.head, opts).schema(expanded.head, opts)
+    val expandedAll = ReadstatIO.expandPaths(ps)
+    require(expandedAll.nonEmpty, s"readstat: no readable files under ${ps.mkString(",")}")
+    // PERMISSIVE (r10 verdict #1): a container whose header/metadata parse
+    // fails is quarantined here, before the mismatch check — corrupt files
+    // must not fail the probe, but a STRUCTURALLY different good file still
+    // must (schema disagreement is a data-modeling error, not corruption,
+    // and is fail-fast in both modes)
+    val probed = ReadstatIO.parMap(expandedAll)(p =>
+      p -> Quarantine.guard(opts, p, "schema")(
+        ReadstatFormats.forPath(p, opts).schema(p, opts)))
+    val expanded = probed.collect { case (p, Some(_)) => p }
+    require(expanded.nonEmpty,
+      s"readstat: no readable files under ${ps.mkString(",")} " +
+        "(every file failed its header/metadata parse)")
+    val schemas = probed.collect { case (p, Some(s)) => p -> s }
+    val raw = schemas.head._2
     // multi-file loads: fail fast when any file's schema disagrees — a
     // directory of monthly extracts with one added column must not silently
     // misread (r1 verdict "what's missing" #4)
-    val otherSchemas = ReadstatIO.parMap(expanded.tail)(p =>
-      p -> ReadstatFormats.forPath(p, opts).schema(p, opts))
-    otherSchemas.foreach { case (p, other) =>
+    schemas.tail.foreach { case (p, other) =>
       val a = raw.fields.map(f => (f.name, f.dataType)).toSeq
       val b = other.fields.map(f => (f.name, f.dataType)).toSeq
       if (a != b) {
@@ -166,7 +177,11 @@ class ReadstatScanBuilder(ps: Seq[String], full: StructType, opts: ReadstatOptio
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      skipFilters.isEmpty && limit.isEmpty && offset == 0L
+      skipFilters.isEmpty && limit.isEmpty && offset == 0L &&
+      // PERMISSIVE quarantine makes metadata row counts untrustworthy (a
+      // truncated body scans fewer rows than its header claims) — counts
+      // must come from the actual scan
+      !opts.permissive
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -294,11 +309,20 @@ class ReadstatScan(
       .toSeq
   }
 
+  /** The container's own ("natural") schema, probed from the first
+    * PLANNABLE file — in PERMISSIVE the head of filePaths may itself be
+    * the quarantined one. Falls back to the table schema when every file
+    * is quarantined (the scan then has zero partitions anyway).
+    */
+  private lazy val naturalSchema: StructType =
+    plannedFiles.headOption
+      .map { case (p, _, _) => ReadstatFormats.forPath(p, opts).schema(p, opts) }
+      .getOrElse(full)
+
   /** columns whose table type differs from the container's natural type
     * (inferSchema narrowing / user-specified schema). */
   private lazy val coercedCols: Set[String] = {
-    val natural = ReadstatFormats.forPath(filePaths.head, opts).schema(filePaths.head, opts)
-    val naturalType = natural.fields.map(f => f.name -> f.dataType).toMap
+    val naturalType = naturalSchema.fields.map(f => f.name -> f.dataType).toMap
     full.fields.filter(f => naturalType.get(f.name).exists(_ != f.dataType)).map(_.name).toSet
   }
 
@@ -310,9 +334,7 @@ class ReadstatScan(
     */
   override def estimateStatistics(): Statistics = {
     val totalRows =
-      try ReadstatIO.parMap(filePaths) { p =>
-        ReadstatFormats.forPath(p, opts).partitionRanges(p, opts).map(_._2).sum
-      }.sum
+      try plannedFiles.map(_._3.map(_._2).sum).sum
       catch { case _: Exception => -1L }
     if (totalRows < 0) new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -339,13 +361,24 @@ class ReadstatScan(
   // batch loads resolve directory paths to their contained files
   private lazy val filePaths: Seq[String] = ReadstatIO.expandPaths(ps)
 
+  /** Per-file (path, format, row ranges), quarantine applied: in PERMISSIVE
+    * a file whose metadata parse or partition planning fails is reported
+    * and dropped here, so planInputPartitions / createReaderFactory /
+    * estimateStatistics all see one consistent good-file set; FAILFAST
+    * rethrows (CorruptFileSpec's pinned default).
+    */
+  private lazy val plannedFiles: Seq[(String, String, Seq[(Long, Long)])] =
+    ReadstatIO.parMap(filePaths) { p =>
+      Quarantine.guard(opts, p, "plan") {
+        val fmt = ReadstatOptions.detectFormat(p, opts.format)
+        (p, fmt, ReadstatFormats.forName(fmt).partitionRanges(p, opts))
+      }
+    }.flatten
+
   override def planInputPartitions(): Array[InputPartition] = {
     // per-file metadata parses are independent — run them concurrently on
     // the driver (a 1000-file load would otherwise plan serially)
-    val ranges = ReadstatIO.parMap(filePaths) { p =>
-      val fmt = ReadstatOptions.detectFormat(p, opts.format)
-      (p, fmt, ReadstatFormats.forName(fmt).partitionRanges(p, opts))
-    }
+    val ranges = plannedFiles
     val parts = scala.collection.mutable.ArrayBuffer[ReadstatInputPartition]()
     var skip = offset
     var remaining = limit.getOrElse(Long.MaxValue)
@@ -375,8 +408,9 @@ class ReadstatScan(
     // Broadcast (not task serialization) so a large strL/GSO table ships to
     // each executor once instead of once per task (SURVEY.md §7.4 risk 4).
     val ctxs: Map[String, ReadstatFormats.FileContext] =
-      ReadstatIO.parMap(filePaths)(p =>
-        p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts)).toMap
+      ReadstatIO.parMap(plannedFiles.map(_._1))(p =>
+        Quarantine.guard(opts, p, "context")(
+          p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts))).flatten.toMap
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = sc.broadcast(ctxs)
     // ship the session's Hadoop conf so S3A/HDFS credentials and tuning set
@@ -385,7 +419,7 @@ class ReadstatScan(
     // the container's own ("natural") schema: when the table schema was
     // narrowed by inferSchema (or user-specified), readers decode naturally
     // and a coercion layer casts per row
-    val natural = ReadstatFormats.forPath(filePaths.head, opts).schema(filePaths.head, opts)
+    val natural = naturalSchema
     // decode-skip hints compare against natural values; a filter on a
     // coerced column would mis-evaluate — drop it (filters are all residual,
     // Spark re-applies them above the scan)
@@ -430,13 +464,27 @@ class ReadstatReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[ReadstatInputPartition]
     ReadstatIO.setConf(conf.value.value) // executor-side install, before any open
+    // PERMISSIVE: a file can pass partition planning yet fail its decode-
+    // context build (quarantined at stage "context") — its partitions then
+    // read as empty rather than NPE
+    if (opts.permissive && !ctxs.value.contains(p.path))
+      return new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        override def next(): Boolean = false
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          throw new IllegalStateException("empty quarantined partition")
+        override def close(): Unit = ()
+      }
     val naturalByName = natural.fields.map(f => f.name -> f).toMap
     val requiredNatural = StructType(
       required.fields.map(f => naturalByName.getOrElse(f.name, f)))
     val inner = ReadstatFormats.forName(p.format)
       .reader(p, ctxs.value(p.path), requiredNatural, opts, allFilters)
-    if (requiredNatural.fields.map(_.dataType).sameElements(required.fields.map(_.dataType))) inner
-    else new CoercingReader(inner, requiredNatural, required)
+    val coerced =
+      if (requiredNatural.fields.map(_.dataType).sameElements(required.fields.map(_.dataType))) inner
+      else new CoercingReader(inner, requiredNatural, required)
+    // PERMISSIVE: a mid-read decode failure (truncated body, bad zlib
+    // block) ends this partition at its clean prefix and reports the file
+    if (opts.permissive) new PermissiveReader(coerced, opts, p.path) else coerced
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnarOk
@@ -445,11 +493,19 @@ class ReadstatReaderFactory(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[ReadstatInputPartition]
     ReadstatIO.setConf(conf.value.value)
+    if (opts.permissive && !ctxs.value.contains(p.path))
+      return new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = false
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+          throw new IllegalStateException("empty quarantined partition")
+        override def close(): Unit = ()
+      }
     val (cursor, appenders) = ReadstatFormats.forName(p.format)
       .columnar(p, ctxs.value(p.path), required, opts, allFilters)
       .getOrElse(throw new IllegalStateException(
         s"readstat: columnar read not supported for format ${p.format}"))
-    new ReadstatColumnarReader(cursor, appenders, required)
+    val inner = new ReadstatColumnarReader(cursor, appenders, required)
+    if (opts.permissive) new PermissiveReader(inner, opts, p.path) else inner
   }
 }
 

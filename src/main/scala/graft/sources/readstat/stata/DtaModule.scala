@@ -32,10 +32,14 @@ object DtaModule extends ReadstatFormats.FormatModule {
       case Some(off) if off > 0 =>
         val fsin = ReadstatIO.open(path)
         try {
-          fsin.seek(off)
-          val r = ByteReader(new BufferedInputStream(fsin, 1 << 20))
+          // the seek is inside the degrade catch: a file truncated after
+          // its data section (labels gone, rows intact) must still read —
+          // the PERMISSIVE clean-prefix path reaches the data through here
           val labels =
-            try Dta.parseValueLabels(r, meta)
+            try {
+              fsin.seek(off)
+              Dta.parseValueLabels(ByteReader(new BufferedInputStream(fsin, 1 << 20)), meta)
+            }
             catch { case _: Exception => Map.empty[String, Map[Int, String]] }
           meta.copy(valueLabels = labels)
         } finally fsin.close()
@@ -150,22 +154,35 @@ final class DtaRowCursor(
   override def buf: Array[Byte] = chunk
   override def base: Int = curBase
 
+  // set when the stream ended mid-partition: whole rows already in the
+  // chunk are surfaced first, and the EOF throws only when the shortfall
+  // is actually reached — FAILFAST still fails the task (rows it emitted
+  // die with it), while PERMISSIVE's reader wrapper catches the throw and
+  // keeps the clean prefix (the reference's truncated-SAS posture,
+  // `src/sas/data.rs:538-545`, generalized to dta)
+  private var eofTruncated = false
+
   private def refill(): Unit = {
     val want = math.min(chunkRows.toLong, remaining).toInt * recordLen
     var off = 0
-    while (off < want) {
+    while (off < want && !eofTruncated) {
       val r = fsin.read(chunk, off, want - off)
-      if (r < 0) throw new java.io.EOFException(
-        s"dta: unexpected EOF in ${part.path} at row ${part.rowCount - remaining}")
-      off += r
+      if (r < 0) eofTruncated = true else off += r
     }
-    rowsInChunk = want / recordLen
+    rowsInChunk = off / recordLen // a partial trailing record is never surfaced
     rowInChunk = 0
+    if (eofTruncated && rowsInChunk == 0) throwEof()
   }
+
+  private def throwEof(): Nothing = throw new java.io.EOFException(
+    s"dta: unexpected EOF in ${part.path} at row ${part.rowCount - remaining}")
 
   override def nextRow(): Boolean = {
     while (remaining > 0) {
-      if (rowInChunk == rowsInChunk) refill()
+      if (rowInChunk == rowsInChunk) {
+        if (eofTruncated) throwEof()
+        refill()
+      }
       curBase = rowInChunk * recordLen
       rowInChunk += 1
       remaining -= 1

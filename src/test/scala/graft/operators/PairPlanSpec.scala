@@ -46,18 +46,12 @@ class PairPlanSpec extends SparkSpec {
     try {
       val res = graft.SparkEntry.queries("q90_source_overlap")(spark, d)
       res.unpersist(blocking = true)
-      // the listener bus is async and private. Unlike ScaleSmoke's drain
-      // (where events have usually already landed), zero-delivered-yet is
-      // the EXPECTED initial state here — first wait (bounded) for the
-      // materialization's onSuccess to arrive at all, then settle-poll
-      // until no more plans trickle in
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (captured.synchronized(captured.isEmpty) && System.nanoTime() < deadline)
-        Thread.sleep(100)
-      var last = -1
-      while (captured.synchronized(captured.size) != last) {
-        last = captured.synchronized(captured.size); Thread.sleep(300)
-      }
+      // deterministic drain (r10 ADVICE): the bus is async, so a settle
+      // poll could both snapshot before a late plan lands (vacuously
+      // missing a bad shape) and flake on a loaded machine. waitUntilEmpty
+      // returns only once every queued event reached every listener, so
+      // the snapshot below is complete by construction.
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
       val plans = captured.synchronized(captured.toSeq)
       // non-vacuity: the pair stage's equi-join must be visible in at
       // least one captured plan before we assert the bad shapes absent
