@@ -235,6 +235,39 @@ object ScanBench {
       f"multi-file compressed scan scaled at $scaling%.2f of linear — " +
         "single-partition-per-compressed-file parallelism regressed")
     }
+
+    section("dirwrite") {
+    // directory-of-containers write (r11 verdict #3): each partition
+    // assembles its own complete dta container executor-side, so bulk
+    // export wall should DROP as partitions grow — the single-container
+    // path is bottlenecked on the driver's sequential assembly regardless
+    // of partitions. scaling = p1/p8 (>1 means parallel wins; the
+    // repartition shuffle is identical on both sides).
+    val n = 2000000L * math.max(1, cpus / 8)
+    def wdf = spark.range(n).select(
+      col("id").cast("double").as("x"),
+      concat(lit("name_"), col("id") % 1000).as("s"),
+      (col("id") % 97).cast("double").as("y"))
+    val base = new File(dir, "dirwrite")
+    def timeWrite(parts: Int): Double = {
+      val outDir = new File(base, s"p$parts").getPath
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        wdf.repartition(parts).write.format("readstat").option("format", "dta")
+          .mode("overwrite").save(outDir)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      sources.readstat.ReadstatWriteSupport.deleteDir(outDir)
+      t
+    }
+    timeWrite(2) // warm-up (codegen + page cache)
+    val t1 = timeWrite(1)
+    val t8 = timeWrite(8)
+    out("dirwrite_rows") = n.toDouble
+    out("dirwrite_p1_sec") = t1
+    out("dirwrite_p8_sec") = t8
+    out("dirwrite_p8_scaling") = t1 / t8
+    }
     out.toMap
   }
 }

@@ -26,10 +26,19 @@ import org.apache.spark.sql.types.{StringType, StructType}
 class ReadstatWriteBuilder(path: String, schema: StructType, opts: ReadstatOptions)
     extends WriteBuilder with SupportsTruncate {
 
-  override def truncate(): WriteBuilder = this
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ReadstatBatchWrite(path, schema, opts)
+    override def toBatch: BatchWrite =
+      // directory-of-containers mode (r10 verdict #3): a target WITHOUT a
+      // container extension is a directory — each partition assembles its
+      // own complete part-NNNNN container ON THE EXECUTOR, no driver
+      // concat; a target with an extension keeps the single-container
+      // interchange path below
+      if (ReadstatWriteSupport.containerExtension(path).isEmpty)
+        new ReadstatDirBatchWrite(path, schema, opts, doTruncate)
+      else new ReadstatBatchWrite(path, schema, opts)
   }
 }
 
@@ -52,39 +61,8 @@ class ReadstatBatchWrite(path: String, schema: StructType, opts: ReadstatOptions
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.collect { case m: ReadstatPartMsg => m }.sortBy(_.pid)
     if (parts.isEmpty) return
-    try {
-      val local = ReadstatWriteSupport.stripScheme(path)
-      // global string widths: max across partitions, min 1
-      val widths: Map[String, Int] = schema.fields.zipWithIndex.collect {
-        case (f, i) if f.dataType == StringType =>
-          f.name -> math.max(1, parts.map(_.widths(i)).foldLeft(0)(math.max))
-      }.toMap
-      val vlJson = ReadstatWriteSupport.parseLabelMap(opts.valueLabels)
-      val varLabels = ReadstatWriteSupport.parseStringMap(opts.variableLabels)
-      format match {
-        case "dta" => ReadstatWriteSupport.assembleDta(
-          schema, parts, widths, local,
-          vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toInt -> v } },
-          varLabels)
-        case "sav" | "zsav" =>
-          val zsav = local.toLowerCase.endsWith(".zsav")
-          ReadstatWriteSupport.assembleSav(
-            schema, parts, widths, local,
-            compress = zsav || opts.compression.contains("bytecode"),
-            valueLabels = vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toDouble -> v } },
-            zsav = zsav,
-            missingValues = ReadstatWriteSupport.parseListMap(opts.missingValues)
-              .map { case (c, vs) => c -> vs.map(_.toDouble) },
-            stringValueLabels = ReadstatWriteSupport.parseLabelMap(opts.stringValueLabels),
-            stringMissingValues = ReadstatWriteSupport.parseListMap(opts.stringMissingValues))
-        case "sas7bdat" =>
-          val rdc = opts.compression.contains("rdc")
-          if (rdc || opts.compression.contains("rle"))
-            ReadstatWriteSupport.assembleSasCompressed(schema, parts, widths, local, rdc)
-          else ReadstatWriteSupport.assembleSas(schema, parts, widths, local)
-        case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
-      }
-    } finally ReadstatWriteSupport.deleteDir(stagingDir)
+    try ReadstatWriteSupport.assembleContainer(schema, parts, path, format, opts)
+    finally ReadstatWriteSupport.deleteDir(stagingDir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -149,12 +127,153 @@ class ReadstatPartWriter(partPath: String, pid: Int, schema: StructType, format:
   override def close(): Unit = ()
 }
 
+/** Directory-of-containers write (r10 verdict #3):
+  * `df.write.format("readstat").option("format","dta").save("dir/")`.
+  * Each input partition spills executor-side exactly like the
+  * single-container path, then assembles its OWN complete part-NNNNN
+  * container at task commit — the driver concatenates nothing, so bulk
+  * export wall time scales with partitions instead of the driver's single
+  * sequential assembly. Per-part string widths are the partition's own max
+  * (each container is self-consistent; Spark-level schemas still agree
+  * across parts, so the existing multi-file directory load reads the set
+  * back unchanged). Empty partitions write no container; an all-empty
+  * write emits one zero-row part so the directory reads back as an empty
+  * table rather than failing the load.
+  */
+class ReadstatDirBatchWrite(
+    dir: String,
+    schema: StructType,
+    opts: ReadstatOptions,
+    doTruncate: Boolean) extends BatchWrite {
+
+  private val format = opts.format.getOrElse(throw new IllegalArgumentException(
+    s"readstat sink: '$dir' has no container extension — directory mode " +
+      "needs option(\"format\", \"dta\"|\"sav\"|\"zsav\"|\"sas7bdat\")"))
+  private val ext = ReadstatWriteSupport.extensionFor(format)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // overwrite semantics: clear previous part containers before tasks
+    // write (the parquet directory-overwrite shape)
+    if (doTruncate) ReadstatWriteSupport.deleteDir(dir)
+    new ReadstatDirWriterFactory(dir, ext, schema, format, opts)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val nonEmpty = messages.collect { case m: ReadstatPartMsg if m.rows > 0 => m }
+    if (nonEmpty.isEmpty) {
+      // all-empty write: one zero-row container keeps the directory readable
+      ReadstatWriteSupport.assembleContainer(
+        schema, Seq.empty, s"$dir/part-00000$ext", format, opts)
+    }
+    ReadstatWriteSupport.deleteDir(s"$dir/.spill-parts")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ReadstatWriteSupport.deleteDir(s"$dir/.spill-parts")
+}
+
+class ReadstatDirWriterFactory(
+    dir: String, ext: String, schema: StructType, format: String, opts: ReadstatOptions)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ReadstatDirPartWriter(dir, ext, partitionId, taskId, schema, format, opts)
+}
+
+/** Executor-side: spill the partition (same final-byte cell encoding as the
+  * single-container path), then assemble this partition's complete
+  * container at task commit. The spill indirection exists because string
+  * widths are only known after the last row.
+  */
+class ReadstatDirPartWriter(
+    dir: String, ext: String, pid: Int, taskId: Long,
+    schema: StructType, format: String, opts: ReadstatOptions)
+    extends DataWriter[InternalRow] {
+
+  private val spillPath = s"$dir/.spill-parts/part-$pid-$taskId"
+  private val inner = new ReadstatPartWriter(spillPath, pid, schema,
+    if (format == "zsav") "sav" else format)
+
+  override def write(record: InternalRow): Unit = inner.write(record)
+
+  override def commit(): WriterCommitMessage = {
+    val m = inner.commit().asInstanceOf[ReadstatPartMsg]
+    if (m.rows == 0L) { ReadstatWriteSupport.delete(spillPath); return m }
+    val outPath = f"$dir/part-$pid%05d$ext"
+    ReadstatWriteSupport.assembleContainer(schema, Seq(m), outPath, format, opts)
+    ReadstatWriteSupport.delete(spillPath)
+    m.copy(partPath = outPath)
+  }
+
+  override def abort(): Unit = {
+    inner.abort()
+    ReadstatWriteSupport.delete(spillPath)
+  }
+  override def close(): Unit = ()
+}
+
 /** Driver-side assemblers + small FS/JSON helpers shared by the sink. */
 object ReadstatWriteSupport {
   import org.apache.spark.sql.types._
 
   def stripScheme(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** Some(ext) when the path names a single container; None → directory. */
+  def containerExtension(p: String): Option[String] = {
+    val n = p.toLowerCase
+    Seq(".dta", ".sav", ".zsav", ".sas7bdat").find(n.endsWith)
+  }
+
+  def extensionFor(format: String): String = format match {
+    case "dta" => ".dta"
+    case "sav" => ".sav"
+    case "zsav" => ".zsav"
+    case "sas7bdat" => ".sas7bdat"
+    case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
+  }
+
+  /** One container from encoded spill parts — the format dispatch shared by
+    * the single-container driver assembly and the directory mode's per-task
+    * executor assembly. Global string widths come from the given parts
+    * (min 1); `path` keeps its extension semantics (`.zsav` implies zlib).
+    */
+  private[readstat] def assembleContainer(
+      schema: StructType,
+      parts: Seq[ReadstatPartMsg],
+      path: String,
+      format: String,
+      opts: ReadstatOptions): Long = {
+    val local = stripScheme(path)
+    val widths: Map[String, Int] = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == StringType =>
+        f.name -> math.max(1, parts.map(_.widths(i)).foldLeft(0)(math.max))
+    }.toMap
+    val vlJson = parseLabelMap(opts.valueLabels)
+    val varLabels = parseStringMap(opts.variableLabels)
+    format match {
+      case "dta" => assembleDta(
+        schema, parts, widths, local,
+        vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toInt -> v } },
+        varLabels)
+      case "sav" | "zsav" =>
+        val zsav = local.toLowerCase.endsWith(".zsav")
+        assembleSav(
+          schema, parts, widths, local,
+          compress = zsav || opts.compression.contains("bytecode"),
+          valueLabels = vlJson.map { case (c, m) => c -> m.map { case (k, v) => k.toDouble -> v } },
+          zsav = zsav,
+          missingValues = parseListMap(opts.missingValues)
+            .map { case (c, vs) => c -> vs.map(_.toDouble) },
+          stringValueLabels = parseLabelMap(opts.stringValueLabels),
+          stringMissingValues = parseListMap(opts.stringMissingValues))
+      case "sas7bdat" =>
+        val rdc = opts.compression.contains("rdc")
+        if (rdc || opts.compression.contains("rle"))
+          assembleSasCompressed(schema, parts, widths, local, rdc)
+        else assembleSas(schema, parts, widths, local)
+      case f => throw new IllegalArgumentException(s"readstat sink: unsupported format $f")
+    }
+  }
 
   def create(path: String): java.io.OutputStream = {
     val hp = new org.apache.hadoop.fs.Path(path)

@@ -219,4 +219,69 @@ class WritePathSpec extends SparkSpec {
     assert(both.count() === 250)
     assert(both.agg(sum("x")).collect()(0).getDouble(0) === (249.0 * 250 / 2))
   }
+
+  // --- directory-of-containers mode (r10 verdict #3) ---
+
+  private def dirRoundTrip(format: String, nParts: Int): Unit = {
+    val df = spark.range(8000).select(
+      col("id").cast("double").as("x"),
+      // per-partition max widths differ (self-consistent containers)
+      concat(lit("v"), col("id") % 977).as("s"))
+      .repartition(nParts)
+    val dir = tmp(s"dir_$format")
+    df.write.format("readstat").option("format", format).mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.length === nParts,
+      s"$format: expected one container per partition, got ${files.map(_.getName).toSeq}")
+    assert(files.forall(_.getName.endsWith(
+      graft.sources.readstat.ReadstatWriteSupport.extensionFor(format))))
+    assert(!new java.io.File(dir, ".spill-parts").exists(), "staging must be cleaned")
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() === 8000)
+    assert(back.agg(sum("x")).collect()(0).getDouble(0) === (7999.0 * 8000 / 2))
+    assert(back.select("s").distinct().count() === 977)
+  }
+
+  test("directory write at 8 partitions: one container per partition, dta") {
+    dirRoundTrip("dta", 8)
+  }
+  test("directory write at 8 partitions: one container per partition, sav") {
+    dirRoundTrip("sav", 8)
+  }
+  test("directory write at 8 partitions: one container per partition, sas7bdat") {
+    dirRoundTrip("sas7bdat", 8)
+  }
+  test("directory write: zsav parts round-trip through zlib") {
+    dirRoundTrip("zsav", 4)
+  }
+
+  test("directory write: overwrite clears previous parts; empty write stays readable") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp("dir_over")
+    spark.range(100).select(col("id").cast("double").as("x")).repartition(8)
+      .write.format("readstat").option("format", "dta").mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".dta")) === 8)
+    // second write with fewer partitions must not leave stale parts behind
+    spark.range(50).select(col("id").cast("double").as("x")).repartition(2)
+      .write.format("readstat").option("format", "dta").mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".dta")) === 2)
+    assert(spark.read.format("readstat").load(dir).count() === 50)
+    // all-empty write emits one zero-row container so the load still works
+    Seq.empty[Double].toDF("x")
+      .write.format("readstat").option("format", "dta").mode("overwrite").save(dir)
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() === 0 && back.schema.fieldNames.toSeq === Seq("x"))
+  }
+
+  test("directory write without a format option fails with a named error") {
+    val e = intercept[Exception] {
+      spark.range(10).select(col("id").cast("double").as("x"))
+        .write.format("readstat").mode("overwrite").save(tmp("dir_nofmt"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("directory mode")), s"got: ${msgs(e)}")
+  }
 }
