@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real byte-pair-encoding token counting (r10 verdict #4).
+  *
+  * q91 counts PRE-tokenizer pieces only (the GPT-2 pre-tokenizer regex,
+  * `TextOps.bpeTokenRe`) — a cheap proxy whose divergence from the real
+  * training currency grows with how aggressive the merge table is. This
+  * kernel applies actual BPE merges: a word starts as its codepoint
+  * sequence, and while any adjacent symbol pair appears in the merge
+  * table, the LOWEST-RANK pair's LEFTMOST occurrence merges. For a
+  * well-formed merge list (every composite ranked after its parts — true
+  * of any list learned by the BPE training procedure, since a pair of
+  * merged symbols can only be counted after the merge that creates them),
+  * this single-leftmost-then-recompute loop yields the same result as the
+  * merge-all-occurrences variant; the DuckDB oracle implements the
+  * identical loop as a recursive CTE, so the two engines agree BY
+  * CONSTRUCTION, not by luck.
+  *
+  * Merge lists load in the public GPT-2 `merges.txt` format: one
+  * space-separated symbol pair per line, rank = line order, `#...` header
+  * and blank lines skipped.
+  */
+object BpeKernel {
+
+  type Rank = Map[(String, String), Int]
+
+  def parseMerges(text: String): Rank = {
+    val pairs = text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1, s"bpe merges: bad line '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toSeq
+    pairs.zipWithIndex.toMap
+  }
+
+  /** The word's final BPE symbols. Codepoint-based start (matches the
+    * oracle's regex `.` which is codepoint-wise), so astral symbols are
+    * one initial symbol, not two surrogate halves.
+    */
+  def pieces(word: String, rank: Rank): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      syms += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = j } // strict < keeps the LEFTMOST
+        j += 1
+      }
+      if (bi < 0) done = true
+      else {
+        syms(bi) = syms(bi) + syms(bi + 1)
+        syms.remove(bi + 1)
+      }
+    }
+    syms.toSeq
+  }
+
+  def count(word: UTF8String, rank: Rank): Long =
+    pieces(word.toString, rank).length.toLong
+}
+
+/** `graft_bpe_count(word, mergesText)` — BPE piece count of one word.
+  * `mergesText` must be a foldable string (the merges fixture/file
+  * contents); it parses ONCE at first evaluation, not per row. Codegen
+  * emits a static kernel call with the parsed rank map as a referenced
+  * object (the [[MinhashLanes]]/[[Simhash16]] discipline — no interpreted
+  * expression tree in the hot path).
+  *
+  * Intended use is vocab-sized: tokenize DISTINCT words once and join the
+  * counts back to the corpus — at 100 TB the corpus never feeds this
+  * expression row-by-row.
+  */
+case class BpeTokenCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  require(right.foldable, "graft_bpe_count: merges argument must be a literal")
+
+  @transient private lazy val rank: BpeKernel.Rank =
+    BpeKernel.parseMerges(
+      right.eval(null).asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(w: Any, m: Any): Any =
+    BpeKernel.count(w.asInstanceOf[UTF8String], rank)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rankRef = ctx.addReferenceObj("bpeRank", rank,
+      "scala.collection.immutable.Map")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.BpeKernel.count($w, $rankRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeTokenCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object BpeFunctions {
+  @volatile private var registered = Set.empty[SparkSession]
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered.contains(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bpe_count", exprs => BpeTokenCount(exprs.head, exprs(1)), "scala_udf")
+      registered += spark
+    }
+  }
+}

@@ -363,6 +363,68 @@ object TextOps {
         expr("(2 * n_bpe_tokens * 10000 + n_ws_tokens) div (2 * n_ws_tokens)")
           / lit(10000.0))
 
+  /** The q96 merge-table fixture, in the public GPT-2 `merges.txt` format
+    * (one space-separated pair per line, rank = line order, `#` header
+    * skipped) so [[graft.functions.BpeKernel.parseMerges]] exercises the
+    * real file layout. Hand-computable and WELL-FORMED (every composite —
+    * `th e`, `ab le` — ranked after its parts), which is the property that
+    * makes the single-leftmost-min merge loop equal to the
+    * merge-all-occurrences variant; a list learned by actual BPE training
+    * always has it. Spliced into the DuckDB oracle as a VALUES list from
+    * this one constant (the [[bpeTokenRe]] discipline).
+    */
+  private[graft] val bpeMergesFixture: String =
+    """#version: graft-fixture
+      |t h
+      |th e
+      |a b
+      |l e
+      |ab le
+      |r o
+      |s c
+      |a n
+      |e r
+      |q u
+      |s t
+      |f a
+      |d a
+      |t a""".stripMargin
+
+  /** q96's operator body: REAL byte-pair-encoding token counts (r10
+    * verdict #4) — actual merges applied iteratively per word, not q91's
+    * pre-tokenizer proxy. The output keeps q91's `n_pretokens` next to the
+    * real `n_bpe_tokens` so the proxy's divergence is measured in place.
+    *
+    * Scale shape (the q48/q69 tf device): the corpus explodes ONCE into a
+    * (doc_id, word, tf) table; the merge loop — the only non-trivial
+    * compute — runs over DISTINCT words only (vocab-sized, via the
+    * codegen'd `graft_bpe_count` expression), and the counts broadcast-join
+    * back. A 100 TB corpus has a bounded vocabulary; running BPE per word
+    * OCCURRENCE would be the scale mistake this shape avoids.
+    */
+  def bpeRealTokens(docs: DataFrame, mergesText: String): DataFrame = {
+    graft.functions.BpeFunctions.register(docs.sparkSession)
+    val mergesLit = mergesText.replace("'", "''")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.select("w").distinct()
+      .withColumn("n_pieces", expr(s"graft_bpe_count(w, '$mergesLit')"))
+    val perDoc = tf.join(broadcast(vocab), "w")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_words"),
+        sum(col("tf") * col("n_pieces")).as("n_bpe_tokens"))
+    docs
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(bpeTokenRe)).cast("long").as("n_pretokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        col("n_pretokens"))
+  }
+
   /** The winnow gram-hash array over a token-array column — THE hash
     * definition, shared by batch q92 and the streaming near-dup gate
     * ([[graft.streaming.DocStreams.nearDupGate]]), the same one-definition
@@ -726,6 +788,13 @@ object TextOps {
     // what the whitespace heuristics assume.
     "q91_bpe_tokens" -> ((s, d) => bpeTokenStats(documents(s, d))),
 
+    // REAL BPE token counting (see [[bpeRealTokens]]): actual byte-pair
+    // merges from the fixture table, vocab-sized compute + broadcast
+    // join-back; q91's pre-tokenizer count rides along as n_pretokens so
+    // the cheap proxy's divergence is measured, not assumed.
+    "q96_bpe_real_tokens" -> ((s, d) =>
+      bpeRealTokens(documents(s, d), bpeMergesFixture)),
+
     // Winnowing fingerprints (see [[winnowFingerprints]]): MOSS-style
     // local fingerprinting — window-min selection over word-3-gram
     // hashes, the sub-document dedup key at ~2/(w+1) storage.
@@ -939,6 +1008,64 @@ object TextOps {
                AS BIGINT) + length(text) * 100) // (length(text) * 200)) / 10000.0
            END AS char_entropy
          FROM (SELECT doc_id, text, string_split(text, '') AS ch FROM documents) a""",
+
+    // the merge table is spliced from [[bpeMergesFixture]] (one constant,
+    // the bpeTokenRe discipline); the recursive CTE applies the IDENTICAL
+    // single-leftmost-lowest-rank merge loop as BpeKernel, so the engines
+    // agree by construction. State is the word as space-separated symbols;
+    // each recursion level applies one merge; a word's terminal row is the
+    // one no merge applies to.
+    "q96_bpe_real_tokens" -> {
+      val mergeValues = graft.functions.BpeKernel.parseMerges(bpeMergesFixture)
+        .toSeq.sortBy(_._2)
+        .map { case ((a, b), r) =>
+          s"('${a.replace("'", "''")}', '${b.replace("'", "''")}', ${r + 1})"
+        }
+        .mkString(", ")
+      s"""WITH RECURSIVE
+           merges(a, b, r) AS (VALUES $mergeValues),
+           words AS (
+             SELECT DISTINCT w FROM (
+               SELECT unnest(string_split(text, ' ')) AS w FROM documents) uw
+             WHERE w <> ''),
+           init AS (
+             SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS st
+             FROM words),
+           bpe(w, st) AS (
+             SELECT w, st FROM init
+             UNION ALL
+             SELECT w,
+               substr(st, 1, strpos(st, best.pat) - 1) || ' ' || best.ab || ' ' ||
+                 substr(st, strpos(st, best.pat) + length(best.pat))
+             FROM (
+               SELECT w, st,
+                 (SELECT {'ab': m.a || m.b, 'pat': ' ' || m.a || ' ' || m.b || ' '}
+                  FROM merges m
+                  WHERE contains(st, ' ' || m.a || ' ' || m.b || ' ')
+                  ORDER BY m.r LIMIT 1) AS best
+               FROM bpe) x
+             WHERE best IS NOT NULL),
+           toks AS (
+             SELECT w, CAST(len(string_split(trim(st), ' ')) AS BIGINT) AS n_pieces
+             FROM bpe b
+             WHERE NOT EXISTS (SELECT 1 FROM merges m
+                               WHERE contains(b.st, ' ' || m.a || ' ' || m.b || ' '))),
+           tf AS (
+             SELECT doc_id, w, count(*) AS tf FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) tw
+             WHERE w <> '' GROUP BY doc_id, w),
+           agg AS (
+             SELECT t.doc_id,
+                    CAST(sum(t.tf) AS BIGINT) AS n_words,
+                    CAST(sum(t.tf * k.n_pieces) AS BIGINT) AS n_bpe_tokens
+             FROM tf t JOIN toks k USING (w) GROUP BY t.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+                CAST(len(regexp_extract_all(d.text, '${bpeTokenRe.replace("'", "''")}'))
+                  AS BIGINT) AS n_pretokens
+         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    },
 
     // the pattern is spliced from [[bpeTokenRe]] (apostrophe doubled for
     // the SQL literal) so operator and oracle can never drift

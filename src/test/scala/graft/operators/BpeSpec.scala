@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.BpeKernel
+
+/** Real BPE token counting (r10 verdict #4): merge-loop correctness against
+  * hand-tokenized words, GPT-2 merges.txt parsing, operator-vs-kernel
+  * parity on a planted corpus, and the measured divergence from q91's
+  * pre-tokenizer proxy.
+  */
+class BpeSpec extends SparkSpec {
+
+  private val rank = BpeKernel.parseMerges(TextOps.bpeMergesFixture)
+
+  test("merges.txt parsing skips the #version header and keeps line order as rank") {
+    assert(rank(("t", "h")) === 0)
+    assert(rank(("th", "e")) === 1)
+    assert(rank(("t", "a")) === 13)
+    assert(rank.size === 14)
+  }
+
+  test("hand-tokenized words: the merge loop follows lowest-rank-leftmost exactly") {
+    def p(w: String): Seq[String] = BpeKernel.pieces(w, rank)
+    // "table": (a,b) r3 beats (t,a) r14 and (l,e) r4 → t ab l e; then
+    // (l,e) → t ab le; then the composite (ab,le) r5 → t able
+    assert(p("table") === Seq("t", "able"))
+    // "the": (t,h) r1 → th e; composite (th,e) r2 → the
+    assert(p("the") === Seq("the"))
+    // "fast": (s,t) r11 beats (f,a) r12 → f a st; then (f,a) → fa st
+    assert(p("fast") === Seq("fa", "st"))
+    // "data": (d,a) r13 beats (t,a) r14 → da t a; then (t,a) → da ta
+    assert(p("data") === Seq("da", "ta"))
+    assert(p("scan") === Seq("sc", "an"))
+    // untouched word: no pair in the table
+    assert(p("xyz") === Seq("x", "y", "z"))
+    assert(p("") === Seq.empty)
+    // whole sentence, hand-computed: the(1) fast(2) data(2) scan(2) = 7
+    assert("the fast data scan".split(" ").map(w => p(w).length).sum === 7)
+  }
+
+  test("leftmost-occurrence discipline on repeated pairs") {
+    // "ththth" with only (t,h) applicable: merges left-to-right,
+    // th th th → 3 pieces, never a (h,t) merge (not in the table)
+    assert(BpeKernel.pieces("ththth", rank) === Seq("th", "th", "th"))
+  }
+
+  test("operator matches a driver-side kernel recompute and measures the q91 divergence") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe")
+    val docs = Seq(
+      (0L, "the fast data scan", "en", "s0", 18L),
+      (1L, "table the table", "en", "s0", 15L),
+      (2L, "", "en", "s1", 0L),
+      (3L, "query customer order", "en", "s1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(tmp.resolve("documents.parquet").toString)
+    val out = TextOps.queries("q96_bpe_real_tokens")(sp, tmp.toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def toks(t: String): Long =
+      t.split(" ").filter(_.nonEmpty).map(w => BpeKernel.pieces(w, rank).length.toLong).sum
+    assert(out(0L) === ((4L, toks("the fast data scan"), 4L)))
+    assert(out(0L)._2 === 7L)
+    assert(out(1L) === ((3L, toks("table the table"), 3L)))
+    assert(out(2L) === ((0L, 0L, 0L)), "empty doc must report zeros, not drop")
+    // divergence measured: the real count exceeds the pre-tokenizer proxy
+    // on this vocabulary (each word splits into >1 piece on average)
+    assert(out(0L)._2 > out(0L)._3,
+      "fixture merges must make real BPE diverge from the pre-tokenizer count")
+  }
+
+  test("expression participates in codegen (no interpreted fallback in the plan)") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.BpeFunctions.register(sp)
+    val merges = TextOps.bpeMergesFixture.replace("'", "''")
+    // a parquet scan (not a local relation) so the projection actually
+    // compiles — a LocalTableScan constant-folds the expression away
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_cg")
+    Seq("table", "the").toDF("w").write.parquet(tmp.resolve("w.parquet").toString)
+    val df = sp.read.parquet(tmp.resolve("w.parquet").toString)
+      .select(col("w"), expr(s"graft_bpe_count(w, '$merges')").as("n"))
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("table" -> 2L, "the" -> 1L))
+    // the starred span (`*(1) Project`) marks whole-stage codegen; a
+    // CodegenFallback expression would leave the Project unstarred
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected a codegen'd Project span:\n$plan")
+  }
+}
