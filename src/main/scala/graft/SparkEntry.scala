@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, GraphOps, MultimodalOps, ReadstatQueries, Relational, ScaleOps, SimilarityOps, StatsOps, TextOps}
+import graft.operators.{ClassifierOps, DedupOps, GraphOps, MultimodalOps, ReadstatQueries, Relational, ScaleOps, SimilarityOps, StatsOps, TextOps}
 import graft.util.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ ReadstatQueries.queries ++ MultimodalOps.queries ++
-      ScaleOps.queries ++ GraphOps.queries ++ StatsOps.queries
+      ScaleOps.queries ++ GraphOps.queries ++ StatsOps.queries ++
+      ClassifierOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a weaker rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ ReadstatQueries.oracle ++ MultimodalOps.oracle ++
-      ScaleOps.oracle ++ GraphOps.oracle ++ StatsOps.oracle
+      ScaleOps.oracle ++ GraphOps.oracle ++ StatsOps.oracle ++
+      ClassifierOps.oracle
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** In-engine quality-classifier training (r10 verdict #5): epoch-1
+  * closed-form determinism, multi-epoch separation on a planted good/bad
+  * corpus with held-out docs, and the q81 serving plumbing consuming the
+  * trained weight table.
+  */
+class ClassifierSpec extends SparkSpec {
+
+  // planted corpus: "good" docs draw from one vocabulary, "bad" from
+  // another, with a shared neutral filler — hash buckets of the class
+  // vocabularies carry the signal
+  private def planted(n: Int): Seq[(Long, String, Long)] = {
+    val good = Vector("insight", "method", "result", "evidence", "analysis")
+    val bad = Vector("spamspam", "clickbait", "lorem", "zzzz", "buynow")
+    val fill = Vector("the", "a", "of", "and")
+    (0 until n).map { i =>
+      val y = i % 2
+      val vocab = if (y == 1) good else bad
+      // deterministic word choice — no RNG, the same corpus every run
+      val words = (0 until 30).map(j =>
+        if (j % 3 == 0) fill((i + j) % fill.length)
+        else vocab((i * 7 + j) % vocab.length))
+      (i.toLong, words.mkString(" "), y.toLong)
+    }
+  }
+
+  test("epoch-1 weights equal the closed-form integer device (determinism pin)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = planted(40).map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    // labels via the gopher gate, exactly as q97 derives them
+    val labels = docs.select(col("doc_id"),
+      when(TextOps.gopherKeepCol(col("text")), 1L).otherwise(0L).as("y"))
+    val feats = ClassifierOps.hashedFeatures(docs)
+    // independent recompute: w1[b] = occurrences in keep docs − in drop docs
+    val yMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = feats.collect()
+      .groupBy(_.getLong(1))
+      .map { case (b, rows) =>
+        b -> rows.map(r => (yMap(r.getLong(0)) * 2 - 1) * r.getLong(2)).sum
+      }
+    val w1 = feats.join(labels, "doc_id")
+      .groupBy("bucket").agg(sum((col("y") * 2 - 1) * col("c")).as("w1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === expected)
+  }
+
+  test("multi-epoch logistic training separates held-out planted docs; q81 plumbing serves the weights") {
+    val sp = spark
+    import sp.implicits._
+    val all = planted(60)
+    val train = all.filter(_._1 < 48)
+    val holdout = all.filter(_._1 >= 48)
+    val trainDocs = train.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val trainLabels = train.map { case (id, _, y) => (id, y) }.toDF("doc_id", "y")
+    val weights = ClassifierOps.trainLogistic(
+      ClassifierOps.hashedFeatures(trainDocs), trainLabels, epochs = 5, lr = 0.1)
+    val holdDocs = holdout.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val scored = ClassifierOps.scoreWithWeights(holdDocs, weights)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val yOf = holdout.map { case (id, _, y) => id -> y }.toMap
+    // full separation: every held-out good doc scores above every bad one
+    val goodScores = scored.collect { case (id, (s, _)) if yOf(id) == 1 => s }
+    val badScores = scored.collect { case (id, (s, _)) if yOf(id) == 0 => s }
+    assert(goodScores.nonEmpty && badScores.nonEmpty)
+    assert(goodScores.min > badScores.max,
+      s"held-out classes must separate: good min ${goodScores.min} vs bad max ${badScores.max}")
+    // and the keep decision follows the label on every held-out doc
+    assert(scored.forall { case (id, (_, keep)) => keep == yOf(id) })
+  }
+
+  test("q97 output shape: every document reported, scores integer-exact vs a recompute") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q97")
+    planted(30).map { case (id, t, _) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val out = ClassifierOps.queries("q97_train_quality")(sp, tmp.toString)
+    val rows = out.collect()
+    assert(rows.length === 30, "every doc must appear, scored or not")
+    // pred_keep is exactly (score1 > 0)
+    assert(rows.forall(r => r.getLong(3) == (if (r.getLong(2) > 0) 1L else 0L)))
+    out.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
+}
