@@ -65,15 +65,57 @@ object DedupOps {
     * silently emitted a partial shingle the oracle's NULL-propagating
     * `t[i] || …` concatenation never produces.
     */
+  /** THE word-3-shingle definition over a token-array column, shared by
+    * the batch LSH chain and the streaming MinHash-band gate
+    * ([[graft.streaming.DocStreams.minhashBandGate]]) — the gate's
+    * "reconcile with batch q35" contract is only sound while both sides
+    * shingle identically, so there is exactly one definition (the
+    * [[gram5ArrayExpr]] discipline). Sub-3-token docs get an empty array
+    * (no signature, never candidates) — the ANSI length guard is
+    * load-bearing.
+    */
+  private[graft] def shingle3ArrayExpr(tCol: String): String =
+    s"""CASE WHEN size($tCol) >= 3
+          THEN transform(sequence(1, size($tCol) - 2),
+                         i -> concat_ws(' ', element_at($tCol, i),
+                           element_at($tCol, i + 1), element_at($tCol, i + 2)))
+          ELSE CAST(array() AS ARRAY<STRING>) END"""
+
   private def withShingleArray(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(t) >= 3
-             THEN transform(sequence(1, size(t) - 2),
-                            i -> concat_ws(' ', element_at(t, i),
-                              element_at(t, i + 1), element_at(t, i + 2)))
-             ELSE CAST(array() AS ARRAY<STRING>) END""").as("sh"))
+      .select(col("doc_id"), expr(shingle3ArrayExpr("t")).as("sh"))
+
+  /** The four band keys of a lanes array (`graft_minhash_lanes` output) as
+    * band-index-prefixed strings `"i:md5(h_{2i}||h_{2i+1})"` — EXACTLY the
+    * batch chain's band values ([[lshCandidates]]' b0..b3) with the band
+    * index folded into the key so band i of an arriving document only
+    * matches band i of the history, as the batch bucket join's (bi, bk)
+    * key does. Shared by [[minhashBandValues]] (the Bloom build side) and
+    * the streaming gate (the probe side): one definition, the
+    * winnowFpValues lesson — a key-rendering mismatch between build and
+    * probe is the silent every-dup-admitted failure mode.
+    */
+  private[graft] def minhashBandArrayExpr(lanesCol: String): String =
+    s"""transform(sequence(0, 3),
+          i -> concat(cast(i as string), ':',
+            md5(concat(element_at($lanesCol, 2 * i + 1),
+                       element_at($lanesCol, 2 * i + 2)))))"""
+
+  /** (doc_id, band) — each document's four LSH band keys, the build side
+    * of the streaming MinHash-band gate's historical filter: construct
+    * with `minhashBandValues(corpus).stat.bloomFilter("band", n, fpp)`
+    * (`band` is already the STRING key the gate probes). Docs with no
+    * signature (<3 tokens) contribute nothing.
+    */
+  def minhashBandValues(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    withShingleArray(docs)
+      .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"))
+      .filter(col("lanes").isNotNull)
+      .select(col("doc_id"),
+        explode(expr(minhashBandArrayExpr("lanes"))).as("band"))
+  }
 
   /** doc_id, s — per-document DISTINCT word-3-gram shingles, for the
     * set-based Jaccard math. (doc_id, s)-distinct ≡ per-doc array dedup, so

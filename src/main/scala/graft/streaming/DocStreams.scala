@@ -155,6 +155,44 @@ object DocStreams {
       probeArrayExpr = graft.operators.TextOps.winnowSelectExpr("__hs"),
       key = _.cast("string"))
 
+  /** Streaming MinHash-band near-dup gate against the HISTORICAL corpus
+    * (r10 verdict #7 — q35's unit at the ingest edge, completing the
+    * batch/stream parity story the winnow gate started): drop any arriving
+    * document whose LSH signature shares a BAND with an already-ingested
+    * document, probed against a Bloom filter built over the corpus's band
+    * keys. Where [[nearDupGate]] (winnowing) catches shared ≥6-token RUNS
+    * — verbatim passage reuse — this gate catches high set-level Jaccard
+    * under reordering/interleaving, exactly the q35-vs-q71 split in batch.
+    *
+    * One-definition contract: shingles, lanes, and band keys are the batch
+    * chain's own expressions ([[graft.operators.DedupOps.shingle3ArrayExpr]],
+    * `graft_minhash_lanes`, [[graft.operators.DedupOps.minhashBandArrayExpr]]
+    * with the band index folded into the key, as the batch bucket join
+    * keys on (bi, bk)) — so "dropped here" ≡ "would be a q35 candidate
+    * pair with some historical doc". Build the filter from
+    * [[graft.operators.DedupOps.minhashBandValues]] with
+    * `df.stat.bloomFilter("band", n, fpp)`; `band` is already the STRING
+    * key this gate probes (the winnowFpValues type lesson). State: 4 band
+    * keys per historical doc × ~3 bytes at fpp 1e-5 — a billion-doc
+    * history fits one ~12 GB shard set (shard by band modulus past the
+    * 2 GB single-array ceiling, as for [[nearDupGate]]). Conservative
+    * contract as always: no false negatives; over-drop ≈ 4 × fpp per
+    * clean doc. Row-local, stateless, zero shuffle; sub-3-token docs have
+    * no signature and pass. Reconcile with batch q35 over the admitted
+    * corpus.
+    */
+  def minhashBandGate(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    bloomDropGate(docs, bloomBytes,
+      staging = Seq(
+        "__t" -> split(col("text"), " "),
+        "__sh" -> expr(graft.operators.DedupOps.shingle3ArrayExpr("__t")),
+        "__lanes" -> expr("graft_minhash_lanes(__sh)")),
+      guard = col("__lanes").isNotNull,
+      probeArrayExpr = graft.operators.DedupOps.minhashBandArrayExpr("__lanes"),
+      key = identity)
+  }
+
   /** The full intake pipeline: quality gate → dedup. (Counts attach as a
     * separate sink off the same deduped frame.)
     *

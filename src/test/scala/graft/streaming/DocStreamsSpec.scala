@@ -225,6 +225,65 @@ class DocStreamsSpec extends SparkSpec {
       s"gate over-dropped: ${corpusN - flagged.size - admitted.size} clean docs")
   }
 
+  test("minhash-band gate: streaming drop/pass parity with batch q35 on planted near-dups") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // history: one 40-token doc. Arrivals: an exact copy (all 4 bands
+    // equal — guaranteed drop), a light edit (high Jaccard), a same-
+    // vocabulary reshuffle, a fresh doc, and a sub-3-token doc (no
+    // signature, must pass).
+    val histText = (0 until 40).map(i => s"hist$i").mkString(" ")
+    val arrivals = Seq(
+      1L -> histText,
+      2L -> ((0 until 38).map(i => s"hist$i").mkString(" ") + " edit1 edit2"),
+      3L -> (0 until 40).map(i => s"hist${(i * 7) % 40}").mkString(" "),
+      4L -> (0 until 40).map(i => s"fresh$i").mkString(" "),
+      5L -> "two tokens")
+    val history = Seq(100L -> histText).toDF("doc_id", "text")
+    // EXPECTED drops from the batch chain's own band values: arrival a is
+    // dropped iff it shares a band key with the history — by the
+    // one-definition contract this is exactly q35 candidacy vs doc 100
+    val histBands = graft.operators.DedupOps.minhashBandValues(history)
+      .select("band").collect().map(_.getString(0)).toSet
+    val arrBands = graft.operators.DedupOps.minhashBandValues(
+      arrivals.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expectDrop = arrBands.filter(b => histBands.contains(b._2)).map(_._1).toSet
+    assert(expectDrop.contains(1L), "an exact copy must share every band")
+    assert(!expectDrop.contains(4L) && !expectDrop.contains(5L))
+    // cross-check candidacy against the REAL batch q35 over the union
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mhgate")
+    ((100L -> histText) +: arrivals)
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val cand = graft.operators.DedupOps.queries("q35_minhash_lsh")(sp, tmp.toString)
+    val vsHistory = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a == 100L || b == 100L => if (a == 100L) b else a }
+      .toSet
+    cand.unpersist(blocking = true)
+    assert(vsHistory === expectDrop,
+      "band-key intersection must equal batch q35 candidacy vs the history doc")
+    // the gate itself, streaming
+    val bloom = graft.operators.DedupOps.minhashBandValues(history)
+      .stat.bloomFilter("band", 64L, 1e-6)
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
+    val input = MemoryStream[Doc]
+    val q = DocStreams.minhashBandGate(input.toDF(), bytes).writeStream
+      .format("memory").queryName("mhgate").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals.zipWithIndex.map { case ((id, t), i) =>
+        Doc(id, t, "en", "s", t.length, ts(f"2024-01-01 10:0$i%01d:00")) }: _*)
+      q.processAllAvailable()
+      val admitted = sp.sql("SELECT doc_id FROM mhgate").collect().map(_.getLong(0)).toSet
+      assert(admitted === arrivals.map(_._1).toSet -- expectDrop,
+        s"gate admissions must be exactly the non-candidates (expected drops: $expectDrop)")
+    } finally q.stop()
+    sp.catalog.clearCache()
+  }
+
   test("windowed admission counts aggregate per source and hour") {
     val sp = spark
     import sp.implicits._
