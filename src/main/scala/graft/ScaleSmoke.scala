@@ -264,6 +264,8 @@ object ScaleSmoke {
       Measure(wall, rows, nTasks, maxT, straggler, slowStages)
     }
 
+    val walls = scala.collection.mutable.Map[String, Double]()
+
     def runCase(q: String, corpusDir: File, prefix: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         gated: Boolean = true): Unit = {
@@ -294,6 +296,7 @@ object ScaleSmoke {
       out.append(f""","$prefix${q}_tasks":${m.nTasks},"$prefix${q}_max_task_sec":${m.maxT}%.3f""")
       out.append(f""","$prefix${q}_straggler":${m.straggler}%.2f""")
       if (attempts > 1) out.append(s""","$prefix${q}_attempts":$attempts""")
+      walls(prefix + q) = m.wall
     }
 
     def runQuery(q: String, corpusDir: File, prefix: String): Unit =
@@ -303,6 +306,39 @@ object ScaleSmoke {
     for (q <- selected) runQuery(q, dir, "")
     val selectedSkew = if (args.nonEmpty) skewQueries.filter(args.contains) else skewQueries
     for (q <- selectedSkew) runQuery(q, skewDir, "skew_")
+
+    // q62 growth exponent (r10 verdict #6): the heaviest 10× smoke entry
+    // (composed RP-LSH verify + CC) gets a 20× embeddings point. The
+    // DIAGNOSTIC run keeps q62's oracle-pinned band geometry (L=6, b=8)
+    // and is deliberately NOT growth-gated — per-band candidates grow
+    // ~n²/2^b, so fixed-width growth IS quadratic (measured 3.18× at
+    // 10×→20×), and documenting that is the finding (the q57 unsharded
+    // discipline). The GATED run drives the band-width knob: +1 sign bit
+    // per corpus doubling (b=9 at 20×) keeps expected bucket occupancy
+    // constant, so the wall must grow ≤2.5× — at 100 TB you size b to
+    // log2(corpus/target-bucket), which is why rpLshNearDup exposes it.
+    if (args.isEmpty || args.contains("q62_embedding_clusters")) {
+      val dir20 = new File("/tmp/graft_scale_vecs20x")
+      ensureTable(dir20, "embeddings.parquet", nVecs * 2, generateEmbeddings)
+      runQuery("q62_embedding_clusters", dir20, "vecs20x_")
+      for (w10 <- walls.get("q62_embedding_clusters");
+           w20 <- walls.get("vecs20x_q62_embedding_clusters")) {
+        val growth = w20 / w10
+        out.append(f""","vecs20x_q62_growth":$growth%.2f""")
+        System.err.println(f"[scalesmoke] q62 10x->20x growth at fixed b=8: $growth%.2f (diagnostic)")
+      }
+      runCase("q62_clusters_b9", dir20, "vecs20x_",
+        (s, p) => operators.GraphOps.embeddingClustersAt(s, p, L = 6, b = 9))
+      for (w10 <- walls.get("q62_embedding_clusters");
+           w20 <- walls.get("vecs20x_q62_clusters_b9")) {
+        val growth = w20 / w10
+        out.append(f""","vecs20x_q62_b9_growth":$growth%.2f""")
+        System.err.println(f"[scalesmoke] q62 10x->20x growth with the b=9 knob: $growth%.2f")
+        require(growth <= 2.5,
+          f"q62 wall grew $growth%.2f from 10x to 20x vectors WITH the band-width " +
+            "knob — the RP-LSH chain's growth exponent regressed")
+      }
+    }
 
     // q57 hot-source section (r9 verdict #4): 80% of the corpus in ONE
     // source makes the per-source window cumsum a single task. The

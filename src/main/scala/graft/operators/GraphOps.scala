@@ -224,6 +224,22 @@ object GraphOps {
       .distinct()
   }
 
+  /** q62's operator body, parameterized on the RP-LSH band geometry (r11):
+    * the scale-smoke hook for the band-width knob — q62 binds the
+    * oracle-pinned (6, 8); the 20× smoke gates (6, 9), +1 sign bit per
+    * corpus doubling (see [[SimilarityOps.rpLshNearDup]]).
+    */
+  def embeddingClustersAt(s: SparkSession, d: String, L: Int, b: Int): DataFrame = {
+    val pairs = SimilarityOps.rpLshNearDupAt(s, d, L, b)
+    val labels = connectedComponents(
+      pairs.select(col("ia").as("u"), col("ib").as("v")))
+    val res = embeddings(s, d).select("vec_id")
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    DedupOps.finishAndRelease(res, labels)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Dedup clustering over the MinHash/LSH candidate graph (q35's pairs):
     // every document gets a canonical cluster_id; documents in no near-dup
@@ -247,16 +263,7 @@ object GraphOps {
     // one per cluster" closes the embedding dedup path exactly as q45
     // closes the text path. Composition reuses connectedComponents
     // unchanged: the pair source is the only difference.
-    "q62_embedding_clusters" -> ((s, d) => {
-      val pairs = SimilarityOps.queries("q44_rp_lsh_neardup")(s, d)
-      val labels = connectedComponents(
-        pairs.select(col("ia").as("u"), col("ib").as("v")))
-      val res = embeddings(s, d).select("vec_id")
-        .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      DedupOps.finishAndRelease(res, labels)
-    }),
+    "q62_embedding_clusters" -> ((s, d) => embeddingClustersAt(s, d, L = 6, b = 8)),
 
     // The pipeline's terminal selection: one representative per q45
     // cluster — the highest-quality member (q38's score, doc_id tiebreak),

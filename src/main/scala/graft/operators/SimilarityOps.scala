@@ -32,6 +32,67 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
   }
 
+  /** q44's operator body, parameterized (r11): random-hyperplane sign-LSH
+    * near-dup with `L` bands × `b` sign bits per band. `b` is THE scale
+    * knob: per-band candidate pairs grow ~n²/2^b, so a fixed width goes
+    * quadratic as the corpus grows — +1 bit per corpus DOUBLING keeps
+    * expected bucket occupancy (and so pair count per vector) constant,
+    * which the 20× scale smoke gates (`vecs20x_q62_b9`). The q44/q62
+    * queries bind the oracle-pinned (6, 8); recall at a target cosine is
+    * the standard (L, b) trade [Charikar, STOC'02] — widen b only
+    * alongside the corpus, and raise L if the recall floor matters more
+    * than candidate cost. `base` must carry (vec_id, e, nrm) (see
+    * [[prepped]]); candidates exact-verify on cosine ≥ `minCos`, so
+    * emitted pairs are never false positives at any (L, b).
+    */
+  private[graft] def rpLshNearDup(s: SparkSession, base: DataFrame,
+      L: Int, b: Int, minCos: Double = 0.45): DataFrame = {
+    val exploded = base.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+    // tiny: L*b*dim rows. The dimension comes from a ONE-row probe —
+    // the prior `exploded.select("pos").distinct()` ran a full corpus
+    // posexplode + distinct shuffle just to learn a constant the first
+    // row already knows. (The probe is necessarily eager — an ARRAY
+    // schema carries no length — but it is TOTAL: an empty embeddings
+    // table yields dim 0 → zero planes → an empty result, not a
+    // NoSuchElementException at query-construction time.)
+    val dim = base.select(size(col("e")).as("n")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val planes = s.range(dim).select(col("id").cast("int").as("pos"))
+      .select(col("pos"), explode(expr(s"sequence(0, ${L * b - 1})")).as("j"))
+      .select(col("pos"),
+        (col("j") / b).cast("int").as("band"),
+        (col("j") % b).cast("int").as("bit"))
+      .withColumn("sgn", expr(
+        """CASE WHEN substr(md5(concat(cast(band AS STRING), '_',
+                                       cast(bit AS STRING), '_',
+                                       cast(pos AS STRING))), 1, 1)
+                IN ('0','1','2','3','4','5','6','7')
+           THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"""))
+    val dots = exploded.join(broadcast(planes), "pos")
+      .groupBy("vec_id", "band", "bit")
+      .agg(round(sum(col("x") * col("sgn")), 6).as("dot"))
+    val sigs = dots.groupBy("vec_id", "band")
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+        .cast("long").as("sig"))
+    val cands = sigs.select(col("vec_id").as("ia"), col("band"), col("sig"))
+      .join(sigs.select(col("vec_id").as("ib"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    val va = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+    val vb = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+    cands.join(va, "ia").join(vb, "ib")
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** The parameterized q44 over a testdata dir — the scale-smoke hook for
+    * driving the band-width knob without touching the oracle-pinned query.
+    */
+  def rpLshNearDupAt(s: SparkSession, d: String, L: Int, b: Int): DataFrame =
+    rpLshNearDup(s, prepped(s, d), L, b)
+
   /** IVF coarse quantizer: per-label mean vectors `(c_label, ce)` — tiny
     * (k×dim), computed distributed, meant to be broadcast.
     */
@@ -386,49 +447,7 @@ object SimilarityOps {
     // engine reproduces the same buckets (which is what makes the DuckDB
     // oracle exact). Bit dots are rounded before the sign test so
     // cross-engine float summation order cannot flip a boundary bit.
-    "q44_rp_lsh_neardup" -> ((s, d) => {
-      val L = 6
-      val b = 8
-      val base = prepped(s, d)
-      val exploded = base.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
-      // tiny: L*b*dim rows. The dimension comes from a ONE-row probe —
-      // the prior `exploded.select("pos").distinct()` ran a full corpus
-      // posexplode + distinct shuffle just to learn a constant the first
-      // row already knows. (The probe is necessarily eager — an ARRAY
-      // schema carries no length — but it is TOTAL: an empty embeddings
-      // table yields dim 0 → zero planes → an empty result, not a
-      // NoSuchElementException at query-construction time.)
-      val dim = base.select(size(col("e")).as("n")).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
-      val planes = s.range(dim).select(col("id").cast("int").as("pos"))
-        .select(col("pos"), explode(expr(s"sequence(0, ${L * b - 1})")).as("j"))
-        .select(col("pos"),
-          (col("j") / b).cast("int").as("band"),
-          (col("j") % b).cast("int").as("bit"))
-        .withColumn("sgn", expr(
-          """CASE WHEN substr(md5(concat(cast(band AS STRING), '_',
-                                         cast(bit AS STRING), '_',
-                                         cast(pos AS STRING))), 1, 1)
-                  IN ('0','1','2','3','4','5','6','7')
-             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"""))
-      val dots = exploded.join(broadcast(planes), "pos")
-        .groupBy("vec_id", "band", "bit")
-        .agg(round(sum(col("x") * col("sgn")), 6).as("dot"))
-      val sigs = dots.groupBy("vec_id", "band")
-        .agg(sum(when(col("dot") > 0, expr("shiftleft(1, bit)")).otherwise(0))
-          .cast("long").as("sig"))
-      val cands = sigs.select(col("vec_id").as("ia"), col("band"), col("sig"))
-        .join(sigs.select(col("vec_id").as("ib"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      val va = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
-      val vb = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
-      cands.join(va, "ia").join(vb, "ib")
-        .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.45)
-        .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
-    }),
+    "q44_rp_lsh_neardup" -> ((s, d) => rpLshNearDup(s, prepped(s, d), L = 6, b = 8)),
 
     // Product-quantization code assignment — the memory side of IVF-PQ
     // ANN [Jégou et al., TPAMI'11]: the 64-dim space splits into 8
