@@ -76,7 +76,14 @@ final case class ReadstatOptions(
       * quarantined container (`{"path":…,"stage":…,"error":…}`), the
       * `badRecordsPath` analogue at file granularity.
       */
-    badFilesPath: Option[String] = None) extends Serializable {
+    badFilesPath: Option[String] = None,
+    /** Multi-file loads: union columns + widen same-name type conflicts
+      * along the [[SchemaMerge]] lattice instead of the default fail-fast;
+      * files missing a column read it as null (parquet's mergeSchema
+      * contract at the container level). Batch only — the streaming
+      * source keeps the fail-fast contract.
+      */
+    mergeSchema: Boolean = false) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -123,7 +130,8 @@ object ReadstatOptions {
           s"readstat: unsupported mode '$m' (FAILFAST or PERMISSIVE)")
         m.toUpperCase
       }.getOrElse("FAILFAST"),
-      badFilesPath = get("badFilesPath").filter(_.nonEmpty))
+      badFilesPath = get("badFilesPath").filter(_.nonEmpty),
+      mergeSchema = get("mergeSchema").exists(_.toBoolean))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.

@@ -71,21 +71,28 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
       s"readstat: no readable files under ${ps.mkString(",")} " +
         "(every file failed its header/metadata parse)")
     val schemas = probed.collect { case (p, Some(s)) => p -> s }
-    val raw = schemas.head._2
     // multi-file loads: fail fast when any file's schema disagrees — a
     // directory of monthly extracts with one added column must not silently
-    // misread (r1 verdict "what's missing" #4)
-    schemas.tail.foreach { case (p, other) =>
-      val a = raw.fields.map(f => (f.name, f.dataType)).toSeq
-      val b = other.fields.map(f => (f.name, f.dataType)).toSeq
-      if (a != b) {
-        val diff = (a.diff(b) ++ b.diff(a)).map { case (n, t) => s"$n:${t.simpleString}" }
-        throw new IllegalArgumentException(
-          s"readstat: schema mismatch between ${expanded.head} and $p " +
-            s"(differing fields: ${diff.mkString(", ")}); multi-file loads " +
-            "require identical schemas")
+    // misread (r1 verdict "what's missing" #4). mergeSchema (r11) opts into
+    // the union-and-widen resolution instead; non-widenable conflicts
+    // (string vs numeric) still fail with a column-named error there.
+    val raw =
+      if (opts.mergeSchema) SchemaMerge.merge(schemas)
+      else {
+        val first = schemas.head._2
+        schemas.tail.foreach { case (p, other) =>
+          val a = first.fields.map(f => (f.name, f.dataType)).toSeq
+          val b = other.fields.map(f => (f.name, f.dataType)).toSeq
+          if (a != b) {
+            val diff = (a.diff(b) ++ b.diff(a)).map { case (n, t) => s"$n:${t.simpleString}" }
+            throw new IllegalArgumentException(
+              s"readstat: schema mismatch between ${expanded.head} and $p " +
+                s"(differing fields: ${diff.mkString(", ")}); multi-file loads " +
+                "require identical schemas (or option(\"mergeSchema\", \"true\"))")
+          }
+        }
+        first
       }
-    }
 
     if (!opts.inferSchema && !opts.compress) raw
     else {
@@ -411,8 +418,18 @@ class ReadstatScan(
       ReadstatIO.parMap(plannedFiles.map(_._1))(p =>
         Quarantine.guard(opts, p, "context")(
           p -> ReadstatFormats.forPath(p, opts).fileContext(p, opts))).flatten.toMap
+    // mergeSchema (r11): each file decodes its OWN columns at its OWN
+    // natural types; an executor-side aligning layer null-fills merged
+    // columns the file lacks and widens narrower naturals. The per-file
+    // schemas are probed once here (driver, concurrent) and broadcast.
+    val fileNats: Map[String, StructType] =
+      if (!opts.mergeSchema) Map.empty
+      else ReadstatIO.parMap(plannedFiles.map(_._1))(p =>
+        Quarantine.guard(opts, p, "context")(
+          p -> ReadstatFormats.forPath(p, opts).schema(p, opts))).flatten.toMap
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = sc.broadcast(ctxs)
+    val bcNats = sc.broadcast(fileNats)
     // ship the session's Hadoop conf so S3A/HDFS credentials and tuning set
     // in Spark conf reach executor-side opens (r1 verdict "what's wrong" #1)
     val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
@@ -432,10 +449,23 @@ class ReadstatScan(
     // type fits a flat vector (struct columns from informativeNulls=struct
     // take the row path). Must be uniform across partitions — schema
     // fail-fast guarantees one schema per load.
-    val columnarOk = opts.columnar &&
+    // under mergeSchema, columnar additionally requires EVERY planned file
+    // to carry every projected column at the merged type — partitions must
+    // agree on columnar vs row (BatchScanExec cannot mix), so one drifted
+    // file sends the whole load down the row path (correctness over speed;
+    // the aligning layer is row-shaped)
+    val mergeColumnarOk = !opts.mergeSchema || {
+      val reqTypes = required.fields.map(f => f.name -> f.dataType)
+      fileNats.nonEmpty && fileNats.values.forall { s =>
+        val byName = s.fields.map(f => f.name -> f.dataType).toMap
+        reqTypes.forall { case (n, t) => byName.get(n).contains(t) }
+      }
+    }
+    val columnarOk = opts.columnar && mergeColumnarOk &&
       required.fields.forall(f => !coerced.contains(f.name)) &&
       ColumnAppender.flatSchema(required)
-    new ReadstatReaderFactory(required, natural, opts, bc, bcConf, safeFilters, columnarOk, rtHolder)
+    new ReadstatReaderFactory(required, natural, opts, bc, bcConf, safeFilters, columnarOk,
+      rtHolder, bcNats)
   }
 }
 
@@ -456,7 +486,8 @@ class ReadstatReaderFactory(
     conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
     filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     columnarOk: Boolean = false,
-    rt: RuntimeFilterHolder = new RuntimeFilterHolder)
+    rt: RuntimeFilterHolder = new RuntimeFilterHolder,
+    fileNats: org.apache.spark.broadcast.Broadcast[Map[String, StructType]] = null)
   extends PartitionReaderFactory {
 
   private def allFilters: Seq[org.apache.spark.sql.sources.Filter] = filters ++ rt.filters
@@ -474,14 +505,39 @@ class ReadstatReaderFactory(
           throw new IllegalStateException("empty quarantined partition")
         override def close(): Unit = ()
       }
-    val naturalByName = natural.fields.map(f => f.name -> f).toMap
-    val requiredNatural = StructType(
-      required.fields.map(f => naturalByName.getOrElse(f.name, f)))
-    val inner = ReadstatFormats.forName(p.format)
-      .reader(p, ctxs.value(p.path), requiredNatural, opts, allFilters)
     val coerced =
-      if (requiredNatural.fields.map(_.dataType).sameElements(required.fields.map(_.dataType))) inner
-      else new CoercingReader(inner, requiredNatural, required)
+      if (opts.mergeSchema) {
+        // per-file alignment: decode only the columns THIS file has, at its
+        // own natural types; null-fill and widen to the merged shape after.
+        // Decode-skip filters stay active per file where the column exists
+        // at the merged type (all filters are residual, so dropping one
+        // here is purely a lost optimization, never a wrong row).
+        val fileNat = fileNats.value.getOrElse(p.path, natural)
+        val knownByName = fileNat.fields.map(f => f.name -> f).toMap
+        val reqType = required.fields.map(f => f.name -> f.dataType).toMap
+        val badCols = required.fields.map(_.name)
+          .filter(n => knownByName.get(n).forall(_.dataType != reqType(n))).toSet
+        val presentNatural = StructType(
+          required.fields.flatMap(f => knownByName.get(f.name)))
+        val fileFilters = allFilters.filter(f =>
+          RowFilter.referenced(f).exists(_.forall(n =>
+            knownByName.contains(n) && !badCols.contains(n))))
+        val inner = ReadstatFormats.forName(p.format)
+          .reader(p, ctxs.value(p.path), presentNatural, opts, fileFilters)
+        val identical = presentNatural.length == required.length &&
+          presentNatural.fields.zip(required.fields).forall {
+            case (a, b) => a.name == b.name && a.dataType == b.dataType
+          }
+        if (identical) inner else new AligningReader(inner, presentNatural, required)
+      } else {
+        val naturalByName = natural.fields.map(f => f.name -> f).toMap
+        val requiredNatural = StructType(
+          required.fields.map(f => naturalByName.getOrElse(f.name, f)))
+        val inner = ReadstatFormats.forName(p.format)
+          .reader(p, ctxs.value(p.path), requiredNatural, opts, allFilters)
+        if (requiredNatural.fields.map(_.dataType).sameElements(required.fields.map(_.dataType))) inner
+        else new CoercingReader(inner, requiredNatural, required)
+      }
     // PERMISSIVE: a mid-read decode failure (truncated body, bad zlib
     // block) ends this partition at its clean prefix and reports the file
     if (opts.permissive) new PermissiveReader(coerced, opts, p.path) else coerced
@@ -523,83 +579,9 @@ class CoercingReader(
     from: StructType,
     to: StructType)
   extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-  import org.apache.spark.sql.types._
-
-  private def oob(name: String, v: Any, t: DataType): Nothing =
-    throw new IllegalArgumentException(
-      s"readstat: value $v of column '$name' does not fit the requested " +
-        s"${t.simpleString} type (out of range or non-integral)")
-
-  private def checked(name: String, t: DataType, lo: Long, hi: Long)(v: Double): Long = {
-    if (v != Math.rint(v) || v < lo || v > hi) oob(name, v, t)
-    v.toLong
-  }
 
   private val converters: Array[Any => Any] = from.fields.zip(to.fields).map {
-    case (f, t) if f.dataType == t.dataType => identity[Any] _
-    case (f, t) => (f.dataType, t.dataType) match {
-      case (DoubleType, BooleanType) => (v: Any) => v.asInstanceOf[Double] != 0.0
-      case (DoubleType, ByteType) => (v: Any) =>
-        checked(f.name, t.dataType, Byte.MinValue, Byte.MaxValue)(v.asInstanceOf[Double]).toByte
-      case (DoubleType, ShortType) => (v: Any) =>
-        checked(f.name, t.dataType, Short.MinValue, Short.MaxValue)(v.asInstanceOf[Double]).toShort
-      case (DoubleType, IntegerType) => (v: Any) =>
-        checked(f.name, t.dataType, Int.MinValue, Int.MaxValue)(v.asInstanceOf[Double]).toInt
-      case (DoubleType, LongType) => (v: Any) =>
-        checked(f.name, t.dataType, Long.MinValue, Long.MaxValue)(v.asInstanceOf[Double])
-      case (DoubleType, FloatType) => (v: Any) => v.asInstanceOf[Double].toFloat
-      case (FloatType, BooleanType) => (v: Any) => v.asInstanceOf[Float] != 0.0f
-      case (FloatType, ByteType) => (v: Any) =>
-        checked(f.name, t.dataType, Byte.MinValue, Byte.MaxValue)(v.asInstanceOf[Float].toDouble).toByte
-      case (FloatType, ShortType) => (v: Any) =>
-        checked(f.name, t.dataType, Short.MinValue, Short.MaxValue)(v.asInstanceOf[Float].toDouble).toShort
-      case (FloatType, IntegerType) => (v: Any) =>
-        checked(f.name, t.dataType, Int.MinValue, Int.MaxValue)(v.asInstanceOf[Float].toDouble).toInt
-      case (FloatType, DoubleType) => (v: Any) => v.asInstanceOf[Float].toDouble
-      case (LongType, BooleanType) => (v: Any) => v.asInstanceOf[Long] != 0L
-      case (LongType, ByteType) => (v: Any) => {
-        val x = v.asInstanceOf[Long]
-        if (x < Byte.MinValue || x > Byte.MaxValue) oob(f.name, x, t.dataType)
-        x.toByte
-      }
-      case (LongType, ShortType) => (v: Any) => {
-        val x = v.asInstanceOf[Long]
-        if (x < Short.MinValue || x > Short.MaxValue) oob(f.name, x, t.dataType)
-        x.toShort
-      }
-      case (LongType, IntegerType) => (v: Any) => {
-        val x = v.asInstanceOf[Long]
-        if (x < Int.MinValue || x > Int.MaxValue) oob(f.name, x, t.dataType)
-        x.toInt
-      }
-      case (ByteType, BooleanType) => (v: Any) => v.asInstanceOf[Byte] != 0
-      case (ShortType, ByteType) => (v: Any) => {
-        val x = v.asInstanceOf[Short]
-        if (x < Byte.MinValue || x > Byte.MaxValue) oob(f.name, x, t.dataType)
-        x.toByte
-      }
-      case (ShortType, BooleanType) => (v: Any) => v.asInstanceOf[Short] != 0
-      case (IntegerType, ByteType) => (v: Any) => {
-        val x = v.asInstanceOf[Int]
-        if (x < Byte.MinValue || x > Byte.MaxValue) oob(f.name, x, t.dataType)
-        x.toByte
-      }
-      case (IntegerType, ShortType) => (v: Any) => {
-        val x = v.asInstanceOf[Int]
-        if (x < Short.MinValue || x > Short.MaxValue) oob(f.name, x, t.dataType)
-        x.toShort
-      }
-      case (IntegerType, BooleanType) => (v: Any) => v.asInstanceOf[Int] != 0
-      case (TimestampNTZType | TimestampType, DateType) =>
-        (v: Any) => Math.floorDiv(v.asInstanceOf[Long], 86400000000L).toInt
-      case (StringType, DoubleType) => (v: Any) => {
-        val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.trim
-        try s.toDouble
-        catch { case _: NumberFormatException => oob(f.name, s, DoubleType) }
-      }
-      case (a, b) => throw new IllegalArgumentException(
-        s"readstat: cannot coerce ${f.name} from ${a.simpleString} to ${b.simpleString}")
-    }
+    case (f, t) => Coerce.converter(f.name, f.dataType, t.dataType)
   }
 
   private val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(to.length)
