@@ -21,18 +21,26 @@ import graft.util.Tables._
   *     chunk size / block align). Mapped into the struct as
   *     width = sample rate, height = channels, n_frames = PCM frames.
   *
-  * FULL-PAYLOAD decode (pixels/samples) remains a deterministic stub —
-  * the actual codecs are not in this container: unknown magics, and
-  * graft's synthetic 12-byte "GRFT" header (u16 width, u16 height, u32
-  * n_frames), parse through the same typed path so the Spark-side
-  * plumbing (schema, partitioning, batch shape, binary slicing) is real
-  * and tested end-to-end; swap in a codec call at deployment.
+  * FULL-PAYLOAD decode is REAL for PNG and WAV as of r11
+  * ([[MediaCodecs]]: chunk walk + CRC + Inflater + unfilter → pixels;
+  * RIFF walk → PCM16 samples), exercised end-to-end by q98/q99 whose
+  * synthesized-per-doc REAL container bytes round the encode→decode trip
+  * with integer feature sums a DuckDB oracle pins without ever seeing a
+  * PNG. JPEG pixel decode (entropy-coded DCT) is the one remaining stub:
+  * unknown magics and graft's synthetic 12-byte "GRFT" header (u16 width,
+  * u16 height, u32 n_frames) parse through the same typed path so the
+  * Spark-side plumbing (schema, partitioning, batch shape, binary
+  * slicing) stays real and tested; swap in a codec call at deployment.
   */
 object MultimodalOps {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], kind: String)
   final case class MediaMeta(doc_id: Long, kind: String, width: Int, height: Int,
       n_frames: Int, n_bytes: Int)
+  final case class ImageFeat(doc_id: Long, width: Long, height: Long,
+      channels: Long, n_pixels: Long, sum_luma: Long)
+  final case class AudioFeat(doc_id: Long, sample_rate: Long, channels: Long,
+      n_frames: Long, sum_abs: Long, peak: Long)
 
   /** Synthesize a binary "media" payload per document (deterministic from
     * text) — stands in for reading real blobs at 100 TB.
@@ -140,6 +148,77 @@ object MultimodalOps {
   def decodeHeaderStub(media: Dataset[MediaRow]): Dataset[MediaMeta] =
     decodeHeader(media)
 
+  /** q98's operator body: per document, synthesize a REAL gray-8 PNG from
+    * a deterministic pixel formula, run it through the full
+    * [[MediaCodecs.decodePng]] chain (signature → CRC-verified chunk walk
+    * → Inflater → unfilter), and report integer features of the DECODED
+    * pixels. The oracle recomputes the same sums from the formula alone —
+    * any bug anywhere in the container encode, the inflate, or the
+    * unfilter shifts `sum_luma` and fails the hash. A decode failure
+    * surfaces as a (-1,…) quarantine row, which the oracle would also
+    * catch. Scale shape: row-local mapPartitions, zero shuffle; payload
+    * bytes never leave the task.
+    */
+  def imageDecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 16).toInt
+        val h = (1 + id % 12).toInt
+        val pix = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = (((id * 31 + x * 7 + y * 13) % 256) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val png = MediaCodecs.encodePng(MediaCodecs.Image(w, h, 1, pix))
+        MediaCodecs.decodePng(png) match {
+          case Some(img) =>
+            var sum = 0L
+            img.pixels.foreach(p => sum += (p & 0xff))
+            ImageFeat(id, img.width, img.height, img.channels,
+              img.width.toLong * img.height, sum)
+          case None => ImageFeat(id, -1, -1, -1, -1, -1)
+        }
+      }
+    }.toDF()
+  }
+
+  /** q99's operator body: the WAV twin of [[imageDecodeFeatures]] —
+    * deterministic PCM16 samples, REAL RIFF container bytes round the
+    * encode→decode trip, integer |sample| sums pin the oracle.
+    */
+  def audioDecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = (8000 + (id % 8) * 1000).toInt
+        val n = (64 + id % 64).toInt
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (((id * 7 + i * 11) % 4096) - 2048).toShort
+          i += 1
+        }
+        val wav = MediaCodecs.encodeWavPcm16(MediaCodecs.Audio(rate, 1, samples))
+        MediaCodecs.decodeWavPcm16(wav) match {
+          case Some(a) =>
+            var sumAbs = 0L; var peak = 0L
+            a.samples.foreach { sVal =>
+              val v = math.abs(sVal.toLong)
+              sumAbs += v; if (v > peak) peak = v
+            }
+            AudioFeat(id, a.sampleRate, a.channels, a.samples.length, sumAbs, peak)
+          case None => AudioFeat(id, -1, -1, -1, -1, -1)
+        }
+      }
+    }.toDF()
+  }
+
   /** Frame sampling: slice the payload into `n` evenly spaced binary chunks
     * (pure column expressions — substr on BINARY is codegen'd).
     */
@@ -184,7 +263,16 @@ object MultimodalOps {
     // collapse (the sf0.01 fixture has no exact-duplicate texts, so the
     // oracle pins the all-singleton pass; duplicate payloads appear at
     // sf0.1 and in MultimodalOpsSpec's planted-duplicate corpus).
-    "q87_asset_dedup" -> ((s, d) => assetDedup(syntheticMedia(s, d)))
+    "q87_asset_dedup" -> ((s, d) => assetDedup(syntheticMedia(s, d))),
+
+    // REAL image payload decode (r11): synthesized-per-doc PNG bytes →
+    // full CRC+inflate+unfilter decode → integer pixel-sum features. The
+    // oracle derives the sums from the pixel formula alone — it never
+    // parses a PNG, so agreement proves the whole container round trip.
+    "q98_image_decode" -> ((s, d) => imageDecodeFeatures(s, d)),
+
+    // REAL audio payload decode (r11): the PCM16 WAV twin.
+    "q99_audio_decode" -> ((s, d) => audioDecodeFeatures(s, d))
   )
 
   /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
@@ -225,6 +313,41 @@ object MultimodalOps {
          SELECT digest, count(*) AS n_copies, min(doc_id) AS keep_id,
                 min(n_bytes) AS n_bytes,
                 CASE WHEN count(*) > 1 THEN 1 ELSE 0 END :: BIGINT AS is_dup
-         FROM payload GROUP BY digest"""
+         FROM payload GROUP BY digest""",
+
+    "q98_image_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h
+           FROM documents),
+         px AS (
+           SELECT d.doc_id, d.w, d.h,
+                  ((d.doc_id * 31 + x.i * 7 + y.j * 13) % 256) AS v
+           FROM dims d, generate_series(0, 15) AS x(i), generate_series(0, 11) AS y(j)
+           WHERE x.i < d.w AND y.j < d.h)
+         SELECT doc_id,
+                CAST(max(w) AS BIGINT) AS width,
+                CAST(max(h) AS BIGINT) AS height,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_luma
+         FROM px GROUP BY doc_id""",
+
+    "q99_audio_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate,
+                  64 + doc_id % 64 AS n
+           FROM documents),
+         sm AS (
+           SELECT d.doc_id, d.rate, d.n,
+                  abs(((d.doc_id * 7 + s.i * 11) % 4096) - 2048) AS a
+           FROM dims d, generate_series(0, 127) AS s(i)
+           WHERE s.i < d.n)
+         SELECT doc_id,
+                CAST(max(rate) AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(max(n) AS BIGINT) AS n_frames,
+                CAST(sum(a) AS BIGINT) AS sum_abs,
+                CAST(max(a) AS BIGINT) AS peak
+         FROM sm GROUP BY doc_id"""
   )
 }
