@@ -148,8 +148,8 @@ class ReadstatTable(ps: Seq[String], tableSchema: StructType, opts: ReadstatOpti
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReadstatScanBuilder(ps, tableSchema, opts)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -39,6 +39,20 @@ class ReadstatWriteBuilder(path: String, schema: StructType, opts: ReadstatOptio
       if (ReadstatWriteSupport.containerExtension(path).isEmpty)
         new ReadstatDirBatchWrite(path, schema, opts, doTruncate)
       else new ReadstatBatchWrite(path, schema, opts)
+
+    // streaming sink (r11): the durable tail of the intake pipeline —
+    // append-only, epoch-scoped part containers in a directory, readable
+    // back by the multi-file load while the stream still runs
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(ReadstatWriteSupport.containerExtension(path).isEmpty,
+        s"readstat streaming sink: '$path' names a single container — a " +
+          "stream appends epoch part files, so the target must be a " +
+          "directory (no container extension) + option(\"format\", ...)")
+      require(!doTruncate,
+        "readstat streaming sink is append-only (complete/truncate output " +
+          "modes would rewrite history; use outputMode(\"append\"))")
+      new ReadstatStreamingWrite(path, schema, opts)
+    }
   }
 }
 
@@ -186,10 +200,11 @@ class ReadstatDirWriterFactory(
   */
 class ReadstatDirPartWriter(
     dir: String, ext: String, pid: Int, taskId: Long,
-    schema: StructType, format: String, opts: ReadstatOptions)
+    schema: StructType, format: String, opts: ReadstatOptions,
+    filePrefix: String = "part-")
     extends DataWriter[InternalRow] {
 
-  private val spillPath = s"$dir/.spill-parts/part-$pid-$taskId"
+  private val spillPath = s"$dir/.spill-parts/$filePrefix$pid-$taskId"
   private val inner = new ReadstatPartWriter(spillPath, pid, schema,
     if (format == "zsav") "sav" else format)
 
@@ -198,7 +213,7 @@ class ReadstatDirPartWriter(
   override def commit(): WriterCommitMessage = {
     val m = inner.commit().asInstanceOf[ReadstatPartMsg]
     if (m.rows == 0L) { ReadstatWriteSupport.delete(spillPath); return m }
-    val outPath = f"$dir/part-$pid%05d$ext"
+    val outPath = f"$dir/$filePrefix$pid%05d$ext"
     ReadstatWriteSupport.assembleContainer(schema, Seq(m), outPath, format, opts)
     ReadstatWriteSupport.delete(spillPath)
     m.copy(partPath = outPath)
@@ -209,6 +224,60 @@ class ReadstatDirPartWriter(
     ReadstatWriteSupport.delete(spillPath)
   }
   override def close(): Unit = ()
+}
+
+/** Streaming sink (r11): each epoch's partitions assemble complete
+  * `part-e<epoch>-<pid>` containers ON THE EXECUTOR — the directory-write
+  * machinery with epoch-scoped names, which is also what makes failure
+  * recovery idempotent: a replayed epoch regenerates the SAME file names
+  * from the same data, so re-commits overwrite rather than duplicate
+  * (the FileStreamSink manifest discipline achieved through deterministic
+  * naming instead of a manifest — readstat readers list directories, so
+  * the file set itself must be the truth). Empty epochs write nothing.
+  * Composes upstream with the intake gates ([[graft.streaming.DocStreams]])
+  * and downstream with the multi-file batch load (+ mergeSchema, +
+  * PERMISSIVE) — a reader can follow the directory while the stream runs.
+  */
+class ReadstatStreamingWrite(dir: String, schema: StructType, opts: ReadstatOptions)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val format = opts.format.getOrElse(throw new IllegalArgumentException(
+    s"readstat streaming sink: '$dir' has no container extension — " +
+      "option(\"format\", \"dta\"|\"sav\"|\"zsav\"|\"sas7bdat\") is required"))
+  private val ext = ReadstatWriteSupport.extensionFor(format)
+
+  private def prefix(epochId: Long): String = f"part-e$epochId%06d-"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new ReadstatStreamWriterFactory(dir, ext, schema, format, opts)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    // parts were assembled at task commit (epoch-scoped names); only the
+    // spill staging remains to clear. Epochs are serial per query, so the
+    // shared staging dir is quiescent here.
+    ReadstatWriteSupport.deleteDir(s"$dir/.spill-parts")
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // tear out anything this epoch already materialized: the retry will
+    // regenerate the same names, but a PERMANENTLY failed query must not
+    // leave a half-epoch for readers
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(ReadstatIO.sessionConf)
+    if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory)
+      fs.listStatus(hp).filter(_.getPath.getName.startsWith(prefix(epochId)))
+        .foreach(st => fs.delete(st.getPath, false))
+    ReadstatWriteSupport.deleteDir(s"$dir/.spill-parts")
+  }
+}
+
+class ReadstatStreamWriterFactory(
+    dir: String, ext: String, schema: StructType, format: String, opts: ReadstatOptions)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ReadstatDirPartWriter(dir, ext, partitionId, taskId, schema, format, opts,
+      filePrefix = f"part-e$epochId%06d-")
 }
 
 /** Driver-side assemblers + small FS/JSON helpers shared by the sink. */
