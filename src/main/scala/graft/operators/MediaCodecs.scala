@@ -15,9 +15,8 @@ package graft.operators
   *   - WAV (RIFF): fmt/data chunk walk (the header walk [[MultimodalOps]]
   *     already does) → PCM16LE samples.
   *
-  * JPEG remains header-only ([[MultimodalOps.parseHeader]]): entropy-coded
-  * DCT decode is a codec, not a container walk, and is the one documented
-  * stub left. Encoders for both formats are included so specs and queries
+  * JPEG pixel decode is [[JpegCodec]] (r11): baseline Huffman+DCT, the
+  * last stub closed. Encoders for PNG/WAV are included so specs and queries
   * can synthesize REAL container bytes executor-side and drive them
   * through the exact deployed decode path (MultimodalOpsSpec additionally
   * cross-checks against the JDK's independent ImageIO codec in both
@@ -45,6 +44,16 @@ object MediaCodecs {
   val maxPixelBytes: Long = 64L * 1024 * 1024
 
   private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Magic-sniffing image decode: PNG → [[decodePng]], JPEG →
+    * [[JpegCodec.decode]], anything else → None. The deployment-facing
+    * entry a decode stage maps over a binary column.
+    */
+  def decodeImage(b: Array[Byte]): Option[Image] =
+    if (b.length >= 8 && b.take(8).sameElements(pngSig)) decodePng(b)
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      JpegCodec.decode(b)
+    else None
 
   private def u32be(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |

@@ -21,16 +21,18 @@ import graft.util.Tables._
   *     chunk size / block align). Mapped into the struct as
   *     width = sample rate, height = channels, n_frames = PCM frames.
   *
-  * FULL-PAYLOAD decode is REAL for PNG and WAV as of r11
+  * FULL-PAYLOAD decode is REAL for PNG, WAV, and baseline JPEG as of r11
   * ([[MediaCodecs]]: chunk walk + CRC + Inflater + unfilter → pixels;
-  * RIFF walk → PCM16 samples), exercised end-to-end by q98/q99 whose
-  * synthesized-per-doc REAL container bytes round the encode→decode trip
-  * with integer feature sums a DuckDB oracle pins without ever seeing a
-  * PNG. JPEG pixel decode (entropy-coded DCT) is the one remaining stub:
-  * unknown magics and graft's synthetic 12-byte "GRFT" header (u16 width,
-  * u16 height, u32 n_frames) parse through the same typed path so the
-  * Spark-side plumbing (schema, partitioning, batch shape, binary
-  * slicing) stays real and tested; swap in a codec call at deployment.
+  * RIFF walk → PCM16 samples; [[JpegCodec]]: Huffman + dequant + IDCT +
+  * upsample + YCbCr→RGB). The lossless pair is exercised end-to-end by
+  * q98/q99, whose synthesized-per-doc REAL container bytes round the
+  * encode→decode trip with integer feature sums a DuckDB oracle pins
+  * without ever seeing a PNG; JPEG (lossy — no formula oracle can exist)
+  * is spec-pinned against the JDK's independent libjpeg-derived decoder
+  * within T.81's IDCT conformance envelope, bit-exactly on DC-only
+  * content. No payload stub remains; unknown magics and graft's
+  * synthetic 12-byte "GRFT" header (u16 width, u16 height, u32 n_frames)
+  * still parse through the same typed quarantine path.
   */
 object MultimodalOps {
 
