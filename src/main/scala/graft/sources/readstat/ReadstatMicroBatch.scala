@@ -125,35 +125,76 @@ class ReadstatMicroBatchStream(
 
   override def deserializeOffset(json: String): Offset = FilesOffset(json.trim.toInt)
 
+  // decode contexts survive across batches — each file's metadata parses
+  // once per query, not once per micro-batch (r2 ADVICE #3)
+  private val ctxCache = mutable.HashMap[String, ReadstatFormats.FileContext]()
+  private val schemaCache = mutable.HashMap[String, StructType]()
+  @volatile private var streamNatural: Option[StructType] = None
+
+  /** Admission gate (r11): probe and pin every arriving file's schema
+    * BEFORE its rows can enter a batch. Before this gate, a corrupt upload
+    * killed a 24/7 intake query outright, and a schema-DRIFTED upload was
+    * worse — the per-file column plans are built from the file's own
+    * metadata under the stream's declared schema, so drifted types could
+    * decode into wrongly-typed rows (silent misread). Now: FAILFAST turns
+    * both into a named query failure at the drifted file; PERMISSIVE
+    * quarantines the file (skip + report) and the stream keeps running.
+    * The file stays in the durable discovery log either way — offsets must
+    * keep indexing the same files — it just plans as zero partitions.
+    */
+  private def admissible(p: String): Boolean =
+    Quarantine.guard(opts, p, "plan") {
+      val s = schemaCache.getOrElseUpdate(p, ReadstatFormats.forPath(p, opts).schema(p, opts))
+      streamNatural match {
+        case None => streamNatural = Some(s)
+        case Some(first) =>
+          val a = first.fields.map(f => (f.name, f.dataType)).toSeq
+          val b = s.fields.map(f => (f.name, f.dataType)).toSeq
+          if (a != b) {
+            val diff = (a.diff(b) ++ b.diff(a)).map { case (n, t) => s"$n:${t.simpleString}" }
+            throw new IllegalArgumentException(
+              s"readstat stream: schema drift in newly arrived file $p " +
+                s"(differing fields: ${diff.mkString(", ")}) — a drifted " +
+                "file would misread under the stream's pinned schema; " +
+                "quarantine it with mode=PERMISSIVE or restart the stream " +
+                "over the new schema")
+          }
+      }
+    }.isDefined
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FilesOffset].n
     val e = end.asInstanceOf[FilesOffset].n
     val batchFiles = discovered.toSeq.slice(s, e)
-    batchFiles.flatMap { p =>
+    batchFiles.filter(admissible).flatMap { p =>
       val fmt = ReadstatOptions.detectFormat(p, opts.format)
       val mod = ReadstatFormats.forName(fmt)
-      mod.partitionRanges(p, opts).collect {
-        case (rs, rc) if rc > 0 => ReadstatInputPartition(p, fmt, rs, rc)
-      }
+      // partition planning can still fail on a file whose header parsed
+      // but whose body metadata is broken — same quarantine contract
+      Quarantine.guard(opts, p, "plan")(mod.partitionRanges(p, opts))
+        .getOrElse(Seq.empty)
+        .collect { case (rs, rc) if rc > 0 => ReadstatInputPartition(p, fmt, rs, rc) }
     }.toArray
   }
 
-  // decode contexts survive across batches — each file's metadata parses
-  // once per query, not once per micro-batch (r2 ADVICE #3)
-  private val ctxCache = mutable.HashMap[String, ReadstatFormats.FileContext]()
-
   override def createReaderFactory(): PartitionReaderFactory = {
-    val ctxs: Map[String, ReadstatFormats.FileContext] = discovered.toSeq.map { p =>
-      p -> ctxCache.getOrElseUpdate(p, ReadstatFormats.forPath(p, opts).fileContext(p, opts))
+    // context build failures quarantine like the batch path: a missing
+    // entry makes the file's partitions read empty under PERMISSIVE
+    // (ReadstatReaderFactory's guard) and fails the query under FAILFAST
+    val ctxs: Map[String, ReadstatFormats.FileContext] = discovered.toSeq.flatMap { p =>
+      Quarantine.guard(opts, p, "context")(
+        p -> ctxCache.getOrElseUpdate(p, ReadstatFormats.forPath(p, opts).fileContext(p, opts)))
     }.toMap
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = sc.broadcast(ctxs)
     val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     // the container's natural schema may differ from the declared one
     // (inferSchema / user narrowing): route through CoercingReader exactly
-    // like the batch path (r2 ADVICE #4)
-    val natural = discovered.headOption
-      .map(p => ReadstatFormats.forPath(p, opts).schema(p, opts))
+    // like the batch path (r2 ADVICE #4). The admission gate pinned it.
+    val natural = streamNatural
+      .orElse(discovered.headOption.flatMap(p =>
+        Quarantine.guard(opts, p, "context")(
+          ReadstatFormats.forPath(p, opts).schema(p, opts))))
       .getOrElse(schema)
     val naturalByName = natural.fields.map(f => f.name -> f).toMap
     val naturalProjected = StructType(
