@@ -164,6 +164,36 @@ object StatsOps {
         explode(expr("sequence(0L, n_epochs - 1L)")).as("epoch"))
   }
 
+  /** q100's operator body: the training-mix PLAN table — temperature-
+    * scaled source weights (p_s ∝ n_s^α at α = 1/2, the standard
+    * multilingual/multi-corpus smoothing that keeps big sources from
+    * drowning small ones) and the token allocation of a fixed budget
+    * under them. Complements q63 (which SAMPLES documents at sqrt rates)
+    * by emitting the per-source plan a scheduler consumes.
+    *
+    * Cross-engine exactness: the weight is the INTEGER isqrt
+    * floor(sqrt(n_tokens)) — IEEE-correctly-rounded sqrt is identical in
+    * both engines, floor kills the ulp — the mix fraction uses the house
+    * half-up micro device ((2a+b) div (2b)), and the budget split is
+    * integer floor-div. Scale shape: one combiner groupBy(source) over
+    * the corpus, then broadcast total over the tiny source dimension —
+    * nothing else shuffles.
+    */
+  def mixWeights(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum("weight").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        expr("(2 * weight * 1000000 + tot_w) div (2 * tot_w)")
+          .cast("long").as("mix_micro"),
+        expr(s"($budgetTokens * weight) div tot_w")
+          .cast("long").as("planned_tokens"))
+      .orderBy("source")
+  }
+
   def sourceMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     val minCnt = counts.agg(min("cnt").as("min_cnt"))
@@ -257,6 +287,11 @@ object StatsOps {
     // output sort.
     "q63_source_mix" -> ((s, d) => sourceMix(documents(s, d))),
 
+    // Temperature-scaled mix plan (alpha = 1/2): per-source weights + the
+    // token allocation of a 1M budget under them — all-integer outputs
+    // (isqrt weight, half-up micro fraction, floor-div split).
+    "q100_mix_weights" -> ((s, d) => mixWeights(documents(s, d))),
+
     // Sequence packing: greedy-fill documents into fixed token-capacity
     // training bins, in deterministic doc_id order WITHIN each source — a
     // running token sum over a per-source window, bin = tokens-before-me
@@ -338,6 +373,21 @@ object StatsOps {
          FROM (SELECT doc_id, source,
                  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
                FROM documents) t""",
+
+    "q100_mix_weights" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (
+           SELECT source, n_docs, n_tokens,
+                  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+           FROM per),
+         tot AS (SELECT sum(weight) AS tot_w FROM w)
+         SELECT source, n_docs, n_tokens, weight,
+                CAST((2 * weight * 1000000 + tot_w) // (2 * tot_w) AS BIGINT) AS mix_micro,
+                CAST((1000000 * weight) // tot_w AS BIGINT) AS planned_tokens
+         FROM w, tot ORDER BY source""",
 
     "q63_source_mix" ->
       """WITH counts AS (

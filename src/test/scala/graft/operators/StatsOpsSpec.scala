@@ -336,4 +336,23 @@ class StatsOpsSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(top.getDouble(3) === expected)
   }
+
+  test("q100 mix weights: integer plan math on a planted corpus") {
+    val sp = spark
+    import sp.implicits._
+    // token counts 100 / 400 / 2500 -> isqrt weights 10 / 20 / 50, tot 80
+    val docs = Seq(
+      ("a", ("t " * 100).trim),
+      ("b", ("t " * 400).trim),
+      ("c", ("t " * 2500).trim)
+    ).zipWithIndex.map { case ((src, text), i) => (i.toLong, src, text) }
+      .toDF("doc_id", "source", "text")
+    val plan = StatsOps.mixWeights(docs, budgetTokens = 1000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(plan("a") === ((10L, 125000L, 125L)))
+    assert(plan("b") === ((20L, 250000L, 250L)))
+    assert(plan("c") === ((50L, 625000L, 625L)))
+    // the floor-div split never overshoots the budget
+    assert(plan.values.map(_._3).sum <= 1000L)
+  }
 }
