@@ -268,6 +268,69 @@ object ScanBench {
     out("dirwrite_p8_sec") = t8
     out("dirwrite_p8_scaling") = t1 / t8
     }
+
+    section("media") {
+    // codec throughput (r11): the decode stage is row-local mapPartitions,
+    // so its cluster scaling is trivially linear — what matters is the
+    // per-core rate over CONTAINER bytes (the number a 100 TB decode
+    // budget is planned from). 32 distinct 256x256 gray images, noise
+    // pattern (worst-ish case: barely compressible PNG, dense JPEG
+    // entropy stream), 128 decodes per core.
+    import graft.operators.{JpegCodec, MediaCodecs}
+    val (w, h) = (256, 256)
+    // true noise (seeded, deterministic): an arithmetic pattern deflates
+    // to ~1 KB and the PNG number degenerates into pure unfilter speed —
+    // noise keeps container bytes ≈ pixel bytes, the honest worst case
+    def gray(i: Int): Array[Byte] = {
+      val b = new Array[Byte](w * h)
+      new java.util.Random(i * 7919L + 17).nextBytes(b)
+      b
+    }
+    val pngs = (0 until 32).map(i =>
+      MediaCodecs.encodePng(MediaCodecs.Image(w, h, 1, gray(i)))).toArray
+    val jpgs = (0 until 32).map { i =>
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = gray(i)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bi.getRaster.setSample(x, y, 0, g(y * w + x) & 0xff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", bos)
+      bos.toByteArray
+    }.toArray
+    val nDec = 128L * cpus
+    val sc2 = spark.sparkContext
+    def timeDecode(imgs: Array[Array[Byte]],
+        dec: Array[Byte] => Option[MediaCodecs.Image]): (Double, Double) = {
+      val bc = sc2.broadcast(imgs)
+      val bytesTotal = imgs.map(_.length.toLong).sum / 32.0 * nDec
+      def run(): Unit = {
+        val s = sc2.range(0, nDec).map { id =>
+          dec(bc.value((id % 32).toInt)).map(_.pixels.length.toLong).getOrElse(-1L)
+        }.reduce(_ + _)
+        require(s == nDec * w * h, "bench decode failed")
+      }
+      run() // warm
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+      (t, bytesTotal / 1e6 / t / cpus)
+    }
+    val (tp, pRate) = timeDecode(pngs, MediaCodecs.decodePng)
+    val (tj, jRate) = timeDecode(jpgs, JpegCodec.decode)
+    val pixRate = (t: Double) => nDec.toDouble * w * h / 1e6 / t / cpus
+    out("media_decodes") = nDec.toDouble
+    out("media_png_sec") = tp
+    out("media_png_mbps_core") = pRate
+    out("media_png_pixel_mbps_core") = pixRate(tp)
+    out("media_jpeg_sec") = tj
+    out("media_jpeg_mbps_core") = jRate
+    out("media_jpeg_pixel_mbps_core") = pixRate(tj)
+    }
     out.toMap
   }
 }

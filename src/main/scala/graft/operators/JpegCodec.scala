@@ -28,11 +28,17 @@ object JpegCodec {
   private final class Bad(msg: String) extends RuntimeException(msg, null, false, false)
   private def bad(msg: String): Nothing = throw new Bad(msg)
 
-  /** §C.2 canonical Huffman table: mincode/maxcode/valptr per code length. */
+  /** §C.2 canonical Huffman table (mincode/maxcode/valptr) plus an 8-bit
+    * lookahead LUT: codes of length ≤8 (the overwhelming majority in real
+    * tables) resolve in one table hit; longer codes fall back to the
+    * canonical walk. Entries pack (length << 8 | value); 0 = slow path
+    * (length ≥ 1 makes every real entry ≥ 256).
+    */
   private final class Huff(bits: Array[Int], vals: Array[Int]) {
     val mincode = new Array[Int](17)
     val maxcode = Array.fill(17)(-1)
     val valptr = new Array[Int](17)
+    val lut = new Array[Int](256)
     locally {
       var code = 0; var k = 0
       var l = 1
@@ -40,6 +46,18 @@ object JpegCodec {
         if (bits(l - 1) > 0) {
           valptr(l) = k
           mincode(l) = code
+          if (l <= 8) {
+            var c = code
+            while (c <= code + bits(l - 1) - 1) {
+              val base = c << (8 - l)
+              var s = 0
+              while (s < (1 << (8 - l))) {
+                lut(base | s) = (l << 8) | vals(k + c - code)
+                s += 1
+              }
+              c += 1
+            }
+          }
           code += bits(l - 1); k += bits(l - 1)
           maxcode(l) = code - 1
         }
@@ -48,6 +66,8 @@ object JpegCodec {
       }
     }
     def decode(br: BitReader): Int = {
+      val e = lut(br.peek8())
+      if (e != 0) { br.drop(e >>> 8); return e & 0xff }
       var code = 0; var l = 0
       while (l < 16) {
         code = (code << 1) | br.bit()
@@ -59,35 +79,49 @@ object JpegCodec {
     }
   }
 
-  /** Entropy-segment bit reader: 0xFF00 unstuffing; any bare marker inside
-    * the stream ends it (truncation unless the caller consumed all MCUs).
+  /** Entropy-segment bit reader over a 64-bit buffer: 0xFF00 unstuffing;
+    * any bare marker inside the stream ends it (truncation unless the
+    * caller consumed all MCUs).
     */
   private final class BitReader(b: Array[Byte], var pos: Int) {
-    private var cur = 0
-    private var nbits = 0
+    private var buf = 0L
+    private var cnt = 0
+    /** append one byte; false when the stream hits a bare marker / EOF. */
+    private def fillByte(): Boolean = {
+      if (pos >= b.length) return false
+      val v = b(pos) & 0xff
+      if (v == 0xff) {
+        val m = if (pos + 1 < b.length) b(pos + 1) & 0xff else -1
+        if (m != 0x00) return false
+        pos += 2
+      } else pos += 1
+      buf = (buf << 8) | v; cnt += 8
+      true
+    }
     def bit(): Int = {
-      if (nbits == 0) fill()
-      nbits -= 1
-      (cur >>> nbits) & 1
+      if (cnt == 0 && !fillByte()) bad("entropy stream truncated")
+      cnt -= 1
+      ((buf >>> cnt) & 1L).toInt
     }
     def bits(n: Int): Int = {
-      var v = 0; var i = 0
-      while (i < n) { v = (v << 1) | bit(); i += 1 }
-      v
+      if (n == 0) return 0
+      while (cnt < n) if (!fillByte()) bad("entropy stream truncated")
+      cnt -= n
+      ((buf >>> cnt) & ((1L << n) - 1)).toInt
     }
-    private def fill(): Unit = {
-      if (pos >= b.length) bad("entropy stream truncated")
-      var v = b(pos) & 0xff; pos += 1
-      if (v == 0xff) {
-        val m = if (pos < b.length) b(pos) & 0xff else -1
-        if (m == 0x00) pos += 1
-        else bad(f"marker 0xff$m%02x inside entropy data")
-      }
-      cur = v; nbits = 8
+    /** next 8 bits without consuming, zero-padded at stream end. */
+    def peek8(): Int = {
+      while (cnt < 8 && fillByte()) {}
+      if (cnt >= 8) ((buf >>> (cnt - 8)) & 0xffL).toInt
+      else ((buf << (8 - cnt)) & 0xffL).toInt
+    }
+    def drop(n: Int): Unit = {
+      if (n > cnt) bad("entropy stream truncated")
+      cnt -= n
     }
     /** §E.2.4: byte-align, consume the expected RSTn. */
     def restart(n: Int): Unit = {
-      nbits = 0
+      cnt = 0; buf = 0L
       while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) == 0xff)
         pos += 1 // fill bytes
       if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + n))
@@ -295,18 +329,39 @@ object JpegCodec {
   private def extend(v: Int, t: Int): Int =
     if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  /** Separable 2-D IDCT in doubles (§A.3.3). */
+  /** Separable 2-D IDCT in doubles (§A.3.3), with exact zero-skip fast
+    * paths: a DC-only block (the dominant case in smooth imagery) is a
+    * constant fill, and all-zero columns skip their 64-multiply pass —
+    * both skip only exact zeros, so the result is bit-identical to the
+    * full sum.
+    */
   private def idct(in: Array[Int], out: Array[Double]): Unit = {
+    var onlyDc = true
+    var k = 1
+    while (onlyDc && k < 64) { if (in(k) != 0) onlyDc = false; k += 1 }
+    if (onlyDc) {
+      val v = in(0) / 8.0
+      java.util.Arrays.fill(out, v)
+      return
+    }
     val tmp = new Array[Double](64)
     var x = 0
     while (x < 8) { // columns: for each output row position y, sum over v
-      var y = 0
-      while (y < 8) {
-        var s = 0.0
-        var v = 0
-        while (v < 8) { s += cosT(v)(y) * in(v * 8 + x); v += 1 }
-        tmp(y * 8 + x) = s
-        y += 1
+      var allZero = true
+      var vv = 0
+      while (allZero && vv < 8) { if (in(vv * 8 + x) != 0) allZero = false; vv += 1 }
+      if (allZero) {
+        var y = 0
+        while (y < 8) { tmp(y * 8 + x) = 0.0; y += 1 }
+      } else {
+        var y = 0
+        while (y < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) { s += cosT(v)(y) * in(v * 8 + x); v += 1 }
+          tmp(y * 8 + x) = s
+          y += 1
+        }
       }
       x += 1
     }
