@@ -41,6 +41,8 @@ object MultimodalOps {
       n_frames: Int, n_bytes: Int)
   final case class ImageFeat(doc_id: Long, width: Long, height: Long,
       channels: Long, n_pixels: Long, sum_luma: Long)
+  final case class MediaFeatures(doc_id: Long, kind: String, media_type: String,
+      width: Long, height: Long, channels: Long, n_samples: Long, sum_value: Long)
   final case class AudioFeat(doc_id: Long, sample_rate: Long, channels: Long,
       n_frames: Long, sum_abs: Long, peak: Long)
 
@@ -219,6 +221,49 @@ object MultimodalOps {
         }
       }
     }.toDF()
+  }
+
+  /** The deployment-facing decode stage: magic-sniff every payload and run
+    * the REAL codec — PNG/JPEG through [[MediaCodecs.decodeImage]], WAV
+    * through [[MediaCodecs.decodeWavPcm16]] — emitting one typed feature
+    * row per document. `media_type` records what the bytes actually were
+    * (vs the claimed `kind`); unknown magics and corrupt payloads become
+    * `quarantine` rows with -1 features, never a throw. For images
+    * n_samples = pixels and sum_value = channel-summed intensity; for
+    * audio n_samples = PCM samples and sum_value = Σ|sample|. Row-local
+    * mapPartitions, zero shuffle, payload bytes never leave the task.
+    */
+  def mediaFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val b = r.media
+      val isPng = b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte
+      val isJpeg = b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+      val isWav = b.length >= 12 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'A'.toByte
+      if (isPng || isJpeg) {
+        MediaCodecs.decodeImage(b) match {
+          case Some(img) =>
+            var sum = 0L
+            img.pixels.foreach(p => sum += (p & 0xff))
+            MediaFeatures(r.doc_id, r.kind, if (isPng) "png" else "jpeg",
+              img.width, img.height, img.channels,
+              img.width.toLong * img.height, sum)
+          case None =>
+            MediaFeatures(r.doc_id, r.kind, "quarantine", -1, -1, -1, -1, -1)
+        }
+      } else if (isWav) {
+        MediaCodecs.decodeWavPcm16(b) match {
+          case Some(a) =>
+            var sum = 0L
+            a.samples.foreach(s => sum += math.abs(s.toLong))
+            MediaFeatures(r.doc_id, r.kind, "wav",
+              a.sampleRate, a.channels, a.channels, a.samples.length, sum)
+          case None =>
+            MediaFeatures(r.doc_id, r.kind, "quarantine", -1, -1, -1, -1, -1)
+        }
+      } else MediaFeatures(r.doc_id, r.kind, "quarantine", -1, -1, -1, -1, -1)
+    })
   }
 
   /** Frame sampling: slice the payload into `n` evenly spaced binary chunks

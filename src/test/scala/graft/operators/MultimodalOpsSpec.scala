@@ -144,4 +144,36 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(4L) === ((12, 8, 3)))
     assert(out(5L) === ((-1, -1, -1)))
   }
+
+  test("mediaFeatures dispatches the real codecs and quarantines the rest") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.MediaCodecs
+    val pngPix = Array.tabulate(6 * 4)(i => (i * 11 % 256).toByte)
+    val png = MediaCodecs.encodePng(MediaCodecs.Image(6, 4, 1, pngPix))
+    val jpeg = {
+      val bi = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", bos)
+      bos.toByteArray
+    }
+    val wavSamples = Array[Short](100, -200, 300)
+    val wav = MediaCodecs.encodeWavPcm16(MediaCodecs.Audio(8000, 1, wavSamples))
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, png, "image"),
+      MultimodalOps.MediaRow(2L, jpeg, "image"),
+      MultimodalOps.MediaRow(3L, wav, "audio"),
+      MultimodalOps.MediaRow(4L, Array[Byte](9, 9, 9, 9), "junk"))
+    val out = MultimodalOps.mediaFeatures(rows.toDS()).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).media_type === "png")
+    assert((out(1L).width, out(1L).height, out(1L).n_samples) === ((6L, 4L, 24L)))
+    assert(out(1L).sum_value === pngPix.map(p => (p & 0xff).toLong).sum)
+    assert(out(2L).media_type === "jpeg")
+    assert((out(2L).width, out(2L).height) === ((16L, 8L)))
+    assert(out(3L).media_type === "wav")
+    assert((out(3L).width, out(3L).n_samples, out(3L).sum_value) === ((8000L, 3L, 600L)))
+    assert(out(4L).media_type === "quarantine" && out(4L).width === -1L)
+  }
 }
