@@ -292,4 +292,43 @@ class FuzzRoundTripSpec extends SparkSpec {
     assert(got(1)._1 === "d")
     assert(got(1)._2 === pad)
   }
+
+  // r11: the directory-of-containers write path — every partition
+  // assembles its own complete container with its OWN string widths, so
+  // random data with per-partition width extremes is exactly where a
+  // width-coupling bug would surface. Fuzz one seed per format through an
+  // 8-partition dir write and the multi-file read back.
+  private def runDirTrial(seed: Int, fmt: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val r = new scala.util.Random(seed)
+    val nRows = 200 + r.nextInt(400)
+    val rows = (0 until nRows).map { i =>
+      Row.fromSeq(Seq(
+        i.toDouble,
+        if (r.nextInt(10) == 0) null else randDouble(r),
+        if (r.nextInt(10) == 0) null
+        else randString(r, 1 + r.nextInt(60)).replaceAll(" +$", "")))
+    }
+    val schema = StructType(Seq(
+      StructField("k", DoubleType), StructField("x", DoubleType),
+      StructField("s", StringType)))
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_dirfuzz_$fmt").toString
+    val writeFmt = if (fmt == "sas") "sas7bdat" else fmt
+    df.write.format("readstat").option("format", writeFmt)
+      .mode("overwrite").save(dir)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts > 1, s"$fmt dir fuzz seed $seed: expected multiple parts, got $parts")
+    val back = spark.read.format("readstat").load(dir).orderBy("k").collect()
+    assert(back.length === nRows, s"$fmt dir fuzz seed $seed: row count")
+    val expected = rows.sortBy(_.getDouble(0))
+    for ((exp, got) <- expected.zip(back)) {
+      assert(got.get(1) === exp.get(1), s"$fmt dir fuzz seed $seed k=${exp.get(0)}: x")
+      val e = normString(exp.getAs[String](2))
+      assert(got.get(2) === e, s"$fmt dir fuzz seed $seed k=${exp.get(0)}: s")
+    }
+  }
+
+  for (fmt <- Seq("dta", "sav", "zsav", "sas"))
+    test(s"fuzz dir-write round trip $fmt") { runDirTrial(101 + fmt.hashCode, fmt) }
 }

@@ -139,4 +139,31 @@ class MergeSchemaSpec extends SparkSpec {
     assert(df.select("x").collect().map(_.getDouble(0)).sorted.toSeq ===
       (0 until 100).map(_.toDouble))
   }
+
+  test("mergeSchema composes with inferSchema: merged then narrowed, per-file aligned") {
+    val dir = tmp("graft_merge_infer")
+    val sp = spark
+    import sp.implicits._
+    // v holds integral values stored as double in both files; the files
+    // still drift (added column), so the load must merge AND the
+    // inference pass must narrow v from the merged double to int16 —
+    // exercising the aligning layer's natural-double -> required-short
+    // narrowing converters per file (integral naturals are left alone by
+    // inference, so a double column is the one that narrows)
+    (0 until 100).map(i => i.toDouble).toDF("v")
+      .coalesce(1).write.format("readstat").mode("overwrite").save(s"$dir/m1.dta")
+    (100 until 200).map(i => (i.toDouble, s"doc$i")).toDF("v", "s")
+      .coalesce(1).write.format("readstat").mode("overwrite").save(s"$dir/m2.dta")
+    val df = spark.read.format("readstat")
+      .option("mergeSchema", "true").option("inferSchema", "true")
+      .load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("v", "s"))
+    assert(df.schema("v").dataType === ShortType,
+      s"integral doubles 0..199 narrow to int16, got ${df.schema("v").dataType}")
+    val rows = df.collect()
+    assert(rows.length === 200)
+    val byV = rows.map(r => r.getShort(0).toInt -> r).toMap
+    assert(byV(5).isNullAt(1) && byV(150).getString(1) === "doc150")
+    assert(byV.keySet === (0 until 200).toSet)
+  }
 }
