@@ -84,7 +84,13 @@ class ReadstatMicroBatchStream(
       if (fs.getFileStatus(hp).isDirectory) fs.listStatus(hp).toSeq
       else Seq(fs.getFileStatus(hp))
     val files = status
-      .filter(st => st.isFile && hasKnownExtension(st.getPath.getName))
+      // compaction rewrites (compact-* containers/markers) are OLD rows the
+      // tail already emitted — admitting them would duplicate. The flip
+      // side is Compaction's tailing-reader contract: only epochs every
+      // tail has already admitted AND committed may be folded (a replayed
+      // uncommitted batch reopens its epoch parts by path)
+      .filter(st => st.isFile && hasKnownExtension(st.getPath.getName) &&
+        !Compaction.isCompactionFile(st.getPath.getName))
       .sortBy(st => (st.getModificationTime, st.getPath.toString))
       .map(_.getPath.toString)
     val before = discovered.size

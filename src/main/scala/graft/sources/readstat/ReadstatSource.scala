@@ -682,10 +682,15 @@ object ReadstatIO {
   def expandPaths(ps: Seq[String]): Seq[String] = ps.flatMap { p =>
     val hp = new HPath(p)
     val fs = hp.getFileSystem(sessionConf)
-    if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory)
-      fs.listStatus(hp).toSeq
-        .filter(st => st.isFile && knownExtension(st.getPath.getName))
+    if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory) {
+      val files = fs.listStatus(hp).toSeq.filter(_.isFile)
+      // compaction-aware (r11): compacted containers count only once their
+      // marker is committed; epoch parts covered by an active marker are
+      // retired garbage (see Compaction's atomic-swap contract)
+      val keep = Compaction.filterNames(files.map(_.getPath.getName))
+      files
+        .filter(st => keep(st.getPath.getName) && knownExtension(st.getPath.getName))
         .map(_.getPath.toString).sorted
-    else Seq(p)
+    } else Seq(p)
   }
 }

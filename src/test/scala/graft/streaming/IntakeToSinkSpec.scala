@@ -65,4 +65,47 @@ class IntakeToSinkSpec extends SparkSpec {
         s"parts from both epochs, got: ${parts.mkString(",")}")
     } finally q.stop()
   }
+
+  test("compaction runs against the LIVE intake: readers never skip or double-count") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = Files.createTempDirectory("graft_intake_compact").toString
+    val ckpt = Files.createTempDirectory("graft_intake_compact_ckpt").toString
+    val input = MemoryStream[Doc]
+    val q = DocStreams.intake(input.toDF())
+      .select("doc_id", "source", "n_chars")
+      .writeStream.format("readstat").option("format", "dta")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dir)
+    try {
+      def doc(i: Long, minute: Int) = Doc(i, goodText + s" unique tail $i", "en",
+        s"src$i", goodText.length + 14, ts(f"2024-01-01 10:$minute%02d:00"))
+      // three epochs of unique (all-admitted) docs
+      for (batch <- 0 until 3) {
+        input.addData((batch * 10 until batch * 10 + 5).map(i => doc(i, batch)): _*)
+        q.processAllAvailable()
+      }
+      val expected = (0 until 5) ++ (10 until 15) ++ (20 until 25)
+
+      // the maintenance job runs while the stream is live (keep=1 protects
+      // the newest epoch from a replay race)
+      val r = graft.sources.readstat.Compaction.compact(spark, dir, keep = 1)
+      assert(r.isDefined, "three epochs must fold")
+      def readIds() = spark.read.format("readstat").load(dir)
+        .select("doc_id").collect().map(_.getDouble(0).toLong).sorted.toSeq
+      assert(readIds() === expected.map(_.toLong), "exactly-once after the swap")
+
+      // the stream keeps appending AFTER compaction; the reader sees the
+      // union of the compact set, surviving epoch parts, and new epochs
+      input.addData((30 until 35).map(i => doc(i, 30)): _*)
+      q.processAllAvailable()
+      assert(readIds() === (expected ++ (30 until 35)).map(_.toLong),
+        "post-compaction epochs land and read alongside the compact set")
+      val names = new java.io.File(dir).listFiles().map(_.getName)
+      assert(names.exists(_.matches("""compact-e\d+-e\d+\.done""")))
+      assert(names.exists(_.startsWith("part-e")), "newer epochs stay as parts")
+    } finally q.stop()
+  }
 }
