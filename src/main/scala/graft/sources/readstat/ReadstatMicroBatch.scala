@@ -33,7 +33,14 @@ class ReadstatMicroBatchStream(
     dir: String,
     schema: StructType,
     opts: ReadstatOptions,
-    checkpointLocation: String) extends MicroBatchStream with SupportsAdmissionControl {
+    checkpointLocation: String,
+    tableSchema: StructType = null) extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Full table schema when the scan supplied it; the pruned projection
+    * otherwise (pre-r11 callers). Only the mergeSchema gate's new-column
+    * check needs the distinction.
+    */
+  private def fullSchema: StructType = if (tableSchema != null) tableSchema else schema
 
   private case class FilesOffset(n: Int) extends Offset {
     override def json(): String = n.toString
@@ -147,11 +154,43 @@ class ReadstatMicroBatchStream(
     * quarantines the file (skip + report) and the stream keeps running.
     * The file stays in the durable discovery log either way — offsets must
     * keep indexing the same files — it just plans as zero partitions.
+    *
+    * With `mergeSchema=true` (r11 close-out #3) the gate WIDENS instead of
+    * quarantining where it can: an arrival is admissible when every column
+    * it shares with the declared schema widens INTO the declared type
+    * along the closed lattice (missing columns null-fill, the batch
+    * AligningReader discipline executor-side). A stream's output schema is
+    * fixed at query start — that is Spark's contract, not this source's —
+    * so an arrival with a NEW column or a WIDER type still quarantines or
+    * fails, now with a restart-to-re-merge hint (at restart the batch-side
+    * inference re-merges over everything present).
     */
   private def admissible(p: String): Boolean =
     Quarantine.guard(opts, p, "plan") {
       val s = schemaCache.getOrElseUpdate(p, ReadstatFormats.forPath(p, opts).schema(p, opts))
-      streamNatural match {
+      if (opts.mergeSchema) {
+        // type fit is judged on the DECODED (projected) columns; new-column
+        // detection on the full table schema (see fullSchema)
+        val declared = schema.fields.map(f => f.name -> f.dataType).toMap
+        val known = fullSchema.fields.map(_.name).toSet
+        val misfits = s.fields.flatMap { f =>
+          declared.get(f.name) match {
+            case Some(t) if !SchemaMerge.widen(f.dataType, t).contains(t) =>
+              Some(s"${f.name}:${f.dataType.simpleString}->!${t.simpleString}")
+            case _ => None
+          }
+        }
+        val fresh = s.fields.map(_.name).filterNot(known.contains)
+        if (misfits.nonEmpty || fresh.nonEmpty)
+          throw new IllegalArgumentException(
+            s"readstat stream: newly arrived file $p does not fit the " +
+              s"stream's schema under mergeSchema (" +
+              (if (misfits.nonEmpty) s"non-widenable: ${misfits.mkString(", ")}" else "") +
+              (if (misfits.nonEmpty && fresh.nonEmpty) "; " else "") +
+              (if (fresh.nonEmpty) s"new columns: ${fresh.mkString(", ")}" else "") +
+              ") — a running stream's output schema is fixed; quarantine " +
+              "with mode=PERMISSIVE or restart the stream to re-merge")
+      } else streamNatural match {
         case None => streamNatural = Some(s)
         case Some(first) =>
           val a = first.fields.map(f => (f.name, f.dataType)).toSeq
@@ -162,8 +201,9 @@ class ReadstatMicroBatchStream(
               s"readstat stream: schema drift in newly arrived file $p " +
                 s"(differing fields: ${diff.mkString(", ")}) — a drifted " +
                 "file would misread under the stream's pinned schema; " +
-                "quarantine it with mode=PERMISSIVE or restart the stream " +
-                "over the new schema")
+                "quarantine it with mode=PERMISSIVE, restart the stream " +
+                "over the new schema, or admit narrower arrivals with " +
+                "option(\"mergeSchema\", \"true\")")
           }
       }
     }.isDefined
@@ -197,15 +237,27 @@ class ReadstatMicroBatchStream(
     // the container's natural schema may differ from the declared one
     // (inferSchema / user narrowing): route through CoercingReader exactly
     // like the batch path (r2 ADVICE #4). The admission gate pinned it.
-    val natural = streamNatural
-      .orElse(discovered.headOption.flatMap(p =>
+    if (opts.mergeSchema) {
+      // per-file natural schemas for the factory's aligning branch — the
+      // admission gate guaranteed each fits INTO the declared schema, the
+      // executor-side AligningReader does the null-fill/widen (exactly the
+      // batch mergeSchema path)
+      val fileNats: Map[String, StructType] = discovered.toSeq.flatMap(p =>
         Quarantine.guard(opts, p, "context")(
-          ReadstatFormats.forPath(p, opts).schema(p, opts))))
-      .getOrElse(schema)
-    val naturalByName = natural.fields.map(f => f.name -> f).toMap
-    val naturalProjected = StructType(
-      schema.fields.map(f => naturalByName.getOrElse(f.name, f)))
-    new ReadstatReaderFactory(schema, naturalProjected, opts, bc, bcConf, Seq.empty)
+          p -> schemaCache.getOrElseUpdate(p, ReadstatFormats.forPath(p, opts).schema(p, opts)))).toMap
+      new ReadstatReaderFactory(schema, schema, opts, bc, bcConf, Seq.empty,
+        fileNats = sc.broadcast(fileNats))
+    } else {
+      val natural = streamNatural
+        .orElse(discovered.headOption.flatMap(p =>
+          Quarantine.guard(opts, p, "context")(
+            ReadstatFormats.forPath(p, opts).schema(p, opts))))
+        .getOrElse(schema)
+      val naturalByName = natural.fields.map(f => f.name -> f).toMap
+      val naturalProjected = StructType(
+        schema.fields.map(f => naturalByName.getOrElse(f.name, f)))
+      new ReadstatReaderFactory(schema, naturalProjected, opts, bc, bcConf, Seq.empty)
+    }
   }
 
   override def commit(end: Offset): Unit = ()

@@ -361,7 +361,10 @@ class ReadstatScan(
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ReadstatMicroBatchStream(ps.head, required, opts, checkpointLocation)
+    // `full` rides along for the mergeSchema admission gate: new-column
+    // detection must see the TABLE schema, not the query's pruned
+    // projection, or pruning would make existing columns look "new"
+    new ReadstatMicroBatchStream(ps.head, required, opts, checkpointLocation, full)
   override def description(): String =
     s"readstat ${ps.mkString(",")} cols=${required.fieldNames.mkString(",")} limit=$limit offset=$offset filters=${filters.mkString(",")} runtimeFilters=${rtHolder.filters.mkString(",")}"
 

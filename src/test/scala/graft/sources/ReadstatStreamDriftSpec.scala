@@ -69,6 +69,61 @@ class ReadstatStreamDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeSchema: a narrower arrival (int x, missing column) widens in mid-stream") {
+    val dir = Files.createTempDirectory("graft_drift_merge")
+    writeDta(dir, "a_wide.dta", 0, 20) // x double, s string
+
+    val q = spark.readStream.format("readstat")
+      .option("mergeSchema", "true")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("rs_drift_merge")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rs_drift_merge").count() === 20)
+
+      // the drifted-but-narrower monthly extract: x was written as an int
+      // and the s column does not exist at all
+      val df = spark.range(100, 110).select(col("id").cast("int").as("x"))
+      val tmp = Files.createTempDirectory("graft_stage").resolve("b_narrow.dta")
+      graft.sources.readstat.stata.DtaWriter.write(df, tmp.toString)
+      Files.move(tmp, dir.resolve("b_narrow.dta"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      q.processAllAvailable()
+
+      val rows = spark.table("rs_drift_merge").select("x", "s").collect()
+      assert(rows.length === 30, "the narrow file's rows must be ADMITTED")
+      assert(rows.map(_.getDouble(0)).sorted.toSeq ===
+        ((0 until 20) ++ (100 until 110)).map(_.toDouble),
+        "int x widens into the declared double")
+      val narrow = rows.filter(_.getDouble(0) >= 100.0)
+      assert(narrow.forall(_.isNullAt(1)), "the missing column null-fills")
+    } finally q.stop()
+  }
+
+  test("mergeSchema: a WIDER arrival still stops — output schemas are fixed mid-query") {
+    val dir = Files.createTempDirectory("graft_drift_merge_ff")
+    writeDta(dir, "a_good1.dta", 0, 10)
+
+    val q = spark.readStream.format("readstat")
+      .option("mergeSchema", "true")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("rs_drift_merge_ff")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rs_drift_merge_ff").count() === 10)
+      writeDrifted(dir, "b_wider.dta") // x becomes a string + a NEW column
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+      val msg = messages(e)
+      assert(msg.contains("b_wider.dta") && msg.contains("restart the stream"),
+        s"error must name the file and the restart-to-re-merge path, got: $msg")
+      assert(msg.contains("extra"), s"error must name the new column, got: $msg")
+    } finally q.stop()
+  }
+
   test("FAILFAST: a drifted arrival fails the query with a named error") {
     val dir = Files.createTempDirectory("graft_drift_ff")
     writeDta(dir, "a_good1.dta", 0, 20)
