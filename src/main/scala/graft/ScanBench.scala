@@ -40,7 +40,9 @@ object ScanBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = run(spark, cpus.toInt)
+    // optional section filter (`runMain graft.ScanBench media`): bisect one
+    // section's throughput without paying the 1 GB scan generations
+    val out = run(spark, cpus.toInt, only = args.toSet)
     println(out.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}"))
@@ -76,16 +78,21 @@ object ScanBench {
     path
   }
 
-  /** Returns scan metrics; file generation is cached in /tmp. */
-  def run(spark: SparkSession, cpus: Int): Map[String, Double] = {
+  /** Returns scan metrics; file generation is cached in /tmp. `only`
+    * non-empty restricts to the named sections (scan sections are "dta" /
+    * "sas"; fixture generation is skipped when neither is selected).
+    */
+  def run(spark: SparkSession, cpus: Int,
+      only: Set[String] = Set.empty): Map[String, Double] = {
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     // scale the file with the core count so wall time stays measurable (a
     // 1 GB file across 32 cores finishes inside task-overhead noise)
     val scale = math.max(1, cpus / 8)
     val nRows = baseRows * scale
     val minBytes = 900L * 1000 * 1000 * scale
-    val dta = ensure(new File(dir, s"big$scale.dta"), minBytes, p =>
+    lazy val dta = ensure(new File(dir, s"big$scale.dta"), minBytes, p =>
       sources.readstat.stata.DtaWriter.writeRows(schema, rowIter(nRows), p, widths))
-    val sas = ensure(new File(dir, s"big$scale.sas7bdat"), minBytes, p =>
+    lazy val sas = ensure(new File(dir, s"big$scale.sas7bdat"), minBytes, p =>
       sources.readstat.sas.SasFixtureWriter.writeRowsStreaming(
         schema, rowIter(nRows), p, widths, nRows.toLong))
 
@@ -98,13 +105,15 @@ object ScanBench {
     // down with it — r4 lost a whole round's scan data to one embedded
     // failure
     def section(name: String)(body: => Unit): Unit =
-      try body catch {
+      if (wanted(name)) try body catch {
         case e: Throwable =>
           System.err.println(s"[scanbench] $name section failed: ${e.getMessage}")
           out(s"${name}_error") = 1.0
       }
 
-    for (f <- Seq(dta, sas)) {
+    val scanTargets = (if (wanted("dta")) Seq(dta) else Nil) ++
+      (if (wanted("sas")) Seq(sas) else Nil)
+    for (f <- scanTargets) {
       val fmt = if (f.getName.endsWith(".dta")) "dta" else "sas"
       section(fmt) {
       val sizeMb = f.length() / 1e6 * scanFiles

@@ -28,17 +28,19 @@ object JpegCodec {
   private final class Bad(msg: String) extends RuntimeException(msg, null, false, false)
   private def bad(msg: String): Nothing = throw new Bad(msg)
 
-  /** §C.2 canonical Huffman table (mincode/maxcode/valptr) plus an 8-bit
-    * lookahead LUT: codes of length ≤8 (the overwhelming majority in real
-    * tables) resolve in one table hit; longer codes fall back to the
-    * canonical walk. Entries pack (length << 8 | value); 0 = slow path
+  /** §C.2 canonical Huffman table (mincode/maxcode/valptr) plus a 12-bit
+    * lookahead LUT: codes of length ≤12 resolve in one table hit — on
+    * high-entropy (noise-like) AC spectra the mass sits in 9–12-bit codes,
+    * which the original 8-bit LUT sent down the bit-by-bit walk (the r11
+    * close-out's "wider Huffman LUT" item); 13–16-bit codes fall back to
+    * the canonical walk. Entries pack (length << 8 | value); 0 = slow path
     * (length ≥ 1 makes every real entry ≥ 256).
     */
   private final class Huff(bits: Array[Int], vals: Array[Int]) {
     val mincode = new Array[Int](17)
     val maxcode = Array.fill(17)(-1)
     val valptr = new Array[Int](17)
-    val lut = new Array[Int](256)
+    val lut = new Array[Int](1 << 12)
     locally {
       var code = 0; var k = 0
       var l = 1
@@ -46,12 +48,12 @@ object JpegCodec {
         if (bits(l - 1) > 0) {
           valptr(l) = k
           mincode(l) = code
-          if (l <= 8) {
+          if (l <= 12) {
             var c = code
             while (c <= code + bits(l - 1) - 1) {
-              val base = c << (8 - l)
+              val base = c << (12 - l)
               var s = 0
-              while (s < (1 << (8 - l))) {
+              while (s < (1 << (12 - l))) {
                 lut(base | s) = (l << 8) | vals(k + c - code)
                 s += 1
               }
@@ -66,7 +68,7 @@ object JpegCodec {
       }
     }
     def decode(br: BitReader): Int = {
-      val e = lut(br.peek8())
+      val e = lut(br.peek12())
       if (e != 0) { br.drop(e >>> 8); return e & 0xff }
       var code = 0; var l = 0
       while (l < 16) {
@@ -109,11 +111,11 @@ object JpegCodec {
       cnt -= n
       ((buf >>> cnt) & ((1L << n) - 1)).toInt
     }
-    /** next 8 bits without consuming, zero-padded at stream end. */
-    def peek8(): Int = {
-      while (cnt < 8 && fillByte()) {}
-      if (cnt >= 8) ((buf >>> (cnt - 8)) & 0xffL).toInt
-      else ((buf << (8 - cnt)) & 0xffL).toInt
+    /** next 12 bits without consuming, zero-padded at stream end. */
+    def peek12(): Int = {
+      while (cnt < 12 && fillByte()) {}
+      if (cnt >= 12) ((buf >>> (cnt - 12)) & 0xfffL).toInt
+      else ((buf << (12 - cnt)) & 0xfffL).toInt
     }
     def drop(n: Int): Unit = {
       if (n > cnt) bad("entropy stream truncated")
@@ -130,10 +132,12 @@ object JpegCodec {
     }
   }
 
-  // cosine basis: c(u) * cos((2x+1) u pi / 16), row-major [u][x]
-  private val cosT: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
-    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-    0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  // AAN per-frequency scale factors (Arai–Agui–Nakajima 1988): the
+  // factorization pulls sqrt(2)*cos(k*pi/16) out of each 1-D stage, so the
+  // butterfly itself needs only 5 multiplies — the factors fold into the
+  // dequantization table (with the overall 1/8), costing nothing per block
+  private val aan: Array[Double] = Array.tabulate(8) { k =>
+    if (k == 0) 1.0 else math.sqrt(2.0) * math.cos(k * math.Pi / 16.0)
   }
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
@@ -246,7 +250,17 @@ object JpegCodec {
       c.dcPred = 0
     }
     val br = new BitReader(b, start)
-    val blk = new Array[Int](64)
+    // dequant tables with the AAN scale factors (and the DCT's 1/8) folded
+    // in, indexed in zigzag order like the raw tables; q(0)*0.125 is an
+    // exact dyadic product, which keeps the DC-only fast path bit-identical
+    // to the previous exact-cosine implementation
+    val scaledQ: Array[Array[Double]] = Array.tabulate(4) { t =>
+      Array.tabulate(64) { k =>
+        val n = zigzagNatural(k)
+        qt(t)(k) * aan(n >> 3) * aan(n & 7) * 0.125
+      }
+    }
+    val blk = new Array[Double](64)
     val f = new Array[Double](64)
     var mcu = 0
     val totalMcus = mcusX * mcusY
@@ -258,7 +272,7 @@ object JpegCodec {
       }
       val mx = mcu % mcusX; val my = mcu / mcusX
       for (c <- comps; by <- 0 until c.v; bx <- 0 until c.h) {
-        decodeBlock(br, c, qt(c.tq), dcH, acH, blk)
+        decodeBlock(br, c, scaledQ(c.tq), dcH, acH, blk)
         idct(blk, f)
         val ox = (mx * c.h + bx) * 8
         val oy = (my * c.v + by) * 8
@@ -278,9 +292,9 @@ object JpegCodec {
     }
   }
 
-  private def decodeBlock(br: BitReader, c: Component, q: Array[Int],
-      dcH: Array[Huff], acH: Array[Huff], out: Array[Int]): Unit = {
-    java.util.Arrays.fill(out, 0)
+  private def decodeBlock(br: BitReader, c: Component, q: Array[Double],
+      dcH: Array[Huff], acH: Array[Huff], out: Array[Double]): Unit = {
+    java.util.Arrays.fill(out, 0.0)
     val dh = dcH(c.dcTab); val ah = acH(c.acTab)
     if (dh == null || ah == null) bad("missing huffman table")
     val t = dh.decode(br)
@@ -329,54 +343,91 @@ object JpegCodec {
   private def extend(v: Int, t: Int): Int =
     if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  /** Separable 2-D IDCT in doubles (§A.3.3), with exact zero-skip fast
-    * paths: a DC-only block (the dominant case in smooth imagery) is a
-    * constant fill, and all-zero columns skip their 64-multiply pass —
-    * both skip only exact zeros, so the result is bit-identical to the
-    * full sum.
+  /** Separable 2-D IDCT via the AAN factorization (Arai–Agui–Nakajima
+    * 1988; the classic float-IDCT butterfly structure), ~5 multiplies per
+    * 1-D pass against the naive basis sum's 64 — the r11 close-out's
+    * "fixed-point/AAN IDCT" item, kept in doubles so the result stays
+    * within fp rounding of the exact transform (the factorization is exact
+    * in exact arithmetic; the scale factors live in the dequant table).
+    * Exact zero-skip fast paths as before: a DC-only block (dominant in
+    * smooth imagery) is a constant fill — bit-identical to the previous
+    * implementation because the folded DC scale is the same dyadic
+    * q(0)/8 — and all-zero columns pass through as zeros.
     */
-  private def idct(in: Array[Int], out: Array[Double]): Unit = {
+  private def idct(in: Array[Double], out: Array[Double]): Unit = {
     var onlyDc = true
     var k = 1
-    while (onlyDc && k < 64) { if (in(k) != 0) onlyDc = false; k += 1 }
+    while (onlyDc && k < 64) { if (in(k) != 0.0) onlyDc = false; k += 1 }
     if (onlyDc) {
-      val v = in(0) / 8.0
-      java.util.Arrays.fill(out, v)
+      java.util.Arrays.fill(out, in(0))
       return
     }
     val tmp = new Array[Double](64)
     var x = 0
-    while (x < 8) { // columns: for each output row position y, sum over v
-      var allZero = true
-      var vv = 0
-      while (allZero && vv < 8) { if (in(vv * 8 + x) != 0) allZero = false; vv += 1 }
-      if (allZero) {
+    while (x < 8) { // column pass
+      if (in(8 + x) == 0.0 && in(16 + x) == 0.0 && in(24 + x) == 0.0 &&
+          in(32 + x) == 0.0 && in(40 + x) == 0.0 && in(48 + x) == 0.0 &&
+          in(56 + x) == 0.0) {
+        // AC-free column: constant in(0+x) down the column
+        val v = in(x)
         var y = 0
-        while (y < 8) { tmp(y * 8 + x) = 0.0; y += 1 }
+        while (y < 8) { tmp(y * 8 + x) = v; y += 1 }
       } else {
-        var y = 0
-        while (y < 8) {
-          var s = 0.0
-          var v = 0
-          while (v < 8) { s += cosT(v)(y) * in(v * 8 + x); v += 1 }
-          tmp(y * 8 + x) = s
-          y += 1
-        }
+        aan1d(in, x, 8, tmp, x, 8)
       }
       x += 1
     }
     var y = 0
-    while (y < 8) { // rows
-      var xx = 0
-      while (xx < 8) {
-        var s = 0.0
-        var u = 0
-        while (u < 8) { s += cosT(u)(xx) * tmp(y * 8 + u); u += 1 }
-        out(y * 8 + xx) = s
-        xx += 1
-      }
+    while (y < 8) { // row pass
+      aan1d(tmp, y * 8, 1, out, y * 8, 1)
       y += 1
     }
+  }
+
+  /** One 8-point AAN inverse-DCT butterfly: reads 8 values at
+    * `src(srcOff + i*srcStride)`, writes 8 at `dst(dstOff + i*dstStride)`.
+    * Input is expected pre-scaled by the folded aan factors.
+    */
+  private def aan1d(src: Array[Double], srcOff: Int, srcStride: Int,
+      dst: Array[Double], dstOff: Int, dstStride: Int): Unit = {
+    // even part
+    val i0 = src(srcOff)
+    val i2 = src(srcOff + 2 * srcStride)
+    val i4 = src(srcOff + 4 * srcStride)
+    val i6 = src(srcOff + 6 * srcStride)
+    val t10 = i0 + i4
+    val t11 = i0 - i4
+    val t13 = i2 + i6
+    val t12 = (i2 - i6) * 1.4142135623730951 - t13
+    val e0 = t10 + t13
+    val e3 = t10 - t13
+    val e1 = t11 + t12
+    val e2 = t11 - t12
+    // odd part
+    val i1 = src(srcOff + srcStride)
+    val i3 = src(srcOff + 3 * srcStride)
+    val i5 = src(srcOff + 5 * srcStride)
+    val i7 = src(srcOff + 7 * srcStride)
+    val z13 = i5 + i3
+    val z10 = i5 - i3
+    val z11 = i1 + i7
+    val z12 = i1 - i7
+    val o7 = z11 + z13
+    val t11b = (z11 - z13) * 1.4142135623730951
+    val z5 = (z10 + z12) * 1.8477590650225735
+    val t10b = 1.0823922002923940 * z12 - z5
+    val t12b = -2.6131259297527530 * z10 + z5
+    val o6 = t12b - o7
+    val o5 = t11b - o6
+    val o4 = t10b + o5
+    dst(dstOff) = e0 + o7
+    dst(dstOff + 7 * dstStride) = e0 - o7
+    dst(dstOff + dstStride) = e1 + o6
+    dst(dstOff + 6 * dstStride) = e1 - o6
+    dst(dstOff + 2 * dstStride) = e2 + o5
+    dst(dstOff + 5 * dstStride) = e2 - o5
+    dst(dstOff + 3 * dstStride) = e3 - o4
+    dst(dstOff + 4 * dstStride) = e3 + o4
   }
 
   private def assemble(comps: Array[Component], width: Int, height: Int): Image = {
