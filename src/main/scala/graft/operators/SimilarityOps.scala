@@ -36,8 +36,10 @@ object SimilarityOps {
     * near-dup with `L` bands × `b` sign bits per band. `b` is THE scale
     * knob: per-band candidate pairs grow ~n²/2^b, so a fixed width goes
     * quadratic as the corpus grows — +1 bit per corpus DOUBLING keeps
-    * expected bucket occupancy (and so pair count per vector) constant,
-    * which the 20× scale smoke gates (`vecs20x_q62_b9`). The q44/q62
+    * expected bucket occupancy (and so pair count per vector) constant.
+    * The 20× scale smoke pins both halves deterministically via the
+    * pair-mass probes over [[rpLshSigsAt]] (fixed-b mass ×4.00 per
+    * corpus doubling; +1 bit halves background mass). The q44/q62
     * queries bind the oracle-pinned (6, 8); recall at a target cosine is
     * the standard (L, b) trade [Charikar, STOC'02] — widen b only
     * alongside the corpus, and raise L if the recall floor matters more
@@ -47,6 +49,90 @@ object SimilarityOps {
     */
   private[graft] def rpLshNearDup(s: SparkSession, base: DataFrame,
       L: Int, b: Int, minCos: Double = 0.45): DataFrame = {
+    val cands = rpLshCandidates(s, base, L, b)
+    val va = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+    val vb = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+    cands.join(va, "ia").join(vb, "ib")
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** q44's CANDIDATE stage alone: distinct (ia < ib) pairs sharing at
+    * least one of the L b-bit sign signatures, every one of which is
+    * shuffled into the exact cosine verify.
+    */
+  private[graft] def rpLshCandidates(s: SparkSession, base: DataFrame,
+      L: Int, b: Int): DataFrame = {
+    val sigs = rpLshSigs(s, base, L, b)
+    // the bucket self-join is COMPUTE-bound (each bucket is a mini
+    // cartesian) on BYTE-tiny input, which defeats size-based scheduling
+    // TWICE at scale: AQE's coalesce starves the stage (measured at 20x:
+    // 8 tasks of ~34 s on a 32-core box), and fixing only that exposes the
+    // single-key wall — one hot (band, sig) bucket's quadratic pair
+    // generation is ONE task however many partitions exist (measured:
+    // max 37 s vs median 5.9 s). So the bucket join gets q39's
+    // 1-Bucket-Theta device WITHIN each bucket: block ids split every
+    // bucket's pair space into B(B+1)/2 independent chunks (cross-block
+    // pairs once with roles fixed by block, same-block pairs deduped by
+    // id order), and an explicit partition count — exempt from AQE
+    // coalescing — spreads them. Replication cost is ~(B+1)/2 copies of
+    // the tiny sig rows; per-chunk work shrinks quadratically. Adjudicated
+    // A/B at 20x (isolated fresh JVMs, same idle machine): full near-dup
+    // 53.4 s -> 36.0 s with identical 69.2M verified pairs; the candidate
+    // stage ALONE is a wash (21.3 vs 19.1 s) — the win is the un-starved,
+    // un-walled schedule feeding the verify, not fewer cycles.
+    val nPar = s.sparkContext.defaultParallelism
+    val B = math.max(1, math.ceil(math.sqrt(2.0 * nPar)).toInt)
+    val blocked = sigs.withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
+    val aSide = blocked
+      .withColumn("bb", explode(expr(s"sequence(blk, ${B - 1})")))
+      .select(col("band"), col("sig"), col("blk").as("ba"), col("bb"),
+        col("vec_id").as("ia"))
+      .repartition(nPar, col("band"), col("sig"), col("ba"), col("bb"))
+    val bSide = blocked
+      .withColumn("ba", explode(expr("sequence(0, blk)")))
+      .select(col("band"), col("sig"), col("ba"), col("blk").as("bb"),
+        col("vec_id").as("ib"))
+      .repartition(nPar, col("band"), col("sig"), col("ba"), col("bb"))
+    aSide.join(bSide, Seq("band", "sig", "ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"))
+      .distinct()
+  }
+
+  /** The parameterized q44 over a testdata dir — the scale-smoke hook for
+    * driving the band-width knob without touching the oracle-pinned query.
+    */
+  def rpLshNearDupAt(s: SparkSession, d: String, L: Int, b: Int): DataFrame =
+    rpLshNearDup(s, prepped(s, d), L, b)
+
+  /** Per-band b-bit sign signatures `(vec_id, band, sig)` over a testdata
+    * dir — the scale-smoke hook for the deterministic band-width-knob
+    * gate. The smoke aggregates these into the per-bucket PAIR MASS
+    * (Σ k·(k−1)/2 — the exact pre-distinct row count the bucket pair
+    * join generates). On the clustered smoke corpus that mass is ~87%
+    * within-cluster TRUE near-dup pairs — the operator's intended
+    * OUTPUT, which the knob must not and cannot shrink (per extra bit a
+    * cos≈0.9 pair keeps colliding with p≈1−θ/π≈0.86, and even the
+    * SURVIVING cross-cluster mass retains ~0.81/bit, because at b=8 the
+    * survivors are precisely the closest cross pairs). The textbook
+    * halving (measured 0.528/bit) holds on a noise-only corpus where
+    * all mass is background — which is exactly the component that grows
+    * ∝n² at fixed b and the one the knob exists to hold down. The probe
+    * is DETERMINISTIC (md5-derived hyperplanes) and costs one linear
+    * aggregation — no quadratic work, no machine-noise term, unlike the
+    * wall-ratio gate this replaced.
+    */
+  def rpLshSigsAt(s: SparkSession, d: String, L: Int, b: Int): DataFrame =
+    rpLshSigs(s, prepped(s, d), L, b)
+
+  /** Per-band b-bit sign signatures `(vec_id, band, sig)` — the shared
+    * front of [[rpLshCandidates]] and the smoke's pair-mass probe.
+    */
+  private def rpLshSigs(s: SparkSession, base: DataFrame,
+      L: Int, b: Int): DataFrame = {
     val exploded = base.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
     // tiny: L*b*dim rows. The dimension comes from a ONE-row probe —
     // the prior `exploded.select("pos").distinct()` ran a full corpus
@@ -71,27 +157,10 @@ object SimilarityOps {
     val dots = exploded.join(broadcast(planes), "pos")
       .groupBy("vec_id", "band", "bit")
       .agg(round(sum(col("x") * col("sgn")), 6).as("dot"))
-    val sigs = dots.groupBy("vec_id", "band")
+    dots.groupBy("vec_id", "band")
       .agg(sum(when(col("dot") > 0, expr("shiftleft(1, bit)")).otherwise(0))
         .cast("long").as("sig"))
-    val cands = sigs.select(col("vec_id").as("ia"), col("band"), col("sig"))
-      .join(sigs.select(col("vec_id").as("ib"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .filter(col("ia") < col("ib"))
-      .select("ia", "ib").distinct()
-    val va = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
-    val vb = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
-    cands.join(va, "ia").join(vb, "ib")
-      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
-      .filter(col("cos") >= minCos)
-      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
   }
-
-  /** The parameterized q44 over a testdata dir — the scale-smoke hook for
-    * driving the band-width knob without touching the oracle-pinned query.
-    */
-  def rpLshNearDupAt(s: SparkSession, d: String, L: Int, b: Int): DataFrame =
-    rpLshNearDup(s, prepped(s, d), L, b)
 
   /** IVF coarse quantizer: per-label mean vectors `(c_label, ce)` — tiny
     * (k×dim), computed distributed, meant to be broadcast.

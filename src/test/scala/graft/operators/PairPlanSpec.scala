@@ -143,6 +143,29 @@ class PairPlanSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("q44 blocked bucket join equals the plain (band,sig) self-join's candidates") {
+    // the r11 1-Bucket-Theta device WITHIN each LSH bucket (hot-bucket
+    // split + AQE-coalesce exemption) must be a pure re-plan: same
+    // distinct candidate set as the plain bucket self-join it replaced
+    import org.apache.spark.sql.functions._
+    val sigs = SimilarityOps.rpLshSigsAt(spark, d, 6, 8)
+    val plain = sigs.select(col("vec_id").as("ia"), col("band"), col("sig"))
+      .join(sigs.select(col("vec_id").as("ib"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = spark.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    val blocked = SimilarityOps.rpLshCandidates(spark, base, 6, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.nonEmpty, "no candidates on the fixture corpus")
+    assert(blocked == plain,
+      s"blocked minus plain: ${blocked.diff(plain).take(5)}; " +
+        s"plain minus blocked: ${plain.diff(blocked).take(5)}")
+  }
+
   test("q36 degenerate skew: one hot simhash value stays row-shaped (no id arrays)") {
     // r3 hazard: collect_list(doc_id) per simhash value put every id of a
     // hot value into ONE task row — a degenerate corpus OOMs a single task.
