@@ -366,7 +366,7 @@ object SasDecode {
       }.toMap
       (buf: Array[Byte], base: Int) => {
         val value = (n: String) => fdec(n)(buf, base)
-        filters.forall(f => RowFilter.eval(f, value))
+        filters.forall(f => RowFilter.keep(f, value))
       }
     }
 }

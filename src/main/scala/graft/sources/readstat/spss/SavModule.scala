@@ -228,7 +228,7 @@ final class SavDecode(meta: Sav.Metadata, opts: ReadstatOptions) {
       }.toMap
       (row: Array[Byte]) => {
         val value = (n: String) => fdec(n)(row)
-        filters.forall(f => RowFilter.eval(f, value))
+        filters.forall(f => RowFilter.keep(f, value))
       }
     }
 

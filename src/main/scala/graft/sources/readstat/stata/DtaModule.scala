@@ -99,7 +99,7 @@ object DtaModule extends ReadstatFormats.FormatModule {
       val idx = fschema.fieldNames.zipWithIndex.toMap
       (row: Array[Byte], base: Int) => {
         val value = (n: String) => fplans.cols(idx(n)).decode(row, base)
-        filters.forall(f => RowFilter.eval(f, value))
+        filters.forall(f => RowFilter.keep(f, value))
       }
     }
 

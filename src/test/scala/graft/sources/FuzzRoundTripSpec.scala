@@ -227,7 +227,11 @@ class FuzzRoundTripSpec extends SparkSpec {
       }
       val full = spark.read.format("readstat").load(p)
       for (pred <- Seq(col("d") > 0.5, col("d") <= 1e-6, col("s").startsWith("a"),
-          col("d").isNull, col("s").isNotNull && col("d") < 0)) {
+          col("d").isNull, col("s").isNotNull && col("d") < 0,
+          // r11: string suffix/contains now push; negations exercise the
+          // tri-state Not path (nulls must stay dropped, non-matches kept)
+          col("s").endsWith("b"), col("s").contains("c"),
+          !col("s").startsWith("a"), !(col("d") > 0.5) || col("s").contains("d"))) {
         val pushed = spark.read.format("readstat").load(p)
           .filter(pred).select("k").collect().map(_.getDouble(0)).toSet
         // baseline: decode everything first, then filter in pure Spark on
