@@ -556,6 +556,43 @@ object TextOps {
       .withColumn("keep", (col("lr_microbits") > 0).cast("long"))
   }
 
+  /** Control characters stripped by [[normalizeText]] (keeps \t \n \r,
+    * which the whitespace collapse then folds). One Scala constant
+    * spliced into the Spark expression AND the DuckDB oracle (the
+    * [[bpeTokenRe]] discipline) — hex escapes are Java-regex and RE2
+    * compatible.
+    */
+  private[operators] val ctrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+  /** Whitespace runs collapsed to one space by [[normalizeText]]. */
+  private[operators] val wsRunRe = "[ \\t\\n\\r]+"
+
+  /** q101: text canonicalization — the ftfy/Dolma-class cleanup stage a
+    * web corpus needs before any fingerprint or token count is trustworthy:
+    * (1) Unicode NFC via the native [[graft.functions.NfcNormalize]]
+    * expression (combining sequences → precomposed, so 'Cafe'+U+0301 and
+    * 'Café' dedup and tokenize identically), (2) control-character strip,
+    * (3) whitespace-run collapse + trim. Scale shape: entirely row-local
+    * column expressions inside one whole-stage-codegen span — zero
+    * shuffle at any corpus size; the NFC kernel's ASCII fast path makes
+    * the common case a byte scan with no allocation.
+    *
+    * `nfc_delta` (codepoints removed by composition) is the per-row
+    * denormalization signal — on a clean corpus it is 0 and the kernel
+    * never allocates.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    graft.functions.NormFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("nfc", expr("graft_nfc(text)"))
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(col("nfc"), ctrlRe, ""), wsRunRe, " "))
+          .as("norm_text"),
+        (length(col("text")) - length(col("nfc"))).cast("long").as("nfc_delta"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + distinct-token stats per document.
     "q31_text_stats" -> ((s, d) => {
@@ -781,6 +818,15 @@ object TextOps {
     // with n_distinct bounded by the alphabet (~100 after any sane
     // charset gate). Zero shuffle at any corpus size.
     "q89_char_entropy" -> ((s, d) => charEntropy(documents(s, d))),
+
+    // Text canonicalization (see [[normalizeText]]). The corpus fixture
+    // is all-ASCII, so the query plants a deterministic suffix on every
+    // row — a decomposed e+U+0301 (NFC must compose it), a control byte,
+    // and a whitespace run — exercising all three cleanup paths against
+    // the oracle's independent nfc_normalize/regexp pipeline.
+    "q101_normalize_text" -> ((s, d) =>
+      normalizeText(documents(s, d).withColumn("text",
+        concat(col("text"), lit(" Cafe\u0301\u0001 \u000b  fin"))))),
 
     // BPE-ish token counting (see [[bpeTokenStats]]): whitespace count
     // next to a GPT-2-style pre-tokenizer regex count plus the
@@ -1008,6 +1054,26 @@ object TextOps {
                AS BIGINT) + length(text) * 100) // (length(text) * 200)) / 10000.0
            END AS char_entropy
          FROM (SELECT doc_id, text, string_split(text, '') AS ch FROM documents) a""",
+
+    // the augmentation suffix mirrors the query's lit() exactly: chr(769)
+    // = U+0301 combining acute, chr(1)/chr(11) the planted control bytes;
+    // ctrlRe/wsRunRe are the SAME Scala constants the Spark expression
+    // compiles (hex escapes parse identically in Java regex and RE2)
+    "q101_normalize_text" ->
+      s"""WITH aug AS (
+            SELECT doc_id,
+                   text || ' Cafe' || chr(769) || chr(1) || ' ' || chr(11) || '  fin' AS t
+            FROM documents),
+          nf AS (SELECT doc_id, t, nfc_normalize(t) AS nfc FROM aug),
+          norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(nfc, '$ctrlRe', '', 'g'),
+                                       '$wsRunRe', ' ', 'g')) AS norm_text,
+                   CAST(length(t) - length(nfc) AS BIGINT) AS nfc_delta
+            FROM nf)
+          SELECT doc_id, norm_text,
+                 CAST(length(norm_text) AS BIGINT) AS n_chars_norm, nfc_delta
+          FROM norm""",
 
     // the merge table is spliced from [[bpeMergesFixture]] (one constant,
     // the bpeTokenRe discipline); the recursive CTE applies the IDENTICAL
