@@ -135,11 +135,82 @@ object ClassifierOps {
       .select(col("doc_id"), coalesce(col("score"), lit(0.0)).as("score"))
       .withColumn("keep", (col("score") > 0).cast("long"))
 
+  /** q102 held-out split bound on the first 32 md5 bits (q58's
+    * engine-exact device, distinct salt): 80% train / 20% eval.
+    */
+  private val aucTrainBound = "cccccccc" // 0.8 * 2^32
+
+  /** q102: held-out ranking quality (AUC) of the classifier — the eval
+    * metric that closes the train (q97) / serve (q81) loop. Train the
+    * epoch-1 integer weights on the 80% md5 split, score the held-out
+    * 20%, and compute AUC with the tied-rank histogram identity:
+    *
+    *   U = Σ_scores pos(s)·(neg_below(s) + ½·neg_at(s)),  AUC = U/(P·N)
+    *
+    * carried as the doubled integer u2 = Σ pos·(2·neg_below + neg) so
+    * ties need no floats and both engines agree bit-exactly (the final
+    * division uses the q93 integer half-up device).
+    *
+    * Scale shape: NO global row sort — the only ordered window runs over
+    * the per-SCORE histogram, which is an aggregate bounded by the
+    * distinct integer scores (the same bounded-aggregate class as the
+    * ≤65,536-row weight table), never corpus-sized. Everything before it
+    * is linear shuffles: features, two broadcast-keyed joins, one groupBy.
+    * u2 ≤ 2·P·N overflows long only past ~2·10⁹ held-out docs per side —
+    * at that scale bucket scores into fixed-width bins first (the same
+    * histogram, doubles in the final division only).
+    */
+  def aucEval(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = docs.select(col("doc_id"),
+      when(TextOps.gopherKeepCol(col("text")), 1L).otherwise(0L).as("y"),
+      (substring(md5(concat(lit("auc:"), col("doc_id").cast("string"))), 1, 8)
+        < aucTrainBound).as("is_train"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w1 = feats
+      .join(split.filter(col("is_train")).select("doc_id", "y"), "doc_id")
+      .groupBy("bucket")
+      .agg(sum((col("y") * 2 - 1) * col("c")).as("w1"))
+    val scores = feats
+      .join(split.filter(!col("is_train")).select("doc_id"), "doc_id")
+      .join(broadcast(w1), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w1")).as("s"))
+    val ev = split.filter(!col("is_train"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("y"), coalesce(col("s"), lit(0L)).as("s"))
+    val hist = ev.groupBy("s")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    // ordered window over the SCORE HISTOGRAM only (bounded aggregate)
+    val byScore = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val res = hist
+      .withColumn("cnb", coalesce(sum("neg").over(byScore), lit(0L)))
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2) * col("cnb") + col("neg"))).as("u2"))
+      .select(
+        (col("n_pos") + col("n_neg")).as("n_eval"),
+        col("n_pos"), col("n_neg"), col("u2"),
+        (expr("(2 * u2 * 1000000 + nullif(2 * n_pos * n_neg, 0)) div " +
+          "(2 * nullif(2 * n_pos * n_neg, 0))") / lit(1000000.0)).as("auc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // force before releasing the inputs (the q97 discipline)
+    feats.unpersist(blocking = false)
+    split.unpersist(blocking = false)
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Classifier training, epoch 1 (see object scaladoc): Gopher-gate
     // labels, hashed features, zero-init logistic gradient in closed
     // integer form; per-doc scores under the epoch-1 weights.
-    "q97_train_quality" -> ((s, d) => trainQualityEpoch1(documents(s, d))))
+    "q97_train_quality" -> ((s, d) => trainQualityEpoch1(documents(s, d))),
+
+    // Held-out AUC of the epoch-1 scorer (see [[aucEval]]): the
+    // train/serve/EVAL triad's missing leg, exact in integers via the
+    // tied-rank histogram identity.
+    "q102_auc_eval" -> ((s, d) => aucEval(documents(s, d))))
 
   val oracle: Map[String, String] = Map(
     "q97_train_quality" ->
@@ -171,5 +242,61 @@ object ClassifierOps {
                 CAST(coalesce(s.score1, 0) AS BIGINT) AS score1,
                 CASE WHEN coalesce(s.score1, 0) > 0 THEN 1 ELSE 0 END :: BIGINT
                   AS pred_keep
-         FROM y LEFT JOIN scores s USING (doc_id)""")
+         FROM y LEFT JOIN scores s USING (doc_id)""",
+
+    // the y/feats CTEs mirror q97's; the split is q58's md5 device with
+    // the 'auc:' salt; the histogram window and doubled-U tie handling
+    // mirror [[aucEval]] step for step in BIGINT arithmetic
+    "q102_auc_eval" ->
+      s"""WITH sp AS (
+           SELECT doc_id,
+             CASE WHEN ${TextOps.oracleGateLenSql}
+                   AND ${TextOps.oracleGateWlenSql}
+                   AND ${TextOps.oracleGateAlphaSql}
+                   AND ${TextOps.oracleGateStopSql}
+                  THEN 1 ELSE 0 END :: BIGINT AS y,
+             substr(md5('auc:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$aucTrainBound'
+               AS is_train
+           FROM (${TextOps.oracleDocStatsSql("doc_id")}) b),
+         feats AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) AS bucket,
+                  count(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents) tok
+           WHERE t <> ''
+           GROUP BY doc_id, bucket),
+         w1 AS (
+           SELECT f.bucket, CAST(sum((sp.y * 2 - 1) * f.c) AS BIGINT) AS w1
+           FROM feats f JOIN sp USING (doc_id)
+           WHERE sp.is_train
+           GROUP BY f.bucket),
+         scores AS (
+           SELECT f.doc_id, CAST(sum(f.c * w.w1) AS BIGINT) AS s
+           FROM feats f JOIN w1 w USING (bucket) JOIN sp USING (doc_id)
+           WHERE NOT sp.is_train
+           GROUP BY f.doc_id),
+         ev AS (
+           SELECT sp.y, CAST(coalesce(s.s, 0) AS BIGINT) AS s
+           FROM sp LEFT JOIN scores s USING (doc_id)
+           WHERE NOT sp.is_train),
+         hist AS (
+           SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                  CAST(sum(1 - y) AS BIGINT) AS neg
+           FROM ev GROUP BY s),
+         cum AS (
+           SELECT pos, neg,
+                  CAST(coalesce(sum(neg) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cnb
+           FROM hist),
+         agg AS (
+           SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                  CAST(sum(neg) AS BIGINT) AS n_neg,
+                  CAST(sum(pos * (2 * cnb + neg)) AS BIGINT) AS u2
+           FROM cum)
+         SELECT n_pos + n_neg AS n_eval, n_pos, n_neg, u2,
+                ((2 * u2 * 1000000 + nullif(2 * n_pos * n_neg, 0))
+                  // (2 * nullif(2 * n_pos * n_neg, 0))) / 1000000.0 AS auc
+         FROM agg""")
 }

@@ -89,4 +89,65 @@ class ClassifierSpec extends SparkSpec {
     out.unpersist(blocking = true)
     sp.catalog.clearCache()
   }
+
+  test("q102 histogram AUC equals the brute-force tied-pair count") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q102")
+    // planted() docs are all 30 tokens — the Gopher length gate (>=50)
+    // would label every one 0 and AUC would be undefined. Build a corpus
+    // where the gate VARIES: even ids are 60-token gate-passing docs from
+    // one vocabulary, odd ids 30-token gate-failing docs from another, so
+    // the labels split and the hashed features carry the signal.
+    val good = Vector("insight", "method", "result", "evidence", "analysis")
+    val bad = Vector("spamspam", "clickbait", "lorem", "zzzz", "buynow")
+    val fill = Vector("the", "a", "of", "and")
+    val docs102 = (0 until 120).map { i =>
+      val keepClass = i % 2 == 0
+      val vocab = if (keepClass) good else bad
+      val len = if (keepClass) 60 else 30
+      val words = (0 until len).map(j =>
+        if (j % 3 == 0) fill((i + j) % fill.length)
+        else vocab((i * 7 + j) % vocab.length))
+      (i.toLong, words.mkString(" "))
+    }
+    docs102.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val out = ClassifierOps.queries("q102_auc_eval")(sp, tmp.toString)
+    val row = out.collect().head
+    val (nEval, nPos, nNeg, u2) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nEval === nPos + nNeg)
+    assert(nPos > 0 && nNeg > 0, "fixture must land both classes in eval")
+    // brute-force recompute on the SAME held-out frame: U2 counts each
+    // (pos, neg) pair twice for a win, once for a tie
+    val docs = sp.read.parquet(tmp.resolve("documents.parquet").toString)
+    val split = docs.select(col("doc_id"),
+      when(TextOps.gopherKeepCol(col("text")), 1L).otherwise(0L).as("y"),
+      (substring(md5(concat(lit("auc:"), col("doc_id").cast("string"))), 1, 8)
+        < "cccccccc").as("is_train"))
+    val feats = ClassifierOps.hashedFeatures(docs)
+    val w1 = feats.join(split.filter(col("is_train")).select("doc_id", "y"), "doc_id")
+      .groupBy("bucket").agg(sum((col("y") * 2 - 1) * col("c")).as("w1"))
+    val sMap = feats.join(broadcast(w1), "bucket")
+      .groupBy("doc_id").agg(sum(col("c") * col("w1")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = split.filter(!col("is_train")).collect()
+      .map(r => (r.getLong(1), sMap.getOrElse(r.getLong(0), 0L)))
+    val pos = ev.collect { case (1L, s) => s }
+    val neg = ev.collect { case (0L, s) => s }
+    val u2Brute = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(nPos === pos.length.toLong && nNeg === neg.length.toLong)
+    assert(u2 === u2Brute, s"histogram U2 $u2 vs brute-force $u2Brute")
+    // the planted corpus separates, so AUC must be high but is NOT
+    // degenerate-by-construction — pin the exact integer-device rendering
+    val auc = row.getDouble(4)
+    assert(auc === ((2 * u2 * 1000000L + 2 * nPos * nNeg) / (2 * 2 * nPos * nNeg))
+      / 1000000.0)
+    out.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
 }
