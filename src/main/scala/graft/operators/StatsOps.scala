@@ -209,7 +209,83 @@ object StatsOps {
       .select(col("doc_id"), col("source"))
   }
 
+  /** q103's per-row sample hash: first 32 md5 bits of the salted
+    * (source, doc_id) key as a bigint — numeric so the prefilter can do
+    * threshold arithmetic on it. One Scala rendering, mirrored in the
+    * oracle.
+    */
+  private def kSampleHash(docs: DataFrame): DataFrame =
+    docs.withColumn("hv", expr(
+      """cast(conv(substring(md5(concat('ksample:', source, ':',
+           cast(doc_id as string))), 1, 8), 16, 10) as bigint)"""))
+
+  /** q103: EXACT k-per-stratum sampling — the fixed-budget companion to
+    * q47's fraction sampler (an eval set of exactly k docs per source,
+    * reproducible across engines and stable under corpus growth for the
+    * retained prefix: the sample is the k smallest salted hashes, so a
+    * doc's membership flips only when k new smaller hashes arrive).
+    * Plain path: `row_number()` over (hash, doc_id) per stratum — one
+    * shuffle by source, sort bounded per stratum.
+    */
+  def topKPerStratum(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+    kSampleHash(docs)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** q103's 100 TB path: a hot stratum's full row set sorting in ONE
+    * window task is the scale hazard, so prefilter each stratum to rows
+    * with hv below ~4× the EXPECTED k-th smallest hash (hashes are
+    * uniform in [0, 2³²), so the k-th smallest concentrates near
+    * k/n · 2³² — the window then sorts ~4k rows per stratum instead of
+    * n). Exactness is UNCONDITIONAL, not probabilistic: any stratum
+    * whose survivor count lands under k (possible only in the extreme
+    * tail of the hash distribution) falls back to its full row set, so
+    * the output is always identical to [[topKPerStratum]] — the spec
+    * pins set equality, and the q78/q57 exact-plus-scale-path discipline
+    * applies.
+    */
+  def topKPerStratumPrefiltered(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = kSampleHash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val space = 4294967296L // 2^32
+    val thr = h.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("thr", least(lit(space),
+        (lit(4L) * k * lit(space)) / greatest(col("n"), lit(1L))))
+      .select("source", "thr")
+    val pre = h.join(broadcast(thr), "source").filter(col("hv") <= col("thr"))
+    // strata whose prefilter under-shot k rows re-enter whole
+    val short = pre.groupBy("source").agg(count(lit(1)).as("n_surv"))
+      .filter(col("n_surv") < k).select("source")
+    val input = pre.join(broadcast(short), Seq("source"), "left_anti")
+      .select("doc_id", "source", "hv")
+      .unionByName(h.join(broadcast(short), "source")
+        .select("doc_id", "source", "hv"))
+    val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+    val res = input
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // force before releasing the hash cache
+    h.unpersist(blocking = false)
+    res
+  }
+
+  /** q103's query-bound sample size. */
+  val kPerStratum = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact k-per-stratum sample (see [[topKPerStratum]]); the oracle
+    // pins the plain window path, StatsOpsSpec pins the prefiltered
+    // scale path's set equality against it.
+    "q103_stratum_topk" -> ((s, d) =>
+      topKPerStratum(documents(s, d), kPerStratum)),
+
     // Grouped EXACT percentiles of extended price per return flag — the
     // profiling pass before outlier filtering. Exact (sort-based) because
     // the oracle must agree bit-for-bit after rounding; the 100 TB path is
@@ -348,6 +424,17 @@ object StatsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q103_stratum_topk" ->
+      s"""SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY hv, doc_id) AS BIGINT) AS rk
+            FROM (SELECT doc_id, source,
+                    CAST('0x' || substr(md5('ksample:' || source || ':' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+                  FROM documents) a) b
+          WHERE rk <= $kPerStratum""",
+
     "q46_group_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
          round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

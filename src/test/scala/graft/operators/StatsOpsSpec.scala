@@ -355,4 +355,74 @@ class StatsOpsSpec extends SparkSpec {
     // the floor-div split never overshoots the budget
     assert(plan.values.map(_._3).sum <= 1000L)
   }
+
+  test("q103: exactly k per stratum, deterministic, stable under growth") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, s"src${i % 3}", s"text $i")).toDF("doc_id", "source", "text")
+    val out = StatsOps.topKPerStratum(docs, 10).collect()
+    assert(out.length === 30)
+    assert(out.groupBy(_.getString(1)).forall(_._2.length == 10))
+    // rank sequence 1..k within each stratum
+    assert(out.groupBy(_.getString(1)).values.forall(
+      _.map(_.getLong(2)).sorted.toSeq == (1L to 10L)))
+    // growth stability: adding docs can only DISPLACE members (smaller
+    // hashes arriving), never reshuffle survivors' relative order
+    val grown = (0 until 6000).map(i =>
+      (i.toLong, s"src${i % 3}", s"text $i")).toDF("doc_id", "source", "text")
+    val small = StatsOps.topKPerStratum(docs, 10)
+      .collect().map(r => ((r.getString(1), r.getLong(0)), r.getLong(2))).toMap
+    val big = StatsOps.topKPerStratum(grown, 10)
+      .collect().map(r => ((r.getString(1), r.getLong(0)), r.getLong(2))).toMap
+    val surviving = small.keySet.intersect(big.keySet)
+    assert(surviving.nonEmpty)
+    // survivors keep their relative order (ranks may shift down only)
+    for (k1 <- surviving; k2 <- surviving if k1._1 == k2._1) {
+      assert((small(k1) < small(k2)) == (big(k1) < big(k2)) || k1 == k2)
+    }
+  }
+
+  test("q103 prefiltered scale path: identical output, windowed input shrinks") {
+    val sp = spark
+    import sp.implicits._
+    // skewed strata: one hot source with 20k rows, two cold with 200
+    val docs = ((0 until 20000).map(i => (i.toLong, "hot", s"t $i")) ++
+      (20000 until 20200).map(i => (i.toLong, "coldA", s"t $i")) ++
+      (20200 until 20400).map(i => (i.toLong, "coldB", s"t $i")))
+      .toDF("doc_id", "source", "text")
+    val plain = StatsOps.topKPerStratum(docs, 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val pre = StatsOps.topKPerStratumPrefiltered(docs, 16)
+    val preSet = pre.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(preSet === plain)
+    pre.unpersist(blocking = true)
+    // the hot stratum's prefilter keeps ~4k/n of the rows: recompute the
+    // survivor bound directly (the window then sorts ~64 rows, not 20k)
+    val surv = docs.withColumn("hv", expr(
+      """cast(conv(substring(md5(concat('ksample:', source, ':',
+           cast(doc_id as string))), 1, 8), 16, 10) as bigint)"""))
+      .filter(col("source") === "hot")
+      .filter(col("hv") <= lit(4L * 16 * 4294967296L / 20000L)).count()
+    assert(surv < 200, s"prefilter must shrink the hot stratum (kept $surv)")
+    assert(surv >= 16, "and still retain at least k rows")
+  }
+
+  test("q103 prefilter under-shoot falls back to the full stratum (exactness unconditional)") {
+    val sp = spark
+    import sp.implicits._
+    // strata SMALLER than k: the prefilter threshold clamps at the full
+    // hash space yet the survivor count still lands under k, so every
+    // stratum takes the fallback union — output must equal the plain
+    // path with all rows retained.
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"s${i % 10}", s"t $i")).toDF("doc_id", "source", "text")
+    val plain = StatsOps.topKPerStratum(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val pre = StatsOps.topKPerStratumPrefiltered(docs, 5)
+    val preSet = pre.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(preSet === plain)
+    assert(preSet.size === 30, "strata smaller than k keep every row")
+    pre.unpersist(blocking = true)
+  }
 }
