@@ -77,6 +77,12 @@ object BpeKernel {
 
   def count(word: UTF8String, rank: Rank): Long =
     pieces(word.toString, rank).length.toLong
+
+  /** [[pieces]] as Catalyst ArrayData for [[BpePieces]]' codegen. */
+  def piecesArray(word: UTF8String,
+      rank: Rank): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pieces(word.toString, rank).map(UTF8String.fromString).toArray[Any])
 }
 
 /** `graft_bpe_count(word, mergesText)` — BPE piece count of one word.
@@ -116,6 +122,42 @@ case class BpeTokenCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bpe_pieces(word, mergesText)` — the word's final BPE symbol
+  * ARRAY under the merge table (the actual tokenization, where
+  * [[BpeTokenCount]] only bills it). Same foldable-merges / parse-once /
+  * static-kernel contract as the count expression. Intended use is
+  * vocab-sized (distinct words), both for serving token sequences and as
+  * the per-iteration probe of the q104 BPE TRAINER (adjacent pairs of
+  * these pieces are the pair-count candidates of the next merge).
+  */
+case class BpePieces(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  require(right.foldable, "graft_bpe_pieces: merges argument must be a literal")
+
+  @transient private lazy val rank: BpeKernel.Rank =
+    BpeKernel.parseMerges(
+      right.eval(null).asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(w: Any, m: Any): Any =
+    BpeKernel.piecesArray(w.asInstanceOf[UTF8String], rank)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rankRef = ctx.addReferenceObj("bpeRank", rank,
+      "scala.collection.immutable.Map")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.BpeKernel.piecesArray($w, $rankRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpePieces =
+    copy(left = newLeft, right = newRight)
+}
+
 object BpeFunctions {
   @volatile private var registered = Set.empty[SparkSession]
 
@@ -123,6 +165,8 @@ object BpeFunctions {
     if (!registered.contains(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_bpe_count", exprs => BpeTokenCount(exprs.head, exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bpe_pieces", exprs => BpePieces(exprs.head, exprs(1)), "scala_udf")
       registered += spark
     }
   }

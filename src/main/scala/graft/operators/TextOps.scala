@@ -425,6 +425,68 @@ object TextOps {
         col("n_pretokens"))
   }
 
+  /** Weighted adjacent-pair counts of the corpus vocabulary's BPE pieces
+    * under a merge table — ONE BPE-training iteration's sufficient
+    * statistic. Vocab-sized compute (distinct words via the codegen'd
+    * `graft_bpe_pieces`), corpus-sized only in the initial word count.
+    */
+  private def bpePairCounts(docs: DataFrame, mergesText: String): DataFrame = {
+    graft.functions.BpeFunctions.register(docs.sparkSession)
+    val mergesLit = mergesText.replace("'", "''")
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+      .select(col("tf"), expr(s"graft_bpe_pieces(w, '$mergesLit')").as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(col("tf"), explode(expr(
+        """transform(sequence(1, size(ps) - 1),
+             i -> struct(element_at(ps, i) AS a, element_at(ps, i + 1) AS b))"""))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("tf").as("cnt"))
+  }
+
+  /** q104's trainer: LEARN a BPE merge table from the corpus (Sennrich et
+    * al. 2016 — the "learn" half whose "apply" half is q96). Per
+    * iteration: [[bpePairCounts]] under the merges so far, then the
+    * arg-max pair with the deterministic (cnt DESC, a, b) tie-break
+    * becomes the next merge. This is the q72/q97 broadcast-model loop:
+    * the model (merge list) is tiny and driver-held, the per-iteration
+    * statistic is one vocab-sized shuffle, nothing corpus-sized ever
+    * collects — at 100 TB the word-count front runs once and each of the
+    * bounded `nMerges` iterations is an aggregate over the vocabulary.
+    *
+    * Words containing newlines are excluded — a symbol with a line break
+    * cannot round-trip the line-based merges.txt format.
+    *
+    * Returns the learned (rank, a, b, cnt) merges; render with
+    * [[mergesAsText]] to feed q96's applier — the learn→apply loop the
+    * spec closes end-to-end.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+    val clean = docs.filter(!col("text").rlike("[\\n\\r]"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clean.count()
+    var merges = Vector.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val best = bpePairCounts(clean, mergesAsText(merges))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else merges :+= ((best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2)))
+    }
+    clean.unpersist(blocking = false)
+    merges
+  }
+
+  /** Learned merges rendered in the public merges.txt format q96 loads. */
+  def mergesAsText(merges: Seq[(String, String, Long)]): String =
+    ("#version: graft-learned" +: merges.map(m => s"${m._1} ${m._2}"))
+      .mkString("\n")
+
   /** The winnow gram-hash array over a token-array column — THE hash
     * definition, shared by batch q92 and the streaming near-dup gate
     * ([[graft.streaming.DocStreams.nearDupGate]]), the same one-definition
@@ -834,6 +896,25 @@ object TextOps {
     // what the whitespace heuristics assume.
     "q91_bpe_tokens" -> ((s, d) => bpeTokenStats(documents(s, d))),
 
+    // BPE merge LEARNING, iteration 1 in closed form (the q97 epoch-1
+    // discipline): the weighted character-pair counts every BPE trainer
+    // computes first, ranked with the deterministic (cnt DESC, a, b)
+    // tie-break — rank 1 IS the first learned merge. The oracle recomputes
+    // the identical statistic; the SPEC (not the oracle) pins multi-merge
+    // training and the learn→apply round trip, because later iterations
+    // depend on argmax-selected state the same way q97's later epochs
+    // depend on sigmoid floats. The rank window runs over the pair-count
+    // aggregate — bounded by the piece alphabet squared, never
+    // corpus-sized.
+    "q104_bpe_learn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(desc("cnt"), asc("a"), asc("b"))
+      bpePairCounts(documents(s, d), "#none")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("rk", "a", "b", "cnt")
+    }),
+
     // REAL BPE token counting (see [[bpeRealTokens]]): actual byte-pair
     // merges from the fixture table, vocab-sized compute + broadcast
     // join-back; q91's pre-tokenizer count rides along as n_pretokens so
@@ -1054,6 +1135,25 @@ object TextOps {
                AS BIGINT) + length(text) * 100) // (length(text) * 200)) / 10000.0
            END AS char_entropy
          FROM (SELECT doc_id, text, string_split(text, '') AS ch FROM documents) a""",
+
+    // iteration-1 pair counts: chars of each whitespace word, adjacent
+    // pairs weighted by word frequency — the zip-unnest over (cs, index)
+    // mirrors the Spark transform/sequence pair explode exactly
+    "q104_bpe_learn" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+          tf AS (SELECT w, count(*) AS tf FROM tok WHERE w <> '' GROUP BY w),
+          ch AS (SELECT tf, string_split(w, '') AS cs FROM tf
+                 WHERE len(string_split(w, '')) >= 2),
+          pairs AS (SELECT cs[CAST(i AS INT)] AS a,
+                           cs[CAST(i AS INT) + 1] AS b, tf
+                    FROM (SELECT tf, cs,
+                            unnest(generate_series(1, len(cs) - 1)) AS i
+                          FROM ch)),
+          cnt AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cnt
+                  FROM pairs GROUP BY a, b)
+          SELECT CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rk,
+                 a, b, cnt
+          FROM cnt ORDER BY rk LIMIT 20""",
 
     // the augmentation suffix mirrors the query's lit() exactly: chr(769)
     // = U+0301 combining acute, chr(1)/chr(11) the planted control bytes;

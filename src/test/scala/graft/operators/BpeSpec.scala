@@ -89,4 +89,62 @@ class BpeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"expected a codegen'd Project span:\n$plan")
   }
+
+  test("q104 trainer reproduces hand-computed merges on a planted corpus") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: "aaab" x3, "ab" x2. Iteration 1 pair counts:
+    //   (a,a) 2*3=6, (a,b) 3+2=5 → merge 1 = (a,a) cnt 6
+    // Iteration 2 (words now [aa,a,b]x3, [a,b]x2):
+    //   (aa,a) 3, (a,b) 5 → merge 2 = (a,b) cnt 5
+    // Iteration 3 (words [aa,ab]x3, [ab]x2):
+    //   (aa,ab) 3 → merge 3 = (aa,ab) cnt 3
+    val docs = Seq(
+      (0L, "aaab aaab aaab"),
+      (1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, 5)
+    assert(merges === Seq(("a", "a", 6L), ("a", "b", 5L), ("aa", "ab", 3L)),
+      s"got $merges")
+    // nMerges=5 requested but pairs EXHAUST after 3 (every word one
+    // symbol) — the trainer must stop, not loop or fail
+    assert(merges.length === 3)
+  }
+
+  test("q104 learn->apply round trip: trained merges drive q96's applier") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "aaab aaab aaab"),
+      (1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, 2)
+    val text = TextOps.mergesAsText(merges)
+    // after (a,a) and (a,b): "aaab" → [aa, ab] (2 pieces), "ab" → [ab] (1)
+    val rank2 = BpeKernel.parseMerges(text)
+    assert(BpeKernel.pieces("aaab", rank2) === Seq("aa", "ab"))
+    assert(BpeKernel.pieces("ab", rank2) === Seq("ab"))
+    val counted = TextOps.bpeRealTokens(docs, text)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counted === Map(0L -> 6L, 1L -> 2L)) // 3 words x 2, 2 words x 1
+    // deterministic: a second training run yields the identical table
+    assert(TextOps.bpeTrain(docs, 2) === merges)
+  }
+
+  test("graft_bpe_pieces returns the symbol sequence the count bills") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.BpeFunctions.register(sp)
+    val merges = TextOps.bpeMergesFixture.replace("'", "''")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_pc")
+    Seq("table", "the", "x").toDF("w")
+      .write.parquet(tmp.resolve("w.parquet").toString)
+    val rows = sp.read.parquet(tmp.resolve("w.parquet").toString)
+      .select(col("w"), expr(s"graft_bpe_pieces(w, '$merges')").as("ps"),
+        expr(s"graft_bpe_count(w, '$merges')").as("n"))
+      .collect()
+    for (r <- rows) {
+      val ps = r.getSeq[String](1)
+      assert(ps === BpeKernel.pieces(r.getString(0), rank))
+      assert(ps.length.toLong === r.getLong(2), "pieces and count must agree")
+    }
+  }
 }
