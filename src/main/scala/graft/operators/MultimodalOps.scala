@@ -45,6 +45,7 @@ object MultimodalOps {
       width: Long, height: Long, channels: Long, n_samples: Long, sum_value: Long)
   final case class AudioFeat(doc_id: Long, sample_rate: Long, channels: Long,
       n_frames: Long, sum_abs: Long, peak: Long)
+  final case class ImageHash(doc_id: Long, dhash: Long)
 
   /** Synthesize a binary "media" payload per document (deterministic from
     * text) — stands in for reading real blobs at 100 TB.
@@ -223,6 +224,100 @@ object MultimodalOps {
     }.toDF()
   }
 
+  /** q105 synthesis formula, shared verbatim with the DuckDB oracle:
+    * 9×7 grayscale, pixel = first md5 byte of "g:x:y" (group-determined
+    * pseudo-random content, so distinct groups' perceptual hashes are
+    * uniformly far apart), with the single SPOT pixel at
+    * (xs, ys) = (1 + g%7, g%7) boosted by (doc_id % 3)·96 — same-group
+    * variants differ ONLY there, flipping at most the two dHash bits that
+    * compare against the spot.
+    */
+  private[operators] def q105Pixel(g: Long, id: Long, x: Int, y: Int): Int = {
+    // first md5 BYTE == the oracle's CAST('0x' || substr(md5(k),1,2) …)
+    val base = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xff
+    val xs = 1 + (g % 7).toInt
+    val ys = (g % 7).toInt
+    val boost = if (x == xs && y == ys) ((id % 3) * 96).toInt else 0
+    (base + boost) % 256
+  }
+
+  /** q105's hash stage: per document, synthesize the 9×7 image, encode a
+    * REAL PNG, decode it back through [[MediaCodecs]] (the container trip
+    * is the point — at 100 TB this stage reads stored blobs), and compute
+    * the 56-bit difference hash (dHash): bit (y·8+x) set iff
+    * px(x+1,y) > px(x,y). Row-local; one narrow map over the corpus.
+    */
+  def imageDHashes(s: SparkSession, d: String): Dataset[ImageHash] = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id % 100
+        val w = 9; val h = 7
+        val pix = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = q105Pixel(g, id, x, y).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val png = MediaCodecs.encodePng(MediaCodecs.Image(w, h, 1, pix))
+        MediaCodecs.decodePng(png) match {
+          case Some(img) =>
+            var dh = 0L
+            var yy = 0
+            while (yy < 7) {
+              var xx = 0
+              while (xx < 8) {
+                val a = img.pixels(yy * 9 + xx) & 0xff
+                val b = img.pixels(yy * 9 + xx + 1) & 0xff
+                if (b > a) dh |= 1L << (yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            ImageHash(id, dh)
+          case None => ImageHash(id, -1L)
+        }
+      }
+    }
+  }
+
+  /** q105: perceptual image near-dup — dHash + banded Hamming search,
+    * the multimodal twin of q36's SimHash chain (q87 catches only
+    * byte-exact copies; re-encoded or slightly-retouched images need a
+    * perceptual key). Scale shape: the 56-bit hash splits into 4×14-bit
+    * bands (pigeonhole: any pair at Hamming ≤ 3 shares ≥ 1 intact band,
+    * so banding has GUARANTEED recall at the ≤3 verify bar); candidates
+    * bucket-join per band value — the bounded-bucket discipline, never
+    * corpus-all-pairs — then exact `bit_count(xor)` verifies. The DuckDB
+    * oracle recomputes hashes from the generating formula (the q98
+    * no-container discipline) and brute-forces ALL pairs, so it
+    * independently checks the banding's recall, not just its precision.
+    */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val hashes = imageDHashes(s, d).toDF()
+    val sigs = hashes.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 3),
+           b -> struct(b AS band,
+                       shiftright(dhash, b * 14) & 16383 AS v))""")).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.v").as("v"))
+    val cands = sigs.select(col("doc_id").as("ia"), col("band"), col("v"))
+      .join(sigs.select(col("doc_id").as("ib"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    val ha = hashes.select(col("doc_id").as("ia"), col("dhash").as("hA"))
+    val hb = hashes.select(col("doc_id").as("ib"), col("dhash").as("hB"))
+    cands.join(ha, "ia").join(hb, "ib")
+      .withColumn("hamming", expr("cast(bit_count(hA ^ hB) as bigint)"))
+      .filter(col("hamming") <= 3)
+      .select("ia", "ib", "hamming")
+  }
+
   /** The deployment-facing decode stage: magic-sniff every payload and run
     * the REAL codec — PNG/JPEG through [[MediaCodecs.decodeImage]], WAV
     * through [[MediaCodecs.decodeWavPcm16]] — emitting one typed feature
@@ -319,7 +414,11 @@ object MultimodalOps {
     "q98_image_decode" -> ((s, d) => imageDecodeFeatures(s, d)),
 
     // REAL audio payload decode (r11): the PCM16 WAV twin.
-    "q99_audio_decode" -> ((s, d) => audioDecodeFeatures(s, d))
+    "q99_audio_decode" -> ((s, d) => audioDecodeFeatures(s, d)),
+
+    // Perceptual image near-dup (see [[imageNearDup]]): dHash over real
+    // PNG decode, 4-band Hamming search, exact bit_count verify.
+    "q105_image_neardup" -> ((s, d) => imageNearDup(s, d))
   )
 
   /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
@@ -395,6 +494,36 @@ object MultimodalOps {
                 CAST(max(n) AS BIGINT) AS n_frames,
                 CAST(sum(a) AS BIGINT) AS sum_abs,
                 CAST(max(a) AS BIGINT) AS peak
-         FROM sm GROUP BY doc_id"""
+         FROM sm GROUP BY doc_id""",
+
+    // dHash recomputed from the q105 generating formula (no container —
+    // the q98 discipline), then BRUTE-FORCE all pairs: the oracle is
+    // ground truth for recall as well as precision, so a banding bug
+    // that silently dropped a true near-dup pair hash-mismatches
+    "q105_image_neardup" ->
+      s"""WITH gx AS (
+            SELECT y, unnest(generate_series(0, 7)) AS x
+            FROM (SELECT unnest(generate_series(0, 6)) AS y)),
+          bits AS (
+            SELECT d.doc_id, g.y, g.x,
+              CASE WHEN ${q105PxSql("g.x + 1")} > ${q105PxSql("g.x")}
+                   THEN (1::BIGINT << (g.y * 8 + g.x)) ELSE 0::BIGINT END AS bit
+            FROM documents d CROSS JOIN gx g),
+          h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+                FROM bits GROUP BY doc_id)
+          SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""
   )
+
+  /** The q105 pixel formula as a DuckDB fragment over (d.doc_id, g.y) and
+    * the given x expression — the SQL rendering of [[q105Pixel]].
+    */
+  private def q105PxSql(xExpr: String): String =
+    s"""((CAST('0x' || substr(md5((d.doc_id % 100) || ':' || ($xExpr) || ':'
+           || g.y), 1, 2) AS INT)
+         + CASE WHEN ($xExpr) = 1 + ((d.doc_id % 100) % 7)
+                 AND g.y = ((d.doc_id % 100) % 7)
+                THEN CAST((d.doc_id % 3) * 96 AS INT) ELSE 0 END) % 256)"""
 }

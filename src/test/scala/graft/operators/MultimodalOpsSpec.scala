@@ -176,4 +176,50 @@ class MultimodalOpsSpec extends SparkSpec {
     assert((out(3L).width, out(3L).n_samples, out(3L).sum_value) === ((8000L, 3L, 600L)))
     assert(out(4L).media_type === "quarantine" && out(4L).width === -1L)
   }
+
+  test("q105 dHash: the PNG round-trip hash equals a direct formula recompute") {
+    // the operator's hash comes out of a REAL encode→decode container
+    // trip; a lossless codec bug anywhere in that path shifts a pixel and
+    // flips a comparison bit
+    def directHash(id: Long): Long = {
+      val g = id % 100
+      var dh = 0L
+      for (y <- 0 until 7; x <- 0 until 8) {
+        if (MultimodalOps.q105Pixel(g, id, x + 1, y) >
+            MultimodalOps.q105Pixel(g, id, x, y)) dh |= 1L << (y * 8 + x)
+      }
+      dh
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q105")
+    val sp = spark
+    import sp.implicits._
+    (0L until 300L).map(i => (i, s"t$i", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val hashes = MultimodalOps.imageDHashes(sp, tmp.toString)
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    assert(hashes.size === 300)
+    assert(hashes.forall { case (id, dh) => dh == directHash(id) })
+  }
+
+  test("q105 banding recall: operator pairs equal brute-force Hamming<=3 pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q105b")
+    val sp = spark
+    import sp.implicits._
+    (0L until 300L).map(i => (i, s"t$i", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val hashes = MultimodalOps.imageDHashes(sp, tmp.toString)
+      .collect().map(h => h.doc_id -> h.dhash)
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = MultimodalOps.imageNearDup(sp, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    // the planted structure: every same-group variant pair, nothing else
+    assert(brute.forall { case (ia, ib, _) => ia % 100 == ib % 100 })
+    assert(brute.size === 100 * 3) // 100 groups x C(3,2) variant pairs
+  }
 }
