@@ -23,6 +23,18 @@ import org.apache.spark.sql.SparkSession
   * retires the old sets; their files and markers are garbage, collected by
   * the next run's sweep.
   *
+  * RANGE-VERSIONED markers (r11f — the "compact-set splitting" gap):
+  * subsumption alone can only ever WIDEN a range, so one oversized
+  * compact set could never be re-sharded to a new byte target. Markers
+  * and containers now carry an optional `.v<k>` (legacy unversioned names
+  * read as v1, and v1 writes keep the legacy names, so existing
+  * directories are untouched): for EQUAL ranges the highest marker
+  * version wins, and re-running `compact` with a target that changes the
+  * shard count rewrites the same range at version+1 — the commit is
+  * still one marker create (readers flip from v<k> to v<k+1> atomically;
+  * staged higher-version containers are invisible until their marker
+  * lands, retired lower versions are garbage for the sweep).
+  *
   * Contracts:
   *  - The newest `keep` epochs are never touched (default 1): an ACTIVE
   *    stream's current epoch may be partially committed, and folding it
@@ -35,40 +47,51 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  private val DoneName = """compact-e(\d+)-e(\d+)\.done""".r
-  private val CompactName = """compact-e(\d+)-e(\d+)-\d+\.[A-Za-z0-9]+""".r
+  private val DoneName = """compact-e(\d+)-e(\d+)(?:\.v(\d+))?\.done""".r
+  private val CompactName = """compact-e(\d+)-e(\d+)(?:\.v(\d+))?-\d+\.[A-Za-z0-9]+""".r
   private val EpochName = """part-e(\d+)-.+""".r
+
+  /** Legacy unversioned names read as version 1. */
+  private def ver(v: String): Long = if (v == null) 1L else v.toLong
 
   /** True for the compaction machinery's own files (compacted containers
     * and markers) — the streaming SOURCE must never admit these: they are
     * rewrites of epochs it already emitted.
     */
   def isCompactionFile(name: String): Boolean = name match {
-    case CompactName(_, _) | DoneName(_, _) => true
+    case CompactName(_, _, _) | DoneName(_, _, _) => true
     case _ => false
   }
 
-  /** Marker ranges present, reduced to the ACTIVE set: a range strictly
-    * contained in a different (wider) range has been re-compacted and its
-    * files are garbage awaiting the sweep.
+  /** Marker ranges present, reduced to the ACTIVE set (range → winning
+    * version): for equal ranges the highest version wins (a re-shard in
+    * place); a range strictly contained in a different (wider) surviving
+    * range has been re-compacted away. Either way the losers' files are
+    * garbage awaiting the sweep.
     */
-  private def activeRanges(names: Seq[String]): Set[(Long, Long)] = {
-    val done = names.collect { case DoneName(lo, hi) => (lo.toLong, hi.toLong) }.toSet
-    done.filter(r => !done.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2))
+  private def activeSets(names: Seq[String]): Map[(Long, Long), Long] = {
+    val byRange = names
+      .collect { case DoneName(lo, hi, v) => (lo.toLong, hi.toLong) -> ver(v) }
+      .groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).max }
+    byRange.filter { case (r, _) =>
+      !byRange.keys.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2)
+    }
   }
 
   /** Compaction-aware listing filter (applied by the batch load's directory
-    * expansion): keep a compacted container only when its marker is active;
-    * drop epoch parts covered by an active marker; markers themselves are
-    * never data. Names not from the compaction/sink vocabulary pass
-    * through untouched.
+    * expansion): keep a compacted container only when its (range, version)
+    * marker is the active one; drop epoch parts covered by an active
+    * marker; markers themselves are never data. Names not from the
+    * compaction/sink vocabulary pass through untouched.
     */
   def filterNames(names: Seq[String]): Set[String] = {
-    val active = activeRanges(names)
+    val active = activeSets(names)
     names.filter {
-      case DoneName(_, _) => false
-      case CompactName(lo, hi) => active.contains((lo.toLong, hi.toLong))
-      case EpochName(e) => !active.exists(r => e.toLong >= r._1 && e.toLong <= r._2)
+      case DoneName(_, _, _) => false
+      case CompactName(lo, hi, v) =>
+        active.get((lo.toLong, hi.toLong)).contains(ver(v))
+      case EpochName(e) =>
+        !active.keys.exists(r => e.toLong >= r._1 && e.toLong <= r._2)
       case _ => true
     }.toSet
   }
@@ -100,7 +123,7 @@ object Compaction {
 
     val listing = fs.listStatus(hp).toSeq.filter(_.isFile)
     val names = listing.map(_.getPath.getName)
-    val active = activeRanges(names)
+    val active = activeSets(names)
 
     val epochParts: Map[Long, Seq[org.apache.hadoop.fs.FileStatus]] = listing
       .flatMap(st => st.getPath.getName match {
@@ -109,18 +132,24 @@ object Compaction {
       }).groupBy(_._1).map { case (e, xs) => e -> xs.map(_._2) }
     val compactParts: Map[(Long, Long), Seq[org.apache.hadoop.fs.FileStatus]] = listing
       .flatMap(st => st.getPath.getName match {
-        case CompactName(lo, hi) if active((lo.toLong, hi.toLong)) =>
+        case CompactName(lo, hi, v)
+            if active.get((lo.toLong, hi.toLong)).contains(ver(v)) =>
           Some((lo.toLong, hi.toLong) -> st)
         case _ => None
       }).groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2) }
 
     val epochs = epochParts.keys.toSeq.sorted
     val targets = epochs.dropRight(keep)
-    // nothing to fold, or folding one lone set into itself
-    if (targets.isEmpty && compactParts.size <= 1) return None
+    // nothing at all to work on
+    if (targets.isEmpty && compactParts.isEmpty) return None
 
     val inputs = targets.flatMap(epochParts) ++ compactParts.values.flatten.toSeq
-    if (inputs.size <= 1) return None
+    if (inputs.isEmpty) return None
+    // with no new epochs and a single active set, the only useful work is
+    // a RE-SHARD of that set to the byte target — a no-op unless the
+    // target actually changes the file count (checked below, after nOut)
+    val resharding = targets.isEmpty && compactParts.size == 1
+    if (!resharding && inputs.size <= 1) return None
     val exts = inputs.map(st => ext(st.getPath.getName)).distinct
     require(exts.size == 1,
       s"compaction needs one container format per directory, found: ${exts.mkString(",")}")
@@ -138,8 +167,23 @@ object Compaction {
     // folded files, repartitioned to the byte target, through the existing
     // directory-of-containers sink into a staging dir
     val totalBytes = inputs.map(_.getLen).sum
-    val nOut = math.max(1, math.min(inputs.size.toLong,
-      (totalBytes + targetBytes - 1) / targetBytes)).toInt
+    // a re-shard is not bounded by the current file count (splitting ONE
+    // oversized set into several is the point); consolidation is
+    val nOutRaw = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val nOut = (if (resharding) nOutRaw
+                else math.min(inputs.size.toLong, nOutRaw)).toInt
+    if (resharding && nOut == inputs.size) return None // same sharding: no-op
+    // same-range rewrite commits at version+1 (above anything ever seen
+    // for the range, markers or stranded container files); a new range
+    // starts at the legacy-named v1
+    val newVer = {
+      val seen = names.collect {
+        case DoneName(l, h, v) if l.toLong == lo && h.toLong == hi => ver(v)
+        case CompactName(l, h, v) if l.toLong == lo && h.toLong == hi => ver(v)
+      }
+      if (seen.isEmpty) 1L else seen.max + 1L
+    }
+    val vtag = if (newVer == 1L) "" else s".v$newVer"
     val tmp = new HPath(dir, ".compact-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val df = spark.read.format("readstat")
@@ -153,7 +197,7 @@ object Compaction {
     val staged = fs.listStatus(tmp).filter(_.isFile)
       .map(_.getPath).sortBy(_.getName)
     val finals = staged.zipWithIndex.map { case (p, i) =>
-      new HPath(dir, f"compact-e$lo%06d-e$hi%06d-$i%05d${exts.head}")
+      new HPath(dir, f"compact-e$lo%06d-e$hi%06d$vtag-$i%05d${exts.head}")
     }
     staged.zip(finals).foreach { case (s, d) =>
       if (fs.exists(d)) fs.delete(d, false)
@@ -162,8 +206,9 @@ object Compaction {
     fs.delete(tmp, true)
 
     // THE COMMIT: one atomic create flips readers from the old files to the
-    // compact set (and retires any narrower markers by subsumption)
-    fs.create(new HPath(dir, f"compact-e$lo%06d-e$hi%06d.done"), true).close()
+    // compact set (retiring narrower ranges by subsumption and any
+    // lower-version set of the SAME range by version precedence)
+    fs.create(new HPath(dir, f"compact-e$lo%06d-e$hi%06d$vtag.done"), true).close()
 
     // now garbage: old epoch parts in range, retired sets + their markers
     sweep(fs, hp)
@@ -185,12 +230,15 @@ object Compaction {
   private def sweep(fs: FileSystem, dir: HPath): Unit = {
     val listing = fs.listStatus(dir).toSeq
     val names = listing.filter(_.isFile).map(_.getPath.getName)
-    val active = activeRanges(names)
+    val active = activeSets(names)
     listing.filter(_.isFile).foreach { st =>
       val keep = st.getPath.getName match {
-        case CompactName(lo, hi) => active((lo.toLong, hi.toLong))
-        case EpochName(e) => !active.exists(r => e.toLong >= r._1 && e.toLong <= r._2)
-        case DoneName(lo, hi) => active((lo.toLong, hi.toLong))
+        case CompactName(lo, hi, v) =>
+          active.get((lo.toLong, hi.toLong)).contains(ver(v))
+        case EpochName(e) =>
+          !active.keys.exists(r => e.toLong >= r._1 && e.toLong <= r._2)
+        case DoneName(lo, hi, v) =>
+          active.get((lo.toLong, hi.toLong)).contains(ver(v))
         case _ => true
       }
       if (!keep) fs.delete(st.getPath, false)

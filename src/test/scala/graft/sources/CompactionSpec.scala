@@ -160,8 +160,62 @@ class CompactionSpec extends SparkSpec {
   test("a tailing source never admits compaction rewrites") {
     assert(Compaction.isCompactionFile("compact-e000000-e000005-00001.dta"))
     assert(Compaction.isCompactionFile("compact-e000000-e000005.done"))
+    assert(Compaction.isCompactionFile("compact-e000000-e000005.v2-00001.dta"))
+    assert(Compaction.isCompactionFile("compact-e000000-e000005.v2.done"))
     assert(!Compaction.isCompactionFile("part-e000003-7.dta"))
     assert(!Compaction.isCompactionFile("monthly_2020.dta"))
+  }
+
+  test("re-shard in place: smaller byte target splits one set at version+1") {
+    val dir = Files.createTempDirectory("graft_compact_reshard").toString
+    writeEpochs(dir, Seq(
+      (0 until 400).map(i => Rec(i.toDouble, s"r$i")),
+      (400 until 800).map(i => Rec(i.toDouble, s"r$i")),
+      (800 until 850).map(i => Rec(i.toDouble, s"r$i"))))
+    assert(Compaction.compact(spark, dir, keep = 1).isDefined)
+    val v1Files = names(dir).filter(_.matches("""compact-e\d+-e\d+-\d+\.dta"""))
+    assert(v1Files.size === 1, s"default target folds to one file: $v1Files")
+    // same range, same target: idempotent no-op
+    assert(Compaction.compact(spark, dir, keep = 1).isEmpty)
+    // a tiny byte target must SPLIT the oversized set — previously
+    // impossible (same range ⇒ same marker name; subsumption only widens)
+    val r = Compaction.compact(spark, dir, keep = 1, targetBytes = 4096)
+    assert(r.isDefined, "re-shard to a smaller target must run")
+    assert(r.get.outputFiles > 1, s"expected a split, got $r")
+    assert(r.get.rows === 800)
+    val after = names(dir)
+    val markers = after.filter(_.endsWith(".done"))
+    assert(markers.length === 1 && markers.head.contains(".v2."),
+      s"v2 marker must retire v1: $markers")
+    assert(after.count(_.matches("""compact-e\d+-e\d+\.v2-\d+\.dta""")) ===
+      r.get.outputFiles)
+    assert(v1Files.forall(f => !after.contains(f)), "v1 files must be swept")
+    assert(readBack(dir) === expected(850))
+    // repeated calls at the same target CONVERGE (per-container header
+    // overhead can shift total bytes once more, so allow a settling pass)
+    var settles = 0
+    while (Compaction.compact(spark, dir, keep = 1, targetBytes = 4096).isDefined) {
+      settles += 1
+      assert(settles <= 2, "re-shard at a fixed target must converge")
+    }
+    assert(readBack(dir) === expected(850))
+    assert(names(dir).count(_.endsWith(".done")) === 1)
+  }
+
+  test("higher-version set is invisible until ITS marker lands; then it wins") {
+    // pure filter-level pin of the version-commit crash window
+    val v1 = Seq("compact-e000000-e000004-00000.dta",
+      "compact-e000000-e000004.done")
+    val staged = Seq("compact-e000000-e000004.v2-00000.dta",
+      "compact-e000000-e000004.v2-00001.dta")
+    val parts = Seq("part-e000005-0.dta")
+    // staged v2 files, v2 marker NOT yet created: v1 still serves
+    assert(Compaction.filterNames(v1 ++ staged ++ parts) ===
+      Set("compact-e000000-e000004-00000.dta", "part-e000005-0.dta"))
+    // marker created: v2 serves, v1 files (and marker) are garbage
+    val committed = v1 ++ staged ++ parts :+ "compact-e000000-e000004.v2.done"
+    assert(Compaction.filterNames(committed) ===
+      (staged.toSet + "part-e000005-0.dta"))
   }
 
   test("plain (non-sink) directories are untouched by the filter") {
