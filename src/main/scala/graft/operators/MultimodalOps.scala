@@ -298,8 +298,81 @@ object MultimodalOps {
     * no-container discipline) and brute-forces ALL pairs, so it
     * independently checks the banding's recall, not just its precision.
     */
-  def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    val hashes = imageDHashes(s, d).toDF()
+  def imageNearDup(s: SparkSession, d: String): DataFrame =
+    hammingNearDup(imageDHashes(s, d).toDF())
+
+  /** q106 synthesis formula, shared verbatim with the DuckDB oracle:
+    * 456 PCM16 samples (57 windows × 8), sample = signed 12-bit value
+    * from the first two md5 bytes of "g:i" (group-determined
+    * pseudo-random audio), with the single window (g % 57) amplitude-
+    * boosted ×(1 + doc_id % 3) — same-group variants differ only in that
+    * window's energy, flipping at most the two contour bits that compare
+    * against it.
+    */
+  private[operators] def q106Sample(md: java.security.MessageDigest,
+      g: Long, id: Long, i: Int): Int = {
+    val d = md.digest(s"$g:$i".getBytes("UTF-8"))
+    val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    val base = (h16 % 4096) - 2048
+    val factor = if (i / 8 == (g % 57).toInt) (1 + id % 3).toInt else 1
+    base * factor
+  }
+
+  /** q106's hash stage: synthesize the clip, encode a REAL WAV, decode it
+    * back through [[MediaCodecs]], and compute the 56-bit energy-contour
+    * fingerprint — bit w set iff window w+1's summed |sample| energy
+    * exceeds window w's (the energy-difference-sign device acoustic
+    * fingerprints like Chromaprint build on). Row-local.
+    */
+  def audioFingerprints(s: SparkSession, d: String): Dataset[ImageHash] = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val g = id % 100
+        val samples = new Array[Short](456)
+        var i = 0
+        while (i < 456) {
+          samples(i) = q106Sample(md, g, id, i).toShort
+          i += 1
+        }
+        val wav = MediaCodecs.encodeWavPcm16(MediaCodecs.Audio(8000, 1, samples))
+        MediaCodecs.decodeWavPcm16(wav) match {
+          case Some(a) =>
+            val e = new Array[Long](57)
+            var j = 0
+            while (j < 456) {
+              e(j / 8) += math.abs(a.samples(j).toLong)
+              j += 1
+            }
+            var fp = 0L
+            var w = 0
+            while (w < 56) {
+              if (e(w + 1) > e(w)) fp |= 1L << w
+              w += 1
+            }
+            ImageHash(id, fp)
+          case None => ImageHash(id, -1L)
+        }
+      }
+    }
+  }
+
+  /** q106: perceptual AUDIO near-dup — the WAV twin of [[imageNearDup]],
+    * completing dedup across all three modalities (text chains, q105
+    * images, q106 audio). Identical scale shape: 4×14-bit bands with
+    * pigeonhole-guaranteed recall at Hamming ≤ 3, bucket join, exact
+    * `bit_count(xor)` verify; the oracle recomputes fingerprints from the
+    * generating formula and brute-forces all pairs (ground truth for
+    * recall AND precision).
+    */
+  def audioNearDup(s: SparkSession, d: String): DataFrame =
+    hammingNearDup(audioFingerprints(s, d).toDF())
+
+  /** Shared band-bucket Hamming search over a (doc_id, dhash) frame —
+    * q105/q106's pair stage.
+    */
+  private def hammingNearDup(hashes: DataFrame): DataFrame = {
     val sigs = hashes.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 3),
            b -> struct(b AS band,
@@ -418,7 +491,11 @@ object MultimodalOps {
 
     // Perceptual image near-dup (see [[imageNearDup]]): dHash over real
     // PNG decode, 4-band Hamming search, exact bit_count verify.
-    "q105_image_neardup" -> ((s, d) => imageNearDup(s, d))
+    "q105_image_neardup" -> ((s, d) => imageNearDup(s, d)),
+
+    // Perceptual audio near-dup (see [[audioNearDup]]): energy-contour
+    // fingerprint over real WAV decode, same banded search.
+    "q106_audio_neardup" -> ((s, d) => audioNearDup(s, d))
   )
 
   /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
@@ -514,7 +591,35 @@ object MultimodalOps {
           SELECT a.doc_id AS ia, b.doc_id AS ib,
                  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
           FROM h a JOIN h b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""",
+
+    // the WAV twin: energy-contour fingerprint recomputed from the q106
+    // formula (samples → per-window |sample| sums → difference signs),
+    // then brute-force all pairs — same ground-truth-for-recall posture
+    "q106_audio_neardup" ->
+      """WITH idx AS (SELECT unnest(generate_series(0, 455)) AS i),
+          sm AS (
+            SELECT d.doc_id, t.i,
+              (CASE WHEN t.i // 8 = (d.doc_id % 100) % 57
+                    THEN (1 + d.doc_id % 3) ELSE 1 END)
+              * ((CAST('0x' || substr(md5((d.doc_id % 100) || ':' || t.i), 1, 4)
+                    AS INT) % 4096) - 2048) AS s
+            FROM documents d CROSS JOIN idx t),
+          en AS (SELECT doc_id, i // 8 AS w, CAST(sum(abs(s)) AS BIGINT) AS e
+                 FROM sm GROUP BY doc_id, i // 8),
+          bits AS (SELECT a.doc_id,
+                    CASE WHEN b.e > a.e
+                         THEN (1::BIGINT << CAST(a.w AS INT))
+                         ELSE 0::BIGINT END AS bit
+                   FROM en a JOIN en b
+                     ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                   WHERE a.w < 56),
+          h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS fp
+                FROM bits GROUP BY doc_id)
+          SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
   )
 
   /** The q105 pixel formula as a DuckDB fragment over (d.doc_id, g.y) and

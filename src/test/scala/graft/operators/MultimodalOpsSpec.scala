@@ -222,4 +222,34 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(brute.forall { case (ia, ib, _) => ia % 100 == ib % 100 })
     assert(brute.size === 100 * 3) // 100 groups x C(3,2) variant pairs
   }
+
+  test("q106 fingerprint: the WAV round-trip hash equals a formula recompute; pairs equal brute force") {
+    def directFp(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val g = id % 100
+      val e = new Array[Long](57)
+      for (i <- 0 until 456)
+        e(i / 8) += math.abs(MultimodalOps.q106Sample(md, g, id, i).toLong)
+      (0 until 56).foldLeft(0L)((v, w) => if (e(w + 1) > e(w)) v | (1L << w) else v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q106")
+    val sp = spark
+    import sp.implicits._
+    (0L until 300L).map(i => (i, s"t$i", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val hashes = MultimodalOps.audioFingerprints(sp, tmp.toString)
+      .collect().map(h => h.doc_id -> h.dhash)
+    assert(hashes.length === 300)
+    assert(hashes.forall { case (id, fp) => fp == directFp(id) },
+      "WAV container round trip must reproduce the formula fingerprint")
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = MultimodalOps.audioNearDup(sp, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(brute.forall { case (ia, ib, _) => ia % 100 == ib % 100 })
+  }
 }
