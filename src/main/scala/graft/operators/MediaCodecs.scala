@@ -43,6 +43,50 @@ object MediaCodecs {
     */
   val maxPixelBytes: Long = 64L * 1024 * 1024
 
+  /** Area-average (box) downscale to `ow × oh` — the resize stage of a
+    * multimodal feature pipeline (thumbnails, perceptual-hash inputs).
+    * Output pixel (x, y, c) is the floor of the mean over the input rect
+    * [⌊xW/ow⌋, ⌊(x+1)W/ow⌋) × [⌊yH/oh⌋, ⌊(y+1)H/oh⌋) of channel c —
+    * exact integer arithmetic, deterministic across platforms (no
+    * float resampling kernels), any channel count, any (smaller or
+    * equal) target size.
+    */
+  def boxDownscale(img: Image, ow: Int, oh: Int): Image = {
+    require(ow >= 1 && oh >= 1 && ow <= img.width && oh <= img.height,
+      s"boxDownscale: target ${ow}x$oh must fit ${img.width}x${img.height}")
+    val c = img.channels
+    val out = new Array[Byte](ow * oh * c)
+    var y = 0
+    while (y < oh) {
+      val y0 = y * img.height / oh
+      val y1 = (y + 1) * img.height / oh
+      var x = 0
+      while (x < ow) {
+        val x0 = x * img.width / ow
+        val x1 = (x + 1) * img.width / ow
+        var ch = 0
+        while (ch < c) {
+          var sum = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              sum += img.pixels((yy * img.width + xx) * c + ch) & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0)
+          out((y * ow + x) * c + ch) = (sum / n).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(ow, oh, c, out)
+  }
+
   private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** Magic-sniffing image decode: PNG → [[decodePng]], JPEG →

@@ -242,30 +242,34 @@ object MultimodalOps {
     (base + boost) % 256
   }
 
-  /** q105's hash stage: per document, synthesize the 9×7 image, encode a
-    * REAL PNG, decode it back through [[MediaCodecs]] (the container trip
-    * is the point — at 100 TB this stage reads stored blobs), and compute
-    * the 56-bit difference hash (dHash): bit (y·8+x) set iff
-    * px(x+1,y) > px(x,y). Row-local; one narrow map over the corpus.
+  /** q105's hash stage — the REAL dHash pipeline: per document,
+    * synthesize a 36×28 image (each 9×7 formula cell block-replicated
+    * 4×4, so the area average reproduces the formula value EXACTLY and
+    * the no-container oracle stays closed-form), encode a REAL PNG,
+    * decode it back through [[MediaCodecs]], box-downscale to the 9×7
+    * hash grid ([[MediaCodecs.boxDownscale]] — actual dHash downsamples
+    * arbitrary-size inputs exactly like this), and compute the 56-bit
+    * difference hash: bit (y·8+x) set iff px(x+1,y) > px(x,y).
+    * Row-local; one narrow map over the corpus.
     */
   def imageDHashes(s: SparkSession, d: String): Dataset[ImageHash] = {
     import s.implicits._
     documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
       it.map { id =>
         val g = id % 100
-        val w = 9; val h = 7
+        val w = 36; val h = 28
         val pix = new Array[Byte](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            pix(y * w + x) = q105Pixel(g, id, x, y).toByte
+            pix(y * w + x) = q105Pixel(g, id, x / 4, y / 4).toByte
             x += 1
           }
           y += 1
         }
         val png = MediaCodecs.encodePng(MediaCodecs.Image(w, h, 1, pix))
-        MediaCodecs.decodePng(png) match {
+        MediaCodecs.decodePng(png).map(MediaCodecs.boxDownscale(_, 9, 7)) match {
           case Some(img) =>
             var dh = 0L
             var yy = 0

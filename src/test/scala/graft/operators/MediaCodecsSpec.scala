@@ -125,4 +125,38 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWavPcm16(wav.take(30)).isEmpty)
     assert(MediaCodecs.decodeWavPcm16(Array.fill[Byte](64)(0x22)).isEmpty)
   }
+
+  test("boxDownscale: exact integer area means, hand-computed") {
+    // 4x2 gray -> 2x1: each output cell is the floor-mean of a 2x2 block
+    val in = MediaCodecs.Image(4, 2, 1,
+      Array[Byte](10, 20, 100, 101,
+                  30, 43, 102, 200.toByte))
+    val out = MediaCodecs.boxDownscale(in, 2, 1)
+    assert((out.width, out.height, out.channels) === ((2, 1, 1)))
+    // (10+20+30+43)/4 = 25 (floor of 25.75); (100+101+102+200)/4 = 125
+    assert(out.pixels.map(_ & 0xff).toSeq === Seq(25, 125))
+  }
+
+  test("boxDownscale: uneven ratios partition the input exactly once") {
+    // 5x3 -> 2x2: rects [0,2)x[0,1), [2,5)x[0,1), [0,2)x[1,3), [2,5)x[1,3)
+    val pix = Array.tabulate(15)(i => (i * 10).toByte)
+    val in = MediaCodecs.Image(5, 3, 1, pix)
+    val out = MediaCodecs.boxDownscale(in, 2, 2)
+    def mean(xs: Seq[Int]): Int = xs.sum / xs.length
+    val p = (x: Int, y: Int) => pix(y * 5 + x) & 0xff
+    assert(out.pixels.map(_ & 0xff).toSeq === Seq(
+      mean(for (y <- 0 until 1; x <- 0 until 2) yield p(x, y)),
+      mean(for (y <- 0 until 1; x <- 2 until 5) yield p(x, y)),
+      mean(for (y <- 1 until 3; x <- 0 until 2) yield p(x, y)),
+      mean(for (y <- 1 until 3; x <- 2 until 5) yield p(x, y))))
+  }
+
+  test("boxDownscale: multi-channel stays channel-separated") {
+    // 2x2 RGB -> 1x1: per-channel means, no cross-channel bleed
+    val in = MediaCodecs.Image(2, 2, 3, Array[Byte](
+      10, 100, 200.toByte, 20, 110, 210.toByte,
+      30, 120, 220.toByte, 40, 130.toByte, 230.toByte))
+    val out = MediaCodecs.boxDownscale(in, 1, 1)
+    assert(out.pixels.map(_ & 0xff).toSeq === Seq(25, 115, 215))
+  }
 }
