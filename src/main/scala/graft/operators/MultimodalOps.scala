@@ -395,6 +395,32 @@ object MultimodalOps {
       .select("ia", "ib", "hamming")
   }
 
+  /** q107: uniform frame sampling over the video assets — the
+    * frame-sample stage of a multimodal pipeline (training on video means
+    * training on k representative frames, not every frame). The pipeline
+    * is real end to end: synthesize the container, parse its header
+    * through the SAME typed dispatch real PNG/JPEG/WAV take
+    * ([[decodeHeader]]), then emit k uniformly spaced frame indices
+    * ⌊j·n_frames/k⌋ per video (the per-frame pixel decode would slot into
+    * the same row-local map — video codecs are out of container, which is
+    * exactly what the GRFT stand-in documents). Row-local, output k rows
+    * per video, zero shuffle.
+    */
+  def frameSample(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    import s.implicits._
+    val media = syntheticMedia(s, d).as[MediaRow]
+    decodeHeader(media).toDF()
+      .filter(col("kind") === "video" && col("n_frames") >= 1)
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"), explode(expr(
+        s"""transform(sequence(0, ${k - 1}),
+              j -> struct(CAST(j AS BIGINT) AS sample_no,
+                          CAST(j * n_frames div $k AS BIGINT) AS frame_idx))"""))
+        .as("f"))
+      .select(col("doc_id"), col("f.sample_no").as("sample_no"),
+        col("f.frame_idx").as("frame_idx"), col("n_frames"))
+  }
+
   /** The deployment-facing decode stage: magic-sniff every payload and run
     * the REAL codec — PNG/JPEG through [[MediaCodecs.decodeImage]], WAV
     * through [[MediaCodecs.decodeWavPcm16]] — emitting one typed feature
@@ -499,7 +525,13 @@ object MultimodalOps {
 
     // Perceptual audio near-dup (see [[audioNearDup]]): energy-contour
     // fingerprint over real WAV decode, same banded search.
-    "q106_audio_neardup" -> ((s, d) => audioNearDup(s, d))
+    "q106_audio_neardup" -> ((s, d) => audioNearDup(s, d)),
+
+    // Uniform frame sampling (see [[frameSample]]): k=4 indices per
+    // video through the real header-dispatch path; the oracle recomputes
+    // n_frames from the GRFT header's source bytes (text chars 5-6,
+    // big-endian u16) without parsing a container.
+    "q107_frame_sample" -> ((s, d) => frameSample(s, d))
   )
 
   /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
@@ -623,7 +655,22 @@ object MultimodalOps {
           SELECT a.doc_id AS ia, b.doc_id AS ib,
                  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
           FROM h a JOIN h b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+
+    // n_frames is the GRFT header's big-endian u16 at payload bytes 8-9,
+    // which syntheticMedia fills from text bytes 5-6 (ASCII corpus:
+    // bytes == chars)
+    "q107_frame_sample" ->
+      """WITH v AS (
+            SELECT doc_id,
+                   CAST(ord(substr(text, 5, 1)) * 256
+                        + ord(substr(text, 6, 1)) AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id % 3 = 2),
+          js AS (SELECT unnest(generate_series(0, 3)) AS j)
+          SELECT doc_id, CAST(j AS BIGINT) AS sample_no,
+                 CAST((j * n_frames) // 4 AS BIGINT) AS frame_idx, n_frames
+          FROM v CROSS JOIN js
+          WHERE n_frames >= 1"""
   )
 
   /** The q105 pixel formula as a DuckDB fragment over (d.doc_id, g.y) and

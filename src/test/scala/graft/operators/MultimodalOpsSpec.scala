@@ -252,4 +252,32 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === brute)
     assert(brute.forall { case (ia, ib, _) => ia % 100 == ib % 100 })
   }
+
+  test("q107 frame sampling: k indices per video, in range, monotone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q107")
+    val sp = spark
+    import sp.implicits._
+    // texts long enough to fill the 8 header bytes; ASCII so byte==char
+    (0L until 30L).map(i => (i, s"abcd${('A' + (i % 20)).toChar}Zframe text $i",
+        "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val rows = MultimodalOps.frameSample(sp, tmp.toString, k = 4).collect()
+    val videos = (0L until 30L).filter(_ % 3 == 2)
+    assert(rows.length === videos.size * 4)
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === videos.toSet)
+    for ((id, rs) <- byDoc) {
+      val sorted = rs.sortBy(_.getLong(1))
+      val n = sorted.head.getLong(3)
+      // n_frames from the header equals the text-byte formula
+      val text = s"abcd${('A' + (id % 20)).toChar}Zframe text $id"
+      assert(n === text.charAt(4).toLong * 256 + text.charAt(5).toLong)
+      val idx = sorted.map(_.getLong(2))
+      assert(sorted.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
+      assert(idx.forall(i => i >= 0 && i < n), s"$id: $idx vs n=$n")
+      assert(idx.toSeq === idx.sorted.toSeq, "uniform indices are monotone")
+      assert(idx.head === 0L)
+    }
+  }
 }
