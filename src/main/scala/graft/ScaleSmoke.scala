@@ -492,6 +492,23 @@ object ScaleSmoke {
         (s, p) => operators.TextOps.surprisalSplitApprox(graft.util.Tables.documents(s, p)))
     }
 
+    // q103 hot-stratum section (r11f, same discipline as q57/q78/q83):
+    // the exact k-per-stratum sample sorts each stratum in ONE window
+    // task, so the 80%-one-source corpus concentrates 400k rows in a
+    // single sort — unsharded diagnostic run ungated; the PREFILTERED
+    // path (hash threshold at ~4× the expected k-th order statistic +
+    // unconditional full-stratum fallback — StatsOpsSpec pins set
+    // equality) is the 100 TB path and IS gated.
+    if (args.isEmpty || args.contains("q103_stratum_topk")) {
+      runCase("q103_stratum_topk", hotSrcDir, "hotsrc_",
+        (s, p) => operators.StatsOps.topKPerStratum(
+          graft.util.Tables.documents(s, p), 64),
+        gated = false)
+      runCase("q103_topk_prefiltered", hotSrcDir, "hotsrc_",
+        (s, p) => operators.StatsOps.topKPerStratumPrefiltered(
+          graft.util.Tables.documents(s, p), 64))
+    }
+
     val calPost = Bench.calibrate()
     val calParPost = Bench.calibratePar()
     out.append(f""","calibration_post_sec":$calPost%.3f,"calibration_par_post_sec":$calParPost%.3f""")
