@@ -292,6 +292,94 @@ object TextOps {
         sum("tf").as("n_bigrams"))
   }
 
+  /** q108's operator body: HELD-OUT trigram Stupid Backoff surprisal —
+    * the distributed-scale LM scoring scheme of Brants et al. 2007 ("Large
+    * Language Models in Machine Translation", §4: score = relative
+    * frequency if the n-gram was seen, else α × the (n−1)-gram score,
+    * α = 0.4, no normalization — chosen there precisely BECAUSE it needs
+    * only count lookups, no discounting passes, so it scales to
+    * MapReduce-sized corpora; the same property makes it one shuffle
+    * chain here). Unlike q69/q88 (model = the full corpus, so every
+    * gram is seen and backoff is dead code), the model trains on the
+    * `doc_id % 2 = 0` HALF and scores every document — the CCNet shape
+    * ("LM trained elsewhere") with an in-corpus deterministic split, so
+    * the backoff chain genuinely fires on held-out docs:
+    *
+    *   S(w3|w1w2) = t3/c12              if the trigram is in the model
+    *              = 0.4 · (c23/cu2)     else if bigram (w2,w3) is
+    *              = 0.4 · 0.4 · (cu3+1)/(N+V)   else (add-one unigram
+    *                floor, so a word the model never saw still scores)
+    *
+    * All counts are SLOT-PROJECTED from the one model trigram table
+    * (c12 = trigram positions starting w1w2, cu2 = slot-2 occurrences,
+    * N = total trigram positions, V = distinct words over all slots) —
+    * self-consistent denominators with zero extra corpus scans.
+    * Engine-exactness is the q88 device end-to-end: per-trigram
+    * surprisal integerizes to micro-bit BIGINTs (round(·,6)·1e6 kills
+    * last-ulp libm divergence), per-doc tf-weighted mean is exact
+    * integer arithmetic with the half-up `(2a+b) div (2b)` finish.
+    * Docs with <3 tokens have no trigram positions and no output row;
+    * the branch counters (tri hit / bigram backoff / unigram floor) are
+    * tf-weighted exact integers — the observability a filter threshold
+    * gets tuned against.
+    *
+    * Scale shape: the corpus explodes ONCE into the per-doc trigram tf
+    * table (combiner-friendly groupBy); the model tables (t3/c12/c23/
+    * cu2/cu3 and the two scalars) all chain off the training filter of
+    * that same exchange — n-gram-vocab-sized, runtime-reused (the q88
+    * pin). The five lookup joins are planner-chosen (trigram vocab is
+    * unbounded — never force broadcast); the per-doc mean is one
+    * combiner-friendly aggregation. Corpus-linear, no self-join, holds
+    * at 100 TB.
+    */
+  def trigramBackoffSurprisal(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("p", explode(expr(
+        """CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks) - 3),
+                            i -> struct(toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3))
+             ELSE array() END""")))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+    val t3 = tf.filter(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2", "w3").agg(sum("tf").as("t3"))
+    val c12 = t3.groupBy("w1", "w2").agg(sum("t3").as("c12"))
+    val c23 = t3.groupBy("w2", "w3").agg(sum("t3").as("c23"))
+    val cu2 = t3.groupBy("w2").agg(sum("t3").as("cu2"))
+    val cu3 = t3.groupBy("w3").agg(sum("t3").as("cu3"))
+    val scal = t3.agg(sum("t3").as("n")).crossJoin(
+      t3.select(col("w1").as("w")).union(t3.select(col("w2").as("w")))
+        .union(t3.select(col("w3").as("w"))).distinct()
+        .agg(count(lit(1)).as("v")))
+    tf
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(cu2, Seq("w2"), "left")
+      .join(cu3, Seq("w3"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("branch",
+        when(col("t3").isNotNull, 1)
+          .when(col("c23").isNotNull, 2)
+          .otherwise(3))
+      .withColumn("prob",
+        when(col("branch") === 1, col("t3").cast("double") / col("c12"))
+          .when(col("branch") === 2, lit(0.4) * (col("c23").cast("double") / col("cu2")))
+          .otherwise(lit(0.4) * (lit(0.4) *
+            ((coalesce(col("cu3"), lit(0L)) + lit(1.0)) / (col("n") + col("v"))))))
+      .withColumn("su",
+        round(round(-log(2.0, col("prob")), 6) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        (expr("(2 * sum(tf * su) + sum(tf) * 100) div (sum(tf) * 200)") / lit(10000.0))
+          .as("avg_trigram_surprisal"),
+        sum("tf").as("n_trigrams"),
+        sum(when(col("branch") === 1, col("tf")).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("branch") === 2, col("tf")).otherwise(0L)).as("n_bigram_backoffs"),
+        sum(when(col("branch") === 3, col("tf")).otherwise(0L)).as("n_unigram_backoffs"))
+  }
+
   /** q89's operator body: character-distribution Shannon entropy per
     * document — see the q89 entry comment. Row-local HOFs only (the q60
     * device): per distinct char, count occurrences and weight its
@@ -869,6 +957,14 @@ object TextOps {
     // unigram model, exact in micro-bit integers.
     "q88_bigram_surprisal" -> ((s, d) => bigramSurprisal(documents(s, d))),
 
+    // Held-out trigram Stupid Backoff surprisal (see
+    // [[trigramBackoffSurprisal]]): Brants et al. 2007's count-only
+    // backoff score, model = the doc_id%2=0 half, scored corpus = all
+    // docs — the first LM filter in this family where the backoff chain
+    // actually fires (q69/q88 train on the full corpus, so every gram
+    // is seen by construction).
+    "q108_trigram_backoff" -> ((s, d) => trigramBackoffSurprisal(documents(s, d))),
+
     // Character-distribution Shannon entropy per document — the classic
     // gibberish/encoding-noise gate (low entropy = repeated-char runs,
     // high = byte soup; both tails get cut before training). Entirely
@@ -1120,6 +1216,50 @@ object TextOps {
                 CAST(sum(t.tf) AS BIGINT) AS n_bigrams
          FROM tf2 t JOIN su s ON t.w1 = s.w1 AND t.w2 = s.w2
          GROUP BY t.doc_id""",
+
+    "q108_trigram_backoff" ->
+      """WITH tri AS (
+           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a,
+                LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) b),
+         tf3 AS (SELECT doc_id, w1, w2, w3, count(*) AS tf FROM tri GROUP BY ALL),
+         t3 AS (SELECT w1, w2, w3, sum(tf) AS t3 FROM tf3
+                WHERE doc_id % 2 = 0 GROUP BY ALL),
+         c12 AS (SELECT w1, w2, sum(t3) AS c12 FROM t3 GROUP BY ALL),
+         c23 AS (SELECT w2, w3, sum(t3) AS c23 FROM t3 GROUP BY ALL),
+         cu2 AS (SELECT w2, sum(t3) AS cu2 FROM t3 GROUP BY w2),
+         cu3 AS (SELECT w3, sum(t3) AS cu3 FROM t3 GROUP BY w3),
+         scal AS (SELECT (SELECT sum(t3) FROM t3) AS n,
+                         (SELECT count(*) FROM
+                           (SELECT w1 AS w FROM t3 UNION
+                            SELECT w2 FROM t3 UNION
+                            SELECT w3 FROM t3)) AS v),
+         scored AS (
+           SELECT f.doc_id, f.tf,
+             CASE WHEN t.t3 IS NOT NULL THEN 1
+                  WHEN b.c23 IS NOT NULL THEN 2
+                  ELSE 3 END AS branch,
+             CASE WHEN t.t3 IS NOT NULL THEN CAST(t.t3 AS DOUBLE) / x.c12
+                  WHEN b.c23 IS NOT NULL
+                    THEN CAST(0.4 AS DOUBLE) * (CAST(b.c23 AS DOUBLE) / u2.cu2)
+                  ELSE CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE) *
+                    ((coalesce(u3.cu3, 0) + CAST(1.0 AS DOUBLE)) / (s.n + s.v)))
+             END AS prob
+           FROM tf3 f
+           LEFT JOIN t3 t USING (w1, w2, w3)
+           LEFT JOIN c12 x USING (w1, w2)
+           LEFT JOIN c23 b USING (w2, w3)
+           LEFT JOIN cu2 u2 USING (w2)
+           LEFT JOIN cu3 u3 USING (w3)
+           CROSS JOIN scal s)
+         SELECT doc_id,
+           ((2 * sum(tf * CAST(round(round(-(ln(prob) / ln(2.0)), 6) * 1e6, 0) AS BIGINT))
+             + sum(tf) * 100) // (sum(tf) * 200)) / 10000.0 AS avg_trigram_surprisal,
+           CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN branch = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_tri_hits,
+           CAST(sum(CASE WHEN branch = 2 THEN tf ELSE 0 END) AS BIGINT) AS n_bigram_backoffs,
+           CAST(sum(CASE WHEN branch = 3 THEN tf ELSE 0 END) AS BIGINT) AS n_unigram_backoffs
+         FROM scored GROUP BY doc_id""",
 
     "q89_char_entropy" ->
       """SELECT doc_id,

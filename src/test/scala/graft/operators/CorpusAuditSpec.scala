@@ -111,6 +111,37 @@ class CorpusAuditSpec extends SparkSpec {
     assert(rows(("mirror1", "mirror2")) == ((16L, 1.0))) // 20 tokens → 16 5-grams
   }
 
+  // ---- q108 held-out trigram Stupid Backoff ----
+
+  test("q108: each backoff branch fires where planted; surprisal orders tri < bigram < floor") {
+    // Model half = even doc_ids. doc 0's trigram positions are
+    // (a,b,c),(b,c,a),(c,a,b),... so slot-(2,3) pairs {(b,c),(c,a),(a,b)}
+    // are in the model's bigram projection.
+    val docs = docsDf(Seq(
+      (0L, Seq.fill(10)("a b c").mkString(" "), "a"), // train
+      (2L, "x y z", "a"),                             // train
+      (1L, "a b c", "a"),   // held out, trigram in model      → branch 1
+      (3L, "q b c", "a"),   // novel trigram, (b,c) bigram seen → branch 2
+      (5L, "n1 n2 n3", "a"),// all-novel words → add-one floor  → branch 3
+      (7L, "one two", "a")))// <3 tokens → no trigram positions → no row
+
+    val out = TextOps.trigramBackoffSurprisal(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(!out.contains(7L))
+    assert(out(1L)._3 == 1L && out(1L)._4 == 0L && out(1L)._5 == 0L)
+    assert(out(3L)._3 == 0L && out(3L)._4 == 1L && out(3L)._5 == 0L)
+    assert(out(5L)._3 == 0L && out(5L)._4 == 0L && out(5L)._5 == 1L)
+    // a model hit beats a 0.4-damped bigram backoff beats the unigram floor
+    assert(out(1L)._1 < out(3L)._1 && out(3L)._1 < out(5L)._1)
+    // training docs score under the model they defined — all branch-1
+    assert(out(0L)._4 == 0L && out(0L)._5 == 0L)
+    // the micro-bit device promises int/10⁴ outputs
+    out.values.foreach { case (v, _, _, _, _) =>
+      assert(v == math.rint(v * 10000) / 10000.0)
+    }
+  }
+
   // ---- q91 BPE-ish token counting ----
 
   test("q91: GPT-2-style pre-tokenizer count on a crafted sentence; exact ratio device") {
