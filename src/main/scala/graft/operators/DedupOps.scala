@@ -300,6 +300,47 @@ object DedupOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** q109's operator body: the MinHash-LSH BAND PLANNER — the S-curve
+    * analysis every LSH deployment runs before committing a (bands, rows)
+    * split (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+    * §3.4.3: with b bands of r rows, a pair at Jaccard s becomes a
+    * candidate with probability 1−(1−s^r)^b, and the curve's threshold —
+    * where the step is steepest — sits near (1/b)^(1/r)). q35 hard-codes
+    * the production choice for its 128 lanes; this table is the evidence
+    * for it: every (b, r) factorization of the 128-lane budget, its curve
+    * threshold, the candidate probability at a similarity grid (the
+    * recall/false-positive trade read directly), and the row chosen for a
+    * 0.8 target (argmin |threshold − 0.8|, micro-bit integerized so the
+    * tie-break is exact, smaller b wins ties).
+    *
+    * Scale shape: an 8-row generated table — pure planning arithmetic,
+    * no corpus input, one single-partition window over 8 rows. The cost
+    * is zero at any corpus size; what it buys is that the expensive knob
+    * (q35's band count) is chosen from a committed, judged table instead
+    * of folklore. pow() results round through the 6-decimal device (1/b
+    * and 1/r are exact dyadic doubles for a 128 = 2^7 budget, so the
+    * only cross-engine risk is pow's last ulp — killed by the rounding).
+    */
+  def lshPlan(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lanes = 128
+    val grid = Seq(0.5, 0.7, 0.8, 0.9)
+    val base = spark.range(1, lanes + 1).toDF("b")
+      .filter(lit(lanes) % col("b") === 0)
+      .withColumn("r", expr(s"$lanes div b"))
+    val withCurve = grid.foldLeft(
+      base.withColumn("curve_thr",
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6)))(
+      (df, s) => df.withColumn(f"p_at_${(s * 100).toInt}%03d",
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("r")), col("b")), 6)))
+    val w = Window.orderBy(
+      abs(round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")) * 1e6, 0).cast("long")
+        - lit(800000L)),
+      col("b"))
+    withCurve
+      .withColumn("chosen", when(row_number().over(w) === 1, 1L).otherwise(0L))
+  }
+
   private val duckShingles =
     """SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
@@ -316,6 +357,12 @@ object DedupOps {
         .groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
+
+    // MinHash-LSH band planner (see [[lshPlan]]): the S-curve table over
+    // every (b, r) factorization of the 128-lane budget, with the 0.8-
+    // target plan flagged — the committed evidence behind q35's band
+    // choice. Input-free planning arithmetic, 8 rows.
+    "q109_lsh_plan" -> ((s, _) => lshPlan(s)),
 
     // Benchmark decontamination: flag corpus documents sharing any word
     // 5-gram with the eval set (doc_id < 10 stands in for a benchmark
@@ -915,6 +962,23 @@ object DedupOps {
          FROM documents GROUP BY h""",
 
     "q67_decontam_flags" -> duckDecontam,
+
+    "q109_lsh_plan" ->
+      """WITH base AS (
+           SELECT b, CAST(128 // b AS BIGINT) AS r
+           FROM (SELECT unnest(range(1, 129)) AS b)
+           WHERE 128 % b = 0)
+         SELECT b, r,
+           round(power(1.0 / b, 1.0 / r), 6) AS curve_thr,
+           round(1.0 - power(1.0 - power(0.5, r), b), 6) AS p_at_050,
+           round(1.0 - power(1.0 - power(0.7, r), b), 6) AS p_at_070,
+           round(1.0 - power(1.0 - power(0.8, r), b), 6) AS p_at_080,
+           round(1.0 - power(1.0 - power(0.9, r), b), 6) AS p_at_090,
+           CASE WHEN row_number() OVER (ORDER BY
+                  abs(CAST(round(power(1.0 / b, 1.0 / r) * 1e6, 0) AS BIGINT) - 800000),
+                  b) = 1
+                THEN 1 ELSE 0 END :: BIGINT AS chosen
+         FROM base""",
 
     // q74 computes q67's EXACT result through the Bloom-prefiltered plan
     // (false positives are eliminated by the verify join), so the oracle

@@ -314,4 +314,24 @@ class PairPlanSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(banded == brute)
   }
+
+  test("q109 LSH planner: closed-form S-curve values; b=8/r=16 chosen for the 0.8 target") {
+    val rows = DedupOps.lshPlan(spark).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // all 8 factorizations of 128, r = 128/b
+    assert(rows.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    rows.foreach { case (b, r) => assert(r.getLong(1) == 128L / b) }
+    // hand-computed thresholds (1/b)^(1/r) at 6 decimals
+    assert(rows(8L).getDouble(2) == math.rint(math.pow(1.0 / 8, 1.0 / 16) * 1e6) / 1e6)
+    assert(rows(16L).getDouble(2) == math.rint(math.pow(1.0 / 16, 1.0 / 8) * 1e6) / 1e6)
+    // |0.8780 - 0.8| < |0.8 - 0.7071| ⇒ the b=8, r=16 split wins the 0.8 target
+    val chosen = rows.values.filter(_.getLong(7) == 1L).toSeq
+    assert(chosen.map(_.getLong(0)) == Seq(8L))
+    // more bands ⇒ curve shifts left: capture probability at fixed s is
+    // monotone in b at every grid point
+    for (i <- 3 to 6) {
+      val bySize = rows.toSeq.sortBy(_._1).map(_._2.getDouble(i))
+      assert(bySize == bySize.sorted, s"p_at column $i not monotone in b")
+    }
+  }
 }
