@@ -279,7 +279,80 @@ object StatsOps {
   /** q103's query-bound sample size. */
   val kPerStratum = 64
 
+  /** q110's operator body: pairwise Jensen-Shannon divergence between
+    * per-source unigram DISTRIBUTIONS — the distributional complement of
+    * q90's n-gram OVERLAP matrix (q90 answers "do these sources share
+    * literal text", this answers "do they write the same way even when
+    * the text differs"), the signal mix planners (q100's temperature
+    * weights, DoReMi-class reweighting) read to decide which sources are
+    * redundant vs complementary. JSD = ½KL(p‖m) + ½KL(q‖m) with
+    * m = (p+q)/2, log base 2 — symmetric, bounded [0, 1], defined even
+    * on disjoint vocabularies (unlike raw KL, which this corpus would
+    * make infinite).
+    *
+    * Engine-exactness: the per-word JS contribution
+    * ½·p·log2(p/m) + ½·q·log2(q/m) is NON-NEGATIVE per word (log-sum
+    * inequality), so each term integerizes to nano-bit longs (round(·,9)
+    * — finer than the micro-bit device because per-word terms shrink as
+    * vocabulary grows) and the sum is exact integer arithmetic in any
+    * partition order — a naive sum(double) would be run-to-run
+    * nondeterministic; the finish is the half-up device at 6 decimals.
+    *
+    * Scale shape: ONE corpus explode into (source, word) counts
+    * (combiner-friendly); everything after is vocab-sized. The per-word
+    * source→(cnt, total) map is one more vocab-keyed agg (the q90
+    * collect-the-small-dimension device — sources are a human-sized dim),
+    * the pair dim is |sources|² rows and BROADCAST, and the final agg is
+    * vocab × pairs → pairs rows with map-side partials. The corpus never
+    * shuffles on anything but (source, word); no self-join of anything
+    * corpus-sized. Holds at 100 TB for any human-curated source count;
+    * a thousand-source lake should pre-bucket sources before pairing
+    * (the output itself is source²-sized there — intrinsic to a
+    * pairwise matrix, not to this plan).
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val ns = cnt.groupBy("source").agg(sum("cnt").as("n_s"))
+    val perWord = cnt.join(broadcast(ns), "source")
+      .groupBy("w")
+      .agg(map_from_entries(
+        collect_list(struct(col("source"), struct(col("cnt"), col("n_s"))))).as("m"))
+    val pairs = ns.select(col("source")).as("a")
+      .join(ns.select(col("source")).as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+    perWord.crossJoin(broadcast(pairs))
+      .withColumn("e1", element_at(col("m"), col("s1")))
+      .withColumn("e2", element_at(col("m"), col("s2")))
+      .filter(col("e1").isNotNull || col("e2").isNotNull)
+      .withColumn("pa",
+        when(col("e1").isNotNull, col("e1.cnt").cast("double") / col("e1.n_s"))
+          .otherwise(lit(0.0)))
+      .withColumn("pb",
+        when(col("e2").isNotNull, col("e2.cnt").cast("double") / col("e2.n_s"))
+          .otherwise(lit(0.0)))
+      .withColumn("mid", (col("pa") + col("pb")) / lit(2.0))
+      .withColumn("term",
+        when(col("pa") > 0,
+          lit(0.5) * (col("pa") * log(2.0, col("pa") / col("mid")))).otherwise(lit(0.0))
+        + when(col("pb") > 0,
+          lit(0.5) * (col("pb") * log(2.0, col("pb") / col("mid")))).otherwise(lit(0.0)))
+      .withColumn("tn", round(round(col("term"), 9) * 1e9, 0).cast("long"))
+      .groupBy("s1", "s2")
+      .agg(
+        count(lit(1)).as("n_union_words"),
+        (expr("(2 * sum(tn) + 1000) div 2000") / lit(1e6)).as("jsd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pairwise source JSD (see [[sourceDivergence]]): the
+    // distributional source-similarity matrix next to q90's literal
+    // n-gram overlap — one corpus exchange, vocab-sized everything else.
+    "q110_source_divergence" -> ((s, d) =>
+      sourceDivergence(documents(s, d))),
+
     // Exact k-per-stratum sample (see [[topKPerStratum]]); the oracle
     // pins the plain window path, StatsOpsSpec pins the prefiltered
     // scale path's set equality against it.
@@ -424,6 +497,39 @@ object StatsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q110_source_divergence" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         cnt AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY ALL),
+         ns AS (SELECT source, sum(cnt) AS n_s FROM cnt GROUP BY source),
+         srcs AS (SELECT source FROM ns),
+         pairs AS (SELECT a.source AS s1, b.source AS s2
+                   FROM srcs a JOIN srcs b ON a.source < b.source),
+         words AS (SELECT DISTINCT w FROM cnt),
+         terms AS (
+           SELECT p.s1, p.s2,
+             coalesce(CAST(c1.cnt AS DOUBLE) / n1.n_s, CAST(0.0 AS DOUBLE)) AS pa,
+             coalesce(CAST(c2.cnt AS DOUBLE) / n2.n_s, CAST(0.0 AS DOUBLE)) AS pb
+           FROM pairs p CROSS JOIN words w
+           LEFT JOIN cnt c1 ON c1.source = p.s1 AND c1.w = w.w
+           LEFT JOIN ns n1 ON n1.source = p.s1
+           LEFT JOIN cnt c2 ON c2.source = p.s2 AND c2.w = w.w
+           LEFT JOIN ns n2 ON n2.source = p.s2
+           WHERE c1.cnt IS NOT NULL OR c2.cnt IS NOT NULL),
+         tn AS (
+           SELECT s1, s2,
+             CAST(round(round(
+               (CASE WHEN pa > 0
+                     THEN 0.5 * (pa * (ln(pa / ((pa + pb) / 2.0)) / ln(2.0)))
+                     ELSE 0 END) +
+               (CASE WHEN pb > 0
+                     THEN 0.5 * (pb * (ln(pb / ((pa + pb) / 2.0)) / ln(2.0)))
+                     ELSE 0 END), 9) * 1e9, 0) AS BIGINT) AS t
+           FROM terms)
+         SELECT s1, s2, count(*) AS n_union_words,
+           ((2 * sum(t) + 1000) // 2000) / 1e6 AS jsd
+         FROM tn GROUP BY s1, s2""",
+
     "q103_stratum_topk" ->
       s"""SELECT doc_id, source, rk FROM (
             SELECT doc_id, source,

@@ -111,6 +111,35 @@ class CorpusAuditSpec extends SparkSpec {
     assert(rows(("mirror1", "mirror2")) == ((16L, 1.0))) // 20 tokens → 16 5-grams
   }
 
+  // ---- q110 per-source Jensen-Shannon divergence ----
+
+  test("q110: identical distributions JSD 0, disjoint vocabularies JSD 1, bounds hold") {
+    val shared = (0 until 20).map(i => s"w$i").mkString(" ")
+    val other = (100 until 120).map(i => s"v$i").mkString(" ")
+    val half = ((0 until 10).map(i => s"w$i") ++ (200 until 210).map(i => s"u$i")).mkString(" ")
+    val docs = docsDf(Seq(
+      (1L, shared, "mirror1"), (2L, shared, "mirror2"),
+      (3L, other, "alone"), (4L, half, "halfway")))
+
+    val rows = StatsOps.sourceDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // every unordered pair reports exactly once, s1 < s2
+    assert(rows.keySet == Set(
+      ("alone", "halfway"), ("alone", "mirror1"), ("alone", "mirror2"),
+      ("halfway", "mirror1"), ("halfway", "mirror2"), ("mirror1", "mirror2")))
+    // identical unigram distributions → JSD exactly 0 over the 20 shared words
+    assert(rows(("mirror1", "mirror2")) == ((20L, 0.0)))
+    // disjoint vocabularies → JSD exactly 1 (log2 base), union = 40 words
+    assert(rows(("alone", "mirror1")) == ((40L, 1.0)))
+    // half-overlapping: strictly between, and closer to the mirrors than
+    // to the disjoint source
+    val hm = rows(("halfway", "mirror1"))
+    assert(hm._1 == 30L && hm._2 > 0.0 && hm._2 < 1.0)
+    assert(rows(("alone", "halfway"))._2 > hm._2)
+    // JSD is int/10⁶ by the nano-bit device
+    rows.values.foreach { case (_, v) => assert(v == math.rint(v * 1e6) / 1e6) }
+  }
+
   // ---- q108 held-out trigram Stupid Backoff ----
 
   test("q108: each backoff branch fires where planted; surprisal orders tri < bigram < floor") {
