@@ -89,7 +89,13 @@ object ScaleSmoke {
     // (vocab grows sublinearly in docs, so wall should too); q97's
     // epoch-1 training is two combiner aggs under a broadcast ≤65,536-row
     // weight table — the model-state-never-corpus-sized claim at 10×
-    "q96_bpe_real_tokens", "q97_train_quality")
+    "q96_bpe_real_tokens", "q97_train_quality",
+    // q108 joined r11g: the trigram explode is the largest token-stream
+    // shuffle of the LM family (3 words per position vs q88's 2) and the
+    // scoring side adds FIVE model-table joins chained off the one tf
+    // exchange — the reuse pin (PlanShapeSpec) says the corpus explodes
+    // once; the 10× point checks the join chain stays n-gram-vocab-sized
+    "q108_trigram_backoff")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
@@ -440,6 +446,23 @@ object ScaleSmoke {
         out.append(f""","docs20x_q88_growth":${w20 / w10}%.2f""")
         System.err.println(f"[scalesmoke] q88 10x->20x growth: ${w20 / w10}%.2f " +
           "(diagnostic; linear explode + sublinear model tables expected ~2x)")
+      }
+    }
+
+    // q108 growth exponent (r11g, the q88 discipline): same linear-explode
+    // + sublinear-model-tables shape one n-gram order up, plus the
+    // held-out split — the model side only aggregates HALF the corpus, so
+    // growth should track q88's ≈2× with a smaller model constant.
+    // Diagnostic ratio, straggler-gated through the shared bar.
+    if (args.isEmpty || args.contains("q108_trigram_backoff")) {
+      val docs20 = new File("/tmp/graft_scale_docs20x")
+      ensureTable(docs20, "documents.parquet", nDocs * 2, generate)
+      runQuery("q108_trigram_backoff", docs20, "docs20x_")
+      for (w10 <- walls.get("q108_trigram_backoff");
+           w20 <- walls.get("docs20x_q108_trigram_backoff")) {
+        out.append(f""","docs20x_q108_growth":${w20 / w10}%.2f""")
+        System.err.println(f"[scalesmoke] q108 10x->20x growth: ${w20 / w10}%.2f " +
+          "(diagnostic; linear explode + sublinear half-corpus model expected ~2x)")
       }
     }
 

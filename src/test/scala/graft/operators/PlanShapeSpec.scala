@@ -162,4 +162,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       "q88 grew a corpus-sized global sort")
   }
+
+  test("q108 reuses the trigram tf exchange: the corpus explodes once") {
+    // t3 (and through it c12/c23/cu2/cu3 and both scalars) chains off the
+    // training filter of the SAME (doc, w1, w2, w3) tf aggregation that
+    // feeds the scoring join — without reuse the corpus trigram explode
+    // would run twice and the model chain would re-shuffle the corpus
+    val df = graft.SparkEntry.queries("q108_trigram_backoff")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"q108 re-ran the corpus trigram explode instead of reusing it:\n${p.take(1200)}")
+    assert(!p.contains("rangepartitioning"),
+      "q108 grew a corpus-sized global sort")
+  }
 }
