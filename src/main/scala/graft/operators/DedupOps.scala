@@ -305,35 +305,41 @@ object DedupOps {
     * split (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
     * §3.4.3: with b bands of r rows, a pair at Jaccard s becomes a
     * candidate with probability 1−(1−s^r)^b, and the curve's threshold —
-    * where the step is steepest — sits near (1/b)^(1/r)). q35 hard-codes
-    * the production choice for its 128 lanes; this table is the evidence
-    * for it: every (b, r) factorization of the 128-lane budget, its curve
-    * threshold, the candidate probability at a similarity grid (the
-    * recall/false-positive trade read directly), and the row chosen for a
-    * 0.8 target (argmin |threshold − 0.8|, micro-bit integerized so the
-    * tie-break is exact, smaller b wins ties).
+    * where the step is steepest — sits near (1/b)^(1/r)). Two lane
+    * budgets, both rows of one table: the DEPLOYED 8-lane budget (q35
+    * runs 4 bands × 2 rows — its curve threshold is (1/4)^(1/2) = 0.5,
+    * deliberately recall-leaning for q34's 0.3 truth bar; q111 measures
+    * the realized recall) and the 128-lane scale-out budget a wider
+    * signature would buy. Per budget: every (b, r) factorization, its
+    * curve threshold, the candidate probability at a similarity grid
+    * (the recall/false-positive trade read directly), and the row chosen
+    * for a 0.8 target (argmin |threshold − 0.8| within the budget,
+    * micro-bit integerized so the tie-break is exact, smaller b wins).
     *
-    * Scale shape: an 8-row generated table — pure planning arithmetic,
-    * no corpus input, one single-partition window over 8 rows. The cost
-    * is zero at any corpus size; what it buys is that the expensive knob
-    * (q35's band count) is chosen from a committed, judged table instead
-    * of folklore. pow() results round through the 6-decimal device (1/b
-    * and 1/r are exact dyadic doubles for a 128 = 2^7 budget, so the
+    * Scale shape: a 12-row generated table — pure planning arithmetic,
+    * no corpus input, one window over 12 rows. The cost is zero at any
+    * corpus size; what it buys is that the expensive knob (q35's band
+    * geometry) is chosen from a committed, judged table instead of
+    * folklore. pow() results round through the 6-decimal device (1/b
+    * and 1/r are exact dyadic doubles for power-of-two budgets, so the
     * only cross-engine risk is pow's last ulp — killed by the rounding).
     */
   def lshPlan(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lanes = 128
+    val budgets = Seq(8, 128)
     val grid = Seq(0.5, 0.7, 0.8, 0.9)
-    val base = spark.range(1, lanes + 1).toDF("b")
-      .filter(lit(lanes) % col("b") === 0)
-      .withColumn("r", expr(s"$lanes div b"))
+    import spark.implicits._
+    val base = budgets.toDF("lanes")
+      .select(col("lanes").cast("long"))
+      .crossJoin(spark.range(1, budgets.max + 1).toDF("b"))
+      .filter(col("b") <= col("lanes") && col("lanes") % col("b") === 0)
+      .withColumn("r", expr("lanes div b"))
     val withCurve = grid.foldLeft(
       base.withColumn("curve_thr",
         round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6)))(
       (df, s) => df.withColumn(f"p_at_${(s * 100).toInt}%03d",
         round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("r")), col("b")), 6)))
-    val w = Window.orderBy(
+    val w = Window.partitionBy("lanes").orderBy(
       abs(round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")) * 1e6, 0).cast("long")
         - lit(800000L)),
       col("b"))
@@ -357,6 +363,12 @@ object DedupOps {
         .groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
+
+    // Measured LSH recall audit (see [[lshRecallAudit]]): q35's banded
+    // candidates against q34's exact ground truth, recall per similarity
+    // bucket + overall precision — the empirical leg under q109's
+    // theoretical S-curve table.
+    "q111_lsh_recall" -> ((s, d) => lshRecallAudit(s, d)),
 
     // MinHash-LSH band planner (see [[lshPlan]]): the S-curve table over
     // every (b, r) factorization of the 128-lane budget, with the 0.8-
@@ -929,6 +941,66 @@ object DedupOps {
     finishAndRelease(cand, banded)
   }
 
+  /** q111's operator body: the MEASURED LSH recall audit — q109's S-curve
+    * is theory; this is the realized number on the actual corpus, the QA
+    * report a dedup deployment signs off on. Ground truth = q34's
+    * df-guarded exact-Jaccard pairs at the 0.3 bar; candidates = q35's
+    * banded MinHash pairs, exactly as deployed (unguarded shingles — the
+    * production asymmetry is part of what is being measured). Recall is
+    * reported PER SIMILARITY BUCKET ([0.3,0.5), [0.5,0.7), [0.7,0.9),
+    * [0.9,1]) because the S-curve says recall is a function of s — one
+    * blended number would hide exactly the shape that matters (the
+    * deployed 4×2 geometry has curve threshold 0.5: high-similarity
+    * buckets should saturate while the 0.3–0.5 tail leaks). The 'all'
+    * row adds overall candidate count and precision-vs-truth@0.3
+    * (bucket rows carry n_cand = 0 / precision 0 — a candidate pair has
+    * no Jaccard until verified, so it cannot be bucketed; that exact
+    * verification is q40's job, deliberately not re-done here).
+    *
+    * Scale shape: the truth side is q34's smoked df-guarded machinery,
+    * the candidate side q35's banded join — both bounded-bucket by
+    * construction; the audit adds one candidate-keyed left join and two
+    * tiny aggregations. At 100 TB the truth side is the limiter (exact
+    * pair verification), which is why the audit runs on a SAMPLE there
+    * (q47/q103 provide the deterministic samplers); the per-bucket
+    * recall estimate is unbiased under any doc-level sample.
+    */
+  def lshRecallAudit(s: SparkSession, d: String): DataFrame = {
+    val (pairs, sh) = guardedPairCounts(s, d)
+    val truth = finishAndRelease(
+      pairs
+        .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("jacc")),
+      sh)
+    val cand = lshCandidates(documents(s, d))
+    val marked = truth
+      .join(cand.withColumn("is_cand", lit(1L)), Seq("id_a", "id_b"), "left")
+      .withColumn("hit", coalesce(col("is_cand"), lit(0L)))
+      .withColumn("bucket",
+        when(col("jacc") < 0.5, "j_03_05")
+          .when(col("jacc") < 0.7, "j_05_07")
+          .when(col("jacc") < 0.9, "j_07_09")
+          .otherwise("j_09_10"))
+    val per = marked.groupBy("bucket")
+      .agg(count(lit(1)).as("n_truth"), sum("hit").as("n_hits"))
+      .withColumn("n_cand", lit(0L))
+    val allRow = marked
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .withColumn("bucket", lit("all"))
+    val res = per.select("bucket", "n_truth", "n_hits", "n_cand")
+      .unionByName(allRow.select("bucket", "n_truth", "n_hits", "n_cand"))
+      .withColumn("recall", when(col("n_truth") > 0,
+        expr("(2 * n_hits * 10000 + n_truth) div (2 * n_truth)") / lit(10000.0))
+        .otherwise(lit(0.0)))
+      .withColumn("precision", when(col("n_cand") > 0,
+        expr("(2 * n_hits * 10000 + n_cand) div (2 * n_cand)") / lit(10000.0))
+        .otherwise(lit(0.0)))
+    finishAndRelease(res, truth, cand)
+  }
+
   /** DuckDB mirror of the array-based signature: per-doc list of sha256
     * digests (64 hex chars), 8 list_min 32-bit lane minima (lockstep with
     * `lshCandidates`).
@@ -965,20 +1037,76 @@ object DedupOps {
 
     "q109_lsh_plan" ->
       """WITH base AS (
-           SELECT b, CAST(128 // b AS BIGINT) AS r
-           FROM (SELECT unnest(range(1, 129)) AS b)
-           WHERE 128 % b = 0)
-         SELECT b, r,
+           SELECT lanes, b, CAST(lanes // b AS BIGINT) AS r
+           FROM (SELECT CAST(unnest([8, 128]) AS BIGINT) AS lanes),
+                (SELECT unnest(range(1, 129)) AS b)
+           WHERE b <= lanes AND lanes % b = 0)
+         SELECT lanes, b, r,
            round(power(1.0 / b, 1.0 / r), 6) AS curve_thr,
            round(1.0 - power(1.0 - power(0.5, r), b), 6) AS p_at_050,
            round(1.0 - power(1.0 - power(0.7, r), b), 6) AS p_at_070,
            round(1.0 - power(1.0 - power(0.8, r), b), 6) AS p_at_080,
            round(1.0 - power(1.0 - power(0.9, r), b), 6) AS p_at_090,
-           CASE WHEN row_number() OVER (ORDER BY
+           CASE WHEN row_number() OVER (PARTITION BY lanes ORDER BY
                   abs(CAST(round(power(1.0 / b, 1.0 / r) * 1e6, 0) AS BIGINT) - 800000),
                   b) = 1
                 THEN 1 ELSE 0 END :: BIGINT AS chosen
          FROM base""",
+
+    "q111_lsh_recall" ->
+      s"""WITH sh0 AS ($duckShingles),
+         sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+           WHERE df <= $maxShingleDf),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         truth AS (
+           SELECT id_a, id_b, inter/(ca.n + cb.n - inter) AS jacc
+           FROM inter
+           JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b
+           WHERE inter/(ca.n + cb.n - inter) >= 0.3),
+         $duckSig,
+         banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
+                           md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
+         buckets AS (
+           SELECT doc_id, 0 AS bi, b0 AS bk FROM banded
+           UNION ALL SELECT doc_id, 1, b1 FROM banded
+           UNION ALL SELECT doc_id, 2, b2 FROM banded
+           UNION ALL SELECT doc_id, 3, b3 FROM banded),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         marked AS (
+           SELECT t.id_a, t.id_b,
+             CASE WHEN t.jacc < 0.5 THEN 'j_03_05'
+                  WHEN t.jacc < 0.7 THEN 'j_05_07'
+                  WHEN t.jacc < 0.9 THEN 'j_07_09'
+                  ELSE 'j_09_10' END AS bucket,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM truth t LEFT JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b),
+         per AS (SELECT bucket, count(*) AS n_truth, sum(hit) AS n_hits,
+                        0 AS n_cand
+                 FROM marked GROUP BY bucket),
+         allrow AS (SELECT 'all' AS bucket, count(*) AS n_truth,
+                           coalesce(sum(hit), 0) AS n_hits,
+                           (SELECT count(*) FROM cand) AS n_cand
+                    FROM marked),
+         uni AS (SELECT * FROM per UNION ALL SELECT * FROM allrow)
+         SELECT bucket, CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits, CAST(n_cand AS BIGINT) AS n_cand,
+           CASE WHEN n_truth > 0
+                THEN ((2 * n_hits * 10000 + n_truth) // (2 * n_truth)) / 10000.0
+                ELSE 0.0 END AS recall,
+           CASE WHEN n_cand > 0
+                THEN ((2 * n_hits * 10000 + n_cand) // (2 * n_cand)) / 10000.0
+                ELSE 0.0 END AS precision
+         FROM uni""",
 
     // q74 computes q67's EXACT result through the Bloom-prefiltered plan
     // (false positives are eliminated by the verify join), so the oracle

@@ -315,23 +315,57 @@ class PairPlanSpec extends SparkSpec {
     assert(banded == brute)
   }
 
-  test("q109 LSH planner: closed-form S-curve values; b=8/r=16 chosen for the 0.8 target") {
-    val rows = DedupOps.lshPlan(spark).collect()
-      .map(r => r.getLong(0) -> r).toMap
-    // all 8 factorizations of 128, r = 128/b
-    assert(rows.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
-    rows.foreach { case (b, r) => assert(r.getLong(1) == 128L / b) }
+  test("q109 LSH planner: closed-form S-curve values; per-budget 0.8-target choices") {
+    val all = DedupOps.lshPlan(spark).collect()
+    val by128 = all.filter(_.getLong(0) == 128L).map(r => r.getLong(1) -> r).toMap
+    val by8 = all.filter(_.getLong(0) == 8L).map(r => r.getLong(1) -> r).toMap
+    // all factorizations of each budget, r = lanes/b
+    assert(by128.keySet == Set(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    assert(by8.keySet == Set(1L, 2L, 4L, 8L))
+    by128.foreach { case (b, r) => assert(r.getLong(2) == 128L / b) }
     // hand-computed thresholds (1/b)^(1/r) at 6 decimals
-    assert(rows(8L).getDouble(2) == math.rint(math.pow(1.0 / 8, 1.0 / 16) * 1e6) / 1e6)
-    assert(rows(16L).getDouble(2) == math.rint(math.pow(1.0 / 16, 1.0 / 8) * 1e6) / 1e6)
-    // |0.8780 - 0.8| < |0.8 - 0.7071| ⇒ the b=8, r=16 split wins the 0.8 target
-    val chosen = rows.values.filter(_.getLong(7) == 1L).toSeq
-    assert(chosen.map(_.getLong(0)) == Seq(8L))
+    assert(by128(8L).getDouble(3) == math.rint(math.pow(1.0 / 8, 1.0 / 16) * 1e6) / 1e6)
+    assert(by128(16L).getDouble(3) == math.rint(math.pow(1.0 / 16, 1.0 / 8) * 1e6) / 1e6)
+    // q35's deployed geometry (4 bands × 2 rows on the 8-lane budget)
+    // sits at curve threshold exactly 0.5 — the recall-leaning choice
+    assert(by8(4L).getLong(2) == 2L && by8(4L).getDouble(3) == 0.5)
+    // 0.8-target winners: |0.8780-0.8| wins at 128 (b=8, r=16);
+    // |0.8409-0.8| wins at 8 (b=2, r=4)
+    assert(by128.values.filter(_.getLong(8) == 1L).map(_.getLong(1)).toSeq == Seq(8L))
+    assert(by8.values.filter(_.getLong(8) == 1L).map(_.getLong(1)).toSeq == Seq(2L))
     // more bands ⇒ curve shifts left: capture probability at fixed s is
-    // monotone in b at every grid point
-    for (i <- 3 to 6) {
-      val bySize = rows.toSeq.sortBy(_._1).map(_._2.getDouble(i))
+    // monotone in b at every grid point, within each budget
+    for (m <- Seq(by128, by8); i <- 4 to 7) {
+      val bySize = m.toSeq.sortBy(_._1).map(_._2.getDouble(i))
       assert(bySize == bySize.sorted, s"p_at column $i not monotone in b")
     }
+  }
+
+  test("q111 recall audit reconciles exactly with the q34 truth and q35 candidate sets") {
+    val truth = graft.SparkEntry.queries("q34_ngram_jaccard")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cand = graft.SparkEntry.queries("q35_minhash_lsh")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audit = DedupOps.lshRecallAudit(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    def bucket(j: Double): String =
+      if (j < 0.5) "j_03_05" else if (j < 0.7) "j_05_07"
+      else if (j < 0.9) "j_07_09" else "j_09_10"
+    val byBucket = truth.groupBy { case (_, j) => bucket(j) }
+    byBucket.foreach { case (b, m) =>
+      val hits = m.keys.count(cand.contains)
+      val (nT, nH, nC, rec, _) = audit(b)
+      assert(nT == m.size && nH == hits && nC == 0L)
+      assert(rec == ((2L * hits * 10000 + m.size) / (2L * m.size)) / 10000.0)
+    }
+    // no phantom buckets beyond the truth's own + the all row
+    assert(audit.keySet == byBucket.keySet + "all")
+    val (nT, nH, nC, rec, prec) = audit("all")
+    val hitsAll = truth.keys.count(cand.contains)
+    assert(nT == truth.size && nH == hitsAll && nC == cand.size)
+    assert(rec == ((2L * hitsAll * 10000 + truth.size) / (2L * truth.size)) / 10000.0)
+    assert(prec == ((2L * hitsAll * 10000 + cand.size) / (2L * cand.size)) / 10000.0)
   }
 }
