@@ -364,6 +364,12 @@ object DedupOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // Incremental delta dedup (see [[deltaDedup]]): the new-arrivals batch
+    // against the standing corpus — exact fingerprint layer, within-batch
+    // layer, banded near-dup vs history with exact verify; every join
+    // delta-driven, history never re-paired against itself.
+    "q112_delta_dedup" -> ((s, d) => deltaDedup(s, d)),
+
     // Measured LSH recall audit (see [[lshRecallAudit]]): q35's banded
     // candidates against q34's exact ground truth, recall per similarity
     // bucket + overall precision — the empirical leg under q109's
@@ -1001,6 +1007,87 @@ object DedupOps {
     finishAndRelease(res, truth, cand)
   }
 
+  /** q112's operator body: INCREMENTAL (delta) dedup — the daily-dump
+    * production shape the whole-corpus operators (q30/q35/q73) deliberately
+    * are not: a new ARRIVALS batch is deduplicated against the standing
+    * HISTORICAL corpus without ever re-pairing history against itself
+    * (here the split is the deterministic doc_id%10 — 80% history, 20%
+    * arrivals — so the oracle shares it; in production the arrival set is
+    * the new dump and history is the lake). Three layers, in priority
+    * order, one disposition row per arrival:
+    *
+    *   1. exact_dup — the arrival's canonical fingerprint (q33's
+    *      definition, THE shared expression) already exists in history;
+    *      match_id = the minimum historical holder.
+    *   2. batch_dup — fingerprint is new to history but shared WITHIN the
+    *      batch; the minimum arrival keeps it, the rest point at it (the
+    *      q30 keeper rule applied batch-locally).
+    *   3. near_dup — surviving keepers band-join (q35's exact band keys
+    *      via [[minhashBandValues]] — the same rendering the streaming
+    *      gate probes) against HISTORY only, then verify exact Jaccard
+    *      ≥ 0.5 on distinct-shingle arrays (the q40 device; 0.5 = the
+    *      deployed geometry's curve threshold, q109); match_id = minimum
+    *      verified historical doc. Near-dup among arrivals themselves is
+    *      deliberately out of scope — that is q35 run batch-locally.
+    *   4. new — everything else; match_id = −1.
+    *
+    * Scale shape — the point of the operator: every join is DELTA-driven.
+    * History contributes one linear fingerprint aggregation and one linear
+    * band table (both indexable/incremental in a real lake — the Bloom
+    * build side [[minhashBandValues]] already feeds); the delta side is
+    * batch-sized throughout, candidates are band-bounded, and the verify
+    * stage filters DOCUMENTS to candidate ids before re-shingling (the
+    * q40 discipline), so nothing corpus-sized is ever paired or
+    * re-tokenized. At 100 TB history + 100 GB dump, the dump drives all
+    * pair work.
+    */
+  def deltaDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val hist = docs.filter(col("doc_id") % 10 < 8)
+    val arr = docs.filter(col("doc_id") % 10 >= 8)
+    val histFp = hist
+      .select(TextOps.fingerprintCol(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("hist_id"))
+    val arrFp = arr.select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+    val batchMin = arrFp.groupBy("fp").agg(min("doc_id").as("batch_id"))
+    val staged = arrFp
+      .join(histFp, Seq("fp"), "left")
+      .join(batchMin, Seq("fp"))
+      .select(col("doc_id"), col("hist_id"), col("batch_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = staged
+      .filter(col("hist_id").isNull && col("doc_id") === col("batch_id"))
+      .select("doc_id")
+    val cand = minhashBandValues(arr.join(survivors, Seq("doc_id")))
+      .join(minhashBandValues(hist)
+        .select(col("doc_id").as("h_id"), col("band")), "band")
+      .select(col("doc_id"), col("h_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = cand.select(col("doc_id")).union(cand.select(col("h_id"))).distinct()
+    val sharr = withShingleArray(docs.join(broadcast(ids), "doc_id"))
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val near = cand
+      .join(sharr.select(col("doc_id"), col("sh").as("sa")), "doc_id")
+      .join(sharr.select(col("doc_id").as("h_id"), col("sh").as("sb")), "h_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jacc",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jacc") >= 0.5)
+      .groupBy("doc_id").agg(min("h_id").as("near_id"))
+    val res = staged
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hist_id").isNotNull, "exact_dup")
+          .when(col("doc_id") =!= col("batch_id"), "batch_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("new").as("disposition"),
+        coalesce(col("hist_id"),
+          when(col("doc_id") =!= col("batch_id"), col("batch_id")),
+          col("near_id"), lit(-1L)).as("match_id"))
+    finishAndRelease(res, staged, cand, sharr)
+  }
+
   /** DuckDB mirror of the array-based signature: per-doc list of sha256
     * digests (64 hex chars), 8 list_min 32-bit lane minima (lockstep with
     * `lshCandidates`).
@@ -1052,6 +1139,60 @@ object DedupOps {
                   b) = 1
                 THEN 1 ELSE 0 END :: BIGINT AS chosen
          FROM base""",
+
+    "q112_delta_dedup" ->
+      s"""WITH fpt AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+           FROM documents),
+         histfp AS (SELECT fp, min(doc_id) AS hist_id FROM fpt
+                    WHERE doc_id % 10 < 8 GROUP BY fp),
+         arrfp AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 10 >= 8),
+         batchmin AS (SELECT fp, min(doc_id) AS batch_id FROM arrfp GROUP BY fp),
+         staged AS (
+           SELECT a.doc_id, h.hist_id, b.batch_id
+           FROM arrfp a
+           LEFT JOIN histfp h USING (fp)
+           JOIN batchmin b USING (fp)),
+         $duckSig,
+         banded AS (SELECT doc_id, md5(h0||h1) AS b0, md5(h2||h3) AS b1,
+                           md5(h4||h5) AS b2, md5(h6||h7) AS b3 FROM sig),
+         buckets AS (
+           SELECT doc_id, 0 AS bi, b0 AS bk FROM banded
+           UNION ALL SELECT doc_id, 1, b1 FROM banded
+           UNION ALL SELECT doc_id, 2, b2 FROM banded
+           UNION ALL SELECT doc_id, 3, b3 FROM banded),
+         survivors AS (SELECT doc_id FROM staged
+                       WHERE hist_id IS NULL AND doc_id = batch_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS h_id
+           FROM buckets a JOIN buckets b ON a.bi = b.bi AND a.bk = b.bk
+           WHERE a.doc_id IN (SELECT doc_id FROM survivors)
+             AND b.doc_id % 10 < 8),
+         shd AS ($duckShingles),
+         cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         inter AS (
+           SELECT c.doc_id, c.h_id, count(*) AS inter
+           FROM cand c
+           JOIN shd sa ON sa.doc_id = c.doc_id
+           JOIN shd sb ON sb.doc_id = c.h_id AND sb.s = sa.s
+           GROUP BY c.doc_id, c.h_id),
+         near AS (
+           SELECT i.doc_id, min(i.h_id) AS near_id
+           FROM inter i
+           JOIN cnt ca ON ca.doc_id = i.doc_id
+           JOIN cnt cb ON cb.doc_id = i.h_id
+           WHERE i.inter/(ca.n + cb.n - i.inter) >= 0.5
+           GROUP BY i.doc_id)
+         SELECT s.doc_id,
+           CASE WHEN s.hist_id IS NOT NULL THEN 'exact_dup'
+                WHEN s.doc_id <> s.batch_id THEN 'batch_dup'
+                WHEN n.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS disposition,
+           CAST(coalesce(s.hist_id,
+             CASE WHEN s.doc_id <> s.batch_id THEN s.batch_id END,
+             n.near_id, -1) AS BIGINT) AS match_id
+         FROM staged s LEFT JOIN near n USING (doc_id)""",
 
     "q111_lsh_recall" ->
       s"""WITH sh0 AS ($duckShingles),
