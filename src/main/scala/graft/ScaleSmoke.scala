@@ -95,7 +95,17 @@ object ScaleSmoke {
     // scoring side adds FIVE model-table joins chained off the one tf
     // exchange — the reuse pin (PlanShapeSpec) says the corpus explodes
     // once; the 10× point checks the join chain stays n-gram-vocab-sized
-    "q108_trigram_backoff")
+    "q108_trigram_backoff",
+    // q112 joined r11g: the delta-driven claim (arrival batch drives all
+    // pair work; history contributes only linear fp/band tables) has its
+    // stress at 10× where history is 40k docs and the batch 10k — the
+    // band join and verify stage must stay batch-bounded
+    "q112_delta_dedup",
+    // q113 joined r11g: the composed waterfall — its stages are smoked
+    // piecewise elsewhere, but the composition (one persisted scan
+    // feeding three row-local consumers + the fp shuffle + the broadcast
+    // decontam probe) deserves its own end-to-end 10× wall
+    "q113_pipeline_waterfall")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

@@ -380,6 +380,73 @@ object TextOps {
         sum(when(col("branch") === 3, col("tf")).otherwise(0L)).as("n_unigram_backoffs"))
   }
 
+  /** q113's operator body: the END-TO-END batch curation WATERFALL — the
+    * composed pipeline every individual operator in this library exists to
+    * serve, runnable as ONE query with per-stage drop accounting (the
+    * number a pipeline owner actually reports: "of N raw docs, X fell at
+    * gates, Y at dedup, Z at decontam, W at quality; K remain"). Stage
+    * order is the industry-standard cost ladder — cheap row-local rules
+    * first, corpus-shuffle dedup second, eval-set decontamination third,
+    * model-quality threshold last — and the waterfall is SEQUENTIAL by
+    * definition: each stage only sees the previous stage's survivors, so
+    * e.g. the dedup keeper is elected among gate-passers only (a
+    * gate-failing copy never "uses up" a fingerprint), and contamination
+    * is only charged to docs that would otherwise survive. Each stage is
+    * the library's own shared expression (q77's [[gopherKeepCol]], q33's
+    * [[fingerprintCol]], q67's gram-5 eval overlap via
+    * [[DedupOps.gram5ArrayExpr]], q38's [[qualityScoreCol]] at the 0.25
+    * bar) — one definition each, so the waterfall can never drift from
+    * the operators it composes. Eval set = doc_id < 10 (the q67/q74/q79
+    * convention); output is one row per corpus doc (doc_id ≥ 10) with its
+    * first failing stage or 'kept'.
+    *
+    * Scale shape: gates/fingerprint/quality are row-local over one corpus
+    * scan (persisted once — three consumers); dedup is one linear
+    * fingerprint shuffle (q30's shape); decontam explodes only SURVIVOR
+    * grams against the BROADCAST eval set (q67's shape, further
+    * delta-bounded by the waterfall); the final assembly is two keyed
+    * joins. No stage pairs the corpus against itself. Holds at 100 TB —
+    * this is precisely the composition the per-operator smoke entries
+    * certify piecewise.
+    */
+  def pipelineWaterfall(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val evalGrams = base.filter(col("doc_id") < 10)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(explode(array_distinct(expr(DedupOps.gram5ArrayExpr("t")))).as("g"))
+      .distinct()
+    val corpus = base.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), col("text"),
+        gopherKeepCol(col("text")).as("gate"),
+        fingerprintCol(col("text")).as("fp"),
+        qualityScoreCol(col("text")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keeper = corpus.filter(col("gate"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val contam = corpus.filter(col("gate"))
+      .join(keeper, "fp")
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(DedupOps.gram5ArrayExpr("t")))).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(1L))
+    val res = corpus
+      .join(keeper, Seq("fp"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("gate"), "gates")
+          .when(col("doc_id") =!= col("keep_id"), "dedup")
+          .when(col("contam").isNotNull, "decontam")
+          .when(col("q") < 0.25, "quality")
+          .otherwise("kept").as("stage"))
+      .withColumn("kept", (col("stage") === "kept").cast("long"))
+    DedupOps.finishAndRelease(res, corpus)
+  }
+
   /** q89's operator body: character-distribution Shannon entropy per
     * document — see the q89 entry comment. Row-local HOFs only (the q60
     * device): per distinct char, count occurrences and weight its
@@ -957,6 +1024,11 @@ object TextOps {
     // unigram model, exact in micro-bit integers.
     "q88_bigram_surprisal" -> ((s, d) => bigramSurprisal(documents(s, d))),
 
+    // The end-to-end curation waterfall (see [[pipelineWaterfall]]):
+    // gates → dedup → decontam → quality as ONE query, per-stage drop
+    // accounting, every stage the library's own shared expression.
+    "q113_pipeline_waterfall" -> ((s, d) => pipelineWaterfall(documents(s, d))),
+
     // Held-out trigram Stupid Backoff surprisal (see
     // [[trigramBackoffSurprisal]]): Brants et al. 2007's count-only
     // backoff score, model = the doc_id%2=0 half, scored corpus = all
@@ -1216,6 +1288,48 @@ object TextOps {
                 CAST(sum(t.tf) AS BIGINT) AS n_bigrams
          FROM tf2 t JOIN su s ON t.w1 = s.w1 AND t.w2 = s.w2
          GROUP BY t.doc_id""",
+
+    "q113_pipeline_waterfall" ->
+      s"""WITH stats AS (${oracleDocStatsSql("doc_id")}),
+         fpt AS (SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+                 FROM documents),
+         enr AS (
+           SELECT s.doc_id, f.fp,
+             CASE WHEN $oracleGateLenSql AND $oracleGateWlenSql
+                   AND $oracleGateAlphaSql AND $oracleGateStopSql
+                  THEN 1 ELSE 0 END AS gate,
+             ($oracleQualityScoreSql) AS q
+           FROM stats s JOIN fpt f USING (doc_id)),
+         corpus AS (SELECT * FROM enr WHERE doc_id >= 10),
+         keeper AS (SELECT fp, min(doc_id) AS keep_id FROM corpus
+                    WHERE gate = 1 GROUP BY fp),
+         toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4] AS g
+           FROM toks2, UNNEST(range(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 5),
+         evalg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+         surv AS (SELECT c.doc_id FROM corpus c JOIN keeper k USING (fp)
+                  WHERE c.gate = 1 AND c.doc_id = k.keep_id),
+         contam AS (SELECT DISTINCT gr.doc_id
+                    FROM grams gr JOIN surv USING (doc_id)
+                    JOIN evalg USING (g)),
+         staged AS (
+           SELECT c.doc_id,
+             CASE WHEN c.gate = 0 THEN 'gates'
+                  WHEN c.doc_id <> k.keep_id THEN 'dedup'
+                  WHEN ct.doc_id IS NOT NULL THEN 'decontam'
+                  WHEN c.q < 0.25 THEN 'quality'
+                  ELSE 'kept' END AS stage
+           FROM corpus c
+           LEFT JOIN keeper k USING (fp)
+           LEFT JOIN contam ct ON ct.doc_id = c.doc_id)
+         SELECT doc_id, stage,
+           CASE WHEN stage = 'kept' THEN 1 ELSE 0 END :: BIGINT AS kept
+         FROM staged""",
 
     "q108_trigram_backoff" ->
       """WITH tri AS (
