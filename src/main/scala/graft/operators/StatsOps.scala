@@ -346,7 +346,43 @@ object StatsOps {
         (expr("(2 * sum(tn) + 1000) div 2000") / lit(1e6)).as("jsd"))
   }
 
+  /** q114's operator body: REPRODUCIBLE training order — the seeded global
+    * shuffle every training run needs (data order changes the model; a
+    * rerun must read byte-identical order) expressed scale-correctly:
+    * order key = salted md5 of the doc id (the q47/q58/q103 hex device, so
+    * any engine recomputes the identical permutation — no rand(), no
+    * zipWithIndex), shard = key mod nShards, position = rank within the
+    * shard by (key, doc_id). The full corpus is NEVER totally ordered:
+    * each shard sorts independently (hash-uniform ⇒ balanced), which is
+    * exactly the `partitionBy(shard).sortWithinPartitions` write layout a
+    * trainer consumes shard-by-shard — the global order is (shard, pos)
+    * lexicographic BY CONVENTION, without any engine ever materializing
+    * it. Epoch reshuffles are a salt change ('order:0:' → 'order:1:'),
+    * giving independent permutations with the same machinery (q85 assigns
+    * WHICH epochs a doc appears in; this orders WITHIN the epoch).
+    *
+    * Scale shape: one hash computation (row-local) + one 32-way
+    * hash-partitioned window sort over ~n/32 rows each — no global sort
+    * partition, no skew (keys are uniform by construction). At 100 TB
+    * raise nShards to taste; the shape is unchanged.
+    */
+  def trainOrder(docs: DataFrame, nShards: Int, epoch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hv = expr(
+      s"""cast(conv(substring(md5(concat('order:$epoch:',
+            cast(doc_id as string))), 1, 8), 16, 10) as bigint)""")
+    val w = Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))
+    docs.select(col("doc_id"), hv.as("hv"))
+      .withColumn("shard", col("hv") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reproducible training order (see [[trainOrder]]): seeded hash
+    // permutation → shard + within-shard position, no global sort.
+    "q114_train_order" -> ((s, d) => trainOrder(documents(s, d), 32, 0)),
+
     // Pairwise source JSD (see [[sourceDivergence]]): the
     // distributional source-similarity matrix next to q90's literal
     // n-gram overlap — one corpus exchange, vocab-sized everything else.
@@ -497,6 +533,16 @@ object StatsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q114_train_order" ->
+      """SELECT doc_id,
+           CAST(hv % 32 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 32
+             ORDER BY hv, doc_id) AS BIGINT) AS pos
+         FROM (SELECT doc_id,
+                 CAST('0x' || substr(md5('order:0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS hv
+               FROM documents)""",
+
     "q110_source_divergence" ->
       """WITH tok AS (
            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -425,4 +425,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(preSet.size === 30, "strata smaller than k keep every row")
     pre.unpersist(blocking = true)
   }
+
+  test("q114 train order is a valid permutation, balanced, and epoch-independent") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val e0 = StatsOps.trainOrder(docs, 32, 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc exactly once; within each shard positions are 1..count
+    assert(e0.size == docs.count())
+    e0.values.groupBy(_._1).foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size).toSeq, s"shard $shard positions not contiguous")
+    }
+    // hash-uniform shards are balanced: no shard more than 3x the mean
+    val sizes = e0.values.groupBy(_._1).values.map(_.size).toSeq
+    assert(sizes.max <= 3 * (e0.size / 32 max 1), s"skewed shards: $sizes")
+    // a different epoch salt yields a genuinely different permutation
+    val e1 = StatsOps.trainOrder(docs, 32, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(e0 != e1)
+    // determinism: recompute equals (no rand(), no zipWithIndex)
+    val again = StatsOps.trainOrder(docs, 32, 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == e0)
+  }
 }
