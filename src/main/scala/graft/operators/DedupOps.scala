@@ -364,6 +364,11 @@ object DedupOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // Surgical decontamination (see [[decontamScrub]]): remove only the
+    // eval-overlapping spans, keep the document — q80's removal device
+    // pointed at q67's contamination definition.
+    "q115_decontam_scrub" -> ((s, d) => decontamScrub(documents(s, d))),
+
     // Incremental delta dedup (see [[deltaDedup]]): the new-arrivals batch
     // against the standing corpus — exact fingerprint layer, within-batch
     // layer, banded near-dup vs history with exact verify; every join
@@ -1007,6 +1012,63 @@ object DedupOps {
     finishAndRelease(res, truth, cand)
   }
 
+  /** q115's operator body: SURGICAL decontamination — q67 flags
+    * contaminated documents and q79 grades them, but a pipeline that
+    * DROPS every flagged doc loses the prose around a quoted benchmark
+    * line; this operator removes only the offending SPANS (every token
+    * participating in an eval-overlapping word-5-gram) and reassembles
+    * the rest — the q80 removal device pointed at contamination instead
+    * of duplication (the Lee et al. 2022 / GPT-3 appendix-C class of
+    * "clean the span, keep the document"). Eval set = doc_id < 10, the
+    * q67/q74/q79/q113 convention; gram definition = THE shared
+    * [[gram5ArrayExpr]], so the scrub can never disagree with the
+    * flagger about what contamination IS. A matched gram at 1-based
+    * start i removes tokens [i, i+4]; overlapping matches union (an
+    * 8-token overlap of two grams removes 9 tokens, not 10). Docs under
+    * 5 tokens cannot contain a gram and pass through verbatim;
+    * n_tokens/n_kept make the removal auditable (sum(n_tokens − n_kept)
+    * is the corpus-wide contamination mass, the q79 numerator made
+    * concrete).
+    *
+    * Scale shape: eval grams BROADCAST (benchmarks are tiny — the q67
+    * contract); the corpus explodes once into positioned grams
+    * (row-local), the matched starts collapse to one per-doc set
+    * (combiner-friendly, bounded by matches not tokens), and the
+    * reassembly is a row-local indexed filter over the doc's own token
+    * array — per-row cost O(n_tokens × n_matches), with n_matches
+    * eval-bounded. One linear shuffle (the per-doc start set); the
+    * corpus never shuffles on gram values. Holds at 100 TB.
+    */
+  def decontamScrub(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val evalGrams = base.filter(col("doc_id") < 10)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(explode(array_distinct(expr(gram5ArrayExpr("t")))).as("g"))
+      .distinct()
+    val toks = base.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val starts = toks.filter(size(col("t")) >= 5)
+      .select(col("doc_id"), posexplode(expr(gram5ArrayExpr("t"))))
+      .withColumnRenamed("col", "g")
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id"), (col("pos") + 1).as("i"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    val res = toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("starts").isNull, col("t")).otherwise(expr(
+          """transform(
+               filter(sequence(1, size(t)),
+                      i -> NOT exists(starts, s -> i >= s AND i <= s + 4)),
+               i -> element_at(t, i))""")).as("kt"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kt")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kt")).as("clean_text"))
+    finishAndRelease(res, toks)
+  }
+
   /** q112's operator body: INCREMENTAL (delta) dedup — the daily-dump
     * production shape the whole-corpus operators (q30/q35/q73) deliberately
     * are not: a new ARRIVALS batch is deduplicated against the standing
@@ -1139,6 +1201,39 @@ object DedupOps {
                   b) = 1
                 THEN 1 ELSE 0 END :: BIGINT AS chosen
          FROM base""",
+
+    "q115_decontam_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         gpos AS (
+           SELECT doc_id, i,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4] AS g
+           FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 5),
+         evalg AS (SELECT DISTINCT g FROM gpos WHERE doc_id < 10),
+         matched AS (SELECT DISTINCT gp.doc_id, gp.i
+                     FROM gpos gp JOIN evalg USING (g)
+                     WHERE gp.doc_id >= 10),
+         idx AS (SELECT doc_id, i, t[i] AS tok
+                 FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+                 WHERE doc_id >= 10),
+         removed AS (SELECT DISTINCT x.doc_id, x.i
+                     FROM idx x JOIN matched m
+                       ON m.doc_id = x.doc_id AND x.i BETWEEN m.i AND m.i + 4),
+         kept AS (
+           SELECT x.doc_id,
+                  count(*) AS n_kept,
+                  string_agg(x.tok, ' ' ORDER BY x.i) AS clean_text
+           FROM idx x LEFT JOIN removed r
+             ON r.doc_id = x.doc_id AND r.i = x.i
+           WHERE r.i IS NULL
+           GROUP BY x.doc_id)
+         SELECT c.doc_id,
+           CAST(len(c.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.clean_text, '') AS clean_text
+         FROM (SELECT doc_id, t FROM toks WHERE doc_id >= 10) c
+         LEFT JOIN kept k USING (doc_id)""",
 
     "q112_delta_dedup" ->
       s"""WITH fpt AS (

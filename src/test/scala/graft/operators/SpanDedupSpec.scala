@@ -69,4 +69,36 @@ class SpanDedupSpec extends SparkSpec {
       .filter(length(col("clean_text")) > length(col("text"))).count()
     assert(grew === 0L)
   }
+
+  // ---- q115 surgical decontamination ----
+
+  test("q115: the matched 5-gram span is cut mid-document; overlaps union; short docs pass") {
+    val docs = Seq(
+      (1L, "e1 e2 e3 e4 e5 e6 e7"),                      // eval doc (doc_id < 10)
+      (10L, "p1 p2 e1 e2 e3 e4 e5 p3 p4"),               // one gram hit at start 3
+      // grams (e1..e5) at 1 and (e3..e7) at 3 overlap: union removes
+      // tokens 1..7, NOT 10 — the overlap-union rule
+      (11L, "e1 e2 e3 e4 e5 e6 e7 q1 q2 q3"),
+      (12L, "tiny doc"),                                  // <5 tokens: verbatim
+      (13L, "z1 z2 z3 z4 z5 z6"))                         // no overlap: verbatim
+      .toDF("doc_id", "text")
+    val out = DedupOps.decontamScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    // doc 10: tokens 3..7 removed (the matched gram), prose kept
+    assert(out(10L) == ((9L, 4L, "p1 p2 p3 p4")))
+    // doc 11: two overlapping matched grams remove 7 tokens, not 10
+    assert(out(11L) == ((10L, 3L, "q1 q2 q3")))
+    assert(out(12L) == ((2L, 2L, "tiny doc")))
+    assert(out(13L) == ((6L, 6L, "z1 z2 z3 z4 z5 z6")))
+  }
+
+  test("q115: a fully-contaminated document survives as an empty row") {
+    val docs = Seq(
+      (1L, "e1 e2 e3 e4 e5"),
+      (10L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text")
+    val out = DedupOps.decontamScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(10L) == ((5L, 0L, "")))
+  }
 }
