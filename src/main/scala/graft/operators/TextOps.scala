@@ -447,6 +447,68 @@ object TextOps {
     DedupOps.finishAndRelease(res, corpus)
   }
 
+  /** q116's operator body: SPAN-LEVEL quality pruning — the within-document
+    * counterpart of the doc-level surprisal filters (q69/q78 score whole
+    * docs; real web documents are usually good prose wrapped around a
+    * navigation block or a keyword-stuffed footer, and dropping the whole
+    * doc wastes the prose — the Nemotron-CC/RefinedWeb class of "prune the
+    * span, keep the page"). A 5-token window is pruned when its mean
+    * unigram surprisal exceeds 1.5× the DOCUMENT's own mean — the
+    * relative bar makes the op corpus-agnostic (an absolute threshold
+    * would fire everywhere or nowhere depending on vocabulary size);
+    * overlapping pruned windows union and the survivors reassemble, the
+    * q115 indexed-filter device. Every comparison is INTEGER: with
+    * micro-bit su (q69's exact table), "mean₅ > 1.5·mean_doc" is
+    * 2·sum₅·n_doc > 15·sum_doc — no float boundary can disagree across
+    * engines (headroom: 5 windows × 2e7 µbits × 1e5-token docs ≈ 1e13,
+    * far inside long). Docs under 5 tokens have no full window and pass
+    * verbatim; n_tokens/n_kept make the pruned mass auditable.
+    *
+    * Scale shape: one corpus token explode (row-local) + the vocab-sized
+    * unigram model (q69's shape, broadcast total) + ONE per-doc window
+    * partition carrying both the 5-row rolling frame and the doc
+    * aggregate (doc-bounded — the per-key sort is capped by any length
+    * gate, the q103 discipline), then the q115 reassembly: one start-set
+    * shuffle and a row-local indexed filter. No pair joins, corpus-linear
+    * throughout. Holds at 100 TB.
+    */
+  def spanQualityPrune(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = toks.select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
+    val freq = pos.groupBy("w").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum("freq").as("total"))
+    val su = freq.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(round(-log(2.0, col("freq") / col("total")), 6) * 1e6, 0)
+          .cast("long").as("su"))
+    val wWin = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, 4)
+    val dWin = Window.partitionBy("doc_id")
+    val starts = pos.join(su, "w")
+      .withColumn("sum5", sum(col("su")).over(wWin))
+      .withColumn("cnt5", count(lit(1)).over(wWin))
+      .withColumn("sdoc", sum(col("su")).over(dWin))
+      .withColumn("ndoc", count(lit(1)).over(dWin))
+      .filter(col("cnt5") === 5 &&
+        col("sum5") * col("ndoc") * 2 > col("sdoc") * 15)
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    val res = toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("starts").isNull, col("t")).otherwise(expr(
+          """transform(
+               filter(sequence(1, size(t)),
+                      i -> NOT exists(starts, s -> i >= s AND i <= s + 4)),
+               i -> element_at(t, i))""")).as("kt"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kt")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kt")).as("clean_text"))
+    DedupOps.finishAndRelease(res, toks)
+  }
+
   /** q89's operator body: character-distribution Shannon entropy per
     * document — see the q89 entry comment. Row-local HOFs only (the q60
     * device): per distinct char, count occurrences and weight its
@@ -1024,6 +1086,11 @@ object TextOps {
     // unigram model, exact in micro-bit integers.
     "q88_bigram_surprisal" -> ((s, d) => bigramSurprisal(documents(s, d))),
 
+    // Span-level quality pruning (see [[spanQualityPrune]]): cut 5-token
+    // windows running ≥1.5× the document's own mean surprisal, keep the
+    // prose — all-integer micro-bit comparisons, q115's reassembly.
+    "q116_span_quality_prune" -> ((s, d) => spanQualityPrune(documents(s, d))),
+
     // The end-to-end curation waterfall (see [[pipelineWaterfall]]):
     // gates → dedup → decontam → quality as ONE query, per-stage drop
     // accounting, every stage the library's own shared expression.
@@ -1288,6 +1355,43 @@ object TextOps {
                 CAST(sum(t.tf) AS BIGINT) AS n_bigrams
          FROM tf2 t JOIN su s ON t.w1 = s.w1 AND t.w2 = s.w2
          GROUP BY t.doc_id""",
+
+    "q116_span_quality_prune" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pos AS (SELECT doc_id, i, t[i] AS w
+                 FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+         freq AS (SELECT w, count(*) AS freq FROM pos GROUP BY w),
+         total AS (SELECT sum(freq) AS total FROM freq),
+         su AS (SELECT w,
+                  CAST(round(round(-(ln(CAST(freq AS DOUBLE) / total) / ln(2.0)), 6)
+                             * 1e6, 0) AS BIGINT) AS su
+                FROM freq, total),
+         wins AS (
+           SELECT p.doc_id, p.i,
+             sum(s.su) OVER (PARTITION BY p.doc_id ORDER BY p.i
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sum5,
+             count(*) OVER (PARTITION BY p.doc_id ORDER BY p.i
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt5,
+             sum(s.su) OVER (PARTITION BY p.doc_id) AS sdoc,
+             count(*) OVER (PARTITION BY p.doc_id) AS ndoc
+           FROM pos p JOIN su s USING (w)),
+         marked AS (SELECT doc_id, i FROM wins
+                    WHERE cnt5 = 5 AND 2 * sum5 * ndoc > 15 * sdoc),
+         removed AS (SELECT DISTINCT p.doc_id, p.i
+                     FROM pos p JOIN marked m
+                       ON m.doc_id = p.doc_id AND p.i BETWEEN m.i AND m.i + 4),
+         kept AS (
+           SELECT p.doc_id, count(*) AS n_kept,
+                  string_agg(p.w, ' ' ORDER BY p.i) AS clean_text
+           FROM pos p LEFT JOIN removed r
+             ON r.doc_id = p.doc_id AND r.i = p.i
+           WHERE r.i IS NULL
+           GROUP BY p.doc_id)
+         SELECT c.doc_id,
+           CAST(len(c.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.clean_text, '') AS clean_text
+         FROM toks c LEFT JOIN kept k USING (doc_id)""",
 
     "q113_pipeline_waterfall" ->
       s"""WITH stats AS (${oracleDocStatsSql("doc_id")}),

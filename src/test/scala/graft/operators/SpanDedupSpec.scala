@@ -101,4 +101,27 @@ class SpanDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     assert(out(10L) == ((5L, 0L, "")))
   }
+
+  // ---- q116 span-level quality pruning ----
+
+  test("q116: the high-surprisal run is pruned with its straddling windows; uniform docs pass") {
+    // background: 10 docs of 45 × "c" → su("c") ≈ 0.0145 bits; the rare
+    // run r1..r5 (freq 1 each, su ≈ 8.97 bits) sits at positions 21–25 of
+    // doc 100. Every window touching a rare token clears the 1.5×-doc-mean
+    // bar (≈902M vs 682M in µbit·count units), all-common windows do not,
+    // so marked starts are exactly 17..25 → removal union [17, 29].
+    val common = Seq.fill(45)("c").mkString(" ")
+    val mixed = (Seq.fill(20)("c") ++ (1 to 5).map(i => s"r$i") ++
+      Seq.fill(25)("c")).mkString(" ")
+    val docs = ((0L until 10L).map(i => (i, common)) :+ (100L, mixed) :+
+      (101L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.spanQualityPrune(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // uniform background docs: no window beats 1.5× their own mean
+    (0L until 10L).foreach { i => assert(out(i) == ((45L, 45L, common))) }
+    // the mixed doc loses tokens 17..29 (rare run + straddles), keeps 37 c's
+    assert(out(100L) == ((50L, 37L, Seq.fill(37)("c").mkString(" "))))
+    // short docs have no full window → verbatim
+    assert(out(101L) == ((2L, 2L, "x y")))
+  }
 }
