@@ -310,6 +310,34 @@ object GraphOps {
       val clusters = queries("q45_dedup_clusters")(s, d)
       DedupOps.finishAndRelease(
         dedupDisposition(documents(s, d), clusters), clusters)
+    }),
+
+    // Leak-free train/val/test split: q58 hash-splits per DOCUMENT, which
+    // leaks — a near-duplicate pair split across train and eval means the
+    // model is evaluated on (a paraphrase of) its own training data, the
+    // contamination class decontamination (q67) cannot see because both
+    // sides are corpus-internal. The fix every careful pipeline ships:
+    // split by the near-dup CLUSTER (q45's components), so a whole
+    // equivalence class lands on one side. Assignment is q58's md5-prefix
+    // threshold device keyed on cluster_id under its own salt
+    // ('leaksplit:'): row-local after clustering, engine-exact,
+    // reproducible; 90/5/5 over the CLUSTER space (clusters, not docs,
+    // are the iid units — exactly why doc-level splitting is wrong).
+    // Scale shape: q45's bounded clustering + one row-local hash — no new
+    // exchange. Caveat (inherent, not a bug): adding documents can MERGE
+    // clusters, and a merged cluster re-hashes under the surviving
+    // smaller id — split stability under growth holds exactly for docs
+    // whose cluster membership is unchanged, a weaker-but-honest version
+    // of q58's per-doc stability.
+    "q117_leakfree_split" -> ((s, d) => {
+      val clusters = queries("q45_dedup_clusters")(s, d)
+      clusters
+        .withColumn("h", substring(md5(concat(lit("leaksplit:"),
+          col("cluster_id").cast("string"))), 1, 8))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("h") < StatsOps.trainBound, "train")
+            .when(col("h") < StatsOps.valBound, "val")
+            .otherwise("test").as("split"))
     })
   )
 
@@ -359,6 +387,16 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q45_dedup_clusters" -> q45OracleSql,
+
+    "q117_leakfree_split" ->
+      s"""WITH clusters AS (SELECT * FROM ($q45OracleSql) c45)
+         SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5('leaksplit:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < '${StatsOps.trainBound}' THEN 'train'
+                WHEN substring(md5('leaksplit:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < '${StatsOps.valBound}' THEN 'val'
+                ELSE 'test' END AS split
+         FROM clusters""",
 
     "q65_cluster_reps" ->
       s"""WITH clusters AS (SELECT * FROM ($q45OracleSql) c45),

@@ -24,8 +24,8 @@ object StatsOps {
     * (same engine-exact mechanism as q47's strata rates): train gets 90%
     * of the hash space, validation the next 5%, test the rest.
     */
-  private val trainBound = "e6666666" // 0.9 * 2^32
-  private val valBound   = "f3333333" // 0.95 * 2^32
+  private[operators] val trainBound = "e6666666" // 0.9 * 2^32
+  private[operators] val valBound   = "f3333333" // 0.95 * 2^32
 
   /** q57 training-sequence capacity in tokens. The packer is CUMULATIVE
     * BOUNDARY binning, not per-bin greedy reset: a document's bin is the

@@ -241,6 +241,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(3L) === (("exact_dup", 4L)))
   }
 
+  test("q117 leak-free split: clusters never straddle a split, assignment is the pinned hash") {
+    val d = "/root/testdata/sf0.001"
+    val split = GraphOps.queries("q117_leakfree_split")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(split.length === docs, "one row per document")
+    // the leak-free property: every cluster is entirely on one side —
+    // in particular every q35 near-dup candidate pair shares a split
+    split.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $cid straddles splits: ${members.map(_._3).distinct}")
+    }
+    val byDoc = split.map(t => t._1 -> t._3).toMap
+    val cand = DedupOps.queries("q35_minhash_lsh")(spark, d)
+    cand.collect().foreach { r =>
+      assert(byDoc(r.getLong(0)) === byDoc(r.getLong(1)),
+        s"near-dup pair (${r.getLong(0)}, ${r.getLong(1)}) leaked across splits")
+    }
+    cand.unpersist(blocking = true)
+    // assignment is exactly the salted md5 threshold (engine-pinned), and
+    // the 90/5/5 geometry shows up at fixture scale (every split non-empty)
+    def expected(cid: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"leaksplit:$cid".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      if (h < "e6666666") "train" else if (h < "f3333333") "val" else "test"
+    }
+    split.foreach { case (id, cid, sp) =>
+      assert(sp === expected(cid), s"doc $id cluster $cid")
+    }
+    val frac = split.groupBy(_._3).view.mapValues(_.length.toDouble / split.length).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"train fraction $frac")
+    assert(frac.getOrElse("val", 0.0) > 0 && frac.getOrElse("test", 0.0) > 0, s"fractions $frac")
+    spark.catalog.clearCache()
+  }
+
   private def SparkEntry_q45(d: String) =
     GraphOps.queries("q45_dedup_clusters")(spark, d)
 }
