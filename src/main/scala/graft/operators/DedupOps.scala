@@ -369,6 +369,11 @@ object DedupOps {
     // pointed at q67's contamination definition.
     "q115_decontam_scrub" -> ((s, d) => decontamScrub(documents(s, d))),
 
+    // Intra-document repetition scrub (see [[repetitionScrub]]): remove
+    // later occurrences of 5-grams repeated WITHIN a document — q60
+    // measures the repetition, this removes it; q115's reassembly.
+    "q118_repetition_scrub" -> ((s, d) => repetitionScrub(documents(s, d))),
+
     // Incremental delta dedup (see [[deltaDedup]]): the new-arrivals batch
     // against the standing corpus — exact fingerprint layer, within-batch
     // layer, banded near-dup vs history with exact verify; every join
@@ -1069,6 +1074,55 @@ object DedupOps {
     finishAndRelease(res, toks)
   }
 
+  /** q118's operator body: INTRA-document repetition scrub — q60 measures
+    * a document's repeated-5-gram mass; this operator removes it. Web text
+    * repeats itself inside one page (lyric refrains, templated listings,
+    * copy-pasted paragraphs), and "remove the later copies, keep the
+    * first" shrinks the loss-weighted duplication a model trains on
+    * without dropping the page (the within-doc counterpart of the
+    * cross-doc q71/q80, and the q38/q77 repetition gates' surgical
+    * alternative). Rule: a 5-gram window starting at 1-based i is removed
+    * iff the SAME gram (THE shared [[gram5ArrayExpr]] definition) first
+    * occurs in this document at first_i ≤ i − 5 — i.e. a fully
+    * NON-overlapping earlier copy exists; windows overlapping their own
+    * first occurrence are kept (removing them would eat the original's
+    * tokens). Marked windows union and the survivors reassemble — the
+    * q115 indexed-filter device; docs under 5 tokens have no gram and
+    * pass verbatim; n_tokens/n_kept make the removed mass auditable
+    * (sum(n_tokens − n_kept) is q60's repetition mass made removable).
+    *
+    * Scale shape: one corpus gram explode (row-local), the first-
+    * occurrence min over a (doc_id, gram) window — ONE linear shuffle
+    * whose hottest key is one document's one repeated gram, bounded by
+    * doc length, never corpus-wide (grams never pair ACROSS documents
+    * here, so no df guard is needed) — then the per-doc start set and the
+    * row-local reassembly. Corpus-linear throughout; holds at 100 TB.
+    */
+  def repetitionScrub(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val starts = toks.filter(size(col("t")) >= 5)
+      .select(col("doc_id"), posexplode(expr(gram5ArrayExpr("t"))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+      .withColumn("first_i",
+        min(col("i")).over(Window.partitionBy("doc_id", "g")))
+      .filter(col("i") >= col("first_i") + 5)
+      .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+    val res = toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("starts").isNull, col("t")).otherwise(expr(
+          """transform(
+               filter(sequence(1, size(t)),
+                      i -> NOT exists(starts, s -> i >= s AND i <= s + 4)),
+               i -> element_at(t, i))""")).as("kt"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kt")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kt")).as("clean_text"))
+    finishAndRelease(res, toks)
+  }
+
   /** q112's operator body: INCREMENTAL (delta) dedup — the daily-dump
     * production shape the whole-corpus operators (q30/q35/q73) deliberately
     * are not: a new ARRIVALS batch is deduplicated against the standing
@@ -1234,6 +1288,39 @@ object DedupOps {
            coalesce(k.clean_text, '') AS clean_text
          FROM (SELECT doc_id, t FROM toks WHERE doc_id >= 10) c
          LEFT JOIN kept k USING (doc_id)""",
+
+    "q118_repetition_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         gpos AS (
+           SELECT doc_id, i,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4] AS g
+           FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 5),
+         marked AS (
+           SELECT doc_id, i FROM (
+             SELECT doc_id, i,
+                    min(i) OVER (PARTITION BY doc_id, g) AS first_i
+             FROM gpos)
+           WHERE i >= first_i + 5),
+         idx AS (SELECT doc_id, i, t[i] AS tok
+                 FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+         removed AS (SELECT DISTINCT x.doc_id, x.i
+                     FROM idx x JOIN marked m
+                       ON m.doc_id = x.doc_id AND x.i BETWEEN m.i AND m.i + 4),
+         kept AS (
+           SELECT x.doc_id,
+                  count(*) AS n_kept,
+                  string_agg(x.tok, ' ' ORDER BY x.i) AS clean_text
+           FROM idx x LEFT JOIN removed r
+             ON r.doc_id = x.doc_id AND r.i = x.i
+           WHERE r.i IS NULL
+           GROUP BY x.doc_id)
+         SELECT c.doc_id,
+           CAST(len(c.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.clean_text, '') AS clean_text
+         FROM toks c LEFT JOIN kept k USING (doc_id)""",
 
     "q112_delta_dedup" ->
       s"""WITH fpt AS (

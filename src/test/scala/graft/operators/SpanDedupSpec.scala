@@ -124,4 +124,39 @@ class SpanDedupSpec extends SparkSpec {
     // short docs have no full window → verbatim
     assert(out(101L) == ((2L, 2L, "x y")))
   }
+
+  // ---- q118 intra-document repetition scrub ----
+
+  test("q118: later non-overlapping repeats are removed, overlaps of the first copy survive") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: "a b c d e" at positions 1–5 repeats at 9–13 and 14–18 →
+    //   marked starts {9, 14} (both ≥ 1+5), removal union [9, 18];
+    //   the filler x1..x3 and the first copy stay → 8 tokens kept.
+    // doc 2: "a a a a a a a" (7 a's): gram starts 1..3 share first_i=1;
+    //   only starts ≥ 6 would mark, none exist → verbatim (overlapping
+    //   self-repeats never eat their own first copy).
+    // doc 3: no repeats → verbatim. doc 4: 4 tokens, no gram → verbatim.
+    val d1 = "a b c d e x1 x2 x3 a b c d e a b c d e"
+    val d2 = Seq.fill(7)("a").mkString(" ")
+    val docs = Seq(
+      1L -> d1, 2L -> d2, 3L -> "p q r s t u", 4L -> "k l m n")
+      .toDF("doc_id", "text")
+    val out = DedupOps.repetitionScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((18L, 8L, "a b c d e x1 x2 x3")))
+    assert(out(2L) === ((7L, 7L, d2)))
+    assert(out(3L) === ((6L, 6L, "p q r s t u")))
+    assert(out(4L) === ((4L, 4L, "k l m n")))
+  }
+
+  test("q118: a 10-token run of one token loses exactly its second half") {
+    val sp = spark
+    import sp.implicits._
+    // 10 a's: gram starts 1..6, first_i=1, marked = {6} → removes [6, 10]
+    val docs = Seq(1L -> Seq.fill(10)("a").mkString(" ")).toDF("doc_id", "text")
+    val out = DedupOps.repetitionScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((10L, 5L, Seq.fill(5)("a").mkString(" "))))
+  }
 }
