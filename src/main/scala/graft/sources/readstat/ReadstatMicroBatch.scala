@@ -131,7 +131,13 @@ class ReadstatMicroBatchStream(
       case m: ReadMaxFiles => math.min(discovered.size, s + m.maxFiles())
       case _ => discovered.size
     }
-    FilesOffset(cap)
+    // never advance PAST a widenable refusal (see widenHold): a zero-row
+    // batch over it would commit it as consumed and a widen-restart could
+    // no longer replay it
+    val pending = discovered.toSeq
+    var e = s
+    while (e < cap && !widenHold(pending(e))) e += 1
+    FilesOffset(e)
   }
 
   override def reportLatestOffset(): Offset = FilesOffset(discovered.size)
@@ -163,8 +169,62 @@ class ReadstatMicroBatchStream(
     * fixed at query start — that is Spark's contract, not this source's —
     * so an arrival with a NEW column or a WIDER type still quarantines or
     * fails, now with a restart-to-re-merge hint (at restart the batch-side
-    * inference re-merges over everything present).
+    * inference re-merges over everything present). Under PERMISSIVE that
+    * widenable class normally never reaches this gate: [[widenHold]] pins
+    * the offset before the file so it stays replayable; this branch
+    * remains the FAILFAST error and the safety net for a replayed batch
+    * whose file still does not fit.
     */
+  // widenable refusals already hinted once (the record is re-created on a
+  // restart only if the rebuilt query STILL cannot admit the file)
+  private val holdReported = mutable.HashSet[String]()
+
+  /** Widen-hold (PERMISSIVE + mergeSchema): an arrival whose schema does
+    * not fit the running query's declared schema but WOULD be admitted by
+    * a restart's re-merge (wider type on the closed lattice, or a new
+    * column) must not pass through a batch at all — the batch would emit
+    * zero rows for it, COMMIT, and the widen-restart could then never
+    * replay the file (offsets resume after the committed batch; the r11h
+    * supervisor race, observed live: the hint record fired the restart,
+    * but the refused file's rows were already consumed-as-empty). The
+    * offset HOLDS just before such a file instead: batches keep flowing
+    * for everything ahead of it, the hint record (stage "plan") is
+    * written once, and whenever the restart lands the file is still
+    * pending, so the re-merged query replays it deterministically. Files
+    * BEHIND a held file wait with it (discovery order is the offset
+    * order) — bounded by the supervisor's poll, and the honest cost of
+    * never losing a good file. A corrupt file never holds (its probe
+    * fails → quarantine-and-skip at batch planning); a non-widenable
+    * drift never holds (its re-merge fails → same skip path); FAILFAST
+    * never holds (the gate throws at batch planning, failing the query).
+    * The probe is memoized per query instance, so fixing a held file
+    * in place still requires the restart the hint asks for.
+    */
+  private def widenHold(p: String): Boolean =
+    opts.permissive && opts.mergeSchema && {
+      val probed = scala.util.Try(schemaCache.getOrElseUpdate(
+        p, ReadstatFormats.forPath(p, opts).schema(p, opts))).toOption
+      probed.exists { s =>
+        val declared = schema.fields.map(f => f.name -> f.dataType).toMap
+        val known = fullSchema.fields.map(_.name).toSet
+        val misfit = s.fields.exists(f => declared.get(f.name).exists(t =>
+          !SchemaMerge.widen(f.dataType, t).contains(t))) ||
+          s.fields.exists(f => !known.contains(f.name))
+        misfit && scala.util.Try(
+          SchemaMerge.merge(Seq(("declared", fullSchema), (p, s)))).isSuccess && {
+          if (!holdReported.contains(p)) {
+            holdReported += p
+            Quarantine.report(opts, p, "plan", new IllegalArgumentException(
+              s"readstat stream: newly arrived file $p needs a wider schema " +
+                "than the running query declared (a stream's output schema " +
+                "is fixed at start) — offset held before the file; restart " +
+                "the stream to re-merge and admit it"))
+          }
+          true
+        }
+      }
+    }
+
   private def admissible(p: String): Boolean =
     Quarantine.guard(opts, p, "plan") {
       val s = schemaCache.getOrElseUpdate(p, ReadstatFormats.forPath(p, opts).schema(p, opts))

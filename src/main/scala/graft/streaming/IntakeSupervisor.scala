@@ -33,9 +33,12 @@ import graft.sources.readstat.SchemaMerge
   * the rebuild, so a record can trigger at most one restart; the rebuilt
   * query (the `build` factory re-infers from disk — e.g. a fresh
   * `readStream…load(dir)` with `mergeSchema`) admits the file because the
-  * batch-side merge now sees it. Offsets live in the checkpoint, so the
-  * restart resumes exactly after the last committed batch and the
-  * previously-quarantined file replays into the first new batch.
+  * batch-side merge now sees it. Offsets live in the checkpoint, and the
+  * source HOLDS its offset just before a widenable refusal (it never
+  * passes through a committed batch — see ReadstatMicroBatchStream
+  * .widenHold), so the restart resumes exactly after the last committed
+  * batch and the refused file replays into the first new batch no matter
+  * when the poll lands relative to the stream's own trigger cadence.
   *
   * Scale note: the poll reads a handful of TINY quarantine records and
   * probes only the files they name — independent of corpus size; healthy
