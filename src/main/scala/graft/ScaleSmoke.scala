@@ -105,7 +105,14 @@ object ScaleSmoke {
     // piecewise elsewhere, but the composition (one persisted scan
     // feeding three row-local consumers + the fp shuffle + the broadcast
     // decontam probe) deserves its own end-to-end 10× wall
-    "q113_pipeline_waterfall")
+    "q113_pipeline_waterfall",
+    // q119/q120 joined r11i: q119's corpus×probe BNLJ is deliberate (tiny
+    // broadcast build side) but its cost is |corpus|×|probes| dots — the
+    // stays-corpus-linear-at-fixed-probe-count claim needs a 10× vectors
+    // point; q120 rides q96's vocab chain plus a second per-source agg —
+    // the vocab-bounded claim re-checked through the report shape (q121
+    // shares the same chain with only a broadcast total on top, no slot)
+    "q119_semantic_decontam", "q120_tokenizer_fit")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

@@ -628,8 +628,52 @@ object SimilarityOps {
     // SemDeDup: cluster-bounded semantic dedup with a deterministic
     // lowest-id keeper — see [[semDedup]] for the method citation, keeper
     // convention, and cell-bounded pair-stage scale argument.
-    "q86_semdedup" -> ((s, d) => semDedup(s, d))
+    "q86_semdedup" -> ((s, d) => semDedup(s, d)),
+
+    // Semantic (embedding-space) decontamination — see [[semanticDecontam]].
+    "q119_semantic_decontam" -> ((s, d) => semanticDecontam(prepped(s, d)))
   )
+
+  /** q119's operator body: SEMANTIC decontamination — the embedding-space
+    * complement of the n-gram family (q67/q74/q79/q115 catch literal
+    * 5-gram overlap; a paraphrased or translated eval item shares no
+    * surface gram yet sits next to its source in embedding space — the
+    * contamination class Llama-3-era reports scrub by cosine). The eval
+    * PROBE set here is the fixed-size slice `vec_id < 50` (a stand-in for
+    * a real benchmark's embedded items — eval suites are fixed-size by
+    * nature, which is exactly what makes this op scale); every corpus
+    * vector reports its nearest probe (argmax cosine, rounded to 6 before
+    * the tie-break so no cross-engine float-order boundary exists, smaller
+    * probe id wins ties) and the `contaminated` flag at the deployed 0.45
+    * near-dup bar (q39/q44's threshold). All corpus rows are emitted — the
+    * per-doc report shape (q79's convention), so the output doubles as the
+    * audit table and the drop list.
+    *
+    * Scale shape: the probe side is broadcast (eval benchmarks are
+    * thousands of rows, not corpus-scaled — the q37 tiny-build-side BNLJ
+    * class, deliberate and documented in PLANS.md); the corpus side is
+    * scanned ONCE, each row scoring |probes| row-local dots, and the
+    * argmax is a map-side-combinable min(struct) per vec_id — one
+    * corpus-linear shuffle carrying one row per vector. For an eval set
+    * too large to broadcast, the bucketed escape is q44's sign-LSH bands
+    * over (corpus ∪ probes) — candidates then exact-verify, the q40
+    * discipline; the broadcast path stays the default because real probe
+    * sets fit in one task's memory by orders of magnitude.
+    */
+  def semanticDecontam(base: DataFrame, nProbes: Int = 50,
+      bar: Double = 0.45): DataFrame = {
+    val probes = base.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("eval_id"), col("e").as("pe"), col("nrm").as("pn"))
+    val corpus = base.filter(col("vec_id") >= nProbes)
+      .select(col("vec_id"), col("e"), col("nrm"))
+    corpus.join(broadcast(probes), lit(true))
+      .withColumn("cos", round(expr("graft_dot(e, pe)") / (col("nrm") * col("pn")), 6))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cos")).as("nc"), col("eval_id"))).as("best"))
+      .select(col("vec_id"), col("best.eval_id").as("eval_id"),
+        (-col("best.nc")).as("cos"),
+        (-col("best.nc") >= bar).cast("long").as("contaminated"))
+  }
 
   // q61's oracle, shared so q66 can embed the code table it defines
   private val q61OracleSql: String =
@@ -932,6 +976,23 @@ object SimilarityOps {
                >= 0.45)
          SELECT c.vec_id, CAST(c.c_label AS BIGINT) AS c_label,
            CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-         FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id"""
+         FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id""",
+
+    "q119_semantic_decontam" ->
+      """SELECT vec_id, eval_id, cos,
+           CAST(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         FROM (
+           SELECT c.vec_id, q.vec_id AS eval_id,
+             round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos,
+             row_number() OVER (PARTITION BY c.vec_id ORDER BY
+               round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) DESC,
+               q.vec_id) AS rn
+           FROM embeddings c JOIN embeddings q
+             ON q.vec_id < 50 AND c.vec_id >= 50) t
+         WHERE rn = 1"""
   )
 }

@@ -607,6 +607,70 @@ object TextOps {
       |d a
       |t a""".stripMargin
 
+  /** The BPE-apply CTE block of the DuckDB oracles — merges/words/init/
+    * bpe/toks, ending in `toks(w, n_pieces)` over the corpus vocabulary —
+    * authored ONCE and spliced into both the q96 and q120 oracles (the
+    * bpeTokenRe one-constant discipline, per r10 ADVICE: a third
+    * hand-written copy is how oracles silently desynchronize). Each
+    * recursion level applies one merge; a word's terminal row is the one
+    * no merge applies to. Callers open with `WITH RECURSIVE`.
+    */
+  private def bpeOracleToksCtes: String = {
+    val mergeValues = graft.functions.BpeKernel.parseMerges(bpeMergesFixture)
+      .toSeq.sortBy(_._2)
+      .map { case ((a, b), r) =>
+        s"('${a.replace("'", "''")}', '${b.replace("'", "''")}', ${r + 1})"
+      }
+      .mkString(", ")
+    s"""merges(a, b, r) AS (VALUES $mergeValues),
+         words AS (
+           SELECT DISTINCT w FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents) uw
+           WHERE w <> ''),
+         init AS (
+           SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS st
+           FROM words),
+         bpe(w, st) AS (
+           SELECT w, st FROM init
+           UNION ALL
+           SELECT w,
+             substr(st, 1, strpos(st, best.pat) - 1) || ' ' || best.ab || ' ' ||
+               substr(st, strpos(st, best.pat) + length(best.pat))
+           FROM (
+             SELECT w, st,
+               (SELECT {'ab': m.a || m.b, 'pat': ' ' || m.a || ' ' || m.b || ' '}
+                FROM merges m
+                WHERE contains(st, ' ' || m.a || ' ' || m.b || ' ')
+                ORDER BY m.r LIMIT 1) AS best
+             FROM bpe) x
+           WHERE best IS NOT NULL),
+         toks AS (
+           SELECT w, CAST(len(string_split(trim(st), ' ')) AS BIGINT) AS n_pieces
+           FROM bpe b
+           WHERE NOT EXISTS (SELECT 1 FROM merges m
+                             WHERE contains(b.st, ' ' || m.a || ' ' || m.b || ' ')))"""
+  }
+
+  /** The per-source BPE accounting CTE block of the q120/q121 oracles —
+    * tf/agg/base over [[bpeOracleToksCtes]]'s `toks`, mirroring
+    * [[perSourceBpe]] — one authored copy for the same drift reason.
+    */
+  private def bpeOracleSourceCtes: String =
+    """tf AS (
+         SELECT source, w, count(*) AS tf FROM (
+           SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents) tw
+         WHERE w <> '' GROUP BY source, w),
+       agg AS (
+         SELECT t.source,
+                CAST(sum(t.tf) AS BIGINT) AS n_words,
+                CAST(sum(t.tf * k.n_pieces) AS BIGINT) AS n_bpe_tokens
+         FROM tf t JOIN toks k USING (w) GROUP BY t.source),
+       base AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+         FROM documents GROUP BY source)"""
+
   /** q96's operator body: REAL byte-pair-encoding token counts (r10
     * verdict #4) — actual merges applied iteratively per word, not q91's
     * pre-tokenizer proxy. The output keeps q91's `n_pretokens` next to the
@@ -703,6 +767,93 @@ object TextOps {
   def mergesAsText(merges: Seq[(String, String, Long)]): String =
     ("#version: graft-learned" +: merges.map(m => s"${m._1} ${m._2}"))
       .mkString("\n")
+
+  /** q120's operator body: tokenizer-fit report per source — fertility
+    * (real BPE tokens per word) and bytes-per-token (UTF-8 bytes per BPE
+    * token), the two standard datasheet signals for how well a tokenizer
+    * matches a corpus slice: high fertility / low bytes-per-token marks
+    * text the tokenizer fragments (foreign scripts, boilerplate noise,
+    * wrong domain), and bytes-per-token IS the compression ratio that
+    * decides how much text a fixed token budget actually buys per source
+    * (q83's currency, priced per slice). Ratios use the suite's exact
+    * integer half-up device at micro precision so the DuckDB compare is
+    * bit-stable.
+    *
+    * Scale shape: q96's vocab discipline — the corpus explodes once into
+    * (source, word, tf); the merge loop runs over DISTINCT words only
+    * (vocab-sized, codegen'd `graft_bpe_count`) and broadcast-joins back;
+    * byte counts ride a second linear agg over the same scan. The output
+    * is |sources| rows.
+    */
+  def tokenizerFitReport(docs: DataFrame, mergesText: String): DataFrame =
+    perSourceBpe(docs, mergesText)
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_bytes"),
+        (expr("(2 * n_bpe_tokens * 1000000 + n_words) div (2 * n_words)")
+          / lit(1000000.0)).as("fertility"),
+        (expr("(2 * n_bytes * 1000000 + n_bpe_tokens) div (2 * n_bpe_tokens)")
+          / lit(1000000.0)).as("bytes_per_token"))
+
+  /** Per-source real-BPE accounting shared by q120 and q121: one corpus
+    * explode into (source, word, tf), the merge loop over DISTINCT words
+    * only (q96's vocab discipline), byte/doc counts on a second linear
+    * agg — output is |sources| rows of (source, n_docs, n_words,
+    * n_bpe_tokens, n_bytes).
+    */
+  private def perSourceBpe(docs: DataFrame, mergesText: String): DataFrame = {
+    graft.functions.BpeFunctions.register(docs.sparkSession)
+    val mergesLit = mergesText.replace("'", "''")
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.select("w").distinct()
+      .withColumn("n_pieces", expr(s"graft_bpe_count(w, '$mergesLit')"))
+    val perSource = tf.join(broadcast(vocab), "w")
+      .groupBy("source").agg(
+        sum("tf").as("n_words"),
+        sum(col("tf") * col("n_pieces")).as("n_bpe_tokens"))
+    val bytes = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+    bytes.join(perSource, Seq("source"))
+  }
+
+  /** q121's operator body: the ingest PROVISIONING plan — q100's
+    * temperature mix (p_s ∝ √n_s) re-priced in the REAL training currency
+    * (q96's BPE tokens, not whitespace words) and converted to the RAW
+    * BYTES to pull per source: `planned_bytes = planned_tokens ×
+    * n_bytes/n_bpe_tokens`, each source billed at its own measured
+    * bytes-per-token (q120's compression ratio — a CJK or code slice buys
+    * far fewer tokens per byte than English prose, which is exactly why a
+    * byte-uniform ingest quota misses a token-denominated mix). The
+    * `oversample` column is planned/available tokens — the per-source
+    * epoch multiplicity this mix implies (>1 means the source repeats,
+    * the repeated-data budget question), q85's corpus-wide epochs knob
+    * made per-source and mix-aware.
+    *
+    * Exactness devices are q100's: integer isqrt weight (floor kills the
+    * sqrt ulp), integer floor-div token split, ONE floor-div for bytes
+    * (never through the rounded ratio), half-up micro for the oversample.
+    * Scale shape: [[perSourceBpe]]'s two linear aggs + a broadcast total
+    * over the tiny source dimension.
+    */
+  def ingestPlan(docs: DataFrame, mergesText: String,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val per = perSourceBpe(docs, mergesText)
+      .withColumn("weight",
+        floor(sqrt(col("n_bpe_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum("weight").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("planned_tokens",
+        expr(s"($budgetTokens * weight) div tot_w").cast("long"))
+      .select(col("source"), col("n_bpe_tokens"), col("n_bytes"),
+        col("weight"), col("planned_tokens"),
+        expr("(planned_tokens * n_bytes) div n_bpe_tokens")
+          .cast("long").as("planned_bytes"),
+        (expr("(2 * planned_tokens * 1000000 + n_bpe_tokens) div (2 * n_bpe_tokens)")
+          / lit(1000000.0)).as("oversample"))
+  }
 
   /** The winnow gram-hash array over a token-array column — THE hash
     * definition, shared by batch q92 and the streaming near-dup gate
@@ -1157,6 +1308,14 @@ object TextOps {
     "q96_bpe_real_tokens" -> ((s, d) =>
       bpeRealTokens(documents(s, d), bpeMergesFixture)),
 
+    // Tokenizer-fit report per source — see [[tokenizerFitReport]].
+    "q120_tokenizer_fit" -> ((s, d) =>
+      tokenizerFitReport(documents(s, d), bpeMergesFixture)),
+
+    // Ingest provisioning plan (mix × fit) — see [[ingestPlan]].
+    "q121_ingest_plan" -> ((s, d) =>
+      ingestPlan(documents(s, d), bpeMergesFixture)),
+
     // Winnowing fingerprints (see [[winnowFingerprints]]): MOSS-style
     // local fingerprinting — window-min selection over word-3-gram
     // hashes, the sub-document dedup key at ~2/(w+1) storage.
@@ -1539,41 +1698,41 @@ object TextOps {
     // agree by construction. State is the word as space-separated symbols;
     // each recursion level applies one merge; a word's terminal row is the
     // one no merge applies to.
-    "q96_bpe_real_tokens" -> {
-      val mergeValues = graft.functions.BpeKernel.parseMerges(bpeMergesFixture)
-        .toSeq.sortBy(_._2)
-        .map { case ((a, b), r) =>
-          s"('${a.replace("'", "''")}', '${b.replace("'", "''")}', ${r + 1})"
-        }
-        .mkString(", ")
+    "q120_tokenizer_fit" ->
       s"""WITH RECURSIVE
-           merges(a, b, r) AS (VALUES $mergeValues),
-           words AS (
-             SELECT DISTINCT w FROM (
-               SELECT unnest(string_split(text, ' ')) AS w FROM documents) uw
-             WHERE w <> ''),
-           init AS (
-             SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS st
-             FROM words),
-           bpe(w, st) AS (
-             SELECT w, st FROM init
-             UNION ALL
-             SELECT w,
-               substr(st, 1, strpos(st, best.pat) - 1) || ' ' || best.ab || ' ' ||
-                 substr(st, strpos(st, best.pat) + length(best.pat))
-             FROM (
-               SELECT w, st,
-                 (SELECT {'ab': m.a || m.b, 'pat': ' ' || m.a || ' ' || m.b || ' '}
-                  FROM merges m
-                  WHERE contains(st, ' ' || m.a || ' ' || m.b || ' ')
-                  ORDER BY m.r LIMIT 1) AS best
-               FROM bpe) x
-             WHERE best IS NOT NULL),
-           toks AS (
-             SELECT w, CAST(len(string_split(trim(st), ' ')) AS BIGINT) AS n_pieces
-             FROM bpe b
-             WHERE NOT EXISTS (SELECT 1 FROM merges m
-                               WHERE contains(b.st, ' ' || m.a || ' ' || m.b || ' '))),
+           $bpeOracleToksCtes,
+           $bpeOracleSourceCtes
+         SELECT b.source, b.n_docs, a.n_words, a.n_bpe_tokens, b.n_bytes,
+           ((2 * a.n_bpe_tokens * 1000000 + a.n_words) // (2 * a.n_words))
+             / 1000000.0 AS fertility,
+           ((2 * b.n_bytes * 1000000 + a.n_bpe_tokens) // (2 * a.n_bpe_tokens))
+             / 1000000.0 AS bytes_per_token
+         FROM base b JOIN agg a USING (source)""",
+
+    "q121_ingest_plan" ->
+      s"""WITH RECURSIVE
+           $bpeOracleToksCtes,
+           $bpeOracleSourceCtes,
+           per AS (
+             SELECT b.source, a.n_bpe_tokens, b.n_bytes,
+                    CAST(floor(sqrt(CAST(a.n_bpe_tokens AS DOUBLE))) AS BIGINT)
+                      AS weight
+             FROM base b JOIN agg a USING (source)),
+           tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tot_w FROM per),
+           planned AS (
+             SELECT p.*, CAST((1000000 * p.weight) // t.tot_w AS BIGINT)
+                      AS planned_tokens
+             FROM per p, tot t)
+         SELECT source, n_bpe_tokens, n_bytes, weight, planned_tokens,
+           CAST((planned_tokens * n_bytes) // n_bpe_tokens AS BIGINT)
+             AS planned_bytes,
+           ((2 * planned_tokens * 1000000 + n_bpe_tokens)
+             // (2 * n_bpe_tokens)) / 1000000.0 AS oversample
+         FROM planned""",
+
+    "q96_bpe_real_tokens" -> {
+      s"""WITH RECURSIVE
+           $bpeOracleToksCtes,
            tf AS (
              SELECT doc_id, w, count(*) AS tf FROM (
                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) tw

@@ -147,4 +147,70 @@ class BpeSpec extends SparkSpec {
       assert(ps.length.toLong === r.getLong(2), "pieces and count must agree")
     }
   }
+
+  test("q120 tokenizer-fit report: hand-computed fertility and bytes-per-token") {
+    val sp = spark
+    import sp.implicits._
+    // s1: the(1) the(1) able(1) -> 3 words / 3 tokens / 12 bytes
+    // s2: scan(2) + fast(2) data(2) -> 3 words / 6 tokens / 13 bytes
+    val docs = Seq(
+      ("s1", "the the able"), ("s2", "scan"), ("s2", "fast data")
+    ).toDF("source", "text")
+    val got = TextOps.tokenizerFitReport(docs, TextOps.bpeMergesFixture)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("s1") === ((1L, 3L, 3L, 12L, 1.0, 4.0)))
+    // bytes_per_token s2 = (2*13e6+6) div 12 / 1e6 = 2166667/1e6 (half-up)
+    assert(got("s2") === ((2L, 3L, 6L, 13L, 2.0, 2.166667)))
+  }
+
+  test("q121 ingest plan: hand-computed weights, token split, byte pricing") {
+    val sp = spark
+    import sp.implicits._
+    // s1: 3 bpe tokens / 12 bytes -> weight isqrt(3)=1
+    // s2: 6 bpe tokens / 13 bytes -> weight isqrt(6)=2; tot_w=3
+    val docs = Seq(
+      ("s1", "the the able"), ("s2", "scan"), ("s2", "fast data")
+    ).toDF("source", "text")
+    val got = TextOps.ingestPlan(docs, TextOps.bpeMergesFixture, budgetTokens = 9L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    // planned: 9*1 div 3 = 3 and 9*2 div 3 = 6 (whole budget at tot_w | 9)
+    // bytes: 3*12 div 3 = 12; 6*13 div 6 = 13 — each source at its OWN
+    // bytes-per-token, not a corpus-average
+    assert(got("s1") === ((3L, 12L, 1L, 3L, 12L, 1.0)))
+    assert(got("s2") === ((6L, 13L, 2L, 6L, 13L, 1.0)))
+  }
+
+  test("q121 sf plan: one row per source, budget never oversubscribed") {
+    val d = "/root/testdata/sf0.01"
+    val rows = TextOps.queries("q121_ingest_plan")(spark, d).collect()
+    val nSources = spark.read.parquet(s"$d/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length.toLong === nSources)
+    // floor-div splits can under-fill but never overshoot the budget
+    assert(rows.map(_.getAs[Long]("planned_tokens")).sum <= 1000000L)
+    assert(rows.forall(_.getAs[Long]("planned_bytes") > 0L))
+    assert(rows.forall(_.getAs[Double]("oversample") > 0.0))
+  }
+
+  test("q120 agrees with q96 aggregated by source on the sf corpus") {
+    val d = "/root/testdata/sf0.01"
+    val perDoc = TextOps.queries("q96_bpe_real_tokens")(spark, d)
+      .join(spark.read.parquet(s"$d/documents.parquet").select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source").agg(
+        sum("n_words").as("w96"), sum("n_bpe_tokens").as("t96"))
+    val report = TextOps.queries("q120_tokenizer_fit")(spark, d)
+    val joined = report.join(perDoc, "source").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      assert(r.getAs[Long]("n_words") === r.getAs[Long]("w96"),
+        s"word totals must agree for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_bpe_tokens") === r.getAs[Long]("t96"),
+        s"token totals must agree for ${r.getAs[String]("source")}")
+    }
+  }
 }
