@@ -675,6 +675,21 @@ object SimilarityOps {
         (-col("best.nc") >= bar).cast("long").as("contaminated"))
   }
 
+  /** Driver-side probe collection for the streaming semantic gate
+    * ([[graft.streaming.DocStreams.semanticDecontamGate]]): the eval
+    * vectors as (double-array, norm) pairs computed with EXACTLY q119's
+    * expressions — same ARRAY<DOUBLE> cast, same `graft_dot`, same
+    * `sqrt` — so the gate's cosine is bit-identical to the batch
+    * report's. Eval suites are fixed-size by nature, which is what makes
+    * a collect here sound (the q37/q119 tiny-probe-side premise, not a
+    * driver-side loop over corpus data).
+    */
+  def collectProbes(s: SparkSession, d: String,
+      nProbes: Int = 50): Seq[(Array[Double], Double)] =
+    prepped(s, d).filter(col("vec_id") < nProbes)
+      .select(col("e"), col("nrm")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1))).toSeq
+
   // q61's oracle, shared so q66 can embed the code table it defines
   private val q61OracleSql: String =
     """WITH unpacked AS (

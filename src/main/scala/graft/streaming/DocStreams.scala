@@ -193,6 +193,54 @@ object DocStreams {
       key = identity)
   }
 
+  /** Streaming SEMANTIC decontamination gate (batch q119's unit at the
+    * ingest edge, completing the decontamination parity story the way
+    * [[minhashBandGate]] completed near-dup's): drop an arriving row
+    * whose embedding reaches cosine `bar` against ANY eval probe — the
+    * paraphrased/translated contamination class whose surface 5-grams
+    * the [[decontaminationGate]] cannot see. Rows carry an `embedding`
+    * array column (pipelines embed on arrival, or upstream attaches it).
+    *
+    * Probes are driver-side constants, not a stream-static join: eval
+    * suites are fixed-size by nature, so |probes| literal (vector, norm)
+    * structs ride the plan and each row pays |probes| row-local dots
+    * through a short-circuiting `exists` — zero state, zero shuffle.
+    * Collect them with [[graft.operators.SimilarityOps.collectProbes]],
+    * which computes (e, nrm) with EXACTLY q119's expressions; the gate
+    * then evaluates q119's own cosine — same `graft_dot`, same 6-decimal
+    * round before the bar — so given the same probes and bar, a drop
+    * here ⟺ batch q119 flags `contaminated=1` (spec-pinned parity, the
+    * gopherAdmit/nearDupGate one-definition contract).
+    *
+    * Pass semantics match the other gates' keyless-rows-pass convention:
+    * a row with a null/empty embedding has no semantic key and passes
+    * (route such rows to the n-gram gates). Zero norms are guarded
+    * EXPLICITLY (`__nrm > 0`, and zero-norm probes are dropped at entry)
+    * rather than left to float semantics: under Spark's ANSI default a
+    * 0/0 cosine is NaN and Spark ORDERS NaN above every double, so an
+    * unguarded `NaN >= bar` would silently drop the row — the exact
+    * inversion of the convention. Unlike the Bloom gates this probe is
+    * EXACT — no false positives, no over-drop to size for.
+    */
+  def semanticDecontamGate(rows: DataFrame,
+      probes: Seq[(Array[Double], Double)], bar: Double = 0.45): DataFrame = {
+    graft.functions.VectorFunctions.register(rows.sparkSession)
+    val live = probes.filter(_._2 > 0)
+    if (live.isEmpty) return rows // no probes → nothing to screen against
+    val probeLit = array(live.map { case (pe, pn) =>
+      struct(typedlit(pe.toSeq).as("pe"), lit(pn).as("pn")) }: _*)
+    rows
+      .withColumn("__e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("__nrm", sqrt(call_function("graft_dot", col("__e"), col("__e"))))
+      .filter(!when(
+        col("__e").isNotNull && size(col("__e")) > 0 && col("__nrm") > 0,
+        exists(probeLit, p =>
+          round(call_function("graft_dot", col("__e"), p.getField("pe"))
+            / (col("__nrm") * p.getField("pn")), 6) >= bar))
+        .otherwise(lit(false)))
+      .drop("__e", "__nrm")
+  }
+
   /** The full intake pipeline: quality gate → dedup. (Counts attach as a
     * separate sink off the same deduped frame.)
     *

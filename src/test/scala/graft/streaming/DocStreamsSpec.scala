@@ -304,4 +304,49 @@ class DocStreamsSpec extends SparkSpec {
       assert(rows === Seq(("srcA", 2L), ("srcB", 1L), ("srcA", 1L)))
     } finally q.stop()
   }
+
+  test("semantic decontam gate parity: stream drops ⟺ batch q119 contaminated") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val probes = graft.operators.SimilarityOps.collectProbes(sp, d)
+    assert(probes.size === 50)
+    // EXPECTED drops from the REAL batch q119 over the same dir (the
+    // one-definition contract: same probes, same bar, same rounded cosine)
+    val flagged = graft.operators.SimilarityOps
+      .queries("q119_semantic_decontam")(sp, d)
+      .filter(col("contaminated") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpus = sp.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") >= 50).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val probe0 = sp.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    // arrivals: the whole corpus, a planted exact probe copy (cos 1.0 →
+    // guaranteed drop), and the keyless/zero-norm edge rows (must pass —
+    // the explicit __nrm > 0 guard, not NaN luck)
+    val arrivals: Seq[(Long, Seq[Float])] = corpus ++ Seq(
+      (9001L, probe0),
+      (9002L, null: Seq[Float]),
+      (9003L, Seq.empty[Float]),
+      (9004L, Seq.fill(64)(0f)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val gated = DocStreams.semanticDecontamGate(
+      input.toDF().toDF("vec_id", "embedding"), probes)
+    val q = gated.writeStream.format("memory").queryName("semgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      val admitted = sp.sql("SELECT vec_id FROM semgate").collect()
+        .map(_.getLong(0)).toSet
+      assert(!admitted.contains(9001L), "exact probe copy must be dropped")
+      val expect = (corpus.map(_._1).toSet -- flagged) ++ Set(9002L, 9003L, 9004L)
+      assert(admitted === expect,
+        s"drops must be exactly batch q119's contaminated set (${flagged.size} ids)")
+    } finally q.stop()
+  }
 }
