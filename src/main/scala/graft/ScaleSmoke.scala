@@ -112,7 +112,14 @@ object ScaleSmoke {
     // point; q120 rides q96's vocab chain plus a second per-source agg —
     // the vocab-bounded claim re-checked through the report shape (q121
     // shares the same chain with only a broadcast total on top, no slot)
-    "q119_semantic_decontam", "q120_tokenizer_fit")
+    "q119_semantic_decontam", "q120_tokenizer_fit",
+    // q123 joined r11j: the per-cluster prototype rank is a window over
+    // corpus/k rows in ONE task (the q103 hot-stratum class — the
+    // documented escape is the same quantile prefilter), so the 10×
+    // vectors point watches that partition's growth directly. q122 is
+    // q70's already-smoked stages plus parquet round-trip IO — no new
+    // distribution risk, no slot.
+    "q123_prototype_select")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

@@ -278,4 +278,55 @@ class SimilarityOpsSpec extends SparkSpec {
     // measured 0.41; random assignment over 10 labels gives 0.10
     assert(purity >= 0.35, f"assignment purity $purity%.2f")
   }
+
+  test("q122 saved-index search round-trips q70 exactly and prunes at the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = SimilarityOps.queries("q70_ivfpq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q122").toFile
+    try {
+      val dir = tmp.getAbsolutePath
+      SimilarityOps.saveIvfPqIndex(spark, sf, dir)
+      val savedDf = SimilarityOps.searchSavedIvfPq(spark, sf, dir)
+      val saved = savedDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      // the persisted path IS q70: identical rows in identical order
+      assert(saved === inline)
+      // the partitioned layout prunes unprobed cells AT the codes scan:
+      // the broadcast probe join plants a dynamic partition-pruning
+      // subquery on c_label (file-level prune, not a post-read filter)
+      val ex = savedDf.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(ex.contains("IN dynamicpruning#"),
+        "codes scan carries no dynamic partition-pruning filter")
+      // and the layout really is one directory per coarse cell
+      val cellDirs = new java.io.File(dir, "codes").listFiles()
+        .count(_.getName.startsWith("c_label="))
+      assert(cellDirs === 10, s"$cellDirs cell directories")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("q123 prototype ranks: planted centroids, distances, tie-break, keep flag") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.VectorFunctions.register(sp)
+    // label 0: (0,0) and (0,8) -> centroid (0,4), BOTH at dist 16 (a true
+    // tie -> vec_id breaks it); label 1: (10,0)/(10,1)/(10,5) -> centroid
+    // (10,2) with dists 4/1/9 -> rank v3,v2,v4
+    val base = Seq(
+      (0L, 0, Seq(0.0, 0.0)), (1L, 0, Seq(0.0, 8.0)),
+      (2L, 1, Seq(10.0, 0.0)), (3L, 1, Seq(10.0, 1.0)), (4L, 1, Seq(10.0, 5.0)))
+      .toDF("vec_id", "label", "e")
+    val out = SimilarityOps.prototypeSelect(base, kKeep = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 16.0, 1L, 1L), (1L, 0L, 16.0, 2L, 1L),
+      (3L, 1L, 1.0, 1L, 1L), (2L, 1L, 4.0, 2L, 1L), (4L, 1L, 9.0, 3L, 0L)))
+  }
 }
