@@ -562,18 +562,48 @@ object SimilarityOps {
     * ≤ kKeep).
     */
   def prototypeSelect(base: DataFrame, kKeep: Int = 20): DataFrame = {
-    val assigned = base.select(col("vec_id"), col("e"))
+    val w = Window.partitionBy("c_label").orderBy(col("dist"), col("vec_id"))
+    protoAssigned(base)
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("c_label").cast("long").as("c_label"),
+        col("dist"), col("proto_rank"),
+        (col("proto_rank") <= kKeep).cast("long").as("keep"))
+      .orderBy("c_label", "proto_rank")
+  }
+
+  /** q123's assignment stage, shared with q124: nearest seed centroid by
+    * rounded squared L2 (q72's map-side-combinable min(struct) argmin).
+    */
+  private def protoAssigned(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), col("e"))
       .join(broadcast(centroidsOf(base)))
       .withColumn("dist", rSqDist("e", "ce"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("c_label"))).as("best"))
       .select(col("vec_id"), col("best.c_label").as("c_label"),
         col("best.dist").as("dist"))
+
+  /** q124's operator body: q123's SELECTION half as its own query — only
+    * the kKeep keepers per cluster, no audit rows. The shape difference
+    * is the scale story, not a convenience: q123's all-rows audit must
+    * rank EVERY vector, so its per-cluster window sorts corpus/k rows in
+    * one task (the q103 hot-stratum hazard, quantile-prefilter escape
+    * documented there). Filtering on the rank INSIDE the query instead
+    * lets Spark's InferWindowGroupLimit plant a map-side group top-k
+    * (`WindowGroupLimit`, the device the q103 hot-source smoke measured
+    * BEATING the manual prefilter 0.84 s vs 3.9 s): every map task keeps
+    * only its kKeep smallest per cluster, so the hot cluster's sort sees
+    * ≤ kKeep × maps rows instead of corpus/k. The plan pin in
+    * SimilarityOpsSpec is the claim made executable; rows are exactly
+    * q123 ∩ keep=1 (same ranks, spec-pinned).
+    */
+  def prototypeSelectTop(base: DataFrame, kKeep: Int = 20): DataFrame = {
     val w = Window.partitionBy("c_label").orderBy(col("dist"), col("vec_id"))
-    assigned.withColumn("proto_rank", row_number().over(w).cast("long"))
+    protoAssigned(base)
+      .withColumn("proto_rank", row_number().over(w))
+      .filter(col("proto_rank") <= kKeep)
       .select(col("vec_id"), col("c_label").cast("long").as("c_label"),
-        col("dist"), col("proto_rank"),
-        (col("proto_rank") <= kKeep).cast("long").as("keep"))
+        col("dist"), col("proto_rank").cast("long").as("proto_rank"))
       .orderBy("c_label", "proto_rank")
   }
 
@@ -764,7 +794,11 @@ object SimilarityOps {
     // Prototype-ranked selection (Sorscher et al.) — see
     // [[prototypeSelect]] for the method citation, keep convention, and
     // the q103 hot-cluster escape.
-    "q123_prototype_select" -> ((s, d) => prototypeSelect(prepped(s, d)))
+    "q123_prototype_select" -> ((s, d) => prototypeSelect(prepped(s, d))),
+
+    // Selection-only prototype top-k — the WindowGroupLimit scale shape,
+    // see [[prototypeSelectTop]].
+    "q124_prototype_topk" -> ((s, d) => prototypeSelectTop(prepped(s, d)))
   )
 
   /** q119's operator body: SEMANTIC decontamination — the embedding-space
@@ -1067,6 +1101,33 @@ object SimilarityOps {
            CAST(proto_rank AS BIGINT) AS proto_rank,
            CAST(CASE WHEN proto_rank <= 20 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM ranked ORDER BY c_label, proto_rank""",
+
+    // q124 = q123's keepers only (same CTE chain, rank filter instead of
+    // a keep flag) — kept textually in lockstep with q123's oracle
+    "q124_prototype_topk" ->
+      """WITH unpacked AS (
+           SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         seed AS (
+           SELECT label AS c_label, pos AS c_pos, avg(x) AS cx
+           FROM unpacked GROUP BY label, pos),
+         d0 AS (
+           SELECT u.vec_id, s.c_label,
+                  round(sum((u.x - s.cx) * (u.x - s.cx)), 6) AS dist
+           FROM unpacked u JOIN seed s ON s.c_pos = u.pos
+           GROUP BY u.vec_id, s.c_label),
+         a0 AS (
+           SELECT vec_id, c_label, dist FROM (
+             SELECT vec_id, c_label, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+             FROM d0) r WHERE rn = 1),
+         ranked AS (
+           SELECT vec_id, c_label, dist,
+             row_number() OVER (PARTITION BY c_label ORDER BY dist, vec_id) AS proto_rank
+           FROM a0)
+         SELECT vec_id, CAST(c_label AS BIGINT) AS c_label, dist,
+           CAST(proto_rank AS BIGINT) AS proto_rank
+         FROM ranked WHERE proto_rank <= 20 ORDER BY c_label, proto_rank""",
 
     "q72_kmeans_refine" ->
       """WITH unpacked AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** ANN quality beyond the hash oracle. The sf embeddings are only WEAKLY
   * label-clustered (measured quantizer purity 0.41 vs 0.10 for random
@@ -328,5 +329,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (0L, 0L, 16.0, 1L, 1L), (1L, 0L, 16.0, 2L, 1L),
       (3L, 1L, 1.0, 1L, 1L), (2L, 1L, 4.0, 2L, 1L), (4L, 1L, 9.0, 3L, 0L)))
+  }
+
+  test("q124 selection is exactly q123's keepers and plans a WindowGroupLimit") {
+    val sf = "/root/testdata/sf0.001"
+    val audit = SimilarityOps.queries("q123_prototype_select")(spark, sf)
+      .filter(col("keep") === 1L)
+      .select("vec_id", "c_label", "dist", "proto_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val topDf = SimilarityOps.queries("q124_prototype_topk")(spark, sf)
+    val top = topDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(top === audit, "q124 must be q123 ∩ keep=1, ranks included")
+    // the scale claim: the in-query rank filter lets InferWindowGroupLimit
+    // plant the map-side group top-k the all-rows audit shape cannot have
+    val ex = topDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(ex.contains("WindowGroupLimit"),
+      "q124's rank filter planted no WindowGroupLimit")
   }
 }
