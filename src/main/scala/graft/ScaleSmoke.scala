@@ -119,7 +119,13 @@ object ScaleSmoke {
     // vectors point watches that partition's growth directly. q122 is
     // q70's already-smoked stages plus parquet round-trip IO — no new
     // distribution risk, no slot.
-    "q123_prototype_select")
+    "q123_prototype_select",
+    // q105/q106 joined r12 (the r11 verdict's weak finding): the
+    // perceptual-hash band join now carries the 1-Bucket-Theta split —
+    // these 10× slots watch the (band, v) bucket stage's task spread the
+    // way q44/q62's slots watch the RP-LSH one. The DEGENERATE corpus
+    // (every doc one dHash) gets its own gated section below.
+    "q105_image_neardup", "q106_audio_neardup")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the
@@ -539,6 +545,27 @@ object ScaleSmoke {
         (s, p) => operators.TextOps.surprisalSplitApprox(graft.util.Tables.documents(s, p)))
     }
 
+    // q105/q106 degenerate-media section (r12, the r11 weak finding): a
+    // corpus whose doc_ids are all ≡ 0 (mod 300) synthesizes ONE dHash
+    // and ONE audio contour for every document — solid-color-thumbnail /
+    // silence-padded-audio in miniature — so all 4 bands collide on one
+    // (band, v) value. Pair OUTPUT is inherently n(n−1)/2 (the operator's
+    // contract), so the corpus is sized like the skew one (2k docs → ~2M
+    // pairs); the GATED claim is that the 1-Bucket-Theta split spreads
+    // that one bucket's pair generation across B(B+1)/2 chunks instead of
+    // ONE task — exactly the q44 device, now under the shared straggler
+    // bar on its own worst case.
+    if (args.isEmpty || args.contains("q105_image_neardup")
+        || args.contains("q106_audio_neardup")) {
+      val nDegen = sys.env.getOrElse("SPARK_GRAFT_DEGEN_DOCS", "2000").toInt
+      val degenDir = new File("/tmp/graft_scale_degen_media")
+      ensureTable(degenDir, "documents.parquet", nDegen, generateDegenerateMedia)
+      if (args.isEmpty || args.contains("q105_image_neardup"))
+        runQuery("q105_image_neardup", degenDir, "degen_")
+      if (args.isEmpty || args.contains("q106_audio_neardup"))
+        runQuery("q106_audio_neardup", degenDir, "degen_")
+    }
+
     // q103 hot-stratum section (r11f, same discipline as q57/q78/q83):
     // the exact k-per-stratum sample sorts each stratum in ONE window
     // task, so the 80%-one-source corpus concentrates 400k rows in a
@@ -642,6 +669,22 @@ object ScaleSmoke {
         when(pmod(col("doc_id"), lit(10)) < 8, lit("synth/hot"))
           .otherwise(concat(lit("synth/"), pmod(col("doc_id"), lit(10)))))
       .select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Degenerate-media corpus for the q105/q106 hot-bucket gate: doc_ids
+    * all ≡ 0 (mod 300) pin the synthesis formulas' group (id % 100 = 0)
+    * AND variant (id % 3 = 0) terms, so every document dHashes/contours
+    * to ONE value — the solid-color-thumbnail shape. Text columns ride
+    * along for the documents schema; only doc_id matters here.
+    */
+  private[graft] def generateDegenerateMedia(spark: SparkSession, nDocs: Int) = {
+    spark.range(nDocs).toDF("i")
+      .withColumn("doc_id", col("i") * 300)
+      .withColumn("text", lit("degenerate media stand-in"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synth/degen"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
 
   /** Adversarial hot-key corpus: every 5th document (20%) is the IDENTICAL
     * ~50-word boilerplate — one simhash value, one shingle set, one LSH

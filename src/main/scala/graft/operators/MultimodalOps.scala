@@ -375,18 +375,51 @@ object MultimodalOps {
 
   /** Shared band-bucket Hamming search over a (doc_id, dhash) frame —
     * q105/q106's pair stage.
+    *
+    * Scale shape (r12): the (band, v) bucket self-join carries the SAME
+    * 1-Bucket-Theta within-bucket split as q44/q62's RP-LSH candidates
+    * ([[SimilarityOps]].rpLshCandidates — the r11-adjudicated device).
+    * A perceptual-hash corpus degenerates exactly the way a sign-hash
+    * one does: solid-color or template thumbnails all dHash to ONE
+    * value, silence-padded audio to ONE contour — then all 4 bands
+    * collide and one bucket holds n docs → n(n−1)/2 pairs that, in a
+    * plain equi-join, are ONE task however many partitions exist. The
+    * split assigns every doc a block id in [0, B), replicates each side
+    * over its block-pair range, and repartitions on (band, v, ba, bb) —
+    * B(B+1)/2 independent chunks per bucket, each quadratically
+    * smaller, spread by an explicit partition count that AQE's
+    * advisory-size coalescing cannot re-fuse. Cross-block pairs appear
+    * once with roles fixed by block order; same-block pairs dedup by id
+    * order; least/greatest + distinct restores the canonical ia < ib
+    * set, so the candidate set is bit-identical to the plain join's
+    * (PairPlanSpec pins equality AND the degenerate one-hash corpus).
+    * Replication cost is ~(B+1)/2 copies of 4 tiny rows per doc.
     */
-  private def hammingNearDup(hashes: DataFrame): DataFrame = {
+  private[operators] def hammingNearDup(hashes: DataFrame): DataFrame = {
+    val s = hashes.sparkSession
     val sigs = hashes.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 3),
            b -> struct(b AS band,
                        shiftright(dhash, b * 14) & 16383 AS v))""")).as("s"))
       .select(col("doc_id"), col("s.band").as("band"), col("s.v").as("v"))
-    val cands = sigs.select(col("doc_id").as("ia"), col("band"), col("v"))
-      .join(sigs.select(col("doc_id").as("ib"), col("band"), col("v")),
-        Seq("band", "v"))
-      .filter(col("ia") < col("ib"))
-      .select("ia", "ib").distinct()
+    val nPar = s.sparkContext.defaultParallelism
+    val B = math.max(1, math.ceil(math.sqrt(2.0 * nPar)).toInt)
+    val blocked = sigs.withColumn("blk", pmod(hash(col("doc_id")), lit(B)))
+    val aSide = blocked
+      .withColumn("bb", explode(expr(s"sequence(blk, ${B - 1})")))
+      .select(col("band"), col("v"), col("blk").as("ba"), col("bb"),
+        col("doc_id").as("ia"))
+      .repartition(nPar, col("band"), col("v"), col("ba"), col("bb"))
+    val bSide = blocked
+      .withColumn("ba", explode(expr("sequence(0, blk)")))
+      .select(col("band"), col("v"), col("ba"), col("blk").as("bb"),
+        col("doc_id").as("ib"))
+      .repartition(nPar, col("band"), col("v"), col("ba"), col("bb"))
+    val cands = aSide.join(bSide, Seq("band", "v", "ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"))
+      .distinct()
     val ha = hashes.select(col("doc_id").as("ia"), col("dhash").as("hA"))
     val hb = hashes.select(col("doc_id").as("ib"), col("dhash").as("hB"))
     cands.join(ha, "ia").join(hb, "ib")

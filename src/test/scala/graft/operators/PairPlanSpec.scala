@@ -368,4 +368,73 @@ class PairPlanSpec extends SparkSpec {
     assert(rec == ((2L * hitsAll * 10000 + truth.size) / (2L * truth.size)) / 10000.0)
     assert(prec == ((2L * hitsAll * 10000 + cand.size) / (2L * cand.size)) / 10000.0)
   }
+
+  test("q105/q106 blocked Hamming bucket join equals the plain (band,v) self-join") {
+    // the r12 1-Bucket-Theta split inside hammingNearDup must be a pure
+    // re-plan: same verified pair set as the plain bucket self-join it
+    // replaced, on a mixed corpus (hash groups + near-values + noise)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 12 groups of 25 sharing a hash, per-group a variant at Hamming 2,
+    // plus 60 spread singletons
+    val rows = (0 until 12).flatMap { g =>
+      val base = (0x1234L * (g + 1)) & ((1L << 56) - 1)
+      (0 until 25).map(i => (g * 100L + i, base)) :+
+        (g * 100L + 99, base ^ 5L) // bits 0 and 2 → Hamming 2
+    } ++ (0 until 60).map(i => (10000L + i, (0x9E3779B97F4AL * (i + 1)) & ((1L << 56) - 1)))
+    val hashes = rows.toDF("doc_id", "dhash")
+    val sigs = hashes.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 3),
+           b -> struct(b AS band, shiftright(dhash, b * 14) & 16383 AS v))""")).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.v").as("v"))
+    val plainCands = sigs.select(col("doc_id").as("ia"), col("band"), col("v"))
+      .join(sigs.select(col("doc_id").as("ib"), col("band"), col("v")), Seq("band", "v"))
+      .filter(col("ia") < col("ib")).select("ia", "ib").distinct()
+    val ha = hashes.select(col("doc_id").as("ia"), col("dhash").as("hA"))
+    val hb = hashes.select(col("doc_id").as("ib"), col("dhash").as("hB"))
+    val plain = plainCands.join(ha, "ia").join(hb, "ib")
+      .withColumn("hamming", expr("cast(bit_count(hA ^ hB) as bigint)"))
+      .filter(col("hamming") <= 3).select("ia", "ib", "hamming")
+      .collect().map(_.toSeq).toSet
+    val blocked = MultimodalOps.hammingNearDup(hashes)
+    val got = blocked.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "no pairs on the planted corpus")
+    assert(got == plain,
+      s"blocked minus plain: ${got.diff(plain).take(5)}; " +
+        s"plain minus blocked: ${plain.diff(got).take(5)}")
+  }
+
+  test("q105/q106 degenerate one-hash corpus: split plan, closed-form pair set") {
+    // the r11 verdict's weak finding: a solid-color/template corpus
+    // collapses every dHash to ONE value, all 4 bands collide, and the
+    // unsplit join put n(n-1)/2 pairs in ONE task. Plant 10,000
+    // identical-hash docs and pin (a) the candidate set in closed form
+    // (count + id-sum checksums — collecting 50M pairs is the thing the
+    // split exists to avoid), (b) the split's explicit repartition on
+    // (band, v, ba, bb) in the executed plan, AQE-coalesce-exempt.
+    import org.apache.spark.sql.functions._
+    val n = 10000L
+    val hashes = spark.range(n)
+      .select(col("id").as("doc_id"), lit(0x00DEADBEEFCAFEL).as("dhash"))
+    val dup = MultimodalOps.hammingNearDup(hashes)
+    val plan = dup.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "hot-bucket split's explicit repartition is missing from the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val agg = dup.agg(
+      count(lit(1)).as("n"),
+      sum(col("ia")).as("sa"),
+      sum(col("ib")).as("sb"),
+      max(col("hamming")).as("mh")).collect()(0)
+    // all pairs ia<ib over ids 0..n-1: each id i appears (n-1-i) times as
+    // ia and i times as ib → sum(ia)=Σ i(n-1-i), sum(ib)=Σ i·i... both
+    // reduce to the closed forms below; hamming identically 0
+    val pairs = n * (n - 1) / 2
+    val sumIds = n * (n - 1) / 2 // Σ ids
+    val sumSq = (n - 1) * n * (2 * n - 1) / 6
+    assert(agg.getLong(0) === pairs)
+    assert(agg.getLong(1) === (n - 1) * sumIds - sumSq) // Σ i(n-1-i)
+    assert(agg.getLong(2) === sumSq) // Σ i·i appearances as ib
+    assert(agg.getLong(3) === 0L)
+  }
 }
