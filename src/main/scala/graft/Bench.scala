@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
 object Bench {
 
   /** Fixed-cost CPU calibration probe: a single-threaded constant-work
@@ -47,10 +50,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Full-suite entry is now a fresh-JVM GROUP ORCHESTRATOR (r12, the r11
+    * verdict's #3): the 124-query one-JVM suite was measuring its own
+    * aging — a uniform ~1.57× inflation on 105 unchanged queries vs the
+    * same code benched mid-round (q03 0.76→2.33 s, max_run_skew only
+    * 1.85: heap churn, code-cache and GC state accumulated over a
+    * 6-minute run, not any query's plan). Groups of ~16 queries each run
+    * in their own forked JVM (the q56/q41/q45/q49 isolated-fresh-JVM
+    * adjudication protocol, made systemic), the scan section runs in its
+    * own, and the parent merges everything into the same single JSON
+    * line. `runMain graft.Bench <query...>` still runs those queries in
+    * THIS JVM — the manual isolation protocol is unchanged.
+    */
   def main(args: Array[String]): Unit = {
-    val calPre = calibrate()
-    val calParPre = calibratePar()
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.isEmpty && !sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0"))
+      orchestrate()
+    else
+      singleJvm(args)
+  }
+
+  // ---------------------------------------------------------------- child
+
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,6 +83,53 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Per-query best-of-2 (same policy as ScanBench): round-level contention
+    * inflates single-shot numbers, never deflates them — r2's q37 tripled
+    * with an unchanged plan. Both runs are recorded for judgeability.
+    */
+  private def runGroup(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Seq[(String, Double, Seq[Double])] =
+    names.sorted.map { name =>
+      val fn = SparkEntry.queries(name)
+      def oneRun(): (Double, Boolean) = {
+        // every run starts cache-cold: operators that persist() internal
+        // frames (q34/q36/q40) must not leak cached partitions into the
+        // next run or the next query — r3's q40 first-run 21.1s was q34's
+        // lingering corpus-sized cache competing for unified memory
+        spark.catalog.clearCache()
+        // round-trip queries cache their written container — drop it so
+        // both runs pay the full write+read cost
+        if (name.startsWith("q5")) operators.ReadstatQueries.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val two = Seq(oneRun(), oneRun())
+      // a >1.3× disagreement between the two runs means one of them hit
+      // round-level contention (r5: q36 "regressed" 1.35→1.50 s with no
+      // code change, max_run_skew_all 2.90) — take a third so best-of-N
+      // reflects the query, not the machine
+      val runs =
+        if (two.map(_._1).max / math.max(two.map(_._1).min, 1e-9) > 1.3) two :+ oneRun()
+        else two
+      // best = fastest SUCCESSFUL run; a query whose every run failed
+      // reports -1, never its time-to-failure as if it were a result
+      val good = runs.collect { case (t, true) => t }
+      (name, if (good.nonEmpty) good.min else -1.0, runs.map(_._1))
+    }
+
+  /** The original one-JVM path: query-filtered isolation runs, the
+    * orchestrator's children (explicit query list, scan disabled via
+    * SPARK_GRAFT_BIGSCAN=0), and the SPARK_GRAFT_BENCH_FORK=0 fallback.
+    */
+  private def singleJvm(args: Array[String]): Unit = {
+    val calPre = calibrate()
+    val calParPre = calibratePar()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = newSession()
     // warmup: absorb JVM/codegen/scan-cache startup so per-query numbers
     // measure the queries, not the first query's JIT
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -69,87 +137,172 @@ object Bench {
     // measured BEFORE the query suite so the scan numbers see a fresh heap
     // rather than 50 queries' tenured garbage; disable with
     // SPARK_GRAFT_BIGSCAN=0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val scan =
       if (sys.env.get("SPARK_GRAFT_BIGSCAN").contains("0")) Map.empty[String, Double]
       else try ScanBench.run(spark, cpus.toInt) catch { case _: Throwable => Map.empty[String, Double] }
-    // per-query best-of-2 (same policy as ScanBench): round-level contention
-    // inflates single-shot numbers, never deflates them — r2's q37 tripled
-    // with an unchanged plan. Both runs are recorded for judgeability.
-    // args select a subset of queries — for isolating one query's wall time
-    // from round-level contention (e.g. `runMain graft.Bench q56_zsav_roundtrip_agg`)
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.toSeq.filter(kv => args.contains(kv._1))
-      else SparkEntry.queries.toSeq
-    val results: Seq[(String, Double, Seq[Double])] =
-      selected.sortBy(_._1).map { case (name, fn) =>
-        def oneRun(): (Double, Boolean) = {
-          // every run starts cache-cold: operators that persist() internal
-          // frames (q34/q36/q40) must not leak cached partitions into the
-          // next run or the next query — r3's q40 first-run 21.1s was q34's
-          // lingering corpus-sized cache competing for unified memory
-          spark.catalog.clearCache()
-          // round-trip queries cache their written container — drop it so
-          // both runs pay the full write+read cost
-          if (name.startsWith("q5")) operators.ReadstatQueries.clearCache()
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
-        val two = Seq(oneRun(), oneRun())
-        // a >1.3× disagreement between the two runs means one of them hit
-        // round-level contention (r5: q36 "regressed" 1.35→1.50 s with no
-        // code change, max_run_skew_all 2.90) — take a third so best-of-N
-        // reflects the query, not the machine
-        val runs =
-          if (two.map(_._1).max / math.max(two.map(_._1).min, 1e-9) > 1.3) two :+ oneRun()
-          else two
-        // best = fastest SUCCESSFUL run; a query whose every run failed
-        // reports -1, never its time-to-failure as if it were a result
-        val good = runs.collect { case (t, true) => t }
-        (name, if (good.nonEmpty) good.min else -1.0, runs.map(_._1))
-      }
-    val qs = results.map { case (k, best, _) => s"\"" + k + "\":" + best }
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains)
+      else SparkEntry.queries.keys.toSeq
+    val results = runGroup(spark, sfDir, selected)
+    val scanJson = scan.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val calPost = calibrate()
+    val calParPost = calibratePar()
+    val line = render(results, scanJson, sfDir,
+      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"}""")
+    println(line)
+    if (args.isEmpty) persist(line, sfDir)
+    spark.stop()
+  }
+
+  /** Merge per-query results + a scan JSON object + calibration keys into
+    * the single driver-contract line.
+    */
+  private def render(results: Seq[(String, Double, Seq[Double])],
+      scanJson: String, sfDir: String, calKeys: String): String = {
+    val sorted = results.sortBy(_._1)
+    val qs = sorted.map { case (k, best, _) => s"\"" + k + "\":" + best }
       .mkString("{", ",", "}")
-    val qruns = results.map { case (k, _, runs) =>
+    val qruns = sorted.map { case (k, _, runs) =>
       s"\"" + k + "\":[" + runs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = sorted.map(_._2).sum
     // bench credibility: bounded run-1/run-2 skew proves no cross-query
     // cache pollution (r3 verdict #7 — r3's q40 hit 21.1s/6.4s=3.3 from
     // q34's lingering cache). Pollution manifests on expensive queries;
     // sub-half-second queries measure per-query codegen-compile constants
     // (~0.2s on run1), so the headline skew covers queries with best ≥0.5s
     // and the unfiltered number is reported alongside.
-    def skews(min: Double) = results.collect {
+    def skews(min: Double) = sorted.collect {
       case (_, best, runs) if best >= min && runs.length >= 2 && runs(1) > 0 =>
         runs(0) / runs(1)
     }
     val maxSkew = skews(0.5).foldLeft(1.0)(math.max)
     val maxSkewAll = skews(0.0).foldLeft(1.0)(math.max)
-    val scanJson = scan.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},$calKeys,"scan":$scanJson,"sf":"$sfDir"}"""
+  }
+
+  /** Persist the full line to a file: BENCH_r04's captured stdout was
+    * truncated (q01 lost), which made the driver numbers undiagnosable
+    * (r4 verdict #5) — the on-disk copy survives any capture pipeline.
+    * A filtered (args) run must NOT clobber the full-suite artifact, and
+    * neither must a full run at a different scale factor (a quick sf0.001
+    * smoke once overwrote the committed sf0.1 artifact): the canonical
+    * BENCH_LOCAL.json is reserved for full-suite sf0.1 runs, anything
+    * else lands in a scale-suffixed side file.
+    */
+  private def persist(line: String, sfDir: String): Unit = {
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val out = if (sfName == "sf0.1") "BENCH_LOCAL.json"
+              else s"BENCH_LOCAL_$sfName.json"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => () }
+  }
+
+  // ----------------------------------------------------------- orchestrator
+
+  /** Fork one child JVM (same -Xmx/--add-opens as this one, same
+    * classpath) and return its last stdout line starting with '{' —
+    * stderr (Spark logs) streams through to this process's stderr.
+    */
+  private def forkJson(mainClass: String, args: Seq[String],
+      env: Map[String, String]): Option[String] = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      // drop agent/debug flags a parent might carry; keep memory + add-opens
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    try {
+      val p = pb.start()
+      val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+      val exit = p.waitFor()
+      val json = outLines.reverseIterator.find(_.startsWith("{"))
+      if (exit != 0)
+        System.err.println(s"[bench] child $mainClass exited $exit")
+      json.filter(_ => exit == 0)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] fork of $mainClass failed: ${e.getMessage}")
+        None
+    }
+  }
+
+  private def orchestrate(): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val calPre = calibrate()
+    val calParPre = calibratePar()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "16").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val groups = names.grouped(groupSize).toSeq
+
+    // the scan section keeps its own fresh JVM (it always wanted one: the
+    // r4 verdict's Bench-embedded scans inherited the query suite's heap)
+    val scanJson =
+      if (sys.env.get("SPARK_GRAFT_BIGSCAN").contains("0")) "{}"
+      else forkJson("graft.ScanBench", Nil, Map.empty).getOrElse {
+        System.err.println("[bench] scan child failed — scan section empty")
+        "{}"
+      }
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
+    val groupCal = scala.collection.mutable.ArrayBuffer[Double]()
+    val groupCalPar = scala.collection.mutable.ArrayBuffer[Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    for ((g, i) <- groups.zipWithIndex) {
+      System.err.println(s"[bench] group ${i + 1}/${groups.size}: ${g.head}..${g.last}")
+      // one retry per group: a child that died (OOM, crash) reproduces if
+      // structural; a transient host blip doesn't
+      val line = forkJson("graft.Bench", g, Map("SPARK_GRAFT_BIGSCAN" -> "0"))
+        .orElse(forkJson("graft.Bench", g, Map("SPARK_GRAFT_BIGSCAN" -> "0")))
+      line match {
+        case Some(l) =>
+          try {
+            val node = om.readTree(l)
+            val qs = node.get("queries")
+            val runs = node.get("runs")
+            g.foreach { q =>
+              val best = Option(qs.get(q)).map(_.asDouble(-1.0)).getOrElse(-1.0)
+              val rr = Option(runs.get(q))
+                .map(_.elements().asScala.map(_.asDouble()).toSeq)
+                .getOrElse(Seq.empty)
+              results += ((q, best, rr))
+            }
+            groupCal += node.get("calibration_pre_sec").asDouble()
+            groupCalPar += node.get("calibration_par_pre_sec").asDouble()
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[bench] group ${i + 1} parse failed: ${e.getMessage}")
+              failed ++= g
+          }
+        case None => failed ++= g
+      }
+    }
+    // last-resort fallback: run any failed group's queries in THIS JVM so
+    // the artifact never loses coverage to a flaky child
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] in-process fallback for ${failed.size} queries")
+      val spark = newSession()
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+      results ++= runGroup(spark, sfDir, failed.toSeq)
+      spark.stop()
+    }
     val calPost = calibrate()
     val calParPost = calibratePar()
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},"calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"scan":$scanJson,"sf":"$sfDir"}"""
+    val groupCalJson = groupCal.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val groupCalParJson = groupCalPar.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val line = render(results.toSeq, scanJson, sfDir,
+      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"groups":${groups.size},"group_size":$groupSize,"group_cal_pre":$groupCalJson,"group_cal_par_pre":$groupCalParJson""")
     println(line)
-    // also persist the full line to a file: BENCH_r04's captured stdout was
-    // truncated (q01 lost), which made the driver numbers undiagnosable
-    // (r4 verdict #5) — the on-disk copy survives any capture pipeline.
-    // A filtered (args) run must NOT clobber the full-suite artifact, and
-    // neither must a full run at a different scale factor (a quick sf0.001
-    // smoke once overwrote the committed sf0.1 artifact): the canonical
-    // BENCH_LOCAL.json is reserved for full-suite sf0.1 runs, anything
-    // else lands in a scale-suffixed side file.
-    if (args.isEmpty) {
-      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-      val out = if (sfName == "sf0.1") "BENCH_LOCAL.json"
-                else s"BENCH_LOCAL_$sfName.json"
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(out),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Exception => () }
-    }
-    spark.stop()
+    persist(line, sfDir)
   }
 }
