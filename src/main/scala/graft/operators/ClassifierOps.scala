@@ -151,11 +151,19 @@ object ClassifierOps {
     * ties need no floats and both engines agree bit-exactly (the final
     * division uses the q93 integer half-up device).
     *
-    * Scale shape: NO global row sort — the only ordered window runs over
-    * the per-SCORE histogram, which is an aggregate bounded by the
-    * distinct integer scores (the same bounded-aggregate class as the
-    * ≤65,536-row weight table), never corpus-sized. Everything before it
-    * is linear shuffles: features, two broadcast-keyed joins, one groupBy.
+    * Scale shape: NO global row sort, and (r12) NO unpartitioned ordered
+    * window either. The cumulative-negatives-below term is a two-pass
+    * prefix sum over the score histogram: scores bin into ≤1,024
+    * fixed-width ORDER-PRESERVING ranges (width from a one-row min/max
+    * agg), per-range negative totals collect to the driver (≤1,024 longs
+    * — the same candidate-bounded collect class as the ≤65,536-row
+    * weight table), their exclusive prefix broadcasts back, and the
+    * within-range window runs under partitionBy(r). The r11 watch item
+    * this replaces: distinct integer scores grow with the eval split (up
+    * to n_eval values), so Window.orderBy("s") with no partitionBy was
+    * an unbounded single-task sort at 100 TB; now the largest ordered
+    * task is one range's slice of the histogram. Everything before it is
+    * linear shuffles: features, two broadcast-keyed joins, one groupBy.
     * u2 ≤ 2·P·N overflows long only past ~2·10⁹ held-out docs per side —
     * at that scale bucket scores into fixed-width bins first (the same
     * histogram, doubles in the final division only).
@@ -183,10 +191,32 @@ object ClassifierOps {
       .select(col("y"), coalesce(col("s"), lit(0L)).as("s"))
     val hist = ev.groupBy("s")
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
-    // ordered window over the SCORE HISTOGRAM only (bounded aggregate)
-    val byScore = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    val res = hist
-      .withColumn("cnb", coalesce(sum("neg").over(byScore), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two-pass prefix sum (see scaladoc): order-preserving fixed-width
+    // ranges over [min, max], driver-side exclusive prefix of the
+    // per-range negative totals (≤ nRanges longs), broadcast join back,
+    // within-range window under partitionBy — no unpartitioned sort.
+    val spark = docs.sparkSession
+    val nRanges = 1024L
+    val mm = hist.agg(min("s"), max("s")).collect()(0)
+    val minS = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+    val maxS = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+    val width = math.max(1L, (maxS - minS) / nRanges + 1)
+    val withR = hist.withColumn("r", expr(s"(s - ${minS}L) div ${width}L"))
+    val rangeTotals = withR.groupBy("r").agg(sum("neg").as("rneg"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+    val rangePrefix = rangeTotals
+      .scanLeft((0L, 0L)) { case ((_, acc), (r, rneg)) => (r + 1, acc + rneg) }
+      .map(_._2)
+    val prefixRows = rangeTotals.map(_._1).zip(rangePrefix)
+    import spark.implicits._
+    val prefixDf = prefixRows.toSeq.toDF("r", "range_cnb")
+    val withinRange = Window.partitionBy("r").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val res = withR
+      .withColumn("wcnb", coalesce(sum("neg").over(withinRange), lit(0L)))
+      .join(broadcast(prefixDf), "r")
+      .withColumn("cnb", col("range_cnb") + col("wcnb"))
       .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
         sum(col("pos") * (lit(2) * col("cnb") + col("neg"))).as("u2"))
       .select(
@@ -196,6 +226,7 @@ object ClassifierOps {
           "(2 * nullif(2 * n_pos * n_neg, 0))") / lit(1000000.0)).as("auc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count() // force before releasing the inputs (the q97 discipline)
+    hist.unpersist(blocking = false)
     feats.unpersist(blocking = false)
     split.unpersist(blocking = false)
     res

@@ -150,4 +150,50 @@ class ClassifierSpec extends SparkSpec {
     out.unpersist(blocking = true)
     sp.catalog.clearCache()
   }
+
+  test("q102 prefix-sum windows are range-partitioned (no single-task histogram sort)") {
+    // r11 watch item closed in r12: distinct integer scores grow with the
+    // eval split (up to n_eval values), so the histogram cumsum must never
+    // plan WindowExec over Exchange SinglePartition. aucEval materializes
+    // internally — capture every executed plan during the call and assert
+    // each Window sits on hash-partitioned input (the partitionBy(r)
+    // within-range pass); the cross-range carry is a driver-side prefix of
+    // <=1,024 per-range totals broadcast back, so no unpartitioned ordered
+    // window exists anywhere in the operator.
+    val captured = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = ClassifierOps.queries("q102_auc_eval")(spark, "/root/testdata/sf0.001")
+      out.unpersist(blocking = true)
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
+      val plans = captured.synchronized(captured.toSeq)
+      // a Window prints above its input chain (Sort → Exchange/…); the
+      // FIRST exchange line below it is the window's input distribution —
+      // walk the string because AQE wraps the tree in stage nodes that
+      // generic node-collect does not descend through
+      var nWindows = 0
+      for (p <- plans; lines = p.linesIterator.toVector;
+           i <- lines.indices if lines(i).contains("Window ")) {
+        nWindows += 1
+        val ex = lines.drop(i + 1).find(_.contains("Exchange"))
+        ex.foreach { l =>
+          assert(!l.contains("SinglePartition"),
+            s"q102 window fed by $l — the single-task histogram sort is back")
+          assert(l.contains("hashpartitioning"),
+            s"q102 window fed by $l — expected hashpartitioning(r, …)")
+        }
+      }
+      assert(nWindows > 0, "q102's materialization shows no Window operator")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.catalog.clearCache()
+    }
+  }
 }
