@@ -457,6 +457,32 @@ object ScaleSmoke {
       require(nr <= 0.6,
         f"+1 sign bit cut background pair mass to only $nr%.3f x (theory ~0.5, " +
           "measured 0.528) — the band-width knob's mechanism is broken")
+
+      // AUTO band width (r12, closing the r11 "still a MANUAL knob"
+      // finding): b now self-selects from the corpus's measured bit
+      // marginals (SimilarityOps.autoBandBits — background-mass model
+      // B̂(b)/n vs the 768/vec budget, recall-floor-capped). The HARD
+      // gate: with NO env knob, the 10× corpus must pick the
+      // oracle-adjudicated b=8 and the 20× corpus b=9 — the +1 bit per
+      // corpus doubling the wall/mass gates above justify. Deterministic
+      // (md5 hyperplanes, exact integer marginals), so no retry logic.
+      // Measured B̂/n at selection time: 10× 403 (≤768 → stay), 20× 806
+      // (>768 → widen) → 426 (≤768 → stop); the model's noise-corpus
+      // prediction (469/vec) sits within 15% of that corpus's MEASURED
+      // true mass (551/vec) — the independent-bits premise holds where
+      // all mass is background.
+      val bAuto10 = operators.SimilarityOps.autoBandBitsAt(spark, dir.getPath, 6)
+      val bAuto20 = operators.SimilarityOps.autoBandBitsAt(spark, dir20.getPath, 6)
+      out.append(s""","auto_b_10x":$bAuto10,"auto_b_20x":$bAuto20""")
+      System.err.println(s"[scalesmoke] auto band width: 10x=$bAuto10, 20x=$bAuto20 " +
+        "(gate: 8 and 9 — +1 bit per corpus doubling, self-selected)")
+      require(bAuto10 == 8 && bAuto20 == 9,
+        s"auto band width picked ($bAuto10, $bAuto20) instead of (8, 9) — " +
+          "the measured-marginal background model drifted from the smoke corpora")
+      // the auto-geometry clusters wall at 20× rides the shared straggler
+      // gate — it must land on the b=9 schedule, not re-measure the knob
+      runCase("q62_clusters_auto", dir20, "vecs20x_",
+        (s, p) => operators.GraphOps.embeddingClustersAuto(s, p, L = 6))
     }
 
     // q88 growth exponent (r11 close-out #4): the heaviest remaining 10×

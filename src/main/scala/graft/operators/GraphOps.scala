@@ -240,6 +240,14 @@ object GraphOps {
     DedupOps.finishAndRelease(res, labels)
   }
 
+  /** [[embeddingClustersAt]] with the band width SELF-SELECTED from the
+    * corpus's measured bit marginals ([[SimilarityOps.autoBandBits]]) —
+    * the no-knob scale path the 10×/20× smoke gates: the same call picks
+    * b=8 on the 10× corpus and b=9 on the 20× one with no env knob.
+    */
+  def embeddingClustersAuto(s: SparkSession, d: String, L: Int = 6): DataFrame =
+    embeddingClustersAt(s, d, L, SimilarityOps.autoBandBitsAt(s, d, L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Dedup clustering over the MinHash/LSH candidate graph (q35's pairs):
     // every document gets a canonical cluster_id; documents in no near-dup

@@ -108,6 +108,85 @@ object SimilarityOps {
   def rpLshNearDupAt(s: SparkSession, d: String, L: Int, b: Int): DataFrame =
     rpLshNearDup(s, prepped(s, d), L, b)
 
+  /** AUTO band width (r12): the knob closes its loop — b self-selects
+    * from MEASURED corpus statistics instead of a hand-set value.
+    *
+    * The quantity the knob controls is BACKGROUND pair mass (random
+    * bucket collisions among non-similar vectors — the component that
+    * grows ∝n² at fixed b; the true near-dup mass is the operator's
+    * OUTPUT and must not drive sizing). Background is estimated by the
+    * independent-bits model with measured marginals: two non-correlated
+    * vectors agree on sign bit k with probability m_k = q_k² + (1−q_k)²
+    * where q_k is the corpus fraction positive on hyperplane k, so
+    *
+    *   B̂(b) = Σ_band (n²/2) · Π_{k<b} m_k
+    *
+    * — the expected-occupancy estimator that captures bit skew (a biased
+    * plane concentrates buckets; the uniform closed form n²/2^b misses
+    * this) while deliberately excluding pairwise correlation (the
+    * signal). All q_k come from ONE linear signature pass at bMax (bit
+    * marginals of every narrower width are prefixes); selection is then
+    * driver-side arithmetic: the smallest b ≥ b0 with B̂(b)/n ≤
+    * `budgetPerVec`, capped by the Charikar S-curve recall floor
+    * 1−(1−p^b)^L ≥ `recallFloor` at `recallCos` (q109's plan-from-the-
+    * curve discipline applied to sign-LSH — widening b trades background
+    * for recall, and the floor is where the trade stops).
+    *
+    * Deterministic end to end (md5 hyperplanes, exact integer marginal
+    * counts), so the same corpus always picks the same b — plan equality
+    * with the equivalent hand-set b is spec-pinned. Doubling the corpus
+    * doubles B̂/n and each extra bit multiplies it by m̄ (≈½ + bias²·2),
+    * so b grows ~+1 per doubling: the documented 100 TB sizing rule,
+    * now measured rather than assumed. Probe cost: one linear pass +
+    * one L-row collect; at 100 TB run it on a deterministic hash-sample
+    * (marginals are means — sampling error vanishes in √samples).
+    */
+  private[graft] def autoBandBits(s: SparkSession, base: DataFrame, L: Int,
+      b0: Int = 8, bMax: Int = 14, budgetPerVec: Double = 768.0,
+      recallCos: Double = 0.9, recallFloor: Double = 0.75): Int = {
+    val sigs = rpLshSigs(s, base, L, bMax)
+    val aggs = count(lit(1L)).as("nv") +:
+      (0 until bMax).map(bit => sum(expr(s"(sig >> $bit) & 1")).as(s"c$bit"))
+    val rows = sigs.groupBy("band").agg(aggs.head, aggs.tail: _*).collect()
+    val n = rows.headOption.map(_.getLong(1)).getOrElse(0L)
+    def bhat(b: Int): Double = rows.map { r =>
+      val nb = r.getLong(1).toDouble
+      var prod = nb * nb / 2.0
+      var k = 0
+      while (k < b) {
+        val q = if (nb > 0) r.getLong(2 + k) / nb else 0.5
+        prod *= q * q + (1 - q) * (1 - q)
+        k += 1
+      }
+      prod
+    }.sum
+    val p = 1.0 - math.acos(math.min(1.0, recallCos)) / math.Pi
+    def recall(b: Int): Double = 1.0 - math.pow(1.0 - math.pow(p, b), L)
+    if (sys.env.contains("SPARK_GRAFT_BAND_DEBUG"))
+      (b0 to bMax).foreach(bb => System.err.println(
+        f"[autoband] b=$bb bhat/n=${bhat(bb) / math.max(n, 1L)}%.1f recall(.9)=${recall(bb)}%.3f"))
+    var b = b0
+    while (b < bMax && bhat(b) > budgetPerVec * n && recall(b + 1) >= recallFloor)
+      b += 1
+    b
+  }
+
+  /** [[autoBandBits]] over a testdata dir — the scale-smoke hook. */
+  def autoBandBitsAt(s: SparkSession, d: String, L: Int = 6): Int =
+    autoBandBits(s, prepped(s, d), L)
+
+  /** q44's operator with the self-selected band width: measure, pick b,
+    * run — the no-knob scale path. The oracle-pinned q44/q62 queries keep
+    * their fixed (6, 8) geometry (changing b changes the candidate set,
+    * so an auto width under an oracle would have to replicate the whole
+    * selection in SQL for nothing — the smoke gates the auto path on the
+    * corpora where the knob matters).
+    */
+  def rpLshNearDupAutoAt(s: SparkSession, d: String, L: Int = 6): DataFrame = {
+    val base = prepped(s, d)
+    rpLshNearDup(s, base, L, autoBandBits(s, base, L))
+  }
+
   /** Per-band b-bit sign signatures `(vec_id, band, sig)` over a testdata
     * dir — the scale-smoke hook for the deterministic band-width-knob
     * gate. The smoke aggregates these into the per-bucket PAIR MASS

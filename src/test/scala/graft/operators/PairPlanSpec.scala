@@ -369,6 +369,27 @@ class PairPlanSpec extends SparkSpec {
     assert(prec == ((2L * hitsAll * 10000 + cand.size) / (2L * cand.size)) / 10000.0)
   }
 
+  test("q44 auto band width: deterministic, pinned fixture pick, plan equals the manual setting") {
+    // r12: b self-selects from measured bit marginals (autoBandBits).
+    // Deterministic by construction (md5 hyperplanes, integer marginal
+    // counts) — call twice and pin. The fixture corpus is far under the
+    // 768-background-pairs/vec budget, so the pick must be b0 = 8, the
+    // oracle-pinned geometry; and the auto path must be a pure
+    // delegation: same optimized plan (sameResult) and same verified
+    // pair set as the hand-set width.
+    val b1 = SimilarityOps.autoBandBitsAt(spark, d, 6)
+    val b2 = SimilarityOps.autoBandBitsAt(spark, d, 6)
+    assert(b1 === b2, "auto band width is not deterministic")
+    assert(b1 === 8, s"fixture corpus picked b=$b1, expected the b0=8 floor")
+    val auto = SimilarityOps.rpLshNearDupAutoAt(spark, d, 6)
+    val manual = SimilarityOps.rpLshNearDupAt(spark, d, 6, b1)
+    assert(auto.queryExecution.optimizedPlan.sameResult(
+      manual.queryExecution.optimizedPlan),
+      "auto path's optimized plan differs from the manual setting's")
+    assert(auto.collect().map(_.toSeq).toSet ===
+      manual.collect().map(_.toSeq).toSet)
+  }
+
   test("q105/q106 blocked Hamming bucket join equals the plain (band,v) self-join") {
     // the r12 1-Bucket-Theta split inside hammingNearDup must be a pure
     // re-plan: same verified pair set as the plain bucket self-join it
