@@ -125,7 +125,15 @@ object ScaleSmoke {
     // these 10× slots watch the (band, v) bucket stage's task spread the
     // way q44/q62's slots watch the RP-LSH one. The DEGENERATE corpus
     // (every doc one dHash) gets its own gated section below.
-    "q105_image_neardup", "q106_audio_neardup")
+    "q105_image_neardup", "q106_audio_neardup",
+    // q125 joined r12: the composed MEDIA waterfall (the q113 discipline)
+    // — stages are smoked piecewise (q87-shape digest agg, the guarded
+    // q105/q106 band join, q45's CC), but the composition's end-to-end
+    // 10× wall and task spread deserve their own slot. On the smoke
+    // corpus doc_ids run 0..n−1, so exact groups are n/300-sized and the
+    // survivor set is exactly 300 docs per kind — the perceptual stage is
+    // small by construction; the exact election carries the 10× load.
+    "q125_media_waterfall")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

@@ -47,6 +47,12 @@ object MultimodalOps {
       n_frames: Long, sum_abs: Long, peak: Long)
   final case class ImageHash(doc_id: Long, dhash: Long)
 
+  /** One decoded media asset for the q125 waterfall: decode success flag,
+    * exact-byte digest of the CONTAINER, perceptual hash of the decoded
+    * CONTENT (dHash / energy contour).
+    */
+  final case class MediaAsset(doc_id: Long, ok: Boolean, digest: String, phash: Long)
+
   /** Synthesize a binary "media" payload per document (deterministic from
     * text) — stands in for reading real blobs at 100 TB.
     */
@@ -252,38 +258,51 @@ object MultimodalOps {
     * difference hash: bit (y·8+x) set iff px(x+1,y) > px(x,y).
     * Row-local; one narrow map over the corpus.
     */
+  /** q105's synthesized container: the REAL PNG bytes for a doc_id (each
+    * 9×7 formula cell block-replicated 4×4 into a 36×28 grayscale image).
+    * A pure function of (doc_id % 100, doc_id % 3) — q125's exact-dedup
+    * oracle groups by doc_id % 300 on exactly this identity.
+    */
+  private def q105Png(id: Long): Array[Byte] = {
+    val g = id % 100
+    val w = 36; val h = 28
+    val pix = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        pix(y * w + x) = q105Pixel(g, id, x / 4, y / 4).toByte
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodecs.encodePng(MediaCodecs.Image(w, h, 1, pix))
+  }
+
+  /** 56-bit dHash of a decoded image, after the 9×7 box downscale. */
+  private def dhashOf(img0: MediaCodecs.Image): Long = {
+    val img = MediaCodecs.boxDownscale(img0, 9, 7)
+    var dh = 0L
+    var yy = 0
+    while (yy < 7) {
+      var xx = 0
+      while (xx < 8) {
+        val a = img.pixels(yy * 9 + xx) & 0xff
+        val b = img.pixels(yy * 9 + xx + 1) & 0xff
+        if (b > a) dh |= 1L << (yy * 8 + xx)
+        xx += 1
+      }
+      yy += 1
+    }
+    dh
+  }
+
   def imageDHashes(s: SparkSession, d: String): Dataset[ImageHash] = {
     import s.implicits._
     documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
       it.map { id =>
-        val g = id % 100
-        val w = 36; val h = 28
-        val pix = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            pix(y * w + x) = q105Pixel(g, id, x / 4, y / 4).toByte
-            x += 1
-          }
-          y += 1
-        }
-        val png = MediaCodecs.encodePng(MediaCodecs.Image(w, h, 1, pix))
-        MediaCodecs.decodePng(png).map(MediaCodecs.boxDownscale(_, 9, 7)) match {
-          case Some(img) =>
-            var dh = 0L
-            var yy = 0
-            while (yy < 7) {
-              var xx = 0
-              while (xx < 8) {
-                val a = img.pixels(yy * 9 + xx) & 0xff
-                val b = img.pixels(yy * 9 + xx + 1) & 0xff
-                if (b > a) dh |= 1L << (yy * 8 + xx)
-                xx += 1
-              }
-              yy += 1
-            }
-            ImageHash(id, dh)
+        MediaCodecs.decodePng(q105Png(id)) match {
+          case Some(img) => ImageHash(id, dhashOf(img))
           case None => ImageHash(id, -1L)
         }
       }
@@ -328,34 +347,44 @@ object MultimodalOps {
     * exceeds window w's (the energy-difference-sign device acoustic
     * fingerprints like Chromaprint build on). Row-local.
     */
+  /** q106's synthesized container: the REAL WAV bytes for a doc_id —
+    * like [[q105Png]], a pure function of (doc_id % 100, doc_id % 3).
+    */
+  private def q106Wav(md: java.security.MessageDigest, id: Long): Array[Byte] = {
+    val g = id % 100
+    val samples = new Array[Short](456)
+    var i = 0
+    while (i < 456) {
+      samples(i) = q106Sample(md, g, id, i).toShort
+      i += 1
+    }
+    MediaCodecs.encodeWavPcm16(MediaCodecs.Audio(8000, 1, samples))
+  }
+
+  /** 56-bit energy-contour fingerprint of decoded PCM16 audio. */
+  private def contourOf(a: MediaCodecs.Audio): Long = {
+    val e = new Array[Long](57)
+    var j = 0
+    while (j < 456) {
+      e(j / 8) += math.abs(a.samples(j).toLong)
+      j += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < 56) {
+      if (e(w + 1) > e(w)) fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
   def audioFingerprints(s: SparkSession, d: String): Dataset[ImageHash] = {
     import s.implicits._
     documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
-        val g = id % 100
-        val samples = new Array[Short](456)
-        var i = 0
-        while (i < 456) {
-          samples(i) = q106Sample(md, g, id, i).toShort
-          i += 1
-        }
-        val wav = MediaCodecs.encodeWavPcm16(MediaCodecs.Audio(8000, 1, samples))
-        MediaCodecs.decodeWavPcm16(wav) match {
-          case Some(a) =>
-            val e = new Array[Long](57)
-            var j = 0
-            while (j < 456) {
-              e(j / 8) += math.abs(a.samples(j).toLong)
-              j += 1
-            }
-            var fp = 0L
-            var w = 0
-            while (w < 56) {
-              if (e(w + 1) > e(w)) fp |= 1L << w
-              w += 1
-            }
-            ImageHash(id, fp)
+        MediaCodecs.decodeWavPcm16(q106Wav(md, id)) match {
+          case Some(a) => ImageHash(id, contourOf(a))
           case None => ImageHash(id, -1L)
         }
       }
@@ -372,6 +401,115 @@ object MultimodalOps {
     */
   def audioNearDup(s: SparkSession, d: String): DataFrame =
     hammingNearDup(audioFingerprints(s, d).toDF())
+
+  /** q125 asset stage, image side: ONE row-local pass per document —
+    * synthesize the real PNG, digest its exact bytes (q87's identity,
+    * computed in-JVM), decode it back, dHash the pixels. Emits a narrow
+    * (doc_id, ok, digest, phash) row; the payload never leaves the task.
+    */
+  def imageAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val png = q105Png(id)
+        val digest = md.digest(png).map("%02x".format(_)).mkString
+        MediaCodecs.decodePng(png) match {
+          case Some(img) => MediaAsset(id, ok = true, digest, dhashOf(img))
+          case None => MediaAsset(id, ok = false, digest, -1L)
+        }
+      }
+    }
+  }
+
+  /** q125 asset stage, audio side — the WAV twin of [[imageAssets]]. */
+  def audioAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val wav = q106Wav(md, id)
+        val digest = md.digest(wav).map("%02x".format(_)).mkString
+        MediaCodecs.decodeWavPcm16(wav) match {
+          case Some(a) => MediaAsset(id, ok = true, digest, contourOf(a))
+          case None => MediaAsset(id, ok = false, digest, -1L)
+        }
+      }
+    }
+  }
+
+  /** One modality's curation waterfall over a (doc_id, ok, digest, phash)
+    * asset frame — the q125 stage logic, seam-exposed so specs can plant
+    * corrupt payloads and byte-identical copies the sf fixture lacks.
+    *
+    * Stage ladder (each stage sees only the previous stage's survivors,
+    * the q113 sequential-waterfall semantic applied to media):
+    *   1. decode   — the container must decode (ok = false falls here);
+    *   2. exact_dup — q87's digest keeper election (min doc_id per
+    *      identical container byte string);
+    *   3. near_dup — perceptual keeper election among EXACT keepers:
+    *      the guarded [[hammingNearDup]] pair stage (Hamming ≤ 3 on the
+    *      56-bit hash) feeds [[GraphOps.connectedComponents]], and the
+    *      component's least doc_id is the kept representative (the q45
+    *      min-id labeling IS the election);
+    *   4. kept.
+    * `kept_id` is the ULTIMATE keeper: an exact dup defers to its digest
+    * keeper's perceptual representative (where its bytes actually went);
+    * decode failures have no keeper (null).
+    *
+    * Scale shape: the asset pass is row-local; exact election is one
+    * linear digest shuffle; the pair stage runs only over exact KEEPERS
+    * (already deduplicated — the waterfall's delta discipline) through
+    * the hot-bucket-guarded band join; CC is the large/small-star
+    * O(log² n) path; final assembly is two keyed joins against the tiny
+    * keeper/rep tables. Holds at 100 TB.
+    */
+  private[operators] def kindWaterfall(assets: DataFrame): DataFrame = {
+    val a = assets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = a.filter(col("ok"))
+    val ek = ok.groupBy("digest").agg(min("doc_id").as("exact_keeper"))
+    val withK = ok.join(ek, "digest")
+      .select(col("doc_id"), col("exact_keeper"), col("phash"))
+    val survivors = withK.filter(col("doc_id") === col("exact_keeper"))
+      .select(col("doc_id"), col("phash").as("dhash"))
+    val pairs = hammingNearDup(survivors)
+    val comp = GraphOps.connectedComponents(
+      pairs.select(col("ia").as("u"), col("ib").as("v")))
+    val rep = survivors.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id").as("exact_keeper"),
+        coalesce(col("cluster_id"), col("doc_id")).as("keeper_rep"))
+    val res = a.select("doc_id", "ok")
+      .join(withK.select("doc_id", "exact_keeper"), Seq("doc_id"), "left")
+      .join(rep, Seq("exact_keeper"), "left")
+      .select(col("doc_id"),
+        when(!col("ok"), "decode")
+          .when(col("doc_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("doc_id") =!= col("keeper_rep"), "near_dup")
+          .otherwise("kept").as("stage"),
+        col("keeper_rep").as("kept_id"))
+    DedupOps.finishAndRelease(res, a)
+  }
+
+  /** q125: the MULTIMODAL curation waterfall — q113's composed-pipeline
+    * discipline applied to the binary modalities: decode (q98/q99's real
+    * codecs) → exact asset dedup (q87) → perceptual near-dup keeper
+    * election (q105/q106's banded Hamming search + q45's CC labeling) →
+    * q73-shape disposition, one row per (kind, doc). The DuckDB oracle is
+    * fully formula-based (the q105 no-container discipline): exact-dup
+    * groups are doc_id % 300 classes (both synthesized containers are
+    * pure functions of doc_id % 100 and doc_id % 3), perceptual hashes
+    * recompute from the generating formulas, and the perceptual closure
+    * is the q45 recursive-CTE transitive closure — so the oracle
+    * independently checks keeper election end to end without parsing a
+    * single container byte.
+    */
+  def mediaWaterfall(s: SparkSession, d: String): DataFrame =
+    kindWaterfall(imageAssets(s, d).toDF()).withColumn("kind", lit("image"))
+      .unionByName(
+        kindWaterfall(audioAssets(s, d).toDF()).withColumn("kind", lit("audio")))
+      .select("kind", "doc_id", "stage", "kept_id")
+      .orderBy("kind", "doc_id")
 
   /** Shared band-bucket Hamming search over a (doc_id, dhash) frame —
     * q105/q106's pair stage.
@@ -564,7 +702,12 @@ object MultimodalOps {
     // video through the real header-dispatch path; the oracle recomputes
     // n_frames from the GRFT header's source bytes (text chars 5-6,
     // big-endian u16) without parsing a container.
-    "q107_frame_sample" -> ((s, d) => frameSample(s, d))
+    "q107_frame_sample" -> ((s, d) => frameSample(s, d)),
+
+    // The multimodal curation waterfall (see [[mediaWaterfall]]): decode
+    // → exact asset dedup → perceptual keeper election → disposition,
+    // per kind, end to end over the real codecs.
+    "q125_media_waterfall" -> ((s, d) => mediaWaterfall(s, d))
   )
 
   /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
@@ -703,7 +846,90 @@ object MultimodalOps {
           SELECT doc_id, CAST(j AS BIGINT) AS sample_no,
                  CAST((j * n_frames) // 4 AS BIGINT) AS frame_idx, n_frames
           FROM v CROSS JOIN js
-          WHERE n_frames >= 1"""
+          WHERE n_frames >= 1""",
+
+    // q125: fully formula-based (no container bytes): both synthesized
+    // payloads are pure functions of (doc_id % 100, doc_id % 3), so
+    // exact-dup groups are doc_id % 300 classes; perceptual hashes
+    // recompute from the q105/q106 formulas; the keeper election is the
+    // q45 recursive-CTE transitive closure over Hamming<=3 pairs among
+    // exact keepers, least member kept. Every container decodes (q98/q99
+    // pin that), so the decode stage drops nothing here — specs plant
+    // corrupt payloads through the kindWaterfall seam.
+    "q125_media_waterfall" ->
+      s"""WITH RECURSIVE
+          gx AS (
+            SELECT y, unnest(generate_series(0, 7)) AS x
+            FROM (SELECT unnest(generate_series(0, 6)) AS y)),
+          ibits AS (
+            SELECT d.doc_id, g.y, g.x,
+              CASE WHEN ${q105PxSql("g.x + 1")} > ${q105PxSql("g.x")}
+                   THEN (1::BIGINT << (g.y * 8 + g.x)) ELSE 0::BIGINT END AS bit
+            FROM documents d CROSS JOIN gx g),
+          ih AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ph
+                 FROM ibits GROUP BY doc_id),
+          idx AS (SELECT unnest(generate_series(0, 455)) AS i),
+          sm AS (
+            SELECT d.doc_id, t.i,
+              (CASE WHEN t.i // 8 = (d.doc_id % 100) % 57
+                    THEN (1 + d.doc_id % 3) ELSE 1 END)
+              * ((CAST('0x' || substr(md5((d.doc_id % 100) || ':' || t.i), 1, 4)
+                    AS INT) % 4096) - 2048) AS s
+            FROM documents d CROSS JOIN idx t),
+          en AS (SELECT doc_id, i // 8 AS w, CAST(sum(abs(s)) AS BIGINT) AS e
+                 FROM sm GROUP BY doc_id, i // 8),
+          abits AS (SELECT a.doc_id,
+                     CASE WHEN b.e > a.e
+                          THEN (1::BIGINT << CAST(a.w AS INT))
+                          ELSE 0::BIGINT END AS bit
+                    FROM en a JOIN en b
+                      ON a.doc_id = b.doc_id AND b.w = a.w + 1
+                    WHERE a.w < 56),
+          ah AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ph
+                 FROM abits GROUP BY doc_id),
+          grp AS (SELECT doc_id, doc_id % 300 AS res FROM documents),
+          ek AS (SELECT res, min(doc_id) AS k FROM grp GROUP BY res),
+          isurv AS (SELECT e.k AS doc_id, h.ph FROM ek e JOIN ih h ON h.doc_id = e.k),
+          icand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+                    FROM isurv a JOIN isurv b ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+          iedges AS (SELECT ia AS a, ib AS b FROM icand
+                     UNION SELECT ib, ia FROM icand),
+          ireach(a, b) AS (
+            SELECT a, b FROM iedges
+            UNION
+            SELECT r.a, e.b FROM ireach r JOIN iedges e ON r.b = e.a),
+          icomp AS (SELECT a, least(a, min(b)) AS cid FROM ireach GROUP BY a),
+          irep AS (SELECT s.doc_id, coalesce(c.cid, s.doc_id) AS rep
+                   FROM isurv s LEFT JOIN icomp c ON c.a = s.doc_id),
+          asurv AS (SELECT e.k AS doc_id, h.ph FROM ek e JOIN ah h ON h.doc_id = e.k),
+          acand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+                    FROM asurv a JOIN asurv b ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+          aedges AS (SELECT ia AS a, ib AS b FROM acand
+                     UNION SELECT ib, ia FROM acand),
+          areach(a, b) AS (
+            SELECT a, b FROM aedges
+            UNION
+            SELECT r.a, e.b FROM areach r JOIN aedges e ON r.b = e.a),
+          acomp AS (SELECT a, least(a, min(b)) AS cid FROM areach GROUP BY a),
+          arep AS (SELECT s.doc_id, coalesce(c.cid, s.doc_id) AS rep
+                   FROM asurv s LEFT JOIN acomp c ON c.a = s.doc_id)
+          SELECT * FROM (
+            SELECT 'image' AS kind, g.doc_id,
+              CASE WHEN g.doc_id != e.k THEN 'exact_dup'
+                   WHEN g.doc_id != r.rep THEN 'near_dup'
+                   ELSE 'kept' END AS stage,
+              CAST(r.rep AS BIGINT) AS kept_id
+            FROM grp g JOIN ek e USING (res) JOIN irep r ON r.doc_id = e.k
+            UNION ALL
+            SELECT 'audio' AS kind, g.doc_id,
+              CASE WHEN g.doc_id != e.k THEN 'exact_dup'
+                   WHEN g.doc_id != r.rep THEN 'near_dup'
+                   ELSE 'kept' END AS stage,
+              CAST(r.rep AS BIGINT) AS kept_id
+            FROM grp g JOIN ek e USING (res) JOIN arep r ON r.doc_id = e.k)
+          ORDER BY kind, doc_id"""
   )
 
   /** The q105 pixel formula as a DuckDB fragment over (d.doc_id, g.y) and

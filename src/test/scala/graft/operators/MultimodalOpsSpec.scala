@@ -280,4 +280,78 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(idx.head === 0L)
     }
   }
+
+  test("q125 kindWaterfall seam: decode gate, exact election, CC chain, ultimate keeper") {
+    // the sf fixture's containers all decode and its exact groups are
+    // formula-driven, so the SEAM test plants what the fixture lacks: a
+    // decode failure, byte-identical copies, a near-dup whose OWN exact
+    // dup must chain to the ultimate keeper, and a transitive
+    // A~B~C (A!~C) perceptual chain that only CC labeling merges.
+    val sp = spark
+    import sp.implicits._
+    val p1 = 1L << 40
+    val p2 = p1 | (7L << 20) // Hamming(p1,p2)=3
+    val p3 = p2 | (7L << 10) // Hamming(p2,p3)=3, Hamming(p1,p3)=6
+    val assets = Seq(
+      (1L, true, "A", 0x0FL),    // kept: digest keeper, no smaller neighbor
+      (2L, true, "A", 0x0FL),    // exact_dup of 1
+      (3L, true, "B", 0x0EL),    // near_dup: Hamming(0x0F,0x0E)=1 vs keeper 1
+      (6L, true, "B", 0x0EL),    // exact_dup of 3 → ULTIMATE keeper is 1
+      (4L, true, "C", 0xF0F0L),  // kept: far from everything
+      (5L, false, "D", -1L),     // decode failure
+      (7L, true, "E", p1),       // chain head: kept
+      (8L, true, "F", p2),       // near_dup via direct pair with 7
+      (9L, true, "G", p3)        // near_dup ONLY via transitive closure
+    ).toDF("doc_id", "ok", "digest", "phash")
+    val out = MultimodalOps.kindWaterfall(assets).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1L) === ("kept", 1L))
+    assert(out(2L) === ("exact_dup", 1L))
+    assert(out(3L) === ("near_dup", 1L))
+    assert(out(6L) === ("exact_dup", 1L), "exact dup must chain to the ULTIMATE keeper")
+    assert(out(4L) === ("kept", 4L))
+    assert(out(5L) === ("decode", -1L), "decode failure has no keeper (null)")
+    assert(out(7L) === ("kept", 7L))
+    assert(out(8L) === ("near_dup", 7L))
+    assert(out(9L) === ("near_dup", 7L), "A~B~C must merge via CC, not pairwise only")
+    sp.catalog.clearCache()
+  }
+
+  test("q125 per-stage drop counts and keeper closure on the sf fixture") {
+    val sp = spark
+    val out = MultimodalOps.mediaWaterfall(sp, "/root/testdata/sf0.01")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = out.collect()
+    val nDocs = 500L
+    assert(rows.length === 2 * nDocs, "one disposition row per (kind, doc)")
+    // both payloads are pure functions of doc_id % 300, so ids 300..499
+    // are byte-identical to ids 0..199 → exactly 200 exact_dups per kind,
+    // and every container decodes (q98/q99 pin the codecs)
+    val byKindStage = rows.groupBy(r => (r.getString(0), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    for (kind <- Seq("image", "audio")) {
+      assert(byKindStage.getOrElse((kind, "decode"), 0L) === 0L)
+      assert(byKindStage.getOrElse((kind, "exact_dup"), 0L) === 200L)
+      assert(byKindStage.getOrElse((kind, "near_dup"), 0L)
+        + byKindStage.getOrElse((kind, "kept"), 0L) === 300L)
+      // the perceptual stage has real work: same-group variants
+      // (g, g+100, g+200 survive exact dedup, differing only in the
+      // boost cell / boosted window) must merge for at least some groups
+      assert(byKindStage.getOrElse((kind, "near_dup"), 0L) > 0L,
+        s"$kind: no perceptual near-dups found on the fixture")
+    }
+    // keeper CLOSURE: every kept_id must itself be a kept doc of the same
+    // kind — the waterfall never defers to a document that was dropped
+    val kept = rows.filter(_.getString(2) == "kept")
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    for (r <- rows if r.getString(2) != "decode") {
+      assert(!r.isNullAt(3))
+      val k = (r.getString(0), r.getLong(3))
+      assert(kept.contains(k), s"row $r defers to non-kept $k")
+      assert(r.getLong(3) <= r.getLong(1), "elections are min-id: keeper <= doc")
+    }
+    out.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
 }
