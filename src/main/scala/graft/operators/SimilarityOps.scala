@@ -24,6 +24,25 @@ import graft.util.Tables._
   */
 object SimilarityOps {
 
+  /** One index temp directory per (JVM, key), created lazily and removed
+    * by a shutdown hook — q122/q126's repeated invocations overwrite in
+    * place instead of leaking a copy per call (r11 ADVICE).
+    */
+  private val ivfPqTmpDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqTmpDir(key: String): String =
+    ivfPqTmpDirs.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Exception => () }
+      }))
+      p.toString
+    })
+
   /** embeddings with double-array `e` and precomputed norm `nrm`. */
   private def prepped(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
@@ -259,9 +278,21 @@ object SimilarityOps {
     * the rounding precision and tie-break can never desynchronize the
     * four consumers from each other or from the shared oracle text.
     */
-  private def rankedCells(base: DataFrame, carry: Seq[String]): DataFrame = {
+  private def rankedCells(base: DataFrame, carry: Seq[String]): DataFrame =
+    rankedCellsWith(base, centroidsOf(base), carry)
+
+  /** [[rankedCells]] against a GIVEN centroid frame — the seam the saved
+    * index needs: q122's build derives cell assignment from the SAME
+    * centroids instance it writes (computing centroids twice risks a
+    * summation-order difference straddling the round(…, 6) boundary and
+    * desyncing the saved inverted lists from the saved probe table), and
+    * q126's append assigns new vectors against centroids READ BACK from
+    * the saved parquet.
+    */
+  private def rankedCellsWith(base: DataFrame, centroids: DataFrame,
+      carry: Seq[String]): DataFrame = {
     val scored = base.select(("vec_id" +: carry).map(col): _*)
-      .join(broadcast(centroidsOf(base)))
+      .join(broadcast(centroids))
       .withColumn("r_dot", round(expr("graft_dot(e, ce)"), 6))
     val w = Window.partitionBy("vec_id").orderBy(desc_nulls_last("r_dot"), col("c_label"))
     scored.withColumn("rn", row_number().over(w))
@@ -553,15 +584,29 @@ object SimilarityOps {
     * pinned by `IvfLayoutSpec`'s device applied to the saved directory
     * in `SimilarityOpsSpec`.
     */
-  def saveIvfPqIndex(s: SparkSession, d: String, dir: String): Unit = {
-    val base = prepped(s, d)
-    // same persist rationale as q70: codebook feeds codes AND is saved
+  def saveIvfPqIndex(s: SparkSession, d: String, dir: String): Unit =
+    saveIvfPqIndexFrom(prepped(s, d), dir)
+
+  /** [[saveIvfPqIndex]] over an explicit prepped (vec_id, e, nrm, label)
+    * frame — the seam q126's append spec builds partial indexes through.
+    * Centroids are computed ONCE (persisted), written, and the SAME
+    * instance drives the cell assignment (see [[rankedCellsWith]] — two
+    * independent avg aggregations over doubles can differ in summation
+    * order, and a value straddling the round(…, 6) boundary would desync
+    * the saved inverted lists from the saved probe table).
+    */
+  def saveIvfPqIndexFrom(base: DataFrame, dir: String): Unit = {
+    // same persist rationale as q70: codebook feeds codes AND is saved;
+    // centroids feed the cell assignment AND are saved
     val codebook = pqCodebook(base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = centroidsOf(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lists = rankedCells(base, Seq("e")).filter(col("rn") === 1)
+      val lists = rankedCellsWith(base, centroids, Seq("e"))
+        .filter(col("rn") === 1)
         .select(col("c_label"), col("vec_id").as("cid"))
-      centroidsOf(base).write.mode("overwrite").parquet(s"$dir/centroids")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       codebook.write.mode("overwrite").parquet(s"$dir/codebook")
       pqCodes(base, codebook)
         .select(col("vec_id").as("cid"),
@@ -570,7 +615,53 @@ object SimilarityOps {
         .join(lists, "cid")
         .write.mode("overwrite").partitionBy("c_label")
         .parquet(s"$dir/codes")
-    } finally codebook.unpersist(blocking = false)
+    } finally {
+      codebook.unpersist(blocking = false)
+      centroids.unpersist(blocking = false)
+    }
+  }
+
+  /** q126: INCREMENTAL index maintenance — append a batch of new vectors
+    * to a saved IVF-PQ index with NO rebuild (q112's delta discipline
+    * applied to the ANN index). New vectors are assigned to the SAVED
+    * centroids (same rounded-dot ranking convention, read back from
+    * parquet — doubles round-trip bit-identically) and coded against the
+    * SAVED codebook; their rows land in the inverted file via parquet
+    * dynamic-partition APPEND, so only the touched c_label partitions
+    * gain files and existing partitions/files are never rewritten. The
+    * saved search ([[searchSavedIvfPq]]) consumes the union with zero
+    * changes — append-then-search ≡ coding the union against the same
+    * frozen codebooks in one shot (spec-pinned set equality on the codes
+    * table AND result equality on the search).
+    *
+    * STALENESS: appended vectors are quantized by centroids/codebooks
+    * trained before they existed. Assignment and ADC stay exact for the
+    * geometry the index HAS — what degrades is quantization fit: as the
+    * appended mass grows or its distribution drifts, per-subspace
+    * distortion (mean `dist` from [[pqCodes]]) rises relative to a
+    * retrain, and recall at fixed nProbes follows. The production policy
+    * this models: track appended fraction + distortion, rebuild (q122's
+    * build half) when either crosses its bar; the append path makes the
+    * index CURRENT between rebuilds, it does not make retraining free.
+    *
+    * Scale shape: broadcast saved centroids/codebook against the BATCH
+    * only (no corpus pass — cost is |batch| dots), one argmin exchange,
+    * one partition-pruned append write. Holds at 100 TB with daily
+    * batches: the inverted file grows by exactly the batch's rows.
+    */
+  def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
+    val centroids = s.read.parquet(s"$dir/centroids")
+    val codebook = s.read.parquet(s"$dir/codebook")
+    val lists = rankedCellsWith(newVecs, centroids, Seq("e"))
+      .filter(col("rn") === 1)
+      .select(col("c_label"), col("vec_id").as("cid"))
+    pqCodes(newVecs, codebook)
+      .select(col("vec_id").as("cid"),
+        col("subspace").cast("int").as("subspace"),
+        col("code").cast("int").as("code"))
+      .join(lists, "cid")
+      .write.mode("append").partitionBy("c_label")
+      .parquet(s"$dir/codes")
   }
 
   /** q122's search half: q70's ADC search driven ENTIRELY from the saved
@@ -862,11 +953,32 @@ object SimilarityOps {
     // IVF-PQ index persistence: build + save the index, then run q70's
     // search ENTIRELY from the saved parquet — see [[saveIvfPqIndex]] /
     // [[searchSavedIvfPq]]. Shares q70's oracle text verbatim (the
-    // round trip must be a no-op on results).
+    // round trip must be a no-op on results). NOTE (documented side
+    // effect): the index WRITE runs eagerly at DataFrame-construction
+    // time — a harness timing this query measures build + search, which
+    // is the point (the r11 20× smoke showed build dominates). One temp
+    // directory per (JVM, corpus), shutdown-hook-cleaned, so repeated
+    // bench/correctness/plan-dump invocations overwrite in place instead
+    // of leaking an index copy per call (r11 ADVICE).
     "q122_ivfpq_saved_search" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_index").toString
+      val dir = ivfPqTmpDir(s"q122:$d")
       saveIvfPqIndex(s, d, dir)
+      searchSavedIvfPq(s, d, dir)
+    }),
+
+    // INCREMENTAL index maintenance (see [[appendToIvfPqIndex]]): build
+    // the index on the ¾ base (vec_id % 4 != 3), append the remaining
+    // quarter against the FROZEN centroids/codebook, search the union.
+    // The oracle is the parameterized IVF-PQ text with model CTEs
+    // trained on the base only — frozen-codebook semantics end to end.
+    // Each invocation re-runs save (static partition overwrite clears
+    // the codes dir) then ONE append, so repeated runs are idempotent.
+    "q126_ivfpq_append_search" -> ((s, d) => {
+      val dir = ivfPqTmpDir(s"q126:$d")
+      val base = prepped(s, d).filter(!expr(q126BatchFilter))
+      val batch = prepped(s, d).filter(expr(q126BatchFilter))
+      saveIvfPqIndexFrom(base, dir)
+      appendToIvfPqIndex(s, batch, dir)
       searchSavedIvfPq(s, d, dir)
     }),
 
@@ -961,17 +1073,24 @@ object SimilarityOps {
               CAST(code AS BIGINT) AS code, dist
        FROM best WHERE rn = 1"""
 
-  /** q70's oracle, shared verbatim with q122 (the saved index must
-    * round-trip to IDENTICAL results, so one authored text serves both
-    * — the q61OracleSql anti-drift discipline).
+  /** The IVF-PQ search oracle, parameterized on the MODEL-TRAINING
+    * subset: q70/q122 train centroids + codebook on the whole corpus
+    * (`TRUE`), q126 trains on the pre-append base only (`vec_id % 4 !=
+    * 3`) while assignment/coding/search still cover every vector — the
+    * frozen-codebook append semantic. One authored text serves all
+    * three (the q61OracleSql anti-drift discipline); with `TRUE` the
+    * codes CTE is exactly q61's best-code-per-subspace on the full
+    * codebook, so q70's results are unchanged by the r12
+    * parameterization (CORRECTNESS hash-pins that).
     */
-  private val q70OracleSql: String =
+  private def ivfPqOracleSql(modelFilter: String): String =
       s"""WITH unpacked AS (
            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         model AS (SELECT * FROM unpacked WHERE $modelFilter),
          centroids AS (
            SELECT label AS c_label, pos AS c_pos, avg(x) AS cx
-           FROM unpacked GROUP BY label, pos),
+           FROM model GROUP BY label, pos),
          assign_scored AS (
            SELECT vec_id, c_label, round(sum(x * cx), 6) AS dot
            FROM unpacked JOIN centroids ON pos = c_pos
@@ -982,16 +1101,24 @@ object SimilarityOps {
            FROM assign_scored),
          lists AS (SELECT c_label, vec_id AS cid FROM ranked WHERE rn = 1),
          probes AS (SELECT c_label, vec_id AS qid FROM ranked WHERE rn <= 2 AND vec_id < 3),
-         codes AS (
-           SELECT vec_id AS cid, CAST(subspace AS INT) AS subspace,
-                  CAST(code AS INT) AS code
-           FROM ($q61OracleSql) q61),
+         codebook AS (
+           SELECT label AS code, CAST(pos // 8 AS INT) AS c_sub, pos AS c_pos, avg(x) AS cx
+           FROM model GROUP BY label, CAST(pos // 8 AS INT), pos),
+         sub AS (SELECT vec_id, CAST(pos // 8 AS INT) AS subspace, pos, x FROM unpacked),
+         cscored AS (
+           SELECT s.vec_id, s.subspace, c.code,
+                  round(sum((s.x - c.cx) * (s.x - c.cx)), 6) AS dist
+           FROM sub s JOIN codebook c ON c.c_pos = s.pos AND c.c_sub = s.subspace
+           GROUP BY s.vec_id, s.subspace, c.code),
+         cbest AS (
+           SELECT vec_id, subspace, code,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist, code) AS rn
+           FROM cscored),
+         codes AS (SELECT vec_id AS cid, subspace, code FROM cbest WHERE rn = 1),
          listcodes AS (
            SELECT l.c_label, c.cid, c.subspace, c.code
            FROM codes c JOIN lists l USING (cid)),
-         codebook AS (
-           SELECT label AS code, CAST(pos // 8 AS INT) AS c_sub, pos AS c_pos, avg(x) AS cx
-           FROM unpacked GROUP BY label, CAST(pos // 8 AS INT), pos),
          qunpacked AS (
            SELECT vec_id AS qid, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
@@ -1015,6 +1142,14 @@ object SimilarityOps {
            FROM adist)
          SELECT qid, cid, adist, CAST(rn AS BIGINT) AS rn
          FROM topk WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** q70's oracle, shared verbatim with q122 (the saved index must
+    * round-trip to IDENTICAL results).
+    */
+  private val q70OracleSql: String = ivfPqOracleSql("TRUE")
+
+  /** q126's split convention: every 4th vector is the "append batch". */
+  private[operators] val q126BatchFilter = "vec_id % 4 = 3"
 
   val oracle: Map[String, String] = Map(
     "q37_sim_topk" ->
@@ -1154,6 +1289,10 @@ object SimilarityOps {
     // anti-drift discipline: a future change to the ADC rule cannot
     // desynchronize the persisted path from the inline one).
     "q122_ivfpq_saved_search" -> q70OracleSql,
+
+    // frozen-codebook append: model CTEs on the ¾ base, everything else
+    // (assignment, codes, probes, search) over the full corpus
+    "q126_ivfpq_append_search" -> ivfPqOracleSql(s"NOT ($q126BatchFilter)"),
 
     "q123_prototype_select" ->
       """WITH unpacked AS (

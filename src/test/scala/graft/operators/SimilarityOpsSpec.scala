@@ -348,4 +348,54 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ex.contains("WindowGroupLimit"),
       "q124's rank filter planted no WindowGroupLimit")
   }
+
+  test("q126 appended index equals a rebuild at the frozen codebook; search identical") {
+    // the incremental contract: save(base) + append(batch) must yield the
+    // SAME inverted file as coding the union in one shot against the same
+    // frozen centroids/codebook — and the saved search must not be able
+    // to tell the difference. Because dirRef codes EVERY vector through
+    // the append path (models read back from parquet) while dirInc coded
+    // the base at build time (in-memory models), equality also pins that
+    // the parquet round trip changes nothing (doubles are bit-exact).
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("e", expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    val base = all.filter(!expr(SimilarityOps.q126BatchFilter))
+    val batch = all.filter(expr(SimilarityOps.q126BatchFilter))
+    assert(batch.count() > 0 && base.count() > 0)
+    val tmpInc = java.nio.file.Files.createTempDirectory("graft_q126_inc").toFile
+    val tmpRef = java.nio.file.Files.createTempDirectory("graft_q126_ref").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    try {
+      SimilarityOps.saveIvfPqIndexFrom(base, tmpInc.getAbsolutePath)
+      SimilarityOps.appendToIvfPqIndex(spark, batch, tmpInc.getAbsolutePath)
+      // reference: same saved models, codes dir rebuilt in ONE pass over
+      // the union through the frozen-model append path
+      SimilarityOps.saveIvfPqIndexFrom(base, tmpRef.getAbsolutePath)
+      rm(new java.io.File(tmpRef, "codes"))
+      SimilarityOps.appendToIvfPqIndex(spark, all, tmpRef.getAbsolutePath)
+      def codesOf(dir: java.io.File) =
+        spark.read.parquet(new java.io.File(dir, "codes").getAbsolutePath)
+          .select("c_label", "cid", "subspace", "code").collect()
+          .map(_.toSeq).toSet
+      val inc = codesOf(tmpInc)
+      val ref = codesOf(tmpRef)
+      assert(inc === ref, "appended inverted file diverged from the frozen-codebook rebuild")
+      // the appended vectors are really in the index
+      val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+      val indexedIds = inc.map(_(1).asInstanceOf[Long])
+      assert(batchIds.subsetOf(indexedIds), "append lost batch vectors")
+      val s1 = SimilarityOps.searchSavedIvfPq(spark, sf, tmpInc.getAbsolutePath)
+        .collect().map(_.toSeq).toSeq
+      val s2 = SimilarityOps.searchSavedIvfPq(spark, sf, tmpRef.getAbsolutePath)
+        .collect().map(_.toSeq).toSeq
+      assert(s1 === s2, "search distinguishes appended from rebuilt index")
+    } finally { rm(tmpInc); rm(tmpRef) }
+  }
 }
