@@ -115,7 +115,11 @@ class ReadstatMicroBatchStream(
 
   override def latestOffset(): Offset = {
     poll()
-    FilesOffset(discovered.size)
+    // route through the hold (r12, r11 ADVICE): Spark's admission-control
+    // path never calls this overload today, but if it (or a caller) ever
+    // does, returning discovered.size would advance past a held file and
+    // a widen-restart could no longer replay it
+    FilesOffset(holdBounded(0, discovered.size))
   }
 
   // admission control: `maxFilesPerTrigger` caps how many files one
@@ -134,13 +138,23 @@ class ReadstatMicroBatchStream(
     // never advance PAST a widenable refusal (see widenHold): a zero-row
     // batch over it would commit it as consumed and a widen-restart could
     // no longer replay it
-    val pending = discovered.toSeq
-    var e = s
-    while (e < cap && !widenHold(pending(e))) e += 1
-    FilesOffset(e)
+    FilesOffset(holdBounded(s, cap))
   }
 
-  override def reportLatestOffset(): Offset = FilesOffset(discovered.size)
+  /** Largest admissible end offset in [from, cap]: stops before the first
+    * widen-held file. EVERY offset surface goes through this — an offset
+    * computed anywhere that ignored the hold would let a zero-row batch
+    * commit the held file as consumed (r11 ADVICE #5).
+    */
+  private def holdBounded(from: Int, cap: Int): Int = {
+    val pending = discovered.toSeq
+    var e = from
+    while (e < cap && !widenHold(pending(e))) e += 1
+    e
+  }
+
+  override def reportLatestOffset(): Offset =
+    FilesOffset(holdBounded(0, discovered.size))
 
   override def deserializeOffset(json: String): Offset = FilesOffset(json.trim.toInt)
 
@@ -201,7 +215,7 @@ class ReadstatMicroBatchStream(
     * in place still requires the restart the hint asks for.
     */
   private def widenHold(p: String): Boolean =
-    opts.permissive && opts.mergeSchema && {
+    opts.permissive && opts.mergeSchema && opts.streamWidenHold && {
       val probed = scala.util.Try(schemaCache.getOrElseUpdate(
         p, ReadstatFormats.forPath(p, opts).schema(p, opts))).toOption
       probed.exists { s =>

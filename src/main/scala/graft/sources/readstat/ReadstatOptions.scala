@@ -83,7 +83,18 @@ final case class ReadstatOptions(
       * contract at the container level). Batch only — the streaming
       * source keeps the fail-fast contract.
       */
-    mergeSchema: Boolean = false) extends Serializable {
+    mergeSchema: Boolean = false,
+    /** PERMISSIVE + mergeSchema streams only: when a WIDENABLE arrival
+      * lands (fits the merge lattice but needs a wider schema than the
+      * running query declared), `true` (default) HOLDS the offset before
+      * the file so a restart can re-merge and admit it — at the cost of
+      * blocking every later file until that restart (the IntakeSupervisor
+      * contract). `false` opts out: the widenable file QUARANTINES like
+      * any other misfit (skip + report) and the stream keeps flowing —
+      * the pre-hold PERMISSIVE behavior, for deployments with no
+      * supervisor to restart them (r11 ADVICE).
+      */
+    streamWidenHold: Boolean = true) extends Serializable {
   def inMode: Option[InformativeNulls.Mode] = informativeNulls.map(InformativeNulls.parseMode)
   def inTracked(name: String): Boolean =
     informativeNulls.isDefined && informativeNullColumns.forall(_.contains(name))
@@ -131,7 +142,8 @@ object ReadstatOptions {
         m.toUpperCase
       }.getOrElse("FAILFAST"),
       badFilesPath = get("badFilesPath").filter(_.nonEmpty),
-      mergeSchema = get("mergeSchema").exists(_.toBoolean))
+      mergeSchema = get("mergeSchema").exists(_.toBoolean),
+      streamWidenHold = get("streamWidenHold").forall(_.toBoolean))
     // `preserveOrder` is accepted for parity with the reference (O2): Spark
     // partitions are already consumed in partition-index order at collect,
     // so no reorder machinery is needed — the option is a documented no-op.
