@@ -488,7 +488,10 @@ object MultimodalOps {
           .when(col("doc_id") =!= col("keeper_rep"), "near_dup")
           .otherwise("kept").as("stage"),
         col("keeper_rep").as("kept_id"))
-    DedupOps.finishAndRelease(res, a)
+    // comp is the persisted frame connectedComponents hands its caller —
+    // release it here too (r12 ADVICE: it leaked one keeper-sized label
+    // table per invocation for the life of the session)
+    DedupOps.finishAndRelease(res, a, comp)
   }
 
   /** q125: the MULTIMODAL curation waterfall — q113's composed-pipeline
@@ -504,12 +507,19 @@ object MultimodalOps {
     * independently checks keeper election end to end without parsing a
     * single container byte.
     */
-  def mediaWaterfall(s: SparkSession, d: String): DataFrame =
-    kindWaterfall(imageAssets(s, d).toDF()).withColumn("kind", lit("image"))
-      .unionByName(
-        kindWaterfall(audioAssets(s, d).toDF()).withColumn("kind", lit("audio")))
+  def mediaWaterfall(s: SparkSession, d: String): DataFrame = {
+    // the two per-kind frames are persisted (kindWaterfall's contract);
+    // re-persist the UNION as the returned frame and release them, so the
+    // caller's unpersist() hits the actual cached plan instead of being the
+    // silent stacked-operator no-op (r12 ADVICE; CacheReleaseSpec pins it)
+    val img = kindWaterfall(imageAssets(s, d).toDF())
+    val aud = kindWaterfall(audioAssets(s, d).toDF())
+    val res = img.withColumn("kind", lit("image"))
+      .unionByName(aud.withColumn("kind", lit("audio")))
       .select("kind", "doc_id", "stage", "kept_id")
       .orderBy("kind", "doc_id")
+    DedupOps.finishAndRelease(res, img, aud)
+  }
 
   /** Shared band-bucket Hamming search over a (doc_id, dhash) frame —
     * q105/q106's pair stage.

@@ -113,13 +113,23 @@ class ReadstatMicroBatchStream(
 
   override def initialOffset(): Offset = FilesOffset(0)
 
+  /** Floor for hold scans: every file below this index was already admitted
+    * by the engine (a start offset it handed us, or a committed end), so
+    * the no-arg offset surfaces need not re-probe it. Without the floor,
+    * `holdBounded(0, n)` schema-probed every discovered file per trigger
+    * until schemaCache warmed — O(discovered) driver work where the
+    * start-bounded form is O(new) (r12 ADVICE).
+    */
+  @volatile private var admittedFloor: Int = 0
+  private def raiseFloor(n: Int): Unit = if (n > admittedFloor) admittedFloor = n
+
   override def latestOffset(): Offset = {
     poll()
     // route through the hold (r12, r11 ADVICE): Spark's admission-control
     // path never calls this overload today, but if it (or a caller) ever
     // does, returning discovered.size would advance past a held file and
     // a widen-restart could no longer replay it
-    FilesOffset(holdBounded(0, discovered.size))
+    FilesOffset(holdBounded(admittedFloor, discovered.size))
   }
 
   // admission control: `maxFilesPerTrigger` caps how many files one
@@ -131,6 +141,7 @@ class ReadstatMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     poll()
     val s = start.asInstanceOf[FilesOffset].n
+    raiseFloor(s)
     val cap = limit match {
       case m: ReadMaxFiles => math.min(discovered.size, s + m.maxFiles())
       case _ => discovered.size
@@ -154,7 +165,7 @@ class ReadstatMicroBatchStream(
   }
 
   override def reportLatestOffset(): Offset =
-    FilesOffset(holdBounded(0, discovered.size))
+    FilesOffset(holdBounded(admittedFloor, discovered.size))
 
   override def deserializeOffset(json: String): Offset = FilesOffset(json.trim.toInt)
 
@@ -334,6 +345,7 @@ class ReadstatMicroBatchStream(
     }
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    raiseFloor(end.asInstanceOf[FilesOffset].n)
   override def stop(): Unit = ()
 }
