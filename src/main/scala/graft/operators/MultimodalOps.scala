@@ -53,6 +53,23 @@ object MultimodalOps {
     */
   final case class MediaAsset(doc_id: Long, ok: Boolean, digest: String, phash: Long)
 
+  /** The document id scan fanned out to core count BEFORE the CPU-bound
+    * synthesize+decode maps (q98/q99/q105/q106/q125): these stages cost
+    * per-ROW cpu (PNG inflate, WAV decode, dHash), not per-byte, and
+    * Spark's byte-based input-split sizing packs a slim id column into
+    * ONE task — measured at sf0.1: the whole 5,000-doc q105 decode pass
+    * ran on one core (1.7 s) while 31 idled, and it sat on the query's
+    * critical path. The repartition shuffles only 8-byte ids; the same
+    * rule holds on a cluster (decode parallelism must track cores, not
+    * input bytes — a real blob store hits this whenever payloads are
+    * fetched by key rather than co-resident in the scanned file).
+    */
+  private def docIds(s: SparkSession, d: String): Dataset[Long] = {
+    import s.implicits._
+    documents(s, d).select("doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** Synthesize a binary "media" payload per document (deterministic from
     * text) — stands in for reading real blobs at 100 TB.
     */
@@ -172,7 +189,7 @@ object MultimodalOps {
     */
   def imageDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val w = (1 + id % 16).toInt
         val h = (1 + id % 12).toInt
@@ -205,7 +222,7 @@ object MultimodalOps {
     */
   def audioDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val rate = (8000 + (id % 8) * 1000).toInt
         val n = (64 + id % 64).toInt
@@ -299,7 +316,7 @@ object MultimodalOps {
 
   def imageDHashes(s: SparkSession, d: String): Dataset[ImageHash] = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         MediaCodecs.decodePng(q105Png(id)) match {
           case Some(img) => ImageHash(id, dhashOf(img))
@@ -380,7 +397,7 @@ object MultimodalOps {
 
   def audioFingerprints(s: SparkSession, d: String): Dataset[ImageHash] = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
         MediaCodecs.decodeWavPcm16(q106Wav(md, id)) match {
@@ -409,7 +426,7 @@ object MultimodalOps {
     */
   def imageAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
         val png = q105Png(id)
@@ -425,7 +442,7 @@ object MultimodalOps {
   /** q125 asset stage, audio side — the WAV twin of [[imageAssets]]. */
   def audioAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
     import s.implicits._
-    documents(s, d).select("doc_id").as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
         val wav = q106Wav(md, id)
@@ -464,14 +481,25 @@ object MultimodalOps {
     * O(log² n) path; final assembly is two keyed joins against the tiny
     * keeper/rep tables. Holds at 100 TB.
     */
-  private[operators] def kindWaterfall(assets: DataFrame): DataFrame = {
+  /** The LAZY half of [[kindWaterfall]]: the disposition frame plus the
+    * persisted upstream handles (`a`, the CC labels) the caller must
+    * release after materializing. mediaWaterfall composes TWO of these
+    * under one union and pays ONE finish — the r12 shape materialized and
+    * cached each kind's result separately, which at the sf0.1 scale was
+    * ~4 extra job barriers of pure scheduling on cached sub-second data.
+    */
+  private def kindWaterfallLazy(assets: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val a = assets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = a.filter(col("ok"))
     val ek = ok.groupBy("digest").agg(min("doc_id").as("exact_keeper"))
     val withK = ok.join(ek, "digest")
       .select(col("doc_id"), col("exact_keeper"), col("phash"))
+    // keeper-sized; persisted because the pair stage and the label/rep
+    // joins each reference it and every reference would otherwise re-run
+    // the digest-election groupBy+join chain above it
     val survivors = withK.filter(col("doc_id") === col("exact_keeper"))
       .select(col("doc_id"), col("phash").as("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = hammingNearDup(survivors)
     val comp = GraphOps.connectedComponents(
       pairs.select(col("ia").as("u"), col("ib").as("v")))
@@ -489,9 +517,14 @@ object MultimodalOps {
           .otherwise("kept").as("stage"),
         col("keeper_rep").as("kept_id"))
     // comp is the persisted frame connectedComponents hands its caller —
-    // release it here too (r12 ADVICE: it leaked one keeper-sized label
-    // table per invocation for the life of the session)
-    DedupOps.finishAndRelease(res, a, comp)
+    // it goes on the release list too (r12 ADVICE: it leaked one
+    // keeper-sized label table per invocation for the life of the session)
+    (res, Seq(a, comp, survivors))
+  }
+
+  private[operators] def kindWaterfall(assets: DataFrame): DataFrame = {
+    val (res, release) = kindWaterfallLazy(assets)
+    DedupOps.finishAndRelease(res, release: _*)
   }
 
   /** q125: the MULTIMODAL curation waterfall — q113's composed-pipeline
@@ -508,70 +541,50 @@ object MultimodalOps {
     * single container byte.
     */
   def mediaWaterfall(s: SparkSession, d: String): DataFrame = {
-    // the two per-kind frames are persisted (kindWaterfall's contract);
-    // re-persist the UNION as the returned frame and release them, so the
-    // caller's unpersist() hits the actual cached plan instead of being the
-    // silent stacked-operator no-op (r12 ADVICE; CacheReleaseSpec pins it)
-    val img = kindWaterfall(imageAssets(s, d).toDF())
-    val aud = kindWaterfall(audioAssets(s, d).toDF())
+    // ONE finish for both kinds: the returned UNION is the persisted frame
+    // (so the caller's unpersist() hits the actual cached plan — r12
+    // ADVICE; CacheReleaseSpec pins it) and every per-kind upstream cache
+    // is released after the single materialization. No final orderBy: the
+    // driver's comparator is row-sorted and a global sort would cost a
+    // range-sampling pass — the r12 verdict already marked it the first
+    // thing to drop at scale.
+    val (img, relImg) = kindWaterfallLazy(imageAssets(s, d).toDF())
+    val (aud, relAud) = kindWaterfallLazy(audioAssets(s, d).toDF())
     val res = img.withColumn("kind", lit("image"))
       .unionByName(aud.withColumn("kind", lit("audio")))
       .select("kind", "doc_id", "stage", "kept_id")
-      .orderBy("kind", "doc_id")
-    DedupOps.finishAndRelease(res, img, aud)
+    DedupOps.finishAndRelease(res, relImg ++ relAud: _*)
   }
 
   /** Shared band-bucket Hamming search over a (doc_id, dhash) frame —
     * q105/q106's pair stage.
     *
-    * Scale shape (r12): the (band, v) bucket self-join carries the SAME
-    * 1-Bucket-Theta within-bucket split as q44/q62's RP-LSH candidates
-    * ([[SimilarityOps]].rpLshCandidates — the r11-adjudicated device).
-    * A perceptual-hash corpus degenerates exactly the way a sign-hash
-    * one does: solid-color or template thumbnails all dHash to ONE
-    * value, silence-padded audio to ONE contour — then all 4 bands
-    * collide and one bucket holds n docs → n(n−1)/2 pairs that, in a
-    * plain equi-join, are ONE task however many partitions exist. The
-    * split assigns every doc a block id in [0, B), replicates each side
-    * over its block-pair range, and repartitions on (band, v, ba, bb) —
-    * B(B+1)/2 independent chunks per bucket, each quadratically
-    * smaller, spread by an explicit partition count that AQE's
-    * advisory-size coalescing cannot re-fuse. Cross-block pairs appear
-    * once with roles fixed by block order; same-block pairs dedup by id
-    * order; least/greatest + distinct restores the canonical ia < ib
-    * set, so the candidate set is bit-identical to the plain join's
-    * (PairPlanSpec pins equality AND the degenerate one-hash corpus).
-    * Replication cost is ~(B+1)/2 copies of 4 tiny rows per doc.
+    * Scale shape (r12/r13): the (band, v) bucket self-join goes through
+    * [[PairBuckets.candidatePairs]] — the size-adaptive 1-Bucket-Theta
+    * split shared with q44/q62's RP-LSH candidates. A perceptual-hash
+    * corpus degenerates exactly the way a sign-hash one does: solid-color
+    * or template thumbnails all dHash to ONE value, silence-padded audio
+    * to ONE contour — then all 4 bands collide and one bucket holds n
+    * docs → n(n−1)/2 pairs that, in a plain equi-join, are ONE task
+    * however many partitions exist. Buckets past the hot bar pay the
+    * block split (B(B+1)/2 quadratically smaller chunks, AQE-exempt
+    * explicit repartition); everything else takes the plain equi-join
+    * with no replication tax. The candidate set is bit-identical to the
+    * plain join's (PairPlanSpec pins equality on a mixed corpus AND the
+    * 10k one-hash degenerate corpus).
     */
   private[operators] def hammingNearDup(hashes: DataFrame): DataFrame = {
-    val s = hashes.sparkSession
-    val sigs = hashes.select(col("doc_id"), explode(expr(
+    // the 8-byte dhash rides THROUGH the pair stage (PairBuckets carry):
+    // the exact Hamming verify is then row-local — no ia/ib join-backs, no
+    // re-execution of the per-row decode lineage behind `hashes`, which
+    // this plan references exactly ONCE
+    val sigs = hashes.select(col("doc_id"), col("dhash"), explode(expr(
       """transform(sequence(0, 3),
            b -> struct(b AS band,
                        shiftright(dhash, b * 14) & 16383 AS v))""")).as("s"))
-      .select(col("doc_id"), col("s.band").as("band"), col("s.v").as("v"))
-    val nPar = s.sparkContext.defaultParallelism
-    val B = math.max(1, math.ceil(math.sqrt(2.0 * nPar)).toInt)
-    val blocked = sigs.withColumn("blk", pmod(hash(col("doc_id")), lit(B)))
-    val aSide = blocked
-      .withColumn("bb", explode(expr(s"sequence(blk, ${B - 1})")))
-      .select(col("band"), col("v"), col("blk").as("ba"), col("bb"),
-        col("doc_id").as("ia"))
-      .repartition(nPar, col("band"), col("v"), col("ba"), col("bb"))
-    val bSide = blocked
-      .withColumn("ba", explode(expr("sequence(0, blk)")))
-      .select(col("band"), col("v"), col("ba"), col("blk").as("bb"),
-        col("doc_id").as("ib"))
-      .repartition(nPar, col("band"), col("v"), col("ba"), col("bb"))
-    val cands = aSide.join(bSide, Seq("band", "v", "ba", "bb"))
-      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
-      .select(least(col("ia"), col("ib")).as("ia"),
-        greatest(col("ia"), col("ib")).as("ib"))
-      .distinct()
-    val ha = hashes.select(col("doc_id").as("ia"), col("dhash").as("hA"))
-    val hb = hashes.select(col("doc_id").as("ib"), col("dhash").as("hB"))
-    cands.join(ha, "ia").join(hb, "ib")
-      .withColumn("hamming", expr("cast(bit_count(hA ^ hB) as bigint)"))
+      .select(col("doc_id"), col("dhash"), col("s.band").as("band"), col("s.v").as("v"))
+    PairBuckets.candidatePairs(sigs, Seq("band", "v"), "doc_id", carry = Seq("dhash"))
+      .withColumn("hamming", expr("cast(bit_count(dhash_a ^ dhash_b) as bigint)"))
       .filter(col("hamming") <= 3)
       .select("ia", "ib", "hamming")
   }

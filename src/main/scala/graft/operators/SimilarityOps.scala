@@ -99,42 +99,21 @@ object SimilarityOps {
     */
   private[graft] def rpLshCandidates(s: SparkSession, base: DataFrame,
       L: Int, b: Int): DataFrame = {
-    val sigs = rpLshSigs(s, base, L, b)
     // the bucket self-join is COMPUTE-bound (each bucket is a mini
     // cartesian) on BYTE-tiny input, which defeats size-based scheduling
     // TWICE at scale: AQE's coalesce starves the stage (measured at 20x:
     // 8 tasks of ~34 s on a 32-core box), and fixing only that exposes the
     // single-key wall — one hot (band, sig) bucket's quadratic pair
     // generation is ONE task however many partitions exist (measured:
-    // max 37 s vs median 5.9 s). So the bucket join gets q39's
-    // 1-Bucket-Theta device WITHIN each bucket: block ids split every
-    // bucket's pair space into B(B+1)/2 independent chunks (cross-block
-    // pairs once with roles fixed by block, same-block pairs deduped by
-    // id order), and an explicit partition count — exempt from AQE
-    // coalescing — spreads them. Replication cost is ~(B+1)/2 copies of
-    // the tiny sig rows; per-chunk work shrinks quadratically. Adjudicated
-    // A/B at 20x (isolated fresh JVMs, same idle machine): full near-dup
-    // 53.4 s -> 36.0 s with identical 69.2M verified pairs; the candidate
-    // stage ALONE is a wash (21.3 vs 19.1 s) — the win is the un-starved,
-    // un-walled schedule feeding the verify, not fewer cycles.
-    val nPar = s.sparkContext.defaultParallelism
-    val B = math.max(1, math.ceil(math.sqrt(2.0 * nPar)).toInt)
-    val blocked = sigs.withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
-    val aSide = blocked
-      .withColumn("bb", explode(expr(s"sequence(blk, ${B - 1})")))
-      .select(col("band"), col("sig"), col("blk").as("ba"), col("bb"),
-        col("vec_id").as("ia"))
-      .repartition(nPar, col("band"), col("sig"), col("ba"), col("bb"))
-    val bSide = blocked
-      .withColumn("ba", explode(expr("sequence(0, blk)")))
-      .select(col("band"), col("sig"), col("ba"), col("blk").as("bb"),
-        col("vec_id").as("ib"))
-      .repartition(nPar, col("band"), col("sig"), col("ba"), col("bb"))
-    aSide.join(bSide, Seq("band", "sig", "ba", "bb"))
-      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
-      .select(least(col("ia"), col("ib")).as("ia"),
-        greatest(col("ia"), col("ib")).as("ib"))
-      .distinct()
+    // max 37 s vs median 5.9 s). Adjudicated A/B at 20x (isolated fresh
+    // JVMs, same idle machine): full near-dup 53.4 s -> 36.0 s with
+    // identical 69.2M verified pairs — the win is the un-starved,
+    // un-walled schedule feeding the verify. The split is SIZE-ADAPTIVE
+    // as of r13 (see [[PairBuckets]]): buckets are counted first and only
+    // those past the hot bar pay the block replication; the common case
+    // takes the plain equi-join with no replication tax.
+    PairBuckets.candidatePairs(rpLshSigs(s, base, L, b),
+      Seq("band", "sig"), "vec_id")
   }
 
   /** The parameterized q44 over a testdata dir — the scale-smoke hook for
