@@ -493,6 +493,32 @@ object ScaleSmoke {
         (s, p) => operators.GraphOps.embeddingClustersAuto(s, p, L = 6))
     }
 
+    // q35 auto band GEOMETRY (r13, verdict #8 — the MinHash sibling of the
+    // RP-LSH width knob above): lshGeometryAuto measures the corpus's
+    // near-dup similarity by lane agreement (ĵ) and picks the most
+    // precise (bands × rows) factorization of the 8-lane budget whose
+    // S-curve capture at ĵ clears the 0.9 recall floor. HARD gate on the
+    // 10× planted corpus: the ~0.9-Jaccard planted neighbors must
+    // register (ĵ ≥ 0.8) and the pick must satisfy its own feasibility
+    // rule — capture(chosen) ≥ 0.9 with every MORE precise factorization
+    // infeasible. Deterministic (md5 lanes, integer agreement counts), so
+    // no retry logic; PairPlanSpec pins plan equality with the manual
+    // setting at fixed size.
+    if (args.isEmpty || args.contains("q35_minhash_lsh")) {
+      val docs10 = spark.read.parquet(new File(dir, "documents.parquet").getPath)
+      val g = operators.DedupOps.lshGeometryAuto(docs10)
+      out.append(s""","auto_lsh_bands":${g.bands},"auto_lsh_rows":${g.rows},"auto_lsh_jhat":${g.jhat}""")
+      System.err.println(f"[scalesmoke] auto LSH geometry: ${g.bands}x${g.rows} at jhat=${g.jhat}%.4f")
+      def capture(b: Int, r: Int) = 1.0 - math.pow(1.0 - math.pow(g.jhat, r), b)
+      def thr(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+      require(g.jhat >= 0.8, s"planted ~0.9-Jaccard neighbors did not register: $g")
+      require(capture(g.bands, g.rows) >= 0.9,
+        s"auto pick $g misses its own recall floor")
+      require((1 to 8).filter(8 % _ == 0).forall(b =>
+        thr(b, 8 / b) <= thr(g.bands, g.rows) || capture(b, 8 / b) < 0.9),
+        s"a more precise feasible factorization was skipped: $g")
+    }
+
     // q88 growth exponent (r11 close-out #4): the heaviest remaining 10×
     // smoke entry after q62. Its two corpus-scale stages are both LINEAR —
     // the bigram explode is the token stream, and the model tables chain

@@ -919,7 +919,19 @@ object DedupOps {
     * explode-and-groupBy formulation shuffles one row per shingle
     * OCCURRENCE (~corpus token count); this shuffles one row per doc.
     */
-  private[operators] def lshCandidates(docs: DataFrame): DataFrame = {
+  private[operators] def lshCandidates(docs: DataFrame): DataFrame =
+    lshCandidatesAt(docs, bands = 4, rows = 2)
+
+  /** [[lshCandidates]] parameterized on the (bands × rows) factorization of
+    * the 8-lane budget (r13, verdict #8 — the band GEOMETRY becomes a knob
+    * the way q44's band width did in r11). The oracle-pinned q35/q40/q49
+    * keep the deployed (4, 2); [[lshGeometryAuto]] picks a factorization
+    * from measured lane agreement for the no-knob scale path.
+    */
+  private[operators] def lshCandidatesAt(docs: DataFrame,
+      bands: Int, rows: Int): DataFrame = {
+    require(bands * rows == nHashes,
+      s"bands x rows must factor the $nHashes-lane budget, got $bands x $rows")
     // 8 lanes × 8 hex chars (32 bits each) from one sha256 per shingle,
     // computed by the native MinhashLanes expression: one digest pass per
     // shingle, no per-lane string materialization (the equivalent SQL —
@@ -932,18 +944,15 @@ object DedupOps {
       .select(Seq(col("doc_id")) ++ (0 until nHashes).map(i =>
         col("lanes")(i).as(s"h$i")): _*)
     // persisted: the band self-join consumes `banded` on BOTH sides and the
-    // union-of-4-selects defeats Spark's exchange reuse (no ReusedExchange
+    // union-of-selects defeats Spark's exchange reuse (no ReusedExchange
     // in the executed plan — r4 verdict #6), so without the cache the whole
     // corpus-sized shingle+signature chain runs twice. One row per doc
-    // (doc_id + 4 hashes), MEMORY_AND_DISK spills.
+    // (doc_id + `bands` hashes), MEMORY_AND_DISK spills.
     val banded = sig.select(
-      col("doc_id"),
-      md5(concat(col("h0"), col("h1"))).as("b0"),
-      md5(concat(col("h2"), col("h3"))).as("b1"),
-      md5(concat(col("h4"), col("h5"))).as("b2"),
-      md5(concat(col("h6"), col("h7"))).as("b3"))
+      col("doc_id") +: (0 until bands).map(i =>
+        md5(concat((0 until rows).map(j => col(s"h${i * rows + j}")): _*)).as(s"b$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = (0 until 4).map(i =>
+    val buckets = (0 until bands).map(i =>
       banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
       .reduce(_.unionByName(_))
     val cand = buckets.as("a")
@@ -955,6 +964,74 @@ object DedupOps {
     // returned persisted+materialized (candidate-bounded, small); `banded`
     // (corpus-sized) is released here, not left to the ContextCleaner
     finishAndRelease(cand, banded)
+  }
+
+  /** The measured pick of [[lshGeometryAuto]]: the chosen factorization
+    * plus the lane-agreement similarity estimate that drove it (exposed so
+    * specs and the scale smoke can re-verify the feasibility rule).
+    */
+  final case class LshGeometry(bands: Int, rows: Int, jhat: Double)
+
+  /** AUTO band geometry (r13, verdict #8 — q109's planner argmin closed
+    * into a measured loop, the autoBandBits precedent applied to MinHash):
+    * pick the (bands × rows) factorization of the 8-lane budget from the
+    * corpus's OWN near-dup similarity, not a hand target.
+    *
+    * Measurement: probe candidates at the maximum-recall geometry (every
+    * lane its own band — any pair agreeing on ≥1 of 8 lanes surfaces),
+    * estimate each pair's Jaccard by lane agreement (q49's Broder
+    * estimator), and take ĵ = the mean estimate over pairs at est ≥ 0.3
+    * (below that is the single-lane background the probe geometry
+    * deliberately over-collects; 0.3 is q34/q111's truth bar). Selection
+    * is then q109's closed forms: among the factorizations, choose the
+    * HIGHEST curve threshold (1/b)^(1/r) — most precise, fewest background
+    * candidates — whose S-curve capture probability at ĵ,
+    * 1 − (1 − ĵ^r)^b, still clears `targetRecall`. No feasible geometry →
+    * the max-recall (8 × 1) fallback; no measured near-dup mass at all →
+    * the deployed (4, 2) (recall is moot on a corpus with nothing to
+    * find, so stability wins). Deterministic end to end: md5 lanes,
+    * integer agreement counts, a 6-decimal-rounded mean.
+    *
+    * Scale shape: one q35-class banded probe pass + one candidate-bounded
+    * lane join + a 1-row aggregate; at 100 TB run it on a deterministic
+    * hash-sample of documents (ĵ is a mean — sampling error vanishes in
+    * √samples), the autoBandBits escape verbatim.
+    */
+  private[graft] def lshGeometryAuto(docs: DataFrame,
+      targetRecall: Double = 0.9): LshGeometry = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val cand = lshCandidatesAt(docs, bands = nHashes, rows = 1)
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val lanes = withShingleArray(docs.join(broadcast(ids), "doc_id"))
+      .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"))
+    val est = cand
+      .join(lanes.select(col("doc_id").as("id_a"), col("lanes").as("la")), "id_a")
+      .join(lanes.select(col("doc_id").as("id_b"), col("lanes").as("lb")), "id_b")
+      .withColumn("est", expr(
+        s"size(filter(zip_with(la, lb, (x, y) -> x = y), b -> b)) / ${nHashes}.0D"))
+      .filter(col("est") >= 0.3)
+      .agg(round(avg("est"), 6).as("jhat"), count(lit(1)).as("n"))
+      .collect()(0)
+    cand.unpersist(blocking = false)
+    if (est.getLong(1) == 0L) return LshGeometry(4, 2, 0.0)
+    val jhat = est.getDouble(0)
+    def capture(b: Int, r: Int): Double = 1.0 - math.pow(1.0 - math.pow(jhat, r), b)
+    val factorizations = (1 to nHashes).filter(nHashes % _ == 0)
+      .map(b => (b, nHashes / b))
+    val feasible = factorizations.filter { case (b, r) => capture(b, r) >= targetRecall }
+    val (b, r) =
+      if (feasible.isEmpty) (nHashes, 1)
+      else feasible.maxBy { case (bb, rr) => math.pow(1.0 / bb, 1.0 / rr) }
+    LshGeometry(b, r, jhat)
+  }
+
+  /** q35's candidate stage with the self-selected geometry — the no-knob
+    * scale path (oracle queries keep the fixed (4, 2); the smoke gates the
+    * auto pick on the planted corpora, the autoBandBits discipline).
+    */
+  def lshCandidatesAuto(docs: DataFrame): DataFrame = {
+    val g = lshGeometryAuto(docs)
+    lshCandidatesAt(docs, g.bands, g.rows)
   }
 
   /** q111's operator body: the MEASURED LSH recall audit — q109's S-curve
@@ -1157,8 +1234,27 @@ object DedupOps {
     * re-tokenized. At 100 TB history + 100 GB dump, the dump drives all
     * pair work.
     */
-  def deltaDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  /** Candidate-id count above which [[deltaDedup]]'s document-filtering
+    * join degrades from a broadcast to a plain shuffle join (the
+    * maxStrlBytes discipline applied to the r12 verdict's watch item): the
+    * candidate union is delta-BOUNDED but not delta-SIZED — a pathological
+    * arrival batch (a mass re-upload where every survivor band-collides
+    * with history) can make it arbitrarily large, and an unguarded
+    * `broadcast()` hint would then OOM the driver instead of degrading.
+    * 5M ids ≈ 40 MB of packed longs — comfortably inside executor
+    * broadcast budgets, far past any sane daily dump.
+    */
+  val deltaBroadcastMaxIds = 5000000L
+
+  def deltaDedup(s: SparkSession, d: String): DataFrame =
+    deltaDedupFrom(documents(s, d))
+
+  /** [[deltaDedup]] over an explicit documents frame with an overridable
+    * broadcast guard — the seam DeltaDedupSpec drives with a tiny bar to
+    * pin that the shuffle-join degrade is a pure re-plan (same rows).
+    */
+  private[operators] def deltaDedupFrom(docs: DataFrame,
+      maxBroadcastIds: Long = deltaBroadcastMaxIds): DataFrame = {
     val hist = docs.filter(col("doc_id") % 10 < 8)
     val arr = docs.filter(col("doc_id") % 10 >= 8)
     val histFp = hist
@@ -1180,7 +1276,21 @@ object DedupOps {
       .select(col("doc_id"), col("h_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = cand.select(col("doc_id")).union(cand.select(col("h_id"))).distinct()
-    val sharr = withShingleArray(docs.join(broadcast(ids), "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guard the broadcast (r12 verdict #7): `ids` is candidate-bounded,
+    // not batch-sized — count it (cheap: an agg over the persisted cand)
+    // and degrade to a shuffle join past the bar instead of OOMing the
+    // driver on a pathological batch. The degrade is a pure re-plan
+    // (DeltaDedupSpec pins row equality through the seam).
+    val nIds = ids.count()
+    val filtered =
+      if (nIds <= maxBroadcastIds) docs.join(broadcast(ids), "doc_id")
+      else {
+        System.err.println(s"[graft] deltaDedup: $nIds candidate ids exceed " +
+          s"broadcast bar $maxBroadcastIds — degrading to a shuffle join")
+        docs.join(ids, "doc_id")
+      }
+    val sharr = withShingleArray(filtered)
       .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val near = cand
@@ -1201,7 +1311,7 @@ object DedupOps {
         coalesce(col("hist_id"),
           when(col("doc_id") =!= col("batch_id"), col("batch_id")),
           col("near_id"), lit(-1L)).as("match_id"))
-    finishAndRelease(res, staged, cand, sharr)
+    finishAndRelease(res, staged, cand, sharr, ids)
   }
 
   /** DuckDB mirror of the array-based signature: per-doc list of sha256

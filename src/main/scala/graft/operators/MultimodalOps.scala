@@ -573,15 +573,45 @@ object MultimodalOps {
     * plain join's (PairPlanSpec pins equality on a mixed corpus AND the
     * 10k one-hash degenerate corpus).
     */
-  private[operators] def hammingNearDup(hashes: DataFrame): DataFrame = {
+  /** THE 4×14-bit banding of the 56-bit perceptual hash: band b's value
+    * is `shiftright(dhash, b*14) & 16383`. ONE formula feeds the batch
+    * pair stage's (band, v) join keys AND the streaming gate's string
+    * band keys (the minhashBandArrayExpr discipline): the gate's
+    * "dropped ⟺ batch candidate vs history" contract is only sound while
+    * both sides band identically, so there is exactly one definition.
+    */
+  private[graft] def hammingBandStructsExpr(dhashCol: String): String =
+    s"""transform(sequence(0, 3),
+          b -> struct(b AS band, shiftright($dhashCol, b * 14) & 16383 AS v))"""
+
+  /** The same bands rendered as STRING keys "band:value" with the band
+    * index folded in — the probe/build rendering for the streaming
+    * perceptual gate's Bloom filter (string keys, the winnowFpValues
+    * type lesson: a filter built over a bigint column hashes via putLong
+    * and NEVER matches a UTF-8 probe).
+    */
+  private[graft] def hammingBandArrayExpr(dhashCol: String): String =
+    s"""transform(${hammingBandStructsExpr(dhashCol)},
+          s -> concat(cast(s.band AS STRING), ':', cast(s.v AS STRING)))"""
+
+  /** (doc_id, band) — each asset's four perceptual band keys, the build
+    * side of the streaming perceptual gate's historical filter: construct
+    * with `hammingBandValues(corpus).stat.bloomFilter("band", n, fpp)`.
+    * Decode failures (dhash = −1) contribute nothing — a failed decode
+    * carries no perceptual information and must not make every OTHER
+    * failed decode a "near-dup".
+    */
+  def hammingBandValues(hashes: DataFrame): DataFrame =
+    hashes.filter(col("dhash") =!= -1L)
+      .select(col("doc_id"), explode(expr(hammingBandArrayExpr("dhash"))).as("band"))
+
+  private[graft] def hammingNearDup(hashes: DataFrame): DataFrame = {
     // the 8-byte dhash rides THROUGH the pair stage (PairBuckets carry):
     // the exact Hamming verify is then row-local — no ia/ib join-backs, no
     // re-execution of the per-row decode lineage behind `hashes`, which
     // this plan references exactly ONCE
-    val sigs = hashes.select(col("doc_id"), col("dhash"), explode(expr(
-      """transform(sequence(0, 3),
-           b -> struct(b AS band,
-                       shiftright(dhash, b * 14) & 16383 AS v))""")).as("s"))
+    val sigs = hashes.select(col("doc_id"), col("dhash"),
+        explode(expr(hammingBandStructsExpr("dhash"))).as("s"))
       .select(col("doc_id"), col("dhash"), col("s.band").as("band"), col("s.v").as("v"))
     PairBuckets.candidatePairs(sigs, Seq("band", "v"), "doc_id", carry = Seq("dhash"))
       .withColumn("hamming", expr("cast(bit_count(dhash_a ^ dhash_b) as bigint)"))

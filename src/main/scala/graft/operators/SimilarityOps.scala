@@ -59,6 +59,21 @@ object SimilarityOps {
   private def buildOnce(key: String)(build: => Unit): Unit =
     ivfPqBuilt.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
 
+  /** q126/q127's shared fixture index: built on the ¾ base (NOT
+    * q126BatchFilter), the remaining quarter appended against the frozen
+    * centroids/codebook — once per (JVM, corpus).
+    */
+  private def ensureQ126Index(s: SparkSession, d: String): String = {
+    val dir = ivfPqTmpDir(s"q126:$d")
+    buildOnce(s"q126:$d") {
+      val base = prepped(s, d).filter(!expr(q126BatchFilter))
+      val batch = prepped(s, d).filter(expr(q126BatchFilter))
+      saveIvfPqIndexFrom(base, dir)
+      appendToIvfPqIndex(s, batch, dir)
+    }
+    dir
+  }
+
   /** embeddings with double-array `e` and precomputed norm `nrm`. */
   private def prepped(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
@@ -659,6 +674,77 @@ object SimilarityOps {
       .parquet(s"$dir/codes")
   }
 
+  /** q127: IVF-PQ STALENESS AUDIT — the rebuild policy q126's scaladoc
+    * documents, made executable over a saved index. Appended vectors are
+    * quantized by centroids/codebooks trained before they existed, so
+    * index health is two measurable quantities:
+    *
+    *   - appended-mass fraction: the share of indexed vectors that entered
+    *     via append (cohort from `cohortFilter` over cid — in production
+    *     this is partition/file lineage; the fixture uses q126's split);
+    *   - quantization distortion by cohort: each indexed row's ASSIGNED
+    *     codeword (read back from the saved inverted file — the audit
+    *     checks the index as it IS, it does not re-derive assignments)
+    *     is re-scored against the vector's subvector with the exact q61
+    *     rounded squared-L2, and cohorts compare on mean distortion.
+    *
+    * `rebuild` flags when either bar trips: appended fraction past
+    * `fracBar`, or append-cohort mean distortion past `distBar`× the
+    * build cohort's (no append cohort → healthy by definition). All
+    * cross-engine comparisons run on 6-decimal-rounded per-row distances
+    * summed then rounded to 4 (the reorder error of a 10⁴-term sum of
+    * rounded values is ~1e-8 — far inside the rounding), and the means
+    * divide those agreed sums, so the flag is engine-stable.
+    *
+    * Scale shape: codes ⋈ corpus is one cid-keyed exchange (the inverted
+    * file and the corpus are both linear), the codebook is broadcast, and
+    * everything after is a 2-row aggregate — the audit costs one linear
+    * pass, which is why it can run on a schedule while the rebuild it
+    * gates costs two corpus passes plus the write.
+    */
+  def ivfPqStalenessAudit(s: SparkSession, d: String, dir: String,
+      cohortFilter: String = q126BatchFilter,
+      fracBar: Double = 0.3, distBar: Double = 1.5): DataFrame =
+    ivfPqStalenessAuditFrom(prepped(s, d), dir, cohortFilter, fracBar, distBar)
+
+  /** [[ivfPqStalenessAudit]] over an explicit prepped corpus frame — the
+    * seam the drift spec drives with a planted distribution shift.
+    */
+  private[operators] def ivfPqStalenessAuditFrom(corpus: DataFrame, dir: String,
+      cohortFilter: String, fracBar: Double, distBar: Double): DataFrame = {
+    val s = corpus.sparkSession
+    val codes = s.read.parquet(s"$dir/codes")
+    val codebook = s.read.parquet(s"$dir/codebook")
+    val vecs = corpus.select(col("vec_id").as("cid"), col("e"))
+    val scored = codes.join(vecs, "cid")
+      .join(broadcast(codebook), Seq("subspace", "code"))
+      .withColumn("svec", expr(s"slice(e, subspace * $pqSub + 1, $pqSub)"))
+      .withColumn("dist", rSqDist("svec", "cvec"))
+      .withColumn("cohort",
+        when(expr(cohortFilter.replace("vec_id", "cid")), "append")
+          .otherwise("build"))
+    val stats = scored.groupBy("cohort").agg(
+      countDistinct("cid").as("n_vecs"),
+      count(lit(1)).as("n_rows"),
+      round(sum("dist"), 4).as("sum_dist"))
+    val totals = stats.agg(
+      sum("n_vecs").as("total_vecs"),
+      max(when(col("cohort") === "append", col("n_vecs"))).as("a_vecs"),
+      max(when(col("cohort") === "append", col("sum_dist"))).as("a_sum"),
+      max(when(col("cohort") === "append", col("n_rows"))).as("a_rows"),
+      max(when(col("cohort") === "build", col("sum_dist"))).as("b_sum"),
+      max(when(col("cohort") === "build", col("n_rows"))).as("b_rows"))
+    stats.crossJoin(broadcast(totals))
+      .select(col("cohort"), col("n_vecs"), col("n_rows"), col("sum_dist"),
+        round(col("n_vecs").cast("double") / col("total_vecs"), 6).as("vec_frac"),
+        coalesce(
+          coalesce(col("a_vecs").cast("double") / col("total_vecs"), lit(0.0)) > fracBar ||
+            coalesce(col("a_sum") / col("a_rows"), lit(0.0)) >
+              lit(distBar) * (col("b_sum") / col("b_rows")),
+          lit(false)).cast("long").as("rebuild"))
+      .orderBy("cohort")
+  }
+
   /** q122's search half: q70's ADC search driven ENTIRELY from the saved
     * index — centroids, codebook, and codes are read back from parquet,
     * nothing is recomputed from the corpus except the query vectors
@@ -968,16 +1054,15 @@ object SimilarityOps {
     // Build + the ONE append run once per (JVM, corpus) ([[buildOnce]]);
     // repeated invocations search the already-appended index, which is
     // the same table the first invocation searched — idempotent.
-    "q126_ivfpq_append_search" -> ((s, d) => {
-      val dir = ivfPqTmpDir(s"q126:$d")
-      buildOnce(s"q126:$d") {
-        val base = prepped(s, d).filter(!expr(q126BatchFilter))
-        val batch = prepped(s, d).filter(expr(q126BatchFilter))
-        saveIvfPqIndexFrom(base, dir)
-        appendToIvfPqIndex(s, batch, dir)
-      }
-      searchSavedIvfPq(s, d, dir)
-    }),
+    "q126_ivfpq_append_search" -> ((s, d) =>
+      searchSavedIvfPq(s, d, ensureQ126Index(s, d))),
+
+    // IVF-PQ staleness audit over the SAME saved+appended index q126
+    // searches — appended-mass fraction, per-cohort quantization
+    // distortion, and the rebuild flag. See [[ivfPqStalenessAudit]];
+    // IvfPqDriftSpec plants a distribution shift that flips the flag.
+    "q127_ivfpq_staleness_audit" -> ((s, d) =>
+      ivfPqStalenessAudit(s, d, ensureQ126Index(s, d))),
 
     // Prototype-ranked selection (Sorscher et al.) — see
     // [[prototypeSelect]] for the method citation, keep convention, and
@@ -1290,6 +1375,56 @@ object SimilarityOps {
     // frozen-codebook append: model CTEs on the ¾ base, everything else
     // (assignment, codes, probes, search) over the full corpus
     "q126_ivfpq_append_search" -> ivfPqOracleSql(s"NOT ($q126BatchFilter)"),
+
+    // q127: same frozen-codebook model CTEs as q126 (codebook trained on
+    // the base only, EVERY vector coded against it — exactly what the
+    // saved+appended index holds, spec-pinned equal by q126), then
+    // per-cohort distortion stats and the two-bar rebuild flag. Sums of
+    // 6-decimal-rounded per-row distances round to 4 (reorder error
+    // ~1e-8); the means divide those agreed sums.
+    "q127_ivfpq_staleness_audit" ->
+      s"""WITH unpacked AS (
+           SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         model AS (SELECT * FROM unpacked WHERE NOT ($q126BatchFilter)),
+         codebook AS (
+           SELECT label AS code, CAST(pos // 8 AS INT) AS c_sub, pos AS c_pos, avg(x) AS cx
+           FROM model GROUP BY label, CAST(pos // 8 AS INT), pos),
+         sub AS (SELECT vec_id, CAST(pos // 8 AS INT) AS subspace, pos, x FROM unpacked),
+         cscored AS (
+           SELECT s.vec_id, s.subspace, c.code,
+                  round(sum((s.x - c.cx) * (s.x - c.cx)), 6) AS dist
+           FROM sub s JOIN codebook c ON c.c_pos = s.pos AND c.c_sub = s.subspace
+           GROUP BY s.vec_id, s.subspace, c.code),
+         cbest AS (
+           SELECT vec_id, subspace, code, dist,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist, code) AS rn
+           FROM cscored),
+         coh AS (
+           SELECT vec_id AS cid,
+                  CASE WHEN vec_id % 4 = 3 THEN 'append' ELSE 'build' END AS cohort,
+                  dist
+           FROM cbest WHERE rn = 1),
+         stats AS (
+           SELECT cohort, CAST(count(DISTINCT cid) AS BIGINT) AS n_vecs,
+                  CAST(count(*) AS BIGINT) AS n_rows, round(sum(dist), 4) AS sum_dist
+           FROM coh GROUP BY cohort),
+         totals AS (
+           SELECT CAST(sum(n_vecs) AS DOUBLE) AS total_vecs,
+                  max(CASE WHEN cohort = 'append' THEN n_vecs END) AS a_vecs,
+                  max(CASE WHEN cohort = 'append' THEN sum_dist END) AS a_sum,
+                  max(CASE WHEN cohort = 'append' THEN n_rows END) AS a_rows,
+                  max(CASE WHEN cohort = 'build' THEN sum_dist END) AS b_sum,
+                  max(CASE WHEN cohort = 'build' THEN n_rows END) AS b_rows
+           FROM stats)
+         SELECT s.cohort, s.n_vecs, s.n_rows, s.sum_dist,
+                round(CAST(s.n_vecs AS DOUBLE) / t.total_vecs, 6) AS vec_frac,
+                CAST(COALESCE(
+                  COALESCE(CAST(t.a_vecs AS DOUBLE) / t.total_vecs, 0) > 0.3
+                    OR COALESCE(t.a_sum / t.a_rows, 0) > 1.5 * (t.b_sum / t.b_rows),
+                  false) AS BIGINT) AS rebuild
+         FROM stats s CROSS JOIN totals t ORDER BY s.cohort""",
 
     "q123_prototype_select" ->
       """WITH unpacked AS (

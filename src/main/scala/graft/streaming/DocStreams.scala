@@ -193,6 +193,40 @@ object DocStreams {
       key = identity)
   }
 
+  /** Streaming PERCEPTUAL near-dup gate for media intake (batch
+    * q105/q106's unit at the ingest edge — the [[minhashBandGate]]
+    * discipline applied to the binary modalities, the r12 verdict's #5):
+    * drop an arriving asset whose 56-bit perceptual hash (dHash / energy
+    * contour, computed row-locally after decode — rows carry a `dhash`
+    * column) shares a 14-bit BAND with an already-ingested asset, probed
+    * against a Bloom filter built over the historical corpus's band keys.
+    *
+    * One-definition contract: the band formula and the string key
+    * rendering are [[graft.operators.MultimodalOps.hammingBandStructsExpr]]
+    * / `hammingBandArrayExpr` — the exact expressions the batch pair
+    * stage buckets on — so "dropped here" ≡ "would be a q105/q106
+    * CANDIDATE pair with some historical asset" (candidate level: the
+    * batch chain then verifies Hamming ≤ 3; the gate is deliberately the
+    * conservative candidate test, exactly as the MinHash gate sits at
+    * q35 candidacy). Pigeonhole gives the recall guarantee teeth: any
+    * true near-dup at Hamming ≤ 3 shares ≥ 1 intact band, so nothing
+    * near-dup is admitted. Build the filter from
+    * [[graft.operators.MultimodalOps.hammingBandValues]] with
+    * `df.stat.bloomFilter("band", n, fpp)`. State: 4 band keys per
+    * historical asset × ~3 bytes at fpp 1e-5. Decode failures
+    * (dhash = −1) carry no perceptual information and PASS — quarantine
+    * is the decode stage's job, not the dedup gate's. Row-local,
+    * stateless, zero shuffle; over-drop ≈ 4 × fpp per clean asset.
+    * Reconcile with batch q105/q106 over the admitted corpus.
+    */
+  def perceptualNearDupGate(media: DataFrame, bloomBytes: Array[Byte]): DataFrame =
+    bloomDropGate(media, bloomBytes,
+      staging = Seq("__bands" ->
+        expr(graft.operators.MultimodalOps.hammingBandArrayExpr("dhash"))),
+      guard = col("dhash") =!= lit(-1L),
+      probeArrayExpr = "__bands",
+      key = identity)
+
   /** Streaming SEMANTIC decontamination gate (batch q119's unit at the
     * ingest edge, completing the decontamination parity story the way
     * [[minhashBandGate]] completed near-dup's): drop an arriving row

@@ -58,4 +58,26 @@ class DeltaDedupSpec extends SparkSpec {
     // short doc: no shingles, no signature — degrades to new, no error
     assert(out(48L) == (("new", -1L)))
   }
+
+  test("q112 broadcast guard: an over-bar candidate set degrades to a shuffle join, rows identical") {
+    // the r12 verdict's watch item: the candidate-id union is delta-BOUNDED
+    // but not delta-SIZED — a pathological batch (mass re-upload where
+    // every survivor band-collides with history) can exceed the broadcast
+    // budget. The guard must DEGRADE (shuffle join), never change results:
+    // drive the seam with bar 0 so every candidate trips it and pin row
+    // equality against the broadcast path on the sf fixture (which has
+    // real band-collision candidates — q112's near_dup rows are nonempty).
+    val sp = spark
+    val d = "/root/testdata/sf0.001"
+    val docs = sp.read.parquet(s"$d/documents.parquet")
+    val bc = DedupOps.deltaDedupFrom(docs)
+    val bcRows = bc.collect().map(_.toSeq).toSet
+    bc.unpersist(blocking = true)
+    val sj = DedupOps.deltaDedupFrom(docs, maxBroadcastIds = 0L)
+    val sjRows = sj.collect().map(_.toSeq).toSet
+    sj.unpersist(blocking = true)
+    assert(bcRows.nonEmpty)
+    assert(sjRows === bcRows, "shuffle-join degrade changed the disposition rows")
+    sp.catalog.clearCache()
+  }
 }

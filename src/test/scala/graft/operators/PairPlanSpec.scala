@@ -390,6 +390,49 @@ class PairPlanSpec extends SparkSpec {
       manual.collect().map(_.toSeq).toSet)
   }
 
+  test("q35 auto band geometry: deterministic measured pick, feasibility rule holds, plan equals manual") {
+    // r13 (verdict #8): the MinHash band geometry self-selects from
+    // measured lane agreement (lshGeometryAuto). On the planted corpus
+    // (J ≈ 0.9 neighbor pairs) the pick must be deterministic, satisfy
+    // its own rule (highest curve threshold whose S-curve capture at the
+    // measured ĵ clears 0.9 — and every more-precise factorization must
+    // fail it), and the auto candidate path must be a pure delegation:
+    // same optimized plan and same candidate set as the manual setting.
+    val docs = graft.ScaleSmoke.generate(spark, 3000)
+    val g1 = DedupOps.lshGeometryAuto(docs)
+    val g2 = DedupOps.lshGeometryAuto(docs)
+    assert(g1 === g2, "auto geometry is not deterministic")
+    assert(g1.bands * g1.rows === 8)
+    assert(g1.jhat >= 0.3, s"planted near-dups must register: $g1")
+    def capture(b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(g1.jhat, r), b)
+    def thr(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+    assert(capture(g1.bands, g1.rows) >= 0.9,
+      f"chosen geometry misses its own recall floor: capture=${capture(g1.bands, g1.rows)}%.4f")
+    for (b <- Seq(1, 2, 4, 8); r = 8 / b
+         if thr(b, r) > thr(g1.bands, g1.rows))
+      assert(capture(b, r) < 0.9,
+        s"a more precise feasible geometry ($b x $r) was skipped")
+    val auto = DedupOps.lshCandidatesAuto(docs)
+    val manual = DedupOps.lshCandidatesAt(docs, g1.bands, g1.rows)
+    assert(auto.queryExecution.optimizedPlan.sameResult(
+      manual.queryExecution.optimizedPlan),
+      "auto path's optimized plan differs from the manual setting's")
+    val a = auto.collect().map(_.toSeq).toSet
+    val m = manual.collect().map(_.toSeq).toSet
+    auto.unpersist(blocking = true)
+    manual.unpersist(blocking = true)
+    assert(a.nonEmpty && a === m)
+    // and the deployed (4, 2) remains exactly q35's candidate set
+    val deployed = DedupOps.lshCandidatesAt(docs, 4, 2)
+    val fixed = DedupOps.lshCandidates(docs)
+    assert(deployed.queryExecution.optimizedPlan.sameResult(
+      fixed.queryExecution.optimizedPlan))
+    deployed.unpersist(blocking = true)
+    fixed.unpersist(blocking = true)
+    spark.catalog.clearCache()
+  }
+
   test("q105/q106 blocked Hamming bucket join equals the plain (band,v) self-join") {
     // the r12 1-Bucket-Theta split inside hammingNearDup must be a pure
     // re-plan: same verified pair set as the plain bucket self-join it

@@ -16,6 +16,8 @@ class DocStreamsSpec extends SparkSpec {
   final case class Doc(doc_id: Long, text: String, lang: String,
       source: String, n_chars: Long, ingest_ts: Timestamp)
 
+  final case class MediaHash(doc_id: Long, dhash: Long, ingest_ts: Timestamp)
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   // 80 × 4-char tokens: avg_wlen 4 (inside 2.5–8.0), score = 80/200 = 0.4
@@ -348,5 +350,58 @@ class DocStreamsSpec extends SparkSpec {
       assert(admitted === expect,
         s"drops must be exactly batch q119's contaminated set (${flagged.size} ids)")
     } finally q.stop()
+  }
+
+  test("perceptual gate drops exactly the band-sharing assets; decode failures pass (q105 contract)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // history: one asset. Arrivals: an exact hash copy (all 4 bands), a
+    // true near-dup at Hamming 3 (pigeonhole: >=1 intact band), a far
+    // value sharing ONLY band 0 (conservative candidate-level drop), a
+    // fresh value sharing nothing, and a decode failure (-1, must pass).
+    val h = 0x00ABCDEF012345L
+    val near = h ^ (7L << 20)          // 3 bits inside band 1 -> bands 0,2,3 intact
+    val bandShare = (0x5A5A5AL << 32) | (h & 0x3FFFL) // band 0 equal, rest far
+    val fresh = 0x00111111111111L ^ h  // no band in common with h (checked below)
+    val history = Seq(100L -> h).toDF("doc_id", "dhash")
+    val arrivals = Seq(1L -> h, 2L -> near, 3L -> bandShare, 4L -> fresh, 5L -> -1L)
+    // EXPECTED drops from the batch chain's own band keys: arrival a is
+    // dropped iff it shares a band key with history -- by the
+    // one-definition contract this is exactly q105 candidacy vs doc 100
+    val histBands = graft.operators.MultimodalOps.hammingBandValues(history)
+      .select("band").collect().map(_.getString(0)).toSet
+    assert(histBands.size === 4)
+    val arrBands = graft.operators.MultimodalOps.hammingBandValues(
+      arrivals.toDF("doc_id", "dhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expectDrop = arrBands.filter(b => histBands.contains(b._2)).map(_._1).toSet
+    assert(expectDrop === Set(1L, 2L, 3L), s"fixture geometry broke: $expectDrop")
+    // cross-check candidacy against the REAL batch pair stage over the
+    // union: every dropped arrival must be a hammingNearDup candidate
+    // (and the verified Hamming<=3 pairs are a subset of the drops)
+    val union = (Seq(100L -> h) ++ arrivals).toDF("doc_id", "dhash")
+    val verified = graft.operators.MultimodalOps.hammingNearDup(union).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a == 100L || b == 100L => if (a == 100L) b else a }
+      .toSet
+    assert(verified === Set(1L, 2L), "Hamming<=3 verifies the copy and the near-dup only")
+    assert(verified.subsetOf(expectDrop), "gate recall: every verified pair is dropped")
+    // the gate itself, streaming
+    val bloom = graft.operators.MultimodalOps.hammingBandValues(history)
+      .stat.bloomFilter("band", 64L, 1e-6)
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
+    val input = MemoryStream[MediaHash]
+    val q = DocStreams.perceptualNearDupGate(input.toDF(), bytes).writeStream
+      .format("memory").queryName("pgate").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals.zipWithIndex.map { case ((id, dh), i) =>
+        MediaHash(id, dh, ts(f"2024-01-01 10:0$i%01d:00")) }: _*)
+      q.processAllAvailable()
+      val admitted = sp.sql("SELECT doc_id FROM pgate").collect().map(_.getLong(0)).toSet
+      assert(admitted === arrivals.map(_._1).toSet -- expectDrop,
+        s"gate admissions must be exactly the non-candidates (expected drops: $expectDrop)")
+    } finally q.stop()
+    sp.catalog.clearCache()
   }
 }
