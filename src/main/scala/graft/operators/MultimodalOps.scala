@@ -540,6 +540,45 @@ object MultimodalOps {
     * independently checks keeper election end to end without parsing a
     * single container byte.
     */
+  /** q128: the FULL multimodal curation verdict — one row per corpus
+    * document combining q113's text waterfall stage with q125's per-kind
+    * media dispositions into the decision a training-data pipeline
+    * actually acts on:
+    *
+    *   - `drop_text`  — the text failed its waterfall (gates/dedup/
+    *     decontam/quality); the document contributes nothing, whatever
+    *     its assets look like;
+    *   - `text_only`  — text kept, but an asset failed DECODE (no
+    *     perceptual identity, nothing to train multimodally on); exact/
+    *     near-dup assets do NOT demote — they resolve to their keeper's
+    *     representative via kept_id, which is the point of dedup;
+    *   - `full`       — text kept and both assets resolve.
+    *
+    * This is deliberate COMPOSITION, not new machinery: both halves are
+    * independently oracle-verified operators, and the verdict is three
+    * CASE lines over their outputs — so the oracle nests the two proven
+    * SQL texts as CTEs and adds the same three lines. Scale shape: the
+    * two waterfalls (each scale-argued on its own) plus one doc-keyed
+    * aggregation and one doc-keyed join.
+    */
+  def multimodalVerdict(s: SparkSession, d: String): DataFrame = {
+    val text = TextOps.pipelineWaterfall(documents(s, d))
+    val media = mediaWaterfall(s, d)
+    val byDoc = media.groupBy("doc_id").agg(
+      max(when(col("kind") === "image", col("stage"))).as("image_stage"),
+      max(when(col("kind") === "audio", col("stage"))).as("audio_stage"))
+    val res = text.select(col("doc_id"), col("stage").as("text_stage"))
+      .join(byDoc, "doc_id")
+      .select(col("doc_id"), col("text_stage"), col("image_stage"), col("audio_stage"),
+        when(col("text_stage") =!= "kept", "drop_text")
+          .when(col("image_stage") === "decode" || col("audio_stage") === "decode",
+            "text_only")
+          .otherwise("full").as("final_disposition"))
+    // text and media are the persisted caller-owned outputs of the two
+    // waterfalls — release them after materializing the verdict
+    DedupOps.finishAndRelease(res, text, media)
+  }
+
   def mediaWaterfall(s: SparkSession, d: String): DataFrame = {
     // ONE finish for both kinds: the returned UNION is the persisted frame
     // (so the caller's unpersist() hits the actual cached plan — r12
@@ -760,7 +799,10 @@ object MultimodalOps {
     // The multimodal curation waterfall (see [[mediaWaterfall]]): decode
     // → exact asset dedup → perceptual keeper election → disposition,
     // per kind, end to end over the real codecs.
-    "q125_media_waterfall" -> ((s, d) => mediaWaterfall(s, d))
+    "q125_media_waterfall" -> ((s, d) => mediaWaterfall(s, d)),
+
+    // The FULL multimodal curation verdict — see [[multimodalVerdict]].
+    "q128_multimodal_verdict" -> ((s, d) => multimodalVerdict(s, d))
   )
 
   /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
@@ -909,7 +951,31 @@ object MultimodalOps {
     // exact keepers, least member kept. Every container decodes (q98/q99
     // pin that), so the decode stage drops nothing here — specs plant
     // corrupt payloads through the kindWaterfall seam.
-    "q125_media_waterfall" ->
+    "q125_media_waterfall" -> q125Sql,
+
+    // q128: the FULL multimodal curation verdict — q113's text waterfall
+    // and q125's media waterfall composed into one per-document decision.
+    // Both sub-oracles nest verbatim as CTEs (each is self-contained,
+    // q125 carrying its own WITH RECURSIVE closure); the verdict logic on
+    // top is three CASE lines. Rows cover q113's corpus (doc_id >= 10 —
+    // the eval probes are not training documents).
+    "q128_multimodal_verdict" ->
+      s"""WITH tw AS (${graft.operators.TextOps.oracle("q113_pipeline_waterfall")}),
+          mw AS ($q125Sql)
+          SELECT t.doc_id, t.stage AS text_stage,
+            max(CASE WHEN m.kind = 'image' THEN m.stage END) AS image_stage,
+            max(CASE WHEN m.kind = 'audio' THEN m.stage END) AS audio_stage,
+            CASE WHEN t.stage <> 'kept' THEN 'drop_text'
+                 WHEN max(CASE WHEN m.kind = 'image' THEN m.stage END) = 'decode'
+                   OR max(CASE WHEN m.kind = 'audio' THEN m.stage END) = 'decode'
+                 THEN 'text_only'
+                 ELSE 'full' END AS final_disposition
+          FROM tw t JOIN mw m USING (doc_id)
+          GROUP BY t.doc_id, t.stage"""
+  )
+
+  /** q125's full oracle text, factored so q128 can nest it as a CTE. */
+  private def q125Sql: String =
       s"""WITH RECURSIVE
           gx AS (
             SELECT y, unnest(generate_series(0, 7)) AS x
@@ -983,7 +1049,6 @@ object MultimodalOps {
               CAST(r.rep AS BIGINT) AS kept_id
             FROM grp g JOIN ek e USING (res) JOIN arep r ON r.doc_id = e.k)
           ORDER BY kind, doc_id"""
-  )
 
   /** The q105 pixel formula as a DuckDB fragment over (d.doc_id, g.y) and
     * the given x expression — the SQL rendering of [[q105Pixel]].

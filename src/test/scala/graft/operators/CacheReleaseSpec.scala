@@ -19,7 +19,7 @@ class CacheReleaseSpec extends SparkSpec {
   for (q <- Seq("q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
       "q40_lsh_jaccard_verified", "q45_dedup_clusters", "q49_minhash_estimate",
       "q62_embedding_clusters", "q65_cluster_reps", "q66_pq_adc_topk",
-      "q125_media_waterfall")) {
+      "q125_media_waterfall", "q128_multimodal_verdict")) {
     test(s"$q leaves only its (caller-owned, releasable) output cached") {
       spark.catalog.clearCache()
       val before = persistedIds

@@ -354,4 +354,42 @@ class MultimodalOpsSpec extends SparkSpec {
     out.unpersist(blocking = true)
     sp.catalog.clearCache()
   }
+
+  test("q128 multimodal verdict: reconciles with q113 and q125 outputs; verdict cases") {
+    // COMPOSITION contract: every q128 row must restate its document's
+    // q113 text stage and q125 per-kind media stages exactly, and the
+    // final disposition must be the documented three-case function. The
+    // sf fixture has no decode failures, so text_only is structurally
+    // absent — covered by planting a decode failure through the seam in
+    // the kindWaterfall test above; here the fixture pins drop_text/full.
+    val sp = spark
+    val d = "/root/testdata/sf0.01"
+    val text = graft.operators.TextOps.pipelineWaterfall(
+      sp.read.parquet(s"$d/documents.parquet"))
+    val textStages = text.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    text.unpersist(blocking = true)
+    val media = MultimodalOps.mediaWaterfall(sp, d)
+    val mediaStages = media.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    media.unpersist(blocking = true)
+    val out = graft.SparkEntry.queries("q128_multimodal_verdict")(sp, d)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSet === textStages.keySet,
+      "one verdict row per q113 corpus document")
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(r.getString(1) === textStages(id))
+      assert(r.getString(2) === mediaStages(("image", id)))
+      assert(r.getString(3) === mediaStages(("audio", id)))
+      val expect =
+        if (r.getString(1) != "kept") "drop_text"
+        else if (r.getString(2) == "decode" || r.getString(3) == "decode") "text_only"
+        else "full"
+      assert(r.getString(4) === expect, s"doc $id: $r")
+    }
+    assert(rows.exists(_.getString(4) == "drop_text"))
+    assert(rows.exists(_.getString(4) == "full"))
+    out.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
 }
