@@ -193,6 +193,64 @@ object DocStreams {
       key = identity)
   }
 
+  /** Build N Bloom filter SHARDS over a string-key frame, sharded by
+    * `pmod(xxhash64(key), n)` — the executable form of the escape every
+    * gate scaladoc cites for histories past the ~2 GB single-array
+    * ceiling (one serialized filter is one JVM byte array; a billion-doc
+    * history's band keys need several). Each shard is built by the same
+    * `stat.bloomFilter` the single-filter gates use, over only its
+    * residue class, so per-shard fpp and sizing math are unchanged.
+    * Build cost: n aggregation jobs over the key frame (run them on a
+    * schedule; at 100 TB each is a linear pass over an already-linear
+    * key table).
+    */
+  def bloomShards(keys: DataFrame, keyCol: String, nShards: Int,
+      expectedPerShard: Long, fpp: Double): Seq[Array[Byte]] =
+    (0 until nShards).map { i =>
+      graft.functions.BloomFunctions.serialize(
+        keys.filter(pmod(xxhash64(col(keyCol)), lit(nShards)) === i)
+          .stat.bloomFilter(keyCol, math.max(expectedPerShard, 1L), fpp))
+    }
+
+  /** Per-key sharded membership probe: key k consults ONLY shard
+    * `pmod(xxhash64(k), n)`. Expressed as a short-circuit OR of
+    * (selector AND might_contain) branches because the native
+    * `graft_bloom_might_contain` requires its filter argument FOLDABLE
+    * (each branch carries one constant shard literal; a per-row
+    * `element_at(array(shards), idx)` filter argument is rejected at
+    * analysis by design). A branch's filter only deserializes in tasks
+    * that reach it. Semantics match the single-filter probe exactly:
+    * the shard holding k's residue class is the only one that ever saw
+    * k at build time.
+    */
+  private def shardedProbe(shards: Seq[Array[Byte]])(
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shards.zipWithIndex.map { case (bytes, i) =>
+      (pmod(xxhash64(key), lit(shards.size)) === i) &&
+        call_function("graft_bloom_might_contain", lit(bytes), key)
+    }.reduce(_ || _)
+
+  /** [[minhashBandGate]] against a SHARDED historical filter set (built
+    * with [[bloomShards]] over minhashBandValues' `band` column) — the
+    * same one-definition contract and conservative no-false-negative
+    * semantics, with state bounded per shard instead of per history.
+    */
+  def minhashBandGateSharded(docs: DataFrame,
+      shards: Seq[Array[Byte]]): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    graft.functions.BloomFunctions.register(docs.sparkSession)
+    val staged = docs
+      .withColumn("__t", split(col("text"), " "))
+      .withColumn("__sh", expr(graft.operators.DedupOps.shingle3ArrayExpr("__t")))
+      .withColumn("__lanes", expr("graft_minhash_lanes(__sh)"))
+    staged
+      .filter(!when(col("__lanes").isNotNull, exists(
+        expr(graft.operators.DedupOps.minhashBandArrayExpr("__lanes")),
+        shardedProbe(shards)))
+        .otherwise(lit(false)))
+      .drop("__t", "__sh", "__lanes")
+  }
+
   /** Streaming PERCEPTUAL near-dup gate for media intake (batch
     * q105/q106's unit at the ingest edge — the [[minhashBandGate]]
     * discipline applied to the binary modalities, the r12 verdict's #5):

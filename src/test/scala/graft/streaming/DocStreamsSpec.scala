@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -402,6 +403,46 @@ class DocStreamsSpec extends SparkSpec {
       assert(admitted === arrivals.map(_._1).toSet -- expectDrop,
         s"gate admissions must be exactly the non-candidates (expected drops: $expectDrop)")
     } finally q.stop()
+    sp.catalog.clearCache()
+  }
+
+  test("sharded band-gate filters equal the single-filter gate (2 GB-ceiling escape)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // a history big enough that its band keys spread across all 3 shards
+    val history = (0 until 40).map { g =>
+      (1000L + g) -> (0 until 40).map(i => s"h${g}_$i").mkString(" ")
+    }.toDF("doc_id", "text")
+    val bands = graft.operators.DedupOps.minhashBandValues(history)
+    val nKeys = bands.select("band").distinct().count()
+    val shards = DocStreams.bloomShards(bands, "band", 3, nKeys, 1e-6)
+    assert(shards.size === 3)
+    // per-shard key counts must partition the key set (xxhash64 spread)
+    val perShard = bands.select("band").distinct()
+      .groupBy(pmod(xxhash64(col("band")), lit(3)).as("s")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perShard.keySet === Set(0L, 1L, 2L), s"degenerate shard spread: $perShard")
+    // arrivals: an exact copy of one history doc (must drop), a fresh doc
+    // (must pass), a sub-3-token doc (no signature, must pass)
+    val histText = history.collect()(7).getString(1)
+    val arrivals = Seq(
+      1L -> histText,
+      2L -> (0 until 40).map(i => s"fresh$i").mkString(" "),
+      3L -> "two tokens")
+    val arrDf = arrivals.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shardedAdmit = DocStreams.minhashBandGateSharded(arrDf, shards)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference: the single-filter gate over the same history
+    val one = graft.operators.DedupOps.minhashBandValues(history)
+      .stat.bloomFilter("band", nKeys, 1e-6)
+    val singleAdmit = DocStreams.minhashBandGate(arrDf,
+      graft.functions.BloomFunctions.serialize(one))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shardedAdmit === singleAdmit,
+      s"sharded gate diverged: sharded=$shardedAdmit single=$singleAdmit")
+    assert(shardedAdmit === Set(2L, 3L), "copy dropped, fresh + short pass")
     sp.catalog.clearCache()
   }
 }
