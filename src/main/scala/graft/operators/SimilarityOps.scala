@@ -745,6 +745,47 @@ object SimilarityOps {
       .orderBy("cohort")
   }
 
+  /** q129: ANN RECALL AUDIT — the q111 discipline (LSH recall measured
+    * against exact truth, per deployment sign-off) applied to the IVF-PQ
+    * index: how many of the exact squared-L2 top-k does the saved index's
+    * ADC search actually return? q111 audits the CANDIDATE stage of the
+    * text near-dup chain; this audits the quantized SEARCH — the number a
+    * production ANN deployment tracks against its recall SLO, and the
+    * second input (besides q127's distortion) to the rebuild/re-probe
+    * decision: recall degrading at fixed nProbes says widen probes or
+    * retrain.
+    *
+    * Exact truth is the brute-force rounded squared L2 top-k per query
+    * (ties broken on cid — the shared convention), the metric ADC
+    * approximates; hits are counted by (qid, cid) identity. Scale shape:
+    * the ANN side is the saved search (probe-bounded); the exact side is
+    * q37's broadcast-probe class — |queries| × corpus row-local distances
+    * with a per-query top-k, linear in the corpus and sample-driven at
+    * 100 TB exactly like q111's truth side.
+    */
+  def annRecallAudit(s: SparkSession, d: String, dir: String,
+      k: Int = 5): DataFrame = {
+    val ann = searchSavedIvfPq(s, d, dir, nProbes = 2, k = k)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    val base = prepped(s, d)
+    val q = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val c = base.select(col("vec_id").as("cid"), col("e").as("ce"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("dist", rSqDist("qe", "ce"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"))
+    exact.join(ann, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("ann_hits"),
+        count(lit(1)).as("k"))
+      .select(col("qid"), col("ann_hits"), col("k"),
+        round(col("ann_hits").cast("double") / col("k"), 6).as("recall"))
+      .orderBy("qid")
+  }
+
   /** q122's search half: q70's ADC search driven ENTIRELY from the saved
     * index — centroids, codebook, and codes are read back from parquet,
     * nothing is recomputed from the corpus except the query vectors
@@ -1063,6 +1104,11 @@ object SimilarityOps {
     // IvfPqDriftSpec plants a distribution shift that flips the flag.
     "q127_ivfpq_staleness_audit" -> ((s, d) =>
       ivfPqStalenessAudit(s, d, ensureQ126Index(s, d))),
+
+    // ANN recall audit over the same maintained index — the measured
+    // recall@k vs exact squared-L2 truth. See [[annRecallAudit]].
+    "q129_ann_recall_audit" -> ((s, d) =>
+      annRecallAudit(s, d, ensureQ126Index(s, d))),
 
     // Prototype-ranked selection (Sorscher et al.) — see
     // [[prototypeSelect]] for the method citation, keep convention, and
@@ -1425,6 +1471,34 @@ object SimilarityOps {
                     OR COALESCE(t.a_sum / t.a_rows, 0) > 1.5 * (t.b_sum / t.b_rows),
                   false) AS BIGINT) AS rebuild
          FROM stats s CROSS JOIN totals t ORDER BY s.cohort""",
+
+    // q129: the ANN side nests q126's full oracle (the maintained index's
+    // search, frozen-codebook CTEs and all); exact truth is brute-force
+    // rounded squared L2 top-5 with the (dist, cid) tie-break. Recall is
+    // a ratio of integers both engines agree on exactly.
+    "q129_ann_recall_audit" ->
+      s"""WITH ann AS (${ivfPqOracleSql(s"NOT ($q126BatchFilter)")}),
+          unp AS (
+            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+          qv AS (SELECT vec_id AS qid, pos, x FROM unp WHERE vec_id < 3),
+          dists AS (
+            SELECT q.qid, u.vec_id AS cid,
+                   round(sum((q.x - u.x) * (q.x - u.x)), 6) AS dist
+            FROM qv q JOIN unp u ON u.pos = q.pos AND u.vec_id <> q.qid
+            GROUP BY q.qid, u.vec_id),
+          etop AS (
+            SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+            FROM dists),
+          ex AS (SELECT qid, cid FROM etop WHERE rn <= 5)
+          SELECT e.qid,
+            CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ann_hits,
+            CAST(count(*) AS BIGINT) AS k,
+            round(CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS recall
+          FROM ex e LEFT JOIN ann a ON a.qid = e.qid AND a.cid = e.cid
+          GROUP BY e.qid ORDER BY e.qid""",
 
     "q123_prototype_select" ->
       """WITH unpacked AS (
