@@ -133,7 +133,17 @@ object ScaleSmoke {
     // corpus doc_ids run 0..n−1, so exact groups are n/300-sized and the
     // survivor set is exactly 300 docs per kind — the perceptual stage is
     // small by construction; the exact election carries the 10× load.
-    "q125_media_waterfall")
+    "q125_media_waterfall",
+    // r13 additions: q127's audit is a linear codes⋈corpus re-score (the
+    // cid exchange's task spread at 10× vectors is the claim); q129's
+    // exact-truth side is the q37 broadcast-probe class (|q|×corpus
+    // row-local dots) feeding a per-query top-k — both also pay the
+    // one-time q126 index build on the smoke corpus inside their first
+    // wall, which is the honest composed cost. q128 is the full
+    // text+media composition — its end-to-end 10× wall rides on q113's
+    // and q125's already-smoked stages plus two doc-keyed joins.
+    "q127_ivfpq_staleness_audit", "q128_multimodal_verdict",
+    "q129_ann_recall_audit")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

@@ -232,6 +232,59 @@ object ClassifierOps {
     res
   }
 
+  /** q131: CALIBRATION bins (reliability diagram) of the held-out
+    * classifier scores — the companion to q102's AUC: AUC says the
+    * ranking is right, calibration says the SCORES mean what a
+    * thresholding pipeline (q103's stratified top-k, q100's mix
+    * budgeting) treats them as meaning. The held-out (y, s) pairs bin
+    * into `nBins` fixed-width ORDER-PRESERVING score ranges (width from
+    * the one-row min/max agg — no rank window, no global sort, the q102
+    * histogram discipline), and each bin reports its observed positive
+    * rate next to its mean score. Every reported ratio divides two
+    * exactly-agreed integers, so the oracle comparison is
+    * boundary-free.
+    *
+    * Scale shape: the train/score chain is q102's (linear shuffles +
+    * broadcast weight join); binning adds one 1-row aggregate and one
+    * ≤nBins-key exchange. The eval split is sample-bounded by design at
+    * scale (q111's truth-side argument).
+    */
+  def calibrationBins(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    val split = docs.select(col("doc_id"),
+      when(TextOps.gopherKeepCol(col("text")), 1L).otherwise(0L).as("y"),
+      (substring(md5(concat(lit("auc:"), col("doc_id").cast("string"))), 1, 8)
+        < aucTrainBound).as("is_train"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w1 = feats
+      .join(split.filter(col("is_train")).select("doc_id", "y"), "doc_id")
+      .groupBy("bucket")
+      .agg(sum((col("y") * 2 - 1) * col("c")).as("w1"))
+    val scores = feats
+      .join(split.filter(!col("is_train")).select("doc_id"), "doc_id")
+      .join(broadcast(w1), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w1")).as("s"))
+    val ev = split.filter(!col("is_train"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("y"), coalesce(col("s"), lit(0L)).as("s"))
+    val mm = ev.agg(min("s").as("lo"), max("s").as("hi"))
+    val res = ev.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"CAST((s - lo) * $nBins DIV (hi - lo + 1) AS BIGINT)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"), sum("s").as("sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("sum_s").cast("double") / col("n"), 6).as("mean_score"))
+      .orderBy("bin")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // force before releasing the inputs (the q97 discipline)
+    feats.unpersist(blocking = false)
+    split.unpersist(blocking = false)
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Classifier training, epoch 1 (see object scaladoc): Gopher-gate
     // labels, hashed features, zero-init logistic gradient in closed
@@ -241,7 +294,11 @@ object ClassifierOps {
     // Held-out AUC of the epoch-1 scorer (see [[aucEval]]): the
     // train/serve/EVAL triad's missing leg, exact in integers via the
     // tied-rank histogram identity.
-    "q102_auc_eval" -> ((s, d) => aucEval(documents(s, d))))
+    "q102_auc_eval" -> ((s, d) => aucEval(documents(s, d))),
+
+    // Calibration (reliability) bins over the held-out scores — see
+    // [[calibrationBins]].
+    "q131_calibration_bins" -> ((s, d) => calibrationBins(documents(s, d))))
 
   val oracle: Map[String, String] = Map(
     "q97_train_quality" ->
@@ -329,5 +386,51 @@ object ClassifierOps {
          SELECT n_pos + n_neg AS n_eval, n_pos, n_neg, u2,
                 ((2 * u2 * 1000000 + nullif(2 * n_pos * n_neg, 0))
                   // (2 * nullif(2 * n_pos * n_neg, 0))) / 1000000.0 AS auc
-         FROM agg""")
+         FROM agg""",
+
+    // q131: q102's train/score CTEs verbatim, then fixed-width
+    // order-preserving score bins from the one-row min/max — every
+    // reported ratio divides exactly-agreed integers.
+    "q131_calibration_bins" ->
+      s"""WITH sp AS (
+           SELECT doc_id,
+             CASE WHEN ${TextOps.oracleGateLenSql}
+                   AND ${TextOps.oracleGateWlenSql}
+                   AND ${TextOps.oracleGateAlphaSql}
+                   AND ${TextOps.oracleGateStopSql}
+                  THEN 1 ELSE 0 END :: BIGINT AS y,
+             substr(md5('auc:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$aucTrainBound'
+               AS is_train
+           FROM (${TextOps.oracleDocStatsSql("doc_id")}) b),
+         feats AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) AS bucket,
+                  count(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents) tok
+           WHERE t <> ''
+           GROUP BY doc_id, bucket),
+         w1 AS (
+           SELECT f.bucket, CAST(sum((sp.y * 2 - 1) * f.c) AS BIGINT) AS w1
+           FROM feats f JOIN sp USING (doc_id)
+           WHERE sp.is_train
+           GROUP BY f.bucket),
+         scores AS (
+           SELECT f.doc_id, CAST(sum(f.c * w.w1) AS BIGINT) AS s
+           FROM feats f JOIN w1 w USING (bucket) JOIN sp USING (doc_id)
+           WHERE NOT sp.is_train
+           GROUP BY f.doc_id),
+         ev AS (
+           SELECT sp.y, CAST(coalesce(s.s, 0) AS BIGINT) AS s
+           FROM sp LEFT JOIN scores s USING (doc_id)
+           WHERE NOT sp.is_train),
+         mm AS (SELECT min(s) AS lo, max(s) AS hi FROM ev),
+         binned AS (
+           SELECT y, s, CAST((s - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bin
+           FROM ev CROSS JOIN mm)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(y) AS BIGINT) AS n_pos,
+                round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+                round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score
+         FROM binned GROUP BY bin ORDER BY bin""")
 }

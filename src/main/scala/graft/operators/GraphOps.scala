@@ -248,6 +248,31 @@ object GraphOps {
   def embeddingClustersAuto(s: SparkSession, d: String, L: Int = 6): DataFrame =
     embeddingClustersAt(s, d, L, SimilarityOps.autoBandBitsAt(s, d, L))
 
+  /** q130: SOFT near-dup handling — per-document SAMPLING WEIGHTS from
+    * q45's duplicate clusters instead of hard drops. Each cluster
+    * contributes unit total mass (`weight = 1/|cluster|`), the standard
+    * alternative when duplicates carry signal (popularity, cross-source
+    * corroboration) that outright dedup destroys — the rule
+    * cluster-aware data-selection pipelines (SemDeDup/D4-class) apply
+    * between "keep all copies" and "keep one". Singletons weigh 1.0;
+    * downstream samplers consume the weight column directly (q47/q85's
+    * deterministic hash samplers compose: admit when
+    * hash-uniform < weight).
+    *
+    * Scale shape: q45's smoked candidate + CC machinery, then ONE
+    * cluster-keyed count exchange and one keyed join-back — both linear,
+    * both on the already-label-shaped table.
+    */
+  def clusterSampleWeights(s: SparkSession, d: String): DataFrame = {
+    val clusters = queries("q45_dedup_clusters")(s, d)
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val res = clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+    DedupOps.finishAndRelease(res, clusters)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Dedup clustering over the MinHash/LSH candidate graph (q35's pairs):
     // every document gets a canonical cluster_id; documents in no near-dup
@@ -264,6 +289,10 @@ object GraphOps {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       DedupOps.finishAndRelease(res, cand, labels)
     }),
+
+    // SOFT dedup: per-document sampling weights from q45's clusters —
+    // see [[clusterSampleWeights]].
+    "q130_cluster_weights" -> ((s, d) => clusterSampleWeights(s, d)),
 
     // The same clustering terminal for the EMBEDDING near-dup pipeline:
     // q44's RP-LSH verified cosine pairs become components, every vector
@@ -395,6 +424,17 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q45_dedup_clusters" -> q45OracleSql,
+
+    // q130: q45's oracle nested, one size aggregation, unit cluster mass.
+    // CAST(1.0 AS DOUBLE) — a bare 1.0 is DECIMAL in DuckDB and the
+    // division would come back DECIMAL, failing the schema compare.
+    "q130_cluster_weights" ->
+      s"""WITH c45 AS ($q45OracleSql),
+          sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM c45 GROUP BY cluster_id)
+          SELECT c.doc_id, c.cluster_id, s.cluster_size,
+                 round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
+          FROM c45 c JOIN sz s USING (cluster_id)""",
 
     "q117_leakfree_split" ->
       s"""WITH clusters AS (SELECT * FROM ($q45OracleSql) c45)
