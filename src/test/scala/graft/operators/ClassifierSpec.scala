@@ -196,4 +196,23 @@ class ClassifierSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q131 calibration bins: partition the held-out set, ordered scores, sane rates") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = sp.read.parquet(s"$d/documents.parquet")
+    val nEval = docs.filter(
+      substring(md5(concat(lit("auc:"), col("doc_id").cast("string"))), 1, 8)
+        >= "cccccccc").count()
+    val rows = ClassifierOps.calibrationBins(docs).collect()
+    assert(rows.map(_.getLong(1)).sum === nEval, "bins must partition the eval split")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // fixed-width bins are order-preserving: mean scores ascend with bin id
+    val means = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"bin mean scores not monotone: ${means.mkString(", ")}")
+    sp.catalog.clearCache()
+  }
 }

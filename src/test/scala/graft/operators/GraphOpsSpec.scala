@@ -279,4 +279,28 @@ class GraphOpsSpec extends SparkSpec {
 
   private def SparkEntry_q45(d: String) =
     GraphOps.queries("q45_dedup_clusters")(spark, d)
+
+  test("q130 cluster weights: unit cluster mass, singleton weight 1.0, reconciles with q45") {
+    val sp = spark
+    val d = "/root/testdata/sf0.001"
+    val clusters = graft.SparkEntry.queries("q45_dedup_clusters")(sp, d)
+    val byDoc = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters.unpersist(blocking = true)
+    val out = graft.SparkEntry.queries("q130_cluster_weights")(sp, d)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSet === byDoc.keySet)
+    val sizes = byDoc.values.groupBy(identity).view.mapValues(_.size).toMap
+    for (r <- rows) {
+      assert(r.getLong(1) === byDoc(r.getLong(0)), "cluster label drifted from q45")
+      assert(r.getLong(2) === sizes(r.getLong(1)).toLong)
+      assert(math.abs(r.getDouble(3) - 1.0 / r.getLong(2)) < 1e-6)
+    }
+    // every cluster contributes unit total mass (to rounding)
+    rows.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4, s"cluster $c mass")
+    }
+    assert(rows.exists(_.getLong(2) > 1L), "fixture must have a real dup cluster")
+    out.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
 }
