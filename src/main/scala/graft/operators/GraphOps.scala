@@ -273,6 +273,36 @@ object GraphOps {
     DedupOps.finishAndRelease(res, clusters)
   }
 
+  /** q132: DEDUP IMPACT report — the end-of-pipeline accounting a curation
+    * run publishes: per source, raw vs EFFECTIVE (q130-weight-summed)
+    * document and token counts, and the duplicated-token fraction soft
+    * dedup removes. "Effective tokens" is the number that actually enters
+    * epoch math and mixture budgeting (q83/q85/q100 consume token budgets;
+    * this is the dedup-corrected supply side). Every reported sum is a sum
+    * of exact 1e-6 multiples (weights are 6-decimal-rounded), so the
+    * 6-decimal re-round sits 5e-7 from any boundary — engine-stable — and
+    * the fraction divides already-agreed values.
+    *
+    * Scale shape: q130's chain plus one doc-keyed join and one
+    * source-keyed aggregation — linear.
+    */
+  def dedupImpact(s: SparkSession, d: String): DataFrame = {
+    val w = queries("q130_cluster_weights")(s, d)
+    val toks = documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val res = toks.join(w.select("doc_id", "weight"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        round(sum("weight"), 6).as("effective_docs"),
+        round(sum(col("weight") * col("n_tokens")), 6).as("effective_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("effective_docs"), col("effective_tokens"),
+        round(lit(1.0) - col("effective_tokens") / col("n_tokens"), 6)
+          .as("dup_token_frac"))
+    DedupOps.finishAndRelease(res, w)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Dedup clustering over the MinHash/LSH candidate graph (q35's pairs):
     // every document gets a canonical cluster_id; documents in no near-dup
@@ -293,6 +323,9 @@ object GraphOps {
     // SOFT dedup: per-document sampling weights from q45's clusters —
     // see [[clusterSampleWeights]].
     "q130_cluster_weights" -> ((s, d) => clusterSampleWeights(s, d)),
+
+    // Per-source dedup impact accounting — see [[dedupImpact]].
+    "q132_dedup_impact" -> ((s, d) => dedupImpact(s, d)),
 
     // The same clustering terminal for the EMBEDDING near-dup pipeline:
     // q44's RP-LSH verified cosine pairs become components, every vector
@@ -435,6 +468,31 @@ object GraphOps {
           SELECT c.doc_id, c.cluster_id, s.cluster_size,
                  round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
           FROM c45 c JOIN sz s USING (cluster_id)""",
+
+    // q132: q130's oracle nested, one token count, one source rollup. The
+    // fraction divides the ROUNDED effective sum by the integer raw sum —
+    // both already engine-agreed.
+    "q132_dedup_impact" ->
+      s"""WITH w AS (
+            WITH c45 AS ($q45OracleSql),
+            sz AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM c45 GROUP BY cluster_id)
+            SELECT c.doc_id,
+                   round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
+            FROM c45 c JOIN sz s USING (cluster_id)),
+          t AS (SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+          agg AS (
+            SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+                   round(sum(w.weight), 6) AS effective_docs,
+                   round(sum(w.weight * t.n_tokens), 6) AS effective_tokens
+            FROM t JOIN w USING (doc_id) GROUP BY t.source)
+          SELECT source, n_docs, n_tokens, effective_docs, effective_tokens,
+                 round(CAST(1.0 AS DOUBLE) - effective_tokens / n_tokens, 6)
+                   AS dup_token_frac
+          FROM agg""",
 
     "q117_leakfree_split" ->
       s"""WITH clusters AS (SELECT * FROM ($q45OracleSql) c45)

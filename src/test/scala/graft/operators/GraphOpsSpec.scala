@@ -303,4 +303,34 @@ class GraphOpsSpec extends SparkSpec {
     out.unpersist(blocking = true)
     sp.catalog.clearCache()
   }
+
+  test("q132 dedup impact: reconciles with q130 weights and raw token counts") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val w = graft.SparkEntry.queries("q130_cluster_weights")(sp, d)
+    val weights = w.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    w.unpersist(blocking = true)
+    val toks = sp.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = graft.SparkEntry.queries("q132_dedup_impact")(sp, d)
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val bySrc = toks.groupBy(_._2)
+    assert(rows.keySet === bySrc.keySet)
+    for ((src, ds) <- bySrc) {
+      val (nDocs, nToks, effDocs, effToks, frac) = rows(src)
+      assert(nDocs === ds.size.toLong)
+      assert(nToks === ds.map(_._3).sum)
+      assert(math.abs(effDocs - ds.map(t => weights(t._1)).sum) < 1e-4)
+      assert(math.abs(effToks - ds.map(t => weights(t._1) * t._3).sum) < 1e-2)
+      assert(math.abs(frac - (1.0 - effToks / nToks)) < 1e-6)
+      assert(effDocs <= nDocs + 1e-6 && effToks <= nToks + 1e-6,
+        "effective counts can never exceed raw")
+    }
+    out.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
 }
