@@ -42,22 +42,42 @@ object IndexMaintenance {
   private[graft] def appendEpoch(batch: DataFrame, epoch: Long,
       dir: String): Boolean = {
     val s = batch.sparkSession
-    if (appliedEpochs(s, dir).contains(epoch)) return false
+    val applied = appliedEpochs(s, dir)
+    if (applied.contains(epoch)) return false
     if (batch.isEmpty) return false
     val n = batch.count()
     SimilarityOps.appendToIvfPqIndex(s, batch, dir)
     s.range(1).select(lit(epoch).as("epoch"), lit(n).as("n_vecs"))
       .write.mode("append").parquet(s"$dir/append_ledger")
+    applied.synchronized { applied += epoch }
     true
   }
 
-  private def appliedEpochs(s: SparkSession, dir: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/append_ledger")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else s.read.parquet(p.toString).select("epoch").collect()
-      .map(_.getLong(0)).toSet
-  }
+  /** Applied-epoch set per (JVM, dir): seeded from the on-disk ledger ONCE
+    * (so a restart still sees every previously committed epoch), then
+    * maintained in memory — without the memo the replay check re-read the
+    * whole ledger per trigger, O(stream age) driver work on a long-lived
+    * query. Single-writer assumption, as for any parquet-append sink: two
+    * concurrent maintainers of one index directory race the append itself,
+    * memo or no memo. The ledger also accrues one tiny file per epoch —
+    * on a year-scale stream, fold it on the same schedule as the rebuild
+    * (read, rewrite compacted, swap), exactly the readstat sink's
+    * compaction discipline.
+    */
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.Set[Long]]()
+  private def appliedEpochs(s: SparkSession,
+      dir: String): scala.collection.mutable.Set[Long] =
+    ledgerCache.computeIfAbsent(dir, _ => {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/append_ledger")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val seed: scala.collection.mutable.Set[Long] =
+        if (!fs.exists(p)) scala.collection.mutable.Set.empty
+        else scala.collection.mutable.Set(
+          s.read.parquet(p.toString).select("epoch").collect()
+            .map(_.getLong(0)): _*)
+      seed
+    })
 
   /** The maintenance sink: attach to a stream of prepped embedding rows
     * (`vec_id`, `e` ARRAY<DOUBLE>) and start. The saved search
