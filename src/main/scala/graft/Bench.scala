@@ -271,6 +271,8 @@ object Bench {
     */
   private case class GroupWindow(rows: Seq[(String, Double, Seq[Double])],
       cal: Double, calPar: Double) {
+    /** Queries whose every run failed in this window (best = -1). */
+    def failures: Int = rows.count(_._2 < 0)
     def total: Double = rows.map(r => math.max(r._2, 0.0)).sum
     /** Breach signal: max run disagreement EXCLUDING each query's run 1 —
       * a fresh child's first run carries the query's whole-stage-codegen
@@ -327,7 +329,7 @@ object Bench {
     val scanJson =
       if (sys.env.get("SPARK_GRAFT_BIGSCAN").contains("0")) "{}"
       else forkJson("graft.ScanBench", Nil,
-        Map("SPARK_GRAFT_CPUS" -> sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))).getOrElse {
+        Map("SPARK_GRAFT_CPUS" -> resolvedCpus)).getOrElse {
         System.err.println("[bench] scan child failed — scan section empty")
         "{}"
       }
@@ -374,7 +376,11 @@ object Bench {
       }
       if (attempts.isEmpty) failed ++= g
       else {
-        val chosen = attempts.minBy(_.total)
+        // fewest crashed queries FIRST, then lowest total: a -1 best maps
+        // to 0 in `total`, so a bare minBy(total) would prefer a window
+        // that lost a query over a complete-but-slower one and the
+        // artifact would record -1 for a measurement another attempt had
+        val chosen = attempts.minBy(w => (w.failures, w.total))
         results ++= chosen.rows
         groupCal += chosen.cal
         groupCalPar += chosen.calPar

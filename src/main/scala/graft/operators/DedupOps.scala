@@ -955,6 +955,14 @@ object DedupOps {
     val buckets = (0 until bands).map(i =>
       banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
       .reduce(_.unionByName(_))
+    // the deployed geometries keep the PLAIN bucket join: a hot band
+    // bucket here is a hot JOIN KEY (streamed SMJ output, AQE skew-split
+    // — the skew smoke's 20%-identical corpus adjudicates exactly this
+    // shape for q40), and an A/B of routing this join through
+    // PairBuckets' guarded split measured a uniform ~1.5× constant tax
+    // across the whole q35 family at sf0.1 with no robustness win the
+    // smoke hadn't already certified. The max-recall PROBE geometry is
+    // the exception — see [[lshGeometryAuto]].
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
@@ -997,10 +1005,29 @@ object DedupOps {
     * hash-sample of documents (ĵ is a mean — sampling error vanishes in
     * √samples), the autoBandBits escape verbatim.
     */
+  /** The max-recall probe's candidate stage, routed through PairBuckets'
+    * size-adaptive split (r13 review finding): at 8 bands × 1 row EVERY
+    * single-lane agreement is a bucket key, so common boilerplate makes
+    * hot buckets structurally likely — n(n−1)/2 pair generation in one
+    * task under a plain join. The deployed 4×2 chain keeps the plain join
+    * (see [[lshCandidatesAt]] — AQE's skew split covers it and the
+    * guarded split taxes it ~1.5× for nothing); the probe pays the guard
+    * because its geometry is the hazardous one. Same candidate SET.
+    */
+  private def probeCandidates(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sig = withShingleArray(docs)
+      .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"))
+      .filter(col("lanes").isNotNull)
+      .select(col("doc_id"), posexplode(col("lanes")).as(Seq("bi", "bk")))
+    PairBuckets.candidatePairs(sig, Seq("bi", "bk"), "doc_id")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+  }
+
   private[graft] def lshGeometryAuto(docs: DataFrame,
       targetRecall: Double = 0.9): LshGeometry = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    val cand = lshCandidatesAt(docs, bands = nHashes, rows = 1)
+    val cand = finishAndRelease(probeCandidates(docs))
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val lanes = withShingleArray(docs.join(broadcast(ids), "doc_id"))
       .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"))

@@ -715,14 +715,16 @@ object SimilarityOps {
     val s = corpus.sparkSession
     val codes = s.read.parquet(s"$dir/codes")
     val codebook = s.read.parquet(s"$dir/codebook")
-    val vecs = corpus.select(col("vec_id").as("cid"), col("e"))
+    // the cohort predicate evaluates on the CORPUS frame, where `vec_id`
+    // still exists — renaming after, not rewriting the SQL text (a textual
+    // vec_id→cid replace would corrupt any filter whose text merely
+    // CONTAINS "vec_id", e.g. a lineage column "vec_id_batch")
+    val vecs = corpus.select(col("vec_id").as("cid"), col("e"),
+      when(expr(cohortFilter), "append").otherwise("build").as("cohort"))
     val scored = codes.join(vecs, "cid")
       .join(broadcast(codebook), Seq("subspace", "code"))
       .withColumn("svec", expr(s"slice(e, subspace * $pqSub + 1, $pqSub)"))
       .withColumn("dist", rSqDist("svec", "cvec"))
-      .withColumn("cohort",
-        when(expr(cohortFilter.replace("vec_id", "cid")), "append")
-          .otherwise("build"))
     val stats = scored.groupBy("cohort").agg(
       countDistinct("cid").as("n_vecs"),
       count(lit(1)).as("n_rows"),
@@ -818,9 +820,20 @@ object SimilarityOps {
       .withColumn("qdist", rSqDist("qsub", "cvec"))
       .select("qid", "subspace", "code", "qdist")
     val probeLut = probes.join(lut, "qid")
+    // duplicate-TOLERANT ADC (r13): a crash between a maintenance append's
+    // codes write and its ledger write can replay the epoch and leave a
+    // vector with two identical (subspace, code) rows — under a plain
+    // sum those DOUBLE the vector's approximate distance and evict it
+    // from every top-k (a recall miss, the opposite of the conservative
+    // direction the sink documents). Collapsing per (qid, cid, subspace)
+    // first (min of identical values — a partial-agg-friendly exchange on
+    // the probe-bounded stream) makes double-append semantically a no-op
+    // at the search, closing the crash window at the read side.
     val adist = codes
       .join(broadcast(probeLut), Seq("c_label", "subspace", "code"))
       .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid", "subspace")
+      .agg(min("qdist").as("qdist"))
       .groupBy("qid", "cid")
       .agg(round(sum("qdist"), 6).as("adist"))
     val tw = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))

@@ -100,13 +100,23 @@ object DocStreams {
   private def bloomDropGate(docs: DataFrame, bloomBytes: Array[Byte],
       staging: Seq[(String, org.apache.spark.sql.Column)],
       guard: org.apache.spark.sql.Column, probeArrayExpr: String,
-      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    probeDropGate(docs, staging, guard, probeArrayExpr,
+      e => call_function("graft_bloom_might_contain", lit(bloomBytes), key(e)))
+
+  /** The probe-agnostic core of [[bloomDropGate]] (r13): the single- and
+    * SHARDED-filter gates share one staging/guard/filter/drop scaffold, so
+    * their null/guard/drop semantics cannot drift — only the per-element
+    * membership probe differs.
+    */
+  private def probeDropGate(docs: DataFrame,
+      staging: Seq[(String, org.apache.spark.sql.Column)],
+      guard: org.apache.spark.sql.Column, probeArrayExpr: String,
+      probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     graft.functions.BloomFunctions.register(docs.sparkSession)
     val staged = staging.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
     staged
-      .filter(!when(guard, exists(
-        expr(probeArrayExpr),
-        e => call_function("graft_bloom_might_contain", lit(bloomBytes), key(e))))
+      .filter(!when(guard, exists(expr(probeArrayExpr), probe))
         .otherwise(lit(false)))
       .drop(staging.map(_._1): _*)
   }
@@ -238,17 +248,14 @@ object DocStreams {
   def minhashBandGateSharded(docs: DataFrame,
       shards: Seq[Array[Byte]]): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    graft.functions.BloomFunctions.register(docs.sparkSession)
-    val staged = docs
-      .withColumn("__t", split(col("text"), " "))
-      .withColumn("__sh", expr(graft.operators.DedupOps.shingle3ArrayExpr("__t")))
-      .withColumn("__lanes", expr("graft_minhash_lanes(__sh)"))
-    staged
-      .filter(!when(col("__lanes").isNotNull, exists(
-        expr(graft.operators.DedupOps.minhashBandArrayExpr("__lanes")),
-        shardedProbe(shards)))
-        .otherwise(lit(false)))
-      .drop("__t", "__sh", "__lanes")
+    probeDropGate(docs,
+      staging = Seq(
+        "__t" -> split(col("text"), " "),
+        "__sh" -> expr(graft.operators.DedupOps.shingle3ArrayExpr("__t")),
+        "__lanes" -> expr("graft_minhash_lanes(__sh)")),
+      guard = col("__lanes").isNotNull,
+      probeArrayExpr = graft.operators.DedupOps.minhashBandArrayExpr("__lanes"),
+      probe = shardedProbe(shards))
   }
 
   /** Streaming PERCEPTUAL near-dup gate for media intake (batch

@@ -32,20 +32,23 @@ object IndexMaintenance {
   /** Apply ONE epoch's append idempotently: returns true if the batch was
     * applied, false if the epoch was already in the ledger (replay). The
     * ledger write lands AFTER the codes append — a crash between the two
-    * re-applies the epoch on replay, which re-appends the same rows only
-    * if the codes write itself did not complete its commit (parquet
-    * appends are atomic at the _SUCCESS/commit level, so the
-    * codes-committed-but-ledger-missing window re-appends; the
-    * conservative direction for an ANN candidate index, where a duplicate
-    * list entry costs a redundant candidate, never a miss).
+    * re-applies the epoch on replay, which duplicates that epoch's code
+    * rows. The SEARCH is duplicate-tolerant by construction
+    * ([[graft.operators.SimilarityOps.searchSavedIvfPq]] collapses
+    * per-(cid, subspace) rows before summing ADC distances — a plain sum
+    * would DOUBLE the replayed vectors' distances and evict them from
+    * every top-k), so the crash window costs duplicate storage rows, not
+    * result correctness; the next rebuild (q127's flag) compacts them
+    * away.
     */
   private[graft] def appendEpoch(batch: DataFrame, epoch: Long,
       dir: String): Boolean = {
     val s = batch.sparkSession
     val applied = appliedEpochs(s, dir)
     if (applied.contains(epoch)) return false
-    if (batch.isEmpty) return false
+    // one job, not two: count() answers emptiness and the ledger row
     val n = batch.count()
+    if (n == 0) return false
     SimilarityOps.appendToIvfPqIndex(s, batch, dir)
     s.range(1).select(lit(epoch).as("epoch"), lit(n).as("n_vecs"))
       .write.mode("append").parquet(s"$dir/append_ledger")
