@@ -121,7 +121,15 @@ object Bench {
       // warm run warms the JVM, not the data.
       spark.catalog.clearCache()
       if (name.startsWith("q5")) operators.ReadstatQueries.clearCache()
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      // NonFatal only (r13 ADVICE): swallowing an OutOfMemoryError here
+      // would let a heap-damaged JVM keep emitting timed numbers that look
+      // like clean measurements; and a query that only fails on first
+      // execution must leave a trace in the window's provenance, so the
+      // failure is logged rather than silently discarded.
+      try fn(spark, sfDir).count() catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[bench] warm run of $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       def oneRun(): (Double, Boolean) = {
         // every run starts cache-cold: operators that persist() internal
         // frames (q34/q36/q40) must not leak cached partitions into the
@@ -347,9 +355,8 @@ object Bench {
     // window is the attempt with the lowest group total — contention only
     // ever inflates, so the cheapest window is the most faithful one.
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
-    val groupCal = scala.collection.mutable.ArrayBuffer[Double]()
-    val groupCalPar = scala.collection.mutable.ArrayBuffer[Double]()
-    val groupTries = scala.collection.mutable.ArrayBuffer[Int]()
+    val kept = scala.collection.mutable
+      .ArrayBuffer[(Seq[String], GroupWindow, Int)]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     var bestCalSeen = calPre
     val maxAttempts = 3
@@ -380,13 +387,36 @@ object Bench {
         // to 0 in `total`, so a bare minBy(total) would prefer a window
         // that lost a query over a complete-but-slower one and the
         // artifact would record -1 for a measurement another attempt had
-        val chosen = attempts.minBy(w => (w.failures, w.total))
-        results ++= chosen.rows
-        groupCal += chosen.cal
-        groupCalPar += chosen.calPar
-        groupTries += tries
+        kept += ((g, attempts.minBy(w => (w.failures, w.total)), tries))
       }
     }
+    // retroactive re-check (r13 ADVICE): bestCalSeen only ratchets DOWN and
+    // groups are judged in order, so when the parent's own pre-probe ran
+    // contended, early windows were accepted against an inflated reference
+    // that later clean windows tightened — an inflated early group could
+    // land in the artifact while later groups faced the stricter bar. One
+    // retro pass against the FINAL reference: any kept window breaching it
+    // re-forks once, and the better window (fewest failures, lowest total)
+    // is kept either way.
+    var retroReforks = 0
+    for (i <- kept.indices) {
+      val (g, w, tries) = kept(i)
+      if (w.cal > 1.5 * bestCalSeen) {
+        retroReforks += 1
+        System.err.println(
+          f"[bench] group ${i + 1} retro breach (cal ${w.cal}%.3f vs final " +
+            f"best $bestCalSeen%.3f) — re-forking once")
+        forkJson("graft.Bench", g, childEnv).flatMap(parseGroup(om, _, g))
+          .foreach { w2 =>
+            bestCalSeen = math.min(bestCalSeen, w2.cal)
+            kept(i) = (g, Seq(w, w2).minBy(x => (x.failures, x.total)), tries + 1)
+          }
+      }
+    }
+    val groupCal = kept.map(_._2.cal)
+    val groupCalPar = kept.map(_._2.calPar)
+    val groupTries = kept.map(_._3)
+    kept.foreach { case (_, w, _) => results ++= w.rows }
     // last-resort fallback: run any failed group's queries in THIS JVM so
     // the artifact never loses coverage to a flaky child
     if (failed.nonEmpty) {
@@ -402,7 +432,7 @@ object Bench {
     val groupCalParJson = groupCalPar.map(c => f"$c%.3f").mkString("[", ",", "]")
     val groupTriesJson = groupTries.mkString("[", ",", "]")
     val line = render(results.toSeq, scanJson, sfDir,
-      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"groups":${groups.size},"group_size":$groupSize,"group_cal_pre":$groupCalJson,"group_cal_par_pre":$groupCalParJson,"group_attempts":$groupTriesJson""")
+      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"groups":${groups.size},"group_size":$groupSize,"group_cal_pre":$groupCalJson,"group_cal_par_pre":$groupCalParJson,"group_attempts":$groupTriesJson,"group_retro_reforks":$retroReforks""")
     println(line)
     persist(line, sfDir)
   }

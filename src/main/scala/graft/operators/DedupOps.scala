@@ -1029,7 +1029,22 @@ object DedupOps {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     val cand = finishAndRelease(probeCandidates(docs))
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    val lanes = withShingleArray(docs.join(broadcast(ids), "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guard the broadcast (r13 ADVICE — the deltaDedup bar applied here):
+    // at the max-recall 8×1 probe geometry on a boilerplate-heavy corpus
+    // the candidate-id set approaches CORPUS size, exactly the
+    // pathological-batch shape deltaDedup degrades on. Count against the
+    // same bar and fall back to a shuffle join instead of OOMing the
+    // driver; the degrade is a pure re-plan (same rows, same ĵ).
+    val nIds = ids.count()
+    val joined =
+      if (nIds <= deltaBroadcastMaxIds) docs.join(broadcast(ids), "doc_id")
+      else {
+        System.err.println(s"[graft] lshGeometryAuto: $nIds candidate ids " +
+          s"exceed broadcast bar $deltaBroadcastMaxIds — degrading to a shuffle join")
+        docs.join(ids, "doc_id")
+      }
+    val lanes = withShingleArray(joined)
       .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"))
     val est = cand
       .join(lanes.select(col("doc_id").as("id_a"), col("lanes").as("la")), "id_a")
@@ -1040,6 +1055,7 @@ object DedupOps {
       .agg(round(avg("est"), 6).as("jhat"), count(lit(1)).as("n"))
       .collect()(0)
     cand.unpersist(blocking = false)
+    ids.unpersist(blocking = false)
     if (est.getLong(1) == 0L) return LshGeometry(4, 2, 0.0)
     val jhat = est.getDouble(0)
     def capture(b: Int, r: Int): Double = 1.0 - math.pow(1.0 - math.pow(jhat, r), b)

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage mechanics for the persisted IVF-PQ index (r14): versioned index
+  * sets with a one-marker-create atomic swap, a single-writer lease, and
+  * the append ledger's schema/fold rules. This closes the r13 lifecycle
+  * gap — build → serve → append → audit → REBUILD — by giving the rebuild
+  * an actuator that is safe against concurrent readers and crashes, using
+  * the SAME commit discipline as the readstat sink's
+  * [[graft.sources.readstat.Compaction]] (staged files invisible until one
+  * atomic marker create flips readers).
+  *
+  * == Layout ==
+  *
+  * {{{
+  *   $dir/centroids, codebook, codes, append_ledger, _build_id   // v0 (legacy flat)
+  *   $dir/index.v<k>/centroids, ..., _build_id, _committed       // rebuilt sets, k >= 1
+  *   $dir/_writer.lease                                          // single-writer lease
+  * }}}
+  *
+  * [[graft.operators.SimilarityOps.saveIvfPqIndexFrom]] writes the flat v0
+  * layout (a fresh build); every REBUILD writes a complete new set under
+  * `index.v<k>` and commits it with ONE `fs.create` of `_committed` — the
+  * entire swap. Readers ([[resolveRead]]) pick the highest COMMITTED
+  * version, falling back to the flat layout: a reader that resolved v<k>
+  * just before a commit keeps reading v<k>'s files, which the rebuild
+  * never touches (retention below), so there is no mid-swap window where
+  * new centroids pair with old codes. A crash at ANY point before the
+  * marker leaves an uncommitted `index.v<k>` directory that readers
+  * ignore and the next rebuild clobbers — never a half-visible index.
+  *
+  * == Retention ==
+  *
+  * [[pruneVersions]] keeps the current set plus `keep` predecessors
+  * (default 1) so in-flight readers of the immediately previous version
+  * survive a rebuild; older sets and uncommitted leftovers are garbage.
+  * `keep = 0` is for offline/no-concurrent-reader maintenance only.
+  *
+  * == Ledger schema ==
+  *
+  * One row PER APPENDED VECTOR: (epoch LONG, cid LONG, folded BOOLEAN).
+  * The r13 ledger stored one (epoch, n_vecs) row per epoch and computed
+  * appended mass as `countDistinct(codes.cid) - sum(n_vecs)` — which goes
+  * wrong (negative base, appended_frac > 1) as soon as a source
+  * re-delivers vec_ids already indexed under a new epoch (r13 ADVICE).
+  * Per-cid rows make the mass arithmetic set-based and replay-proof:
+  * appended = DISTINCT unfolded ledger cids, base = codes cids NOT in that
+  * set. Replay detection only needs the epoch column; a rebuild FOLDS the
+  * ledger into the new version as (epoch, null, true) rows — one tiny row
+  * per epoch ever applied, so detection stays exact across the fold while
+  * folded epochs stop counting as appended mass (their vectors were
+  * retrained into the new base). The fold is also the file-count fix: the
+  * per-epoch tiny-file accumulation ("one parquet file per trigger")
+  * collapses to a single coalesced file at every rebuild.
+  */
+object IvfPqIndexStore {
+
+  private val VDir = """index\.v(\d+)""".r
+  private val LeaseName = "_writer.lease"
+  private val MarkerName = "_committed"
+  private val BuildIdName = "_build_id"
+
+  private def fsOf(s: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** (version, path) of every `index.v<k>` subdirectory, committed or not. */
+  private def versionDirs(fs: FileSystem, dir: String): Seq[(Long, HPath)] = {
+    val p = new HPath(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case VDir(k) => Some(k.toLong -> st.getPath)
+        case _ => None
+      }
+    }
+  }
+
+  /** Highest committed version number; 0 = the flat legacy layout. */
+  def committedVersion(s: SparkSession, dir: String): Long = {
+    val fs = fsOf(s, dir)
+    val committed = versionDirs(fs, dir)
+      .filter { case (_, p) => fs.exists(new HPath(p, MarkerName)) }
+    if (committed.isEmpty) 0L else committed.map(_._1).max
+  }
+
+  /** The directory every reader/appender must use: the highest COMMITTED
+    * version set, else the flat layout. One listing per call — stable
+    * between rebuilds, and a rebuild never mutates previously committed
+    * sets, so a frame planned against the resolved path stays consistent
+    * however the swap races it.
+    */
+  def resolveRead(s: SparkSession, dir: String): String = {
+    val v = committedVersion(s, dir)
+    if (v == 0L) dir else s"$dir/index.v$v"
+  }
+
+  /** The version a rebuild stages into: one past anything ever seen at
+    * this path (committed or crashed-uncommitted) so a rebuild never
+    * writes into a directory a concurrent reader could be scanning.
+    */
+  private[operators] def nextVersion(s: SparkSession, dir: String): Long = {
+    val vs = versionDirs(fsOf(s, dir), dir).map(_._1)
+    if (vs.isEmpty) 1L else vs.max + 1L
+  }
+
+  /** THE COMMIT: one atomic marker create flips every subsequent
+    * [[resolveRead]] to this set.
+    */
+  private[operators] def commit(s: SparkSession, versionDir: String): Unit =
+    fsOf(s, versionDir).create(new HPath(versionDir, MarkerName), true).close()
+
+  /** Drop committed sets older than (current − keep) plus any uncommitted
+    * leftovers below the current version; retire the flat v0 files once
+    * they age out the same way. Never touches the current set.
+    */
+  private[operators] def pruneVersions(s: SparkSession, dir: String,
+      keep: Int = 1): Unit = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val fs = fsOf(s, dir)
+    val current = committedVersion(s, dir)
+    versionDirs(fs, dir).foreach { case (v, p) =>
+      val committed = fs.exists(new HPath(p, MarkerName))
+      if ((committed && v < current - keep) || (!committed && v < current))
+        fs.delete(p, true)
+    }
+    if (current - keep > 0)
+      Seq("centroids", "codebook", "codes", "append_ledger", BuildIdName)
+        .foreach { n =>
+          val p = new HPath(dir, n)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+  }
+
+  // ------------------------------------------------------------- build id
+
+  /** Stamp a freshly built set with a unique build id — the memo key the
+    * maintenance caches pair with the path (r13 ADVICE: a JVM-lifetime
+    * memo keyed on path alone goes stale when an index is deleted and
+    * rebuilt at the same path within one JVM).
+    */
+  private[operators] def writeBuildId(s: SparkSession, dir: String): Unit = {
+    val out = fsOf(s, dir).create(new HPath(dir, BuildIdName), true)
+    out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** The set's build id ("legacy" for pre-r14 sets without the stamp). */
+  def buildId(s: SparkSession, resolvedDir: String): String = {
+    val fs = fsOf(s, resolvedDir)
+    val p = new HPath(resolvedDir, BuildIdName)
+    if (!fs.exists(p)) "legacy"
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+  }
+
+  // ---------------------------------------------------------------- lease
+
+  /** Acquire the single-writer lease on an index directory, or fail with a
+    * NAMED error (the maxStrlBytes discipline): the r13 maintenance sink
+    * documented single-writer as an unenforced assumption, and a second
+    * `ivfPqAppendSink` on the same directory silently interleaved the
+    * parquet append and the ledger. `fs.create(overwrite = false)` is the
+    * atomic claim. A lease left by a crashed maintainer must be released
+    * explicitly ([[releaseLease]]) — the named error is the operator's
+    * signal to decide, not the library's to guess.
+    */
+  def acquireLease(s: SparkSession, dir: String, token: String): Unit = {
+    val fs = fsOf(s, dir)
+    val dp = new HPath(dir)
+    if (!fs.exists(dp)) fs.mkdirs(dp)
+    val p = new HPath(dir, LeaseName)
+    try {
+      val out = fs.create(p, false)
+      out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch {
+      case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"graft IVF-PQ single-writer lease: index directory $dir is " +
+            s"already claimed by maintainer ${leaseHolder(s, dir).getOrElse("<unreadable>")}; " +
+            "a second concurrent maintainer would interleave the codes " +
+            "append and the epoch ledger. If the holder crashed, release " +
+            "the lease explicitly with IndexMaintenance.releaseIvfPqLease.")
+    }
+  }
+
+  /** The current lease holder's token, if a lease file exists. */
+  def leaseHolder(s: SparkSession, dir: String): Option[String] = {
+    val fs = fsOf(s, dir)
+    val p = new HPath(dir, LeaseName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Release the lease unconditionally — normal shutdown and the
+    * documented crash-recovery path behind [[acquireLease]]'s named error.
+    */
+  def releaseLease(s: SparkSession, dir: String): Unit =
+    fsOf(s, dir).delete(new HPath(dir, LeaseName), false)
+
+  /** Verify this maintainer still holds the lease it acquired — a forced
+    * takeover ([[releaseLease]] + re-acquire by another maintainer) must
+    * surface as a named error at the old maintainer's next batch, not as
+    * silent interleaving.
+    */
+  private[graft] def requireLease(s: SparkSession, dir: String,
+      token: String): Unit = leaseHolder(s, dir) match {
+    case Some(t) if t == token => ()
+    case other => throw new IllegalStateException(
+      s"graft IVF-PQ single-writer lease: maintainer lost the lease on $dir " +
+        s"(held by ${other.getOrElse("<none>")}) — another maintainer took " +
+        "over; this sink must stop.")
+  }
+
+  /** A rebuild must not run under an ACTIVE maintainer (it folds the
+    * ledger the maintainer is appending to). Named error when a lease
+    * exists; batch-only deployments have no lease file and pass.
+    */
+  private[operators] def requireNoLease(s: SparkSession, dir: String): Unit =
+    leaseHolder(s, dir).foreach { t =>
+      throw new IllegalStateException(
+        s"graft IVF-PQ single-writer lease: cannot rebuild $dir while " +
+          s"maintainer $t holds the writer lease — stop the maintenance " +
+          "sink (and releaseIvfPqLease) first.")
+    }
+
+  // --------------------------------------------------------------- ledger
+
+  /** The resolved set's ledger, normalized to (epoch, cid, folded); None
+    * when no ledger exists. Legacy (epoch, n_vecs) rows read as folded
+    * (epochs still replay-detected; their mass signal predates the
+    * per-cid schema and is not reconstructible).
+    */
+  def readLedger(s: SparkSession, resolvedDir: String): Option[DataFrame] = {
+    val p = new HPath(s"$resolvedDir/append_ledger")
+    if (!fsOf(s, resolvedDir).exists(p)) None
+    else {
+      val raw = s.read.parquet(p.toString)
+      Some(
+        if (raw.columns.contains("cid"))
+          raw.select(col("epoch").cast("long").as("epoch"),
+            col("cid").cast("long").as("cid"), col("folded"))
+        else raw.select(col("epoch").cast("long").as("epoch"),
+          lit(null).cast("long").as("cid"), lit(true).as("folded")))
+    }
+  }
+
+  /** Record one applied epoch: one row per appended vector, unfolded. */
+  private[graft] def appendLedger(batch: DataFrame, epoch: Long,
+      resolvedDir: String): Unit =
+    batch.select(lit(epoch).as("epoch"),
+        col("vec_id").cast("long").as("cid"), lit(false).as("folded"))
+      .write.mode("append").parquet(s"$resolvedDir/append_ledger")
+
+  /** The rebuild's ledger fold: every epoch ever applied to the source
+    * set lands in the new set as ONE (epoch, null, folded=true) row in a
+    * single coalesced file — replay detection stays exact across the
+    * fold, appended-mass accounting restarts at zero (the folded epochs'
+    * vectors are now retrained base), and a year-scale stream's
+    * one-file-per-epoch accumulation collapses.
+    */
+  private[operators] def foldLedgerInto(s: SparkSession, fromDir: String,
+      toDir: String): Unit =
+    readLedger(s, fromDir).foreach { led =>
+      led.select("epoch").distinct()
+        .select(col("epoch"), lit(null).cast("long").as("cid"),
+          lit(true).as("folded"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$toDir/append_ledger")
+    }
+}

@@ -59,6 +59,34 @@ object SimilarityOps {
   private def buildOnce(key: String)(build: => Unit): Unit =
     ivfPqBuilt.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
 
+  /** Path-reuse hook (r13 ADVICE): the build memo is JVM-lifetime, so a
+    * caller that deletes a fixture index directory and expects the next
+    * invocation to rebuild it must drop the key explicitly (the testdata
+    * corpora this memo serves are immutable, so the library never needs
+    * to — the hook exists for harnesses that recycle paths).
+    */
+  private[graft] def invalidateIvfPqBuildMemo(key: String): Unit =
+    ivfPqBuilt.remove(key)
+
+  /** q133's fixture index: the full lifecycle on q126's drifted split —
+    * build on the ¾ base (stale codebooks), append the remaining quarter
+    * (exactly the appended mass q127 audits), then REBUILD over
+    * base + appended. The rebuild retrains over the same rows a fresh
+    * full-corpus build trains on, so the rebuilt search must equal q122's
+    * — the equality q133's oracle pins by sharing q70's text verbatim.
+    */
+  private def ensureQ133Index(s: SparkSession, d: String): String = {
+    val dir = ivfPqTmpDir(s"q133:$d")
+    buildOnce(s"q133:$d") {
+      val base = prepped(s, d).filter(!expr(q126BatchFilter))
+      val batch = prepped(s, d).filter(expr(q126BatchFilter))
+      saveIvfPqIndexFrom(base, dir)
+      appendToIvfPqIndex(s, batch, dir)
+      rebuildIvfPqIndexFrom(prepped(s, d), dir)
+    }
+    dir
+  }
+
   /** q126/q127's shared fixture index: built on the ¾ base (NOT
     * q126BatchFilter), the remaining quarter appended against the frozen
     * centroids/codebook — once per (JVM, corpus).
@@ -625,10 +653,67 @@ object SimilarityOps {
         .join(lists, "cid")
         .write.mode("overwrite").partitionBy("c_label")
         .parquet(s"$dir/codes")
+      // unique build stamp: the maintenance memos key on (path, build id)
+      // so a delete-and-rebuild at the same path invalidates them (r13
+      // ADVICE — path-alone keys went stale on path reuse within one JVM)
+      IvfPqIndexStore.writeBuildId(base.sparkSession, dir)
     } finally {
       codebook.unpersist(blocking = false)
       centroids.unpersist(blocking = false)
     }
+  }
+
+  /** q133: REBUILD-AND-SWAP — the actuator for q127's `rebuild` flag (the
+    * r13 lifecycle gap: the audit, the append crash window, and the
+    * ledger's one-file-per-epoch growth all deferred to "the next rebuild",
+    * and none existed; re-running [[saveIvfPqIndex]] into a live directory
+    * was a non-atomic clobber — a concurrent [[searchSavedIvfPq]] could
+    * pair new centroids with old codes mid-swap). The rebuild retrains
+    * centroids + codebook over the CURRENT lake (base + everything
+    * appended since), stages a complete new set under `index.v<k>`, folds
+    * the epoch ledger, and commits with ONE atomic marker create —
+    * [[graft.sources.readstat.Compaction]]'s swap discipline applied to
+    * the index. Readers resolve the highest committed version, so:
+    *   - mid-swap they keep reading the old, internally consistent set
+    *     (which the rebuild never touches; retention keeps it one version
+    *     back for in-flight frames);
+    *   - a crash at any point before the marker leaves an invisible
+    *     staging directory the next rebuild clobbers;
+    *   - the crash-window duplicate code rows from an append replay are
+    *     GONE after the rebuild (codes are re-derived from the corpus);
+    *   - replay detection survives the ledger fold: every applied epoch
+    *     rides into the new set as a folded row, while its mass stops
+    *     counting as appended (those vectors are now retrained base).
+    *
+    * Scale shape: exactly a fresh build — two linear corpus passes plus
+    * the partitioned write — which is the cost the staleness audit (one
+    * linear pass) exists to gate. The swap itself is O(1) driver fs ops.
+    */
+  def rebuildIvfPqIndex(s: SparkSession, d: String, dir: String): Unit =
+    rebuildIvfPqIndexFrom(prepped(s, d), dir)
+
+  /** [[rebuildIvfPqIndex]] over an explicit prepped corpus frame — the
+    * seam the lifecycle spec drives crash points and reader races
+    * through. `keepVersions` is the retention bar (see
+    * [[IvfPqIndexStore.pruneVersions]]).
+    */
+  def rebuildIvfPqIndexFrom(corpus: DataFrame, dir: String,
+      keepVersions: Int = 1): Unit = {
+    val s = corpus.sparkSession
+    IvfPqIndexStore.requireNoLease(s, dir)
+    val cur = IvfPqIndexStore.resolveRead(s, dir)
+    val n = IvfPqIndexStore.nextVersion(s, dir)
+    val vdir = s"$dir/index.v$n"
+    // clobber an uncommitted leftover of a crashed attempt: it has no
+    // marker, so no reader ever resolved it
+    val fs = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(vdir))) fs.delete(
+      new org.apache.hadoop.fs.Path(vdir), true)
+    saveIvfPqIndexFrom(corpus, vdir)
+    IvfPqIndexStore.foldLedgerInto(s, cur, vdir)
+    IvfPqIndexStore.commit(s, vdir)
+    IvfPqIndexStore.pruneVersions(s, dir, keepVersions)
   }
 
   /** q126: INCREMENTAL index maintenance — append a batch of new vectors
@@ -660,8 +745,12 @@ object SimilarityOps {
     * batches: the inverted file grows by exactly the batch's rows.
     */
   def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
-    val centroids = s.read.parquet(s"$dir/centroids")
-    val codebook = s.read.parquet(s"$dir/codebook")
+    // resolve to the current committed version set (r14): after a rebuild,
+    // appends must code against the RETRAINED centroids/codebook and land
+    // in the new set's inverted file, never the retired one's
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    val centroids = s.read.parquet(s"$rdir/centroids")
+    val codebook = s.read.parquet(s"$rdir/codebook")
     val lists = rankedCellsWith(newVecs, centroids, Seq("e"))
       .filter(col("rn") === 1)
       .select(col("c_label"), col("vec_id").as("cid"))
@@ -671,7 +760,7 @@ object SimilarityOps {
         col("code").cast("int").as("code"))
       .join(lists, "cid")
       .write.mode("append").partitionBy("c_label")
-      .parquet(s"$dir/codes")
+      .parquet(s"$rdir/codes")
   }
 
   /** q127: IVF-PQ STALENESS AUDIT — the rebuild policy q126's scaladoc
@@ -713,8 +802,14 @@ object SimilarityOps {
   private[operators] def ivfPqStalenessAuditFrom(corpus: DataFrame, dir: String,
       cohortFilter: String, fracBar: Double, distBar: Double): DataFrame = {
     val s = corpus.sparkSession
-    val codes = s.read.parquet(s"$dir/codes")
-    val codebook = s.read.parquet(s"$dir/codebook")
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    // duplicate-tolerant read (r13 ADVICE): an append replay's crash window
+    // leaves exact-duplicate (cid, subspace, code) rows; the audit's
+    // n_rows/sum_dist must describe the index's VECTORS, not its storage
+    // accidents, so identical rows collapse before scoring
+    val codes = s.read.parquet(s"$rdir/codes")
+      .dropDuplicates("cid", "subspace")
+    val codebook = s.read.parquet(s"$rdir/codebook")
     // the cohort predicate evaluates on the CORPUS frame, where `vec_id`
     // still exists — renaming after, not rewriting the SQL text (a textual
     // vec_id→cid replace would corrupt any filter whose text merely
@@ -804,9 +899,12 @@ object SimilarityOps {
   def searchSavedIvfPq(s: SparkSession, d: String, indexDir: String,
       nProbes: Int = 2, k: Int = 5): DataFrame = {
     require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
-    val centroids = s.read.parquet(s"$indexDir/centroids")
-    val codebook = s.read.parquet(s"$indexDir/codebook")
-    val codes = s.read.parquet(s"$indexDir/codes")
+    // highest committed version set (r14): the rebuild's atomic-swap
+    // contract — this resolution is the reader half
+    val rdir = IvfPqIndexStore.resolveRead(s, indexDir)
+    val centroids = s.read.parquet(s"$rdir/centroids")
+    val codebook = s.read.parquet(s"$rdir/codebook")
+    val codes = s.read.parquet(s"$rdir/codes")
     val q = prepped(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val scored = q.join(broadcast(centroids))
@@ -1123,6 +1221,18 @@ object SimilarityOps {
     "q129_ann_recall_audit" -> ((s, d) =>
       annRecallAudit(s, d, ensureQ126Index(s, d))),
 
+    // REBUILD-AND-SWAP (the r13 verdict's top item): build stale, append
+    // the drifted quarter, rebuild atomically over the union, search the
+    // REBUILT set — see [[rebuildIvfPqIndex]] / [[ensureQ133Index]].
+    // Retraining over base+appended is definitionally a fresh full-corpus
+    // build, so the oracle is q70's text verbatim (the q122 anti-drift
+    // discipline): any divergence between the swapped-in set and a fresh
+    // build — stale centroids surviving the swap, a reader resolving the
+    // old version after commit, duplicate rows leaking through — breaks
+    // the hash.
+    "q133_ivfpq_rebuild_search" -> ((s, d) =>
+      searchSavedIvfPq(s, d, ensureQ133Index(s, d))),
+
     // Prototype-ranked selection (Sorscher et al.) — see
     // [[prototypeSelect]] for the method citation, keep convention, and
     // the q103 hot-cluster escape.
@@ -1430,6 +1540,11 @@ object SimilarityOps {
     // anti-drift discipline: a future change to the ADC rule cannot
     // desynchronize the persisted path from the inline one).
     "q122_ivfpq_saved_search" -> q70OracleSql,
+
+    // q133 IS q70 on results too: the rebuild retrains over the full
+    // corpus, so the swapped-in set must search exactly like a fresh
+    // full-corpus build — one oracle text, zero drift room.
+    "q133_ivfpq_rebuild_search" -> q70OracleSql,
 
     // frozen-codebook append: model CTEs on the ¾ base, everything else
     // (assignment, codes, probes, search) over the full corpus

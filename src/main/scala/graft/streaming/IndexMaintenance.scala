@@ -4,115 +4,152 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.SimilarityOps
+import graft.operators.{IvfPqIndexStore, SimilarityOps}
 
-/** STREAMING IVF-PQ index maintenance (r13): the last leg of the index
-  * lifecycle — build once (q122), serve (q122's saved search), append
-  * batches (q126), audit staleness (q127) — driven from a Structured
-  * Streaming source instead of a daily batch job. Each micro-batch of
-  * embedding rows is appended to the saved index with q126's
-  * frozen-codebook assignment (cost = |batch| dots + one partition-pruned
-  * parquet append; the corpus is never re-passed), and a tiny epoch
-  * ledger makes the sink EXACTLY-ONCE where raw `foreachBatch` + parquet
-  * append is only at-least-once: a replayed epoch (post-crash re-fire of
-  * an uncommitted batch — Spark's documented foreachBatch contract) is
-  * detected in the ledger and skipped, so the inverted file never
-  * double-counts a vector.
+/** STREAMING IVF-PQ index maintenance: the serve/append/audit leg of the
+  * index lifecycle — build once (q122), serve (q122's saved search),
+  * append batches (q126), audit staleness (q127), REBUILD (q133) — driven
+  * from a Structured Streaming source instead of a daily batch job. Each
+  * micro-batch of embedding rows is appended to the saved index with
+  * q126's frozen-codebook assignment (cost = |batch| dots + one
+  * partition-pruned parquet append; the corpus is never re-passed), and a
+  * per-vector epoch ledger makes the sink effectively-once where raw
+  * `foreachBatch` + parquet append is only at-least-once: a replayed epoch
+  * (post-crash re-fire of an uncommitted batch — Spark's documented
+  * foreachBatch contract) is detected in the ledger and skipped.
   *
-  * The ledger doubles as the streaming half of q127's staleness story:
-  * appended mass is known WITHOUT touching raw vectors (the index stores
-  * codes, not embeddings), so [[appendedMassReport]] computes the
-  * fraction-bar signal from the index directory alone. The distortion
-  * half (q127's cohort re-scoring) needs the lake's vectors and runs as
-  * the scheduled batch audit — exactly the split a production deployment
-  * wants: cheap continuous signal at the edge, full audit on a schedule.
+  * EXACTLY-ONCE, stated precisely (r13 ADVICE): the ledger write lands
+  * AFTER the codes append, so a crash between the two re-applies the
+  * epoch on replay and duplicates that epoch's code rows in STORAGE. Every
+  * reader is duplicate-tolerant by construction — the saved search
+  * collapses per-(cid, subspace) rows before summing ADC distances, the
+  * staleness audit dedups codes on read, and [[appendedMassReport]]'s
+  * arithmetic is DISTINCT-cid set algebra (never a ledger-sum
+  * subtraction) — so replay can never change a search result, an audit
+  * statistic, or the mass report; what it costs is duplicate rows on
+  * disk, which the next rebuild ([[SimilarityOps.rebuildIvfPqIndex]])
+  * compacts away by re-deriving codes from the corpus. The rebuild also
+  * FOLDS the ledger (one row per applied epoch, single file), so replay
+  * detection stays exact across it while the per-epoch tiny-file
+  * accumulation collapses.
+  *
+  * SINGLE-WRITER is enforced, not assumed (r13 verdict #2): attaching a
+  * sink claims the directory's writer lease
+  * ([[IvfPqIndexStore.acquireLease]], one atomic create); a second
+  * concurrent maintainer fails with a NAMED error instead of silently
+  * interleaving the parquet append and the ledger. A lease left by a
+  * crashed maintainer is released explicitly with [[releaseIvfPqLease]] —
+  * the named error is the operator's recovery signal.
   */
 object IndexMaintenance {
 
   /** Apply ONE epoch's append idempotently: returns true if the batch was
-    * applied, false if the epoch was already in the ledger (replay). The
-    * ledger write lands AFTER the codes append — a crash between the two
-    * re-applies the epoch on replay, which duplicates that epoch's code
-    * rows. The SEARCH is duplicate-tolerant by construction
-    * ([[graft.operators.SimilarityOps.searchSavedIvfPq]] collapses
-    * per-(cid, subspace) rows before summing ADC distances — a plain sum
-    * would DOUBLE the replayed vectors' distances and evict them from
-    * every top-k), so the crash window costs duplicate storage rows, not
-    * result correctness; the next rebuild (q127's flag) compacts them
-    * away.
+    * applied, false if the epoch was already in the ledger (replay) or the
+    * batch was empty. Writes land in the CURRENT committed version set
+    * (resolveRead), so maintenance keeps working across rebuilds — new
+    * epochs code against the retrained model, and epochs folded by the
+    * rebuild are still detected as applied. `leaseToken`, when present
+    * (the sink path), is re-verified per batch so a forced lease takeover
+    * stops this maintainer with a named error at its next trigger.
     */
   private[graft] def appendEpoch(batch: DataFrame, epoch: Long,
-      dir: String): Boolean = {
+      dir: String, leaseToken: Option[String] = None): Boolean = {
     val s = batch.sparkSession
-    val applied = appliedEpochs(s, dir)
+    leaseToken.foreach(IvfPqIndexStore.requireLease(s, dir, _))
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    val applied = appliedEpochs(s, rdir)
     if (applied.contains(epoch)) return false
-    // one job, not two: count() answers emptiness and the ledger row
-    val n = batch.count()
-    if (n == 0) return false
-    SimilarityOps.appendToIvfPqIndex(s, batch, dir)
-    s.range(1).select(lit(epoch).as("epoch"), lit(n).as("n_vecs"))
-      .write.mode("append").parquet(s"$dir/append_ledger")
-    applied.synchronized { applied += epoch }
-    true
+    // the batch feeds the emptiness check, the codes append AND the ledger
+    // rows — persist so the source is read once per trigger
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (b.isEmpty) return false
+      SimilarityOps.appendToIvfPqIndex(s, b, dir)
+      // ledger LAST: its presence implies the codes append completed, so
+      // seeding the replay set from it can never skip a half-applied epoch
+      IvfPqIndexStore.appendLedger(b, epoch, rdir)
+      applied.synchronized { applied += epoch }
+      true
+    } finally b.unpersist(blocking = false)
   }
 
-  /** Applied-epoch set per (JVM, dir): seeded from the on-disk ledger ONCE
-    * (so a restart still sees every previously committed epoch), then
-    * maintained in memory — without the memo the replay check re-read the
-    * whole ledger per trigger, O(stream age) driver work on a long-lived
-    * query. Single-writer assumption, as for any parquet-append sink: two
-    * concurrent maintainers of one index directory race the append itself,
-    * memo or no memo. The ledger also accrues one tiny file per epoch —
-    * on a year-scale stream, fold it on the same schedule as the rebuild
-    * (read, rewrite compacted, swap), exactly the readstat sink's
-    * compaction discipline.
+  /** Applied-epoch set per (JVM, resolved dir, build id): seeded from the
+    * on-disk ledger ONCE (so a restart still sees every previously
+    * committed epoch — including epochs a rebuild folded), then maintained
+    * in memory; without the memo the replay check re-reads the whole
+    * ledger per trigger, O(stream age) driver work on a long-lived query.
+    * Keying on the BUILD ID (r13 ADVICE) means deleting and rebuilding an
+    * index at the same path within one JVM gets a fresh memo instead of
+    * stale applied-epoch state, and a rebuild's version bump re-keys
+    * naturally through the resolved path.
     */
   private val ledgerCache =
     new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.Set[Long]]()
   private def appliedEpochs(s: SparkSession,
-      dir: String): scala.collection.mutable.Set[Long] =
-    ledgerCache.computeIfAbsent(dir, _ => {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/append_ledger")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val seed: scala.collection.mutable.Set[Long] =
-        if (!fs.exists(p)) scala.collection.mutable.Set.empty
-        else scala.collection.mutable.Set(
-          s.read.parquet(p.toString).select("epoch").collect()
-            .map(_.getLong(0)): _*)
-      seed
-    })
+      rdir: String): scala.collection.mutable.Set[Long] =
+    ledgerCache.computeIfAbsent(s"$rdir@${IvfPqIndexStore.buildId(s, rdir)}",
+      _ => {
+        val seed: scala.collection.mutable.Set[Long] =
+          IvfPqIndexStore.readLedger(s, rdir) match {
+            case None => scala.collection.mutable.Set.empty
+            case Some(led) => scala.collection.mutable.Set(
+              led.select("epoch").distinct().collect().map(_.getLong(0)): _*)
+          }
+        seed
+      })
 
   /** The maintenance sink: attach to a stream of prepped embedding rows
-    * (`vec_id`, `e` ARRAY<DOUBLE>) and start. The saved search
-    * (q122/q126's `searchSavedIvfPq`) serves from the same directory
-    * between triggers with zero coordination — parquet readers see each
-    * append atomically.
+    * (`vec_id`, `e` ARRAY<DOUBLE>) and start. Attaching CLAIMS the
+    * directory's single-writer lease — a second maintainer on the same
+    * directory fails here by name. The saved search (q122/q126's
+    * `searchSavedIvfPq`) serves from the same directory between triggers
+    * with zero coordination — parquet readers see each append atomically,
+    * and a rebuild's version swap is one atomic marker create. Stop the
+    * query, then [[releaseIvfPqLease]]; a lease orphaned by a crash is
+    * released the same way.
     */
-  def ivfPqAppendSink(vecs: DataFrame, dir: String): DataStreamWriter[Row] =
+  def ivfPqAppendSink(vecs: DataFrame, dir: String): DataStreamWriter[Row] = {
+    val token = java.util.UUID.randomUUID().toString
+    IvfPqIndexStore.acquireLease(vecs.sparkSession, dir, token)
     vecs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      appendEpoch(batch, epoch, dir): Unit
+      appendEpoch(batch, epoch, dir, Some(token)): Unit
     }
+  }
+
+  /** Release the index directory's single-writer lease — normal shutdown
+    * after stopping the sink, and the recovery path the acquire error
+    * names after a maintainer crash.
+    */
+  def releaseIvfPqLease(s: SparkSession, dir: String): Unit =
+    IvfPqIndexStore.releaseLease(s, dir)
 
   /** Appended-mass report from the index directory alone (no raw
-    * vectors): base size is the codes table's distinct-vector count minus
-    * the ledger total, so the report stays correct however many epochs
-    * have landed. One row: (base_vecs, appended_vecs, appended_frac,
-    * rebuild_mass) with the same 0.3 fraction bar as q127's default.
+    * vectors): DISTINCT-cid set algebra over the codes table and the
+    * unfolded ledger rows — appended = vectors the ledger attributes to a
+    * still-unfolded epoch, base = indexed vectors outside that set. A
+    * source that re-delivers the same vec_ids under a new epoch therefore
+    * counts them once (the r13 shape's `countDistinct(cid) − sum(n_vecs)`
+    * went negative there), and epochs a rebuild folded contribute nothing
+    * (their vectors are retrained base). One row: (base_vecs,
+    * appended_vecs, appended_frac, rebuild_mass) with the same 0.3
+    * fraction bar as q127's default.
     */
   def appendedMassReport(s: SparkSession, dir: String,
       fracBar: Double = 0.3): DataFrame = {
-    val total = s.read.parquet(s"$dir/codes")
-      .agg(countDistinct("cid").as("total_vecs"))
-    val p = new org.apache.hadoop.fs.Path(s"$dir/append_ledger")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val appended =
-      if (!fs.exists(p)) s.range(1).select(lit(0L).as("appended_vecs"))
-      else s.read.parquet(p.toString)
-        .agg(coalesce(sum("n_vecs"), lit(0L)).as("appended_vecs"))
-    total.crossJoin(appended)
-      .select(
-        (col("total_vecs") - col("appended_vecs")).as("base_vecs"),
-        col("appended_vecs"),
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    val codes = s.read.parquet(s"$rdir/codes").select("cid").distinct()
+    val appendedCids = IvfPqIndexStore.readLedger(s, rdir) match {
+      case None => s.emptyDataFrame.select(lit(0L).as("cid")).limit(0)
+      case Some(led) => led.filter(!col("folded") && col("cid").isNotNull)
+        .select("cid").distinct()
+    }
+    val marked = codes.join(appendedCids.withColumn("app", lit(1L)),
+      Seq("cid"), "left")
+    marked.agg(
+        sum(when(col("app").isNull, 1L).otherwise(0L)).as("base_vecs"),
+        sum(when(col("app").isNotNull, 1L).otherwise(0L)).as("appended_vecs"),
+        count(lit(1)).as("total_vecs"))
+      .select(col("base_vecs"), col("appended_vecs"),
         round(col("appended_vecs").cast("double") / col("total_vecs"), 6)
           .as("appended_frac"),
         (col("appended_vecs").cast("double") / col("total_vecs") > fracBar)

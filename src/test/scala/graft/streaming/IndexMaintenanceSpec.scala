@@ -75,6 +75,84 @@ class IndexMaintenanceSpec extends SparkSpec {
     val rep2 = IndexMaintenance.appendedMassReport(sp, dir).collect()(0)
     assert(rep2.getLong(1) === 35L && rep2.getLong(3) === 1L,
       s"0.368 appended mass must trip the 0.3 bar: $rep2")
+    IndexMaintenance.releaseIvfPqLease(sp, dir)
     sp.catalog.clearCache()
+  }
+
+  test("a second concurrent maintainer fails by name; release recovers") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxlease").toString
+    SimilarityOps.saveIvfPqIndexFrom(frame(0L until 20L), dir)
+    val a = MemoryStream[VecRow]
+    IndexMaintenance.ivfPqAppendSink(a.toDF(), dir) // claims the lease
+    val b = MemoryStream[VecRow]
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.ivfPqAppendSink(b.toDF(), dir)
+    }
+    assert(e.getMessage.contains("single-writer lease"),
+      s"second maintainer must fail by NAME, got: ${e.getMessage}")
+    // crash recovery: explicit release, then a new maintainer attaches
+    IndexMaintenance.releaseIvfPqLease(sp, dir)
+    IndexMaintenance.ivfPqAppendSink(b.toDF(), dir)
+    IndexMaintenance.releaseIvfPqLease(sp, dir)
+  }
+
+  test("a forced lease takeover stops the old maintainer by name") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxtake").toString
+    SimilarityOps.saveIvfPqIndexFrom(frame(0L until 20L), dir)
+    graft.operators.IvfPqIndexStore.acquireLease(sp, dir, "maintainer-b")
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.appendEpoch(frame(20L until 25L), epoch = 0L, dir,
+        leaseToken = Some("maintainer-a"))
+    }
+    assert(e.getMessage.contains("lost the lease"))
+    IndexMaintenance.releaseIvfPqLease(sp, dir)
+  }
+
+  test("replay detection survives the rebuild's ledger fold") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxfold").toString
+    SimilarityOps.saveIvfPqIndexFrom(frame(0L until 40L), dir)
+    assert(IndexMaintenance.appendEpoch(frame(40L until 50L), epoch = 7L, dir))
+    SimilarityOps.rebuildIvfPqIndexFrom(frame(0L until 50L), dir)
+    // the fold carried epoch 7 into the new set: its replay is still a
+    // no-op even though the new set's ledger has no per-cid rows for it
+    val rdir = graft.operators.IvfPqIndexStore.resolveRead(sp, dir)
+    assert(rdir.endsWith("index.v1"))
+    assert(!IndexMaintenance.appendEpoch(frame(40L until 50L), epoch = 7L, dir),
+      "a folded epoch must still be detected as applied")
+    assert(sp.read.parquet(s"$rdir/codes").count() === 50L * 8,
+      "the detected replay must not mutate the rebuilt codes table")
+    // folded epochs carry no appended mass — the rebuild retrained them in
+    val rep = IndexMaintenance.appendedMassReport(sp, dir).collect()(0)
+    assert(rep.getLong(0) === 50L && rep.getLong(1) === 0L,
+      s"post-rebuild mass must restart at zero appended: $rep")
+    // the ledger is ONE compacted file after the fold (the tiny-file fix)
+    val ledgerFiles = new java.io.File(s"$rdir/append_ledger")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(ledgerFiles === 1, s"folded ledger must be one file, got $ledgerFiles")
+    // maintenance continues against the rebuilt set
+    assert(IndexMaintenance.appendEpoch(frame(50L until 55L), epoch = 8L, dir))
+    val rep2 = IndexMaintenance.appendedMassReport(sp, dir).collect()(0)
+    assert(rep2.getLong(0) === 50L && rep2.getLong(1) === 5L)
+  }
+
+  test("re-delivered vec_ids never corrupt the mass arithmetic") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxredeliver").toString
+    SimilarityOps.saveIvfPqIndexFrom(frame(0L until 40L), dir)
+    assert(IndexMaintenance.appendEpoch(frame(40L until 50L), epoch = 1L, dir))
+    // the source re-fires ids 45..49 under a NEW epoch (at-least-once
+    // upstream, not a foreachBatch replay) alongside genuinely new ids —
+    // the r13 ledger-sum arithmetic counted them twice (base_vecs could go
+    // negative); distinct-cid algebra counts each vector once
+    assert(IndexMaintenance.appendEpoch(frame(45L until 55L), epoch = 2L, dir))
+    val rep = IndexMaintenance.appendedMassReport(sp, dir).collect()(0)
+    assert(rep.getLong(0) === 40L, s"base must stay 40: $rep")
+    assert(rep.getLong(1) === 15L, s"appended must be DISTINCT ids 40..54: $rep")
+    assert(rep.getLong(0) >= 0L && rep.getDouble(2) <= 1.0)
   }
 }
