@@ -326,6 +326,7 @@ object ScaleSmoke {
     }
 
     val walls = scala.collection.mutable.Map[String, Double]()
+    val rowCounts = scala.collection.mutable.Map[String, Long]()
 
     def runCase(q: String, corpusDir: File, prefix: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -358,6 +359,7 @@ object ScaleSmoke {
       out.append(f""","$prefix${q}_straggler":${m.straggler}%.2f""")
       if (attempts > 1) out.append(s""","$prefix${q}_attempts":$attempts""")
       walls(prefix + q) = m.wall
+      rowCounts(prefix + q) = m.rows
     }
 
     def runQuery(q: String, corpusDir: File, prefix: String): Unit =
@@ -564,6 +566,47 @@ object ScaleSmoke {
         System.err.println(f"[scalesmoke] q108 10x->20x growth: ${w20 / w10}%.2f " +
           "(diagnostic; linear explode + sublinear half-corpus model expected ~2x)")
       }
+    }
+
+    // q112 20× (r13 verdict #8): delta dedup is the daily-dump workhorse
+    // and had only a 10× point. At 20× history is ~80k docs and the
+    // arrival batch ~20k — the band join and the verify stage must stay
+    // batch-bounded (gated through the shared straggler bar). The second
+    // run exercises the r13 BROADCAST GUARD's degrade path AT SIZE: a
+    // 1-id bar forces the candidate-id join onto the shuffle plan, which
+    // must (a) hold the same straggler bar and (b) return the identical
+    // result set — the pure-re-plan contract DeltaDedupSpec pins at unit
+    // scale, re-checked here where the exchange actually carries data.
+    if (args.isEmpty || args.contains("q112_delta_dedup")) {
+      val docs20 = new File("/tmp/graft_scale_docs20x")
+      ensureTable(docs20, "documents.parquet", nDocs * 2, generate)
+      runQuery("q112_delta_dedup", docs20, "docs20x_")
+      for (w10 <- walls.get("q112_delta_dedup");
+           w20 <- walls.get("docs20x_q112_delta_dedup")) {
+        out.append(f""","docs20x_q112_growth":${w20 / w10}%.2f""")
+        System.err.println(f"[scalesmoke] q112 10x->20x growth: ${w20 / w10}%.2f " +
+          "(diagnostic; linear fp/band tables + batch-bounded pair work expected ~2x)")
+      }
+      runCase("q112_delta_dedup_degraded", docs20, "docs20x_",
+        (s, p) => operators.DedupOps.deltaDedupFrom(
+          graft.util.Tables.documents(s, p), maxBroadcastIds = 1L))
+      // pure-re-plan check at size: an order-independent xor of per-row
+      // hashes over the FULL disposition rows (row COUNT is one-per-arrival
+      // by construction and would prove nothing). Untimed — correctness
+      // evidence, not a wall measurement.
+      def q112Hash(bar: Long): Long = {
+        val df = operators.DedupOps.deltaDedupFrom(
+          graft.util.Tables.documents(spark, docs20.getPath), maxBroadcastIds = bar)
+        val h = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(coalesce(expr("bit_xor(h)"), lit(0L))).collect()(0).getLong(0)
+        df.unpersist(blocking = false)
+        h
+      }
+      val degradeEqual = q112Hash(Long.MaxValue) == q112Hash(1L)
+      out.append(s""","docs20x_q112_degrade_rows_equal":${if (degradeEqual) 1 else 0}""")
+      System.err.println(if (degradeEqual)
+        "[scalesmoke] q112 degraded shuffle plan returned the identical disposition set"
+      else "[scalesmoke] q112 degrade RESULT MISMATCH between broadcast and shuffle plans")
     }
 
     // q57 hot-source section (r9 verdict #4): 80% of the corpus in ONE

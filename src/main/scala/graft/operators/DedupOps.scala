@@ -1296,7 +1296,7 @@ object DedupOps {
     * broadcast guard — the seam DeltaDedupSpec drives with a tiny bar to
     * pin that the shuffle-join degrade is a pure re-plan (same rows).
     */
-  private[operators] def deltaDedupFrom(docs: DataFrame,
+  private[graft] def deltaDedupFrom(docs: DataFrame,
       maxBroadcastIds: Long = deltaBroadcastMaxIds): DataFrame = {
     val hist = docs.filter(col("doc_id") % 10 < 8)
     val arr = docs.filter(col("doc_id") % 10 >= 8)

@@ -579,6 +579,51 @@ object MultimodalOps {
     DedupOps.finishAndRelease(res, text, media)
   }
 
+  /** q134: CROSS-MODAL KEEPER CONSISTENCY — q113 elects text keepers and
+    * q125 elects per-kind asset keepers, and nothing checked they agree: a
+    * document whose text resolves to keeper A while its image resolves to
+    * B's representative is a SPLIT IDENTITY — two operators assigned the
+    * same training document to different canonical owners, the exact case
+    * a curation pipeline must surface before dedup decisions (keep A's
+    * text with B's image?) silently disagree. One row per (kind,
+    * text_stage): how many docs carry both identities, how many agree
+    * (text keeper == media keeper's representative), how many split.
+    *
+    * Composition, not new machinery (the q128 discipline): text stages
+    * and keeper map are q113's own election ([[TextOps.textKeeperMap]],
+    * one shared definition), media keepers are q125's `kept_id`; the
+    * check is one doc-keyed join and a grouped count. Docs with either
+    * identity missing (gate-failers have no text identity, decode
+    * failures no media identity) carry nothing to compare and are
+    * excluded — their absence is already q113/q125's report.
+    *
+    * Scale shape: the two proven waterfalls plus one doc-keyed join and a
+    * ≤(2 kinds × 5 stages)-row aggregate.
+    */
+  def keeperConsistency(s: SparkSession, d: String): DataFrame =
+    keeperConsistencyFrom(documents(s, d), mediaWaterfall(s, d))
+
+  /** [[keeperConsistency]] over explicit documents + media-disposition
+    * frames — the seam the spec plants a split-identity pair through.
+    * `media` must carry q125's (kind, doc_id, stage, kept_id) shape; it is
+    * released after the materialize (it is mediaWaterfall's persisted
+    * output on the operator path).
+    */
+  private[operators] def keeperConsistencyFrom(docs: DataFrame,
+      media: DataFrame): DataFrame = {
+    val text = TextOps.pipelineWaterfall(docs)
+    val tk = TextOps.textKeeperMap(docs)
+    val res = text.select(col("doc_id"), col("stage").as("text_stage"))
+      .join(tk, "doc_id")
+      .join(media.filter(col("kept_id").isNotNull), "doc_id")
+      .groupBy("kind", "text_stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("keep_id") === col("kept_id")).cast("long")).as("n_agree"),
+        sum((col("keep_id") =!= col("kept_id")).cast("long")).as("n_split"))
+      .orderBy("kind", "text_stage")
+    DedupOps.finishAndRelease(res, text, media)
+  }
+
   def mediaWaterfall(s: SparkSession, d: String): DataFrame = {
     // ONE finish for both kinds: the returned UNION is the persisted frame
     // (so the caller's unpersist() hits the actual cached plan — r12
@@ -802,7 +847,12 @@ object MultimodalOps {
     "q125_media_waterfall" -> ((s, d) => mediaWaterfall(s, d)),
 
     // The FULL multimodal curation verdict — see [[multimodalVerdict]].
-    "q128_multimodal_verdict" -> ((s, d) => multimodalVerdict(s, d))
+    "q128_multimodal_verdict" -> ((s, d) => multimodalVerdict(s, d)),
+
+    // Cross-modal keeper consistency: do q113's text keepers and q125's
+    // asset keepers assign each doc to the same canonical owner? See
+    // [[keeperConsistency]].
+    "q134_keeper_consistency" -> ((s, d) => keeperConsistency(s, d))
   )
 
   /** q87's operator body, reusable over any (doc_id, media BINARY) frame —
@@ -971,7 +1021,27 @@ object MultimodalOps {
                  THEN 'text_only'
                  ELSE 'full' END AS final_disposition
           FROM tw t JOIN mw m USING (doc_id)
-          GROUP BY t.doc_id, t.stage"""
+          GROUP BY t.doc_id, t.stage""",
+
+    // q134: both keeper maps nest verbatim — q113's full oracle for the
+    // text stages, the factored keeper-map SQL (the same gate/fingerprint
+    // fragments q113's text builds from), and q125's formula-based media
+    // oracle — so the consistency counts are independently derived end to
+    // end from the two proven elections.
+    "q134_keeper_consistency" ->
+      s"""WITH tw AS (${graft.operators.TextOps.oracle("q113_pipeline_waterfall")}),
+          km AS (${graft.operators.TextOps.textKeeperMapSql}),
+          mw AS ($q125Sql)
+          SELECT m.kind, t.stage AS text_stage,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN k.keep_id = m.kept_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree,
+            CAST(sum(CASE WHEN k.keep_id <> m.kept_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_split
+          FROM tw t JOIN km k USING (doc_id) JOIN mw m USING (doc_id)
+          WHERE m.kept_id IS NOT NULL
+          GROUP BY m.kind, t.stage
+          ORDER BY m.kind, t.stage"""
   )
 
   /** q125's full oracle text, factored so q128 can nest it as a CTE. */

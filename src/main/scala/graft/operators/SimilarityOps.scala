@@ -800,8 +800,68 @@ object SimilarityOps {
     * seam the drift spec drives with a planted distribution shift.
     */
   private[operators] def ivfPqStalenessAuditFrom(corpus: DataFrame, dir: String,
-      cohortFilter: String, fracBar: Double, distBar: Double): DataFrame = {
+      cohortFilter: String, fracBar: Double, distBar: Double): DataFrame =
+    // the cohort predicate evaluates on the CORPUS frame, where `vec_id`
+    // still exists — renaming after, not rewriting the SQL text (a textual
+    // vec_id→cid replace would corrupt any filter whose text merely
+    // CONTAINS "vec_id", e.g. a lineage column "vec_id_batch")
+    stalenessAuditOf(corpus.select(col("vec_id").as("cid"), col("e"),
+      when(expr(cohortFilter), "append").otherwise("build").as("cohort")),
+      dir, fracBar, distBar)
+
+  /** [[ivfPqStalenessAudit]] with the append cohort derived from the
+    * maintenance LEDGER instead of a caller-supplied lineage predicate
+    * (r14): the unfolded ledger cids ARE the appended mass, which is
+    * exactly the lineage a streaming deployment has — and it RESETS at
+    * every rebuild (the fold marks those epochs retrained), so the
+    * audit→rebuild loop ([[rebuildIfStale]]) converges instead of
+    * re-flagging forever on a static cohort filter. No ledger (a
+    * fresh/batch-only index) means no append cohort: healthy by
+    * definition, the q127 contract.
+    */
+  def ivfPqLedgerStalenessAudit(corpus: DataFrame, dir: String,
+      fracBar: Double = 0.3, distBar: Double = 1.5): DataFrame = {
     val s = corpus.sparkSession
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    val appended = IvfPqIndexStore.readLedger(s, rdir) match {
+      case None => s.range(0).select(col("id").as("cid"))
+      case Some(led) => led.filter(!col("folded") && col("cid").isNotNull)
+        .select("cid").distinct()
+    }
+    val vecs = corpus.select(col("vec_id").as("cid"), col("e"))
+      .join(appended.withColumn("app", lit(1L)), Seq("cid"), "left")
+      .select(col("cid"), col("e"),
+        when(col("app").isNotNull, "append").otherwise("build").as("cohort"))
+    stalenessAuditOf(vecs, dir, fracBar, distBar)
+  }
+
+  /** The CLOSED maintenance loop — q127's flag wired to q133's actuator:
+    * run the ledger-cohort staleness audit and, when the rebuild flag
+    * fires (appended mass past `fracBar` or append-cohort distortion past
+    * `distBar`× build's), actuate [[rebuildIvfPqIndexFrom]] over the
+    * current lake. Returns whether a rebuild ran. Because the audit's
+    * cohort comes from the ledger and the rebuild folds it, a second call
+    * right after a rebuild is healthy-by-definition — the loop converges
+    * (spec-pinned for both bars). This is the scheduled batch job a
+    * production deployment runs: cheap linear audit every cycle, the
+    * two-pass rebuild only when a bar trips.
+    */
+  def rebuildIfStale(corpus: DataFrame, dir: String,
+      fracBar: Double = 0.3, distBar: Double = 1.5,
+      keepVersions: Int = 1): Boolean = {
+    val flag = ivfPqLedgerStalenessAudit(corpus, dir, fracBar, distBar)
+      .agg(coalesce(max("rebuild"), lit(0L))).collect()(0).getLong(0)
+    if (flag == 1L) { rebuildIvfPqIndexFrom(corpus, dir, keepVersions); true }
+    else false
+  }
+
+  /** The audit's scoring core over an explicit (cid, e, cohort) frame —
+    * shared by the filter-cohort and ledger-cohort entries so the two can
+    * never drift on the distortion arithmetic.
+    */
+  private def stalenessAuditOf(vecs: DataFrame, dir: String,
+      fracBar: Double, distBar: Double): DataFrame = {
+    val s = vecs.sparkSession
     val rdir = IvfPqIndexStore.resolveRead(s, dir)
     // duplicate-tolerant read (r13 ADVICE): an append replay's crash window
     // leaves exact-duplicate (cid, subspace, code) rows; the audit's
@@ -810,12 +870,6 @@ object SimilarityOps {
     val codes = s.read.parquet(s"$rdir/codes")
       .dropDuplicates("cid", "subspace")
     val codebook = s.read.parquet(s"$rdir/codebook")
-    // the cohort predicate evaluates on the CORPUS frame, where `vec_id`
-    // still exists — renaming after, not rewriting the SQL text (a textual
-    // vec_id→cid replace would corrupt any filter whose text merely
-    // CONTAINS "vec_id", e.g. a lineage column "vec_id_batch")
-    val vecs = corpus.select(col("vec_id").as("cid"), col("e"),
-      when(expr(cohortFilter), "append").otherwise("build").as("cohort"))
     val scored = codes.join(vecs, "cid")
       .join(broadcast(codebook), Seq("subspace", "code"))
       .withColumn("svec", expr(s"slice(e, subspace * $pqSub + 1, $pqSub)"))

@@ -422,8 +422,7 @@ object TextOps {
         fingerprintCol(col("text")).as("fp"),
         qualityScoreCol(col("text")).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keeper = corpus.filter(col("gate"))
-      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val keeper = keeperElection(corpus.filter(col("gate")))
     val contam = corpus.filter(col("gate"))
       .join(keeper, "fp")
       .filter(col("doc_id") === col("keep_id"))
@@ -446,6 +445,49 @@ object TextOps {
       .withColumn("kept", (col("stage") === "kept").cast("long"))
     DedupOps.finishAndRelease(res, corpus)
   }
+
+  /** q113's fingerprint-keeper election over gate-passing corpus rows —
+    * ONE definition shared by [[pipelineWaterfall]] and [[textKeeperMap]],
+    * so the consistency check (q134) can never drift from the waterfall
+    * it audits.
+    */
+  private def keeperElection(gatePassers: DataFrame): DataFrame =
+    gatePassers.groupBy("fp").agg(min("doc_id").as("keep_id"))
+
+  /** q113's TEXT keeper map as a standalone seam (r14, q134's text half):
+    * one row per gate-passing corpus doc with the fingerprint keeper its
+    * text identity resolves to — exactly [[pipelineWaterfall]]'s election
+    * (same shared gate/fingerprint expressions, same corpus split, same
+    * [[keeperElection]]), exposed so cross-operator consistency checks can
+    * join "where did this doc's TEXT go" against the media keeper maps.
+    * Gate-failing docs have no text identity and emit no row.
+    *
+    * Scale shape: one row-local projection + q30's linear fingerprint
+    * shuffle + one keyed join-back — strictly a subset of q113's plan.
+    */
+  def textKeeperMap(docs: DataFrame): DataFrame = {
+    val passers = docs.filter(col("doc_id") >= 10)
+      .filter(gopherKeepCol(col("text")))
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+    passers.join(keeperElection(passers), "fp")
+      .select(col("doc_id"), col("keep_id"))
+  }
+
+  /** The keeper map as DuckDB SQL, factored from the q113 oracle's own
+    * CTE fragments so q134 can nest it — the q125Sql/q128 discipline.
+    */
+  private[operators] def textKeeperMapSql: String =
+    s"""WITH stats AS (${oracleDocStatsSql("doc_id")}),
+       fpt AS (SELECT doc_id,
+                 md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+               FROM documents),
+       corpus AS (
+         SELECT s.doc_id, f.fp
+         FROM stats s JOIN fpt f USING (doc_id)
+         WHERE s.doc_id >= 10 AND $oracleGateLenSql AND $oracleGateWlenSql
+           AND $oracleGateAlphaSql AND $oracleGateStopSql),
+       keeper AS (SELECT fp, min(doc_id) AS keep_id FROM corpus GROUP BY fp)
+       SELECT c.doc_id, k.keep_id FROM corpus c JOIN keeper k USING (fp)"""
 
   /** q116's operator body: SPAN-LEVEL quality pruning — the within-document
     * counterpart of the doc-level surprisal filters (q69/q78 score whole

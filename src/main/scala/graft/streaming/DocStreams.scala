@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming DOCUMENT intake (EXT, sibling of [[EventStreams]]): the three
   * admission stages a continuously-fed training corpus runs on arrival —
@@ -85,10 +86,23 @@ object DocStreams {
     // the descending sequence(1, negative) or index past the array end
     // under ANSI — the same load-bearing length gate as the batch shinglers
     bloomDropGate(docs, bloomBytes,
-      staging = Seq("__t" -> split(col("text"), " ")),
-      guard = size(col("__t")) >= 5,
-      probeArrayExpr = graft.operators.DedupOps.gram5ArrayExpr("__t"),
+      staging = decontamStaging,
+      guard = decontamGuard,
+      probeArrayExpr = decontamProbeExpr,
       key = identity)
+
+  /** The decontamination probe's staging/guard/gram pieces, factored to ONE
+    * definition (r14): [[decontaminationGate]] filters on the hit and the
+    * waterfall accounting ([[waterfallAccountingSink]]) LABELS on it — both
+    * must evaluate the identical predicate or "dropped at decontam here" and
+    * "decontam row there" drift apart.
+    */
+  private def decontamStaging: Seq[(String, org.apache.spark.sql.Column)] =
+    Seq("__t" -> split(col("text"), " "))
+  private def decontamGuard: org.apache.spark.sql.Column =
+    size(col("__t")) >= 5
+  private def decontamProbeExpr: String =
+    graft.operators.DedupOps.gram5ArrayExpr("__t")
 
   /** The shared conservative-gate scaffold behind [[decontaminationGate]]
     * and [[nearDupGate]]: stage helper columns, probe each element of a
@@ -113,12 +127,23 @@ object DocStreams {
       staging: Seq[(String, org.apache.spark.sql.Column)],
       guard: org.apache.spark.sql.Column, probeArrayExpr: String,
       probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val (staged, hit) = probeStaged(docs, staging, guard, probeArrayExpr, probe)
+    staged.filter(!hit).drop(staging.map(_._1): _*)
+  }
+
+  /** The staging + hit PREDICATE underneath [[probeDropGate]] (r14): the
+    * gates consume it as a filter, the waterfall accounting as a stage
+    * label — one scaffold so drop and label semantics cannot drift.
+    * Keyless rows (guard false) are never hits.
+    */
+  private def probeStaged(docs: DataFrame,
+      staging: Seq[(String, org.apache.spark.sql.Column)],
+      guard: org.apache.spark.sql.Column, probeArrayExpr: String,
+      probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (DataFrame, org.apache.spark.sql.Column) = {
     graft.functions.BloomFunctions.register(docs.sparkSession)
     val staged = staging.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
-    staged
-      .filter(!when(guard, exists(expr(probeArrayExpr), probe))
-        .otherwise(lit(false)))
-      .drop(staging.map(_._1): _*)
+    (staged, when(guard, exists(expr(probeArrayExpr), probe)).otherwise(lit(false)))
   }
 
   /** Streaming NEAR-dup intake gate against the HISTORICAL corpus: drop
@@ -365,4 +390,96 @@ object DocStreams {
     */
   def gopherAdmit(docs: DataFrame): DataFrame =
     docs.filter(graft.operators.TextOps.gopherKeepCol(col("text")))
+
+  /** One micro-batch of the COMPOSED curation waterfall, labeled with
+    * q113's stage ladder (gates → dedup → decontam → quality → kept) —
+    * the per-trigger unit behind [[waterfallAccountingSink]], seam-exposed
+    * for the parity spec. Every stage is the batch operator's own shared
+    * expression ([[graft.operators.TextOps.gopherKeepCol]] /
+    * `fingerprintCol` / `qualityScoreCol`, the decontamination gate's
+    * factored probe pieces), so a label here can only differ from batch
+    * q113's where the streaming setting itself differs:
+    *
+    *   - `dedup` against HISTORY is a Bloom probe over previously elected
+    *     keepers' fingerprints (conservative, the gate family's contract —
+    *     a false positive over-drops, never under-drops; size fpp per the
+    *     [[decontaminationGate]] math);
+    *   - `dedup` WITHIN the trigger is q113's exact min-doc_id election
+    *     restricted to this batch's history-new gate-passers — with
+    *     arrivals ordered by doc_id across triggers (a replayed corpus),
+    *     the two-level election reproduces the batch keeper exactly, which
+    *     is what the parity spec pins.
+    *
+    * Output: one row per arriving doc with (doc_id, fp, stage, keeper);
+    * `keeper` marks this trigger's newly elected fingerprint owners — the
+    * rows whose fps enter the history filter.
+    */
+  private[streaming] def waterfallStageOf(batch: DataFrame,
+      evalBloom: Array[Byte], histBloom: Array[Byte],
+      qualityBar: Double): DataFrame = {
+    val enriched = batch
+      .withColumn("__gate", graft.operators.TextOps.gopherKeepCol(col("text")))
+      .withColumn("__fp", graft.operators.TextOps.fingerprintCol(col("text")))
+      .withColumn("__q", graft.operators.TextOps.qualityScoreCol(col("text")))
+    val (staged, contamHit) = probeStaged(enriched,
+      decontamStaging, decontamGuard, decontamProbeExpr,
+      e => call_function("graft_bloom_might_contain", lit(evalBloom), e))
+    val histHit =
+      call_function("graft_bloom_might_contain", lit(histBloom), col("__fp"))
+    val keeper = staged.filter(col("__gate") && !histHit)
+      .groupBy("__fp").agg(min("doc_id").as("__keep_id"))
+    staged.join(keeper, Seq("__fp"), "left")
+      .select(col("doc_id"), col("__fp").as("fp"),
+        when(!col("__gate"), "gates")
+          .when(histHit || col("doc_id") =!= col("__keep_id"), "dedup")
+          .when(contamHit, "decontam")
+          .when(col("__q") < qualityBar, "quality")
+          .otherwise("kept").as("stage"),
+        (col("__gate") && !histHit && col("doc_id") === col("__keep_id"))
+          .as("keeper"))
+  }
+
+  /** STREAMING per-stage drop ACCOUNTING for the composed curation
+    * waterfall (r13 verdict #3): the admission gates exist individually,
+    * but a 24/7 intake dashboard needs "of this trigger's N arrivals, X
+    * fell at gates, Y at dedup, Z at decontam, W at quality, K admitted"
+    * — batch q113's report, emitted per trigger at the ingest edge.
+    * `onCounts` receives one small frame per trigger: (stage, n_docs,
+    * dropped, passed), plus the epoch id.
+    *
+    * State story: ONE driver-held Bloom filter over elected keepers'
+    * fingerprints (bounded bytes — the [[nearDupGate]] sizing math; shard
+    * past the 2 GB ceiling with [[bloomShards]]' discipline) plus one
+    * keeper-fp collect per trigger, bounded by the trigger's own
+    * admission control — never corpus-sized. The per-trigger labeling is
+    * row-local except q113's own keeper-election exchange, restricted to
+    * the batch. Restart note: the filter lives with the query; rebuild it
+    * from the admitted corpus's fingerprints on restart (the
+    * batch-reconciliation contract every gate documents).
+    */
+  def waterfallAccountingSink(docs: DataFrame, evalBloom: Array[Byte],
+      expectedDocs: Long = 1L << 22, fpp: Double = 1e-6,
+      qualityBar: Double = 0.25)(
+      onCounts: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val hist = org.apache.spark.util.sketch.BloomFilter.create(
+      math.max(expectedDocs, 1L), fpp)
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val staged = waterfallStageOf(batch, evalBloom,
+        graft.functions.BloomFunctions.serialize(hist), qualityBar)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        onCounts(staged.groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("stage"), col("n_docs"),
+            when(col("stage") =!= "kept", col("n_docs")).otherwise(0L)
+              .as("dropped"),
+            when(col("stage") === "kept", col("n_docs")).otherwise(0L)
+              .as("passed")), epoch)
+        // the new keepers' fingerprints claim dedup state — AFTER the
+        // counts so a failure emits nothing half-updated
+        staged.filter(col("keeper")).select("fp").collect()
+          .foreach(r => hist.putString(r.getString(0)))
+      } finally staged.unpersist(blocking = false): Unit
+    }
+  }
 }

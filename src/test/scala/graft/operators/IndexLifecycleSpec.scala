@@ -148,6 +148,47 @@ class IndexLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rebuildIfStale closes the loop on the MASS bar: fire, actuate, clear") {
+    graft.functions.VectorFunctions.register(spark)
+    val dir = tmp("loopm")
+    SimilarityOps.saveIvfPqIndexFrom(frame(0L until 50L), dir)
+    // the appended mass arrives through the LEDGER (the streaming path) —
+    // 50% appended trips the 0.3 bar
+    assert(graft.streaming.IndexMaintenance.appendEpoch(
+      frame(50L until 100L), epoch = 1L, dir))
+    val corpus = frame(0L until 100L)
+    assert(SimilarityOps.rebuildIfStale(corpus, dir), "mass bar must actuate")
+    assert(IvfPqIndexStore.committedVersion(spark, dir) === 1L)
+    // the rebuild folded the ledger: the loop must converge, not re-fire
+    assert(!SimilarityOps.rebuildIfStale(corpus, dir),
+      "post-fold audit must be healthy by definition")
+    assert(IvfPqIndexStore.committedVersion(spark, dir) === 1L)
+  }
+
+  test("rebuildIfStale closes the loop on the DISTORTION bar") {
+    graft.functions.VectorFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    def dvec(id: Long, drift: Double): Array[Double] =
+      Array.tabulate(64)(j =>
+        ((id % 10) * 2.0 + ((id * 13 + j * 7) % 11) / 11.0 + drift))
+    def dframe(ids: Seq[Long], drift: Double) =
+      ids.map(i => LcVec(i, i % 10, dvec(i, drift))).toDF()
+    val dir = tmp("loopd")
+    val base = dframe(0L until 90L, 0.0)
+    val batch = dframe(90L until 100L, 3.0) // 10% mass — under the bar
+    SimilarityOps.saveIvfPqIndexFrom(base, dir)
+    assert(graft.streaming.IndexMaintenance.appendEpoch(batch, epoch = 1L, dir))
+    val corpus = base.unionByName(batch)
+    assert(SimilarityOps.rebuildIfStale(corpus, dir),
+      "drifted append under the mass bar must actuate via distortion")
+    // folded: the drifted vectors are retrained base now — no append
+    // cohort, so the loop converges even though they remain outliers
+    assert(!SimilarityOps.rebuildIfStale(corpus, dir))
+    assert(IvfPqIndexStore.committedVersion(spark, dir) === 1L)
+    spark.catalog.clearCache()
+  }
+
   test("rebuild refuses to run under an active maintainer lease") {
     graft.functions.VectorFunctions.register(spark)
     val dir = tmp("lease")
