@@ -143,7 +143,14 @@ object ScaleSmoke {
     // text+media composition — its end-to-end 10× wall rides on q113's
     // and q125's already-smoked stages plus two doc-keyed joins.
     "q127_ivfpq_staleness_audit", "q128_multimodal_verdict",
-    "q129_ann_recall_audit")
+    "q129_ann_recall_audit",
+    // q135 joined r14: the index-served near-dup verdict is the first
+    // query whose QUERY side is batch-sized (the whole q126 arriving
+    // cohort, 2.5k vectors at 10×) — its probe/LUT tables are
+    // |batch|-bounded by design and the broadcast(probeLut) hint must
+    // stay sane as the batch grows; the codes side is the already-smoked
+    // partition-pruned scan
+    "q135_index_neardup_batch")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

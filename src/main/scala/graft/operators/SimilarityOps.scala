@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -835,6 +835,33 @@ object SimilarityOps {
     stalenessAuditOf(vecs, dir, fracBar, distBar)
   }
 
+  /** q135: INDEX-SERVED near-dup verdict for an arriving cohort — "is
+    * this new vector semantically near something ALREADY indexed?",
+    * answered from the maintained IVF-PQ index instead of a corpus pass
+    * (SemDeDup's question at the ingest edge, priced like a search). Each
+    * q126-batch vector probes the saved index and reports its nearest
+    * BASE neighbor by ADC distance; the caller applies its dedup bar —
+    * [[graft.streaming.IndexMaintenance.annAdmissionSink]] is exactly
+    * that caller, one definition away, so the streaming admission
+    * decision and this auditable batch verdict can never drift.
+    *
+    * Scale shape: the arriving cohort is batch-sized (a daily dump), so
+    * probes/LUT are batch-bounded; the codes scan is partition-pruned to
+    * probed cells; the ADC join exchanges on (c_label, subspace, code).
+    * Cost is one SEARCH per arrival — never a corpus re-pass, the whole
+    * point of serving dedup from the index q122 built, q126 appended,
+    * q127 audited and q133 rebuilds.
+    */
+  def indexNearDupBatch(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureQ126Index(s, d)
+    val q = prepped(s, d).filter(expr(q126BatchFilter))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // candidate side = the PRE-EXISTING cohort (NOT q126BatchFilter over
+    // cid — kept in textual lockstep with the oracle's candFilter)
+    searchSavedIvfPqFor(q, dir, nProbes = 2, k = 1,
+      candFilter = !expr("cid % 4 = 3"))
+  }
+
   /** The CLOSED maintenance loop — q127's flag wired to q133's actuator:
     * run the ledger-cohort staleness audit and, when the rebuild flag
     * fires (appended mass past `fracBar` or append-cohort distortion past
@@ -951,16 +978,42 @@ object SimilarityOps {
     * oracle text verbatim.
     */
   def searchSavedIvfPq(s: SparkSession, d: String, indexDir: String,
-      nProbes: Int = 2, k: Int = 5): DataFrame = {
+      nProbes: Int = 2, k: Int = 5): DataFrame =
+    searchSavedIvfPqFor(
+      prepped(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("e").as("qe")),
+      indexDir, nProbes, k)
+
+  /** [[searchSavedIvfPq]] over an EXPLICIT query frame (qid, qe) with an
+    * optional predicate on the candidate side's `cid` (r14): the seam
+    * behind q135's index-served near-dup verdict and the streaming ANN
+    * admission gate — both need "search the maintained index for THESE
+    * vectors against THAT cohort", not the fixture's 3-probe demo. The
+    * index is resolved per call, so a caller holding only the top
+    * directory always searches the highest COMMITTED version — a
+    * mid-stream rebuild swap is picked up at the next trigger.
+    *
+    * Scale shape: centroids/codebook broadcasts are k×dim / m×k (tiny);
+    * the probe ranking and LUT are |queries|-bounded; the codes join is
+    * partition-pruned to probed cells and exchanges on (c_label,
+    * subspace, code). The `broadcast(probeLut)` hint sizes as
+    * |queries| × m × k rows — right for trigger/daily-dump query sets;
+    * for corpus-sized query sets drop to the planner's shuffle join by
+    * passing `broadcastLut = false`.
+    */
+  def searchSavedIvfPqFor(queries: DataFrame, indexDir: String,
+      nProbes: Int = 2, k: Int = 5, candFilter: Column = lit(true),
+      broadcastLut: Boolean = true): DataFrame = {
     require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+    val s = queries.sparkSession
+    VectorFunctions.register(s)
     // highest committed version set (r14): the rebuild's atomic-swap
     // contract — this resolution is the reader half
     val rdir = IvfPqIndexStore.resolveRead(s, indexDir)
     val centroids = s.read.parquet(s"$rdir/centroids")
     val codebook = s.read.parquet(s"$rdir/codebook")
-    val codes = s.read.parquet(s"$rdir/codes")
-    val q = prepped(s, d).filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val codes = s.read.parquet(s"$rdir/codes").filter(candFilter)
+    val q = queries.select(col("qid"), col("qe"))
     val scored = q.join(broadcast(centroids))
       .withColumn("r_dot", round(expr("graft_dot(qe, ce)"), 6))
     val pw = Window.partitionBy("qid")
@@ -971,7 +1024,8 @@ object SimilarityOps {
       .withColumn("qsub", expr(s"slice(qe, subspace * $pqSub + 1, $pqSub)"))
       .withColumn("qdist", rSqDist("qsub", "cvec"))
       .select("qid", "subspace", "code", "qdist")
-    val probeLut = probes.join(lut, "qid")
+    val probeLut0 = probes.join(lut, "qid")
+    val probeLut = if (broadcastLut) broadcast(probeLut0) else probeLut0
     // duplicate-TOLERANT ADC (r13): a crash between a maintenance append's
     // codes write and its ledger write can replay the epoch and leave a
     // vector with two identical (subspace, code) rows — under a plain
@@ -982,7 +1036,7 @@ object SimilarityOps {
     // the probe-bounded stream) makes double-append semantically a no-op
     // at the search, closing the crash window at the read side.
     val adist = codes
-      .join(broadcast(probeLut), Seq("c_label", "subspace", "code"))
+      .join(probeLut, Seq("c_label", "subspace", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy("qid", "cid", "subspace")
       .agg(min("qdist").as("qdist"))
@@ -1287,6 +1341,12 @@ object SimilarityOps {
     "q133_ivfpq_rebuild_search" -> ((s, d) =>
       searchSavedIvfPq(s, d, ensureQ133Index(s, d))),
 
+    // Index-served near-dup verdict for the arriving cohort — the
+    // maintained index answering SemDeDup's question at search cost.
+    // See [[indexNearDupBatch]]; the streaming admission gate consumes
+    // the same seam.
+    "q135_index_neardup_batch" -> ((s, d) => indexNearDupBatch(s, d)),
+
     // Prototype-ranked selection (Sorscher et al.) — see
     // [[prototypeSelect]] for the method citation, keep convention, and
     // the q103 hot-cluster escape.
@@ -1388,7 +1448,9 @@ object SimilarityOps {
     * codebook, so q70's results are unchanged by the r12
     * parameterization (CORRECTNESS hash-pins that).
     */
-  private def ivfPqOracleSql(modelFilter: String): String =
+  private def ivfPqOracleSql(modelFilter: String,
+      queryFilter: String = "vec_id < 3", candFilter: String = "TRUE",
+      k: Int = 5): String =
       s"""WITH unpacked AS (
            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
@@ -1405,7 +1467,8 @@ object SimilarityOps {
              row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC NULLS LAST, c_label) AS rn
            FROM assign_scored),
          lists AS (SELECT c_label, vec_id AS cid FROM ranked WHERE rn = 1),
-         probes AS (SELECT c_label, vec_id AS qid FROM ranked WHERE rn <= 2 AND vec_id < 3),
+         probes AS (SELECT c_label, vec_id AS qid FROM ranked
+                    WHERE rn <= 2 AND ($queryFilter)),
          codebook AS (
            SELECT label AS code, CAST(pos // 8 AS INT) AS c_sub, pos AS c_pos, avg(x) AS cx
            FROM model GROUP BY label, CAST(pos // 8 AS INT), pos),
@@ -1427,7 +1490,7 @@ object SimilarityOps {
          qunpacked AS (
            SELECT vec_id AS qid, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
-           WHERE vec_id < 3),
+           WHERE $queryFilter),
          lut AS (
            SELECT q.qid, c.c_sub AS subspace, c.code,
                   round(sum((q.x - c.cx) * (q.x - c.cx)), 6) AS qdist
@@ -1439,14 +1502,14 @@ object SimilarityOps {
            JOIN listcodes lc ON lc.c_label = p.c_label
            JOIN lut l ON l.qid = p.qid AND l.subspace = lc.subspace
                      AND l.code = lc.code
-           WHERE lc.cid != p.qid
+           WHERE lc.cid != p.qid AND ($candFilter)
            GROUP BY p.qid, lc.cid),
          topk AS (
            SELECT qid, cid, adist,
              row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
            FROM adist)
          SELECT qid, cid, adist, CAST(rn AS BIGINT) AS rn
-         FROM topk WHERE rn <= 5 ORDER BY qid, rn"""
+         FROM topk WHERE rn <= $k ORDER BY qid, rn"""
 
   /** q70's oracle, shared verbatim with q122 (the saved index must
     * round-trip to IDENTICAL results).
@@ -1599,6 +1662,16 @@ object SimilarityOps {
     // corpus, so the swapped-in set must search exactly like a fresh
     // full-corpus build — one oracle text, zero drift room.
     "q133_ivfpq_rebuild_search" -> q70OracleSql,
+
+    // q135: the SAME parameterized IVF-PQ text with q126's frozen-model
+    // CTEs, query side = the arriving cohort, candidate side = the
+    // pre-existing cohort, k = 1 — the nearest already-indexed neighbor
+    // per arrival.
+    "q135_index_neardup_batch" -> ivfPqOracleSql(
+      s"NOT ($q126BatchFilter)",
+      queryFilter = q126BatchFilter,
+      candFilter = "NOT (lc.cid % 4 = 3)",
+      k = 1),
 
     // frozen-codebook append: model CTEs on the ¾ base, everything else
     // (assignment, codes, probes, search) over the full corpus

@@ -123,6 +123,45 @@ object IndexMaintenance {
   def releaseIvfPqLease(s: SparkSession, dir: String): Unit =
     IvfPqIndexStore.releaseLease(s, dir)
 
+  /** STREAMING ANN ADMISSION GATE served by the maintained index (r14):
+    * drop an arriving embedding row when the saved IVF-PQ index already
+    * holds a vector within `bar` ADC distance — SemDeDup's question
+    * answered at SEARCH cost on the ingest edge, where
+    * [[graft.streaming.DocStreams.semanticDecontamGate]] screens against
+    * a FIXED broadcast probe set (eval suites) and batch q86 re-pairs the
+    * corpus. The per-trigger work is
+    * [[SimilarityOps.searchSavedIvfPqFor]] — the exact operator behind
+    * q135's auditable batch verdict, one definition — with the trigger's
+    * rows as the query side: probes/LUT are trigger-bounded, the codes
+    * scan partition-prunes to probed cells, nothing corpus-sized moves.
+    *
+    * SWAP-AWARE by construction: the index resolves per trigger, so a
+    * q133 rebuild committed mid-stream serves the very next batch from
+    * the retrained set — the reader half of the atomic-swap contract,
+    * exercised continuously (spec-pinned: a vector only indexed by the
+    * post-rebuild set is dropped only after the swap). Admission here is
+    * the conservative quantized test (ADC under-/over-estimates true
+    * distance by quantization error — size `bar` against q129's measured
+    * recall); rows with no indexed neighbor within the bar pass to
+    * `onAdmitted`, which typically chains [[ivfPqAppendSink]]'s
+    * appendEpoch so admitted vectors immediately claim index state.
+    */
+  def annAdmissionSink(vecs: DataFrame, dir: String, bar: Double,
+      nProbes: Int = 2)(
+      onAdmitted: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dup = SimilarityOps.searchSavedIvfPqFor(
+            b.select(col("vec_id").as("qid"),
+              expr("CAST(e AS ARRAY<DOUBLE>)").as("qe")),
+            dir, nProbes, k = 1)
+          .filter(col("adist") <= bar)
+          .select(col("qid").as("vec_id"))
+        onAdmitted(b.join(dup, Seq("vec_id"), "left_anti"), epoch)
+      } finally b.unpersist(blocking = false): Unit
+    }
+
   /** Appended-mass report from the index directory alone (no raw
     * vectors): DISTINCT-cid set algebra over the codes table and the
     * unfolded ledger rows — appended = vectors the ledger attributes to a

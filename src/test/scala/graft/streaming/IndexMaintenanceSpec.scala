@@ -140,6 +140,58 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(rep2.getLong(0) === 50L && rep2.getLong(1) === 5L)
   }
 
+  test("ANN admission gate drops indexed near-dups and is SWAP-aware") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_anngate").toString
+    // v0: the main corpus. The far cluster lives 100 units away under its
+    // own labels — unindexed at v0, indexed by the mid-stream rebuild.
+    def farVec(id: Long): Array[Double] = vec(id).map(_ + 100.0)
+    val main = frame(0L until 40L)
+    val far = (900L until 905L).map(i => VecRow(i, 10 + i % 2, farVec(i))).toDF()
+    SimilarityOps.saveIvfPqIndexFrom(main, dir)
+
+    // size the bar FROM the one-definition batch operator: between the
+    // quantization distortion of an exact indexed copy and the distance
+    // to a 100-unit-away outlier — the gate then must agree by identity
+    def adistOf(qe: Array[Double]): Double =
+      SimilarityOps.searchSavedIvfPqFor(
+        Seq((9999L, qe)).toDF("qid", "qe"), dir, k = 1)
+        .collect()(0).getAs[Double]("adist")
+    val dNear = adistOf(vec(5))
+    val dFar = adistOf(farVec(901))
+    assert(dNear < dFar, s"fixture sanity: $dNear < $dFar")
+    val bar = (dNear + dFar) / 2
+
+    val admitted = scala.collection.mutable.Set[Long]()
+    val input = MemoryStream[VecRow]
+    val q = IndexMaintenance.annAdmissionSink(input.toDF(), dir, bar) {
+      (df, _) => admitted ++= df.select("vec_id").collect().map(_.getLong(0))
+    }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_anngate_ckpt").toString)
+      .start()
+    try {
+      // trigger 1 against v0: the indexed copy drops, the outlier passes
+      input.addData(VecRow(1000, 5, vec(5)), VecRow(2000, 10, farVec(901)))
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(2000L),
+        s"v0 trigger: near-dup dropped, outlier admitted — got $admitted")
+      // mid-stream REBUILD indexes the far cluster and swaps atomically
+      SimilarityOps.rebuildIvfPqIndexFrom(main.unionByName(far), dir)
+      assert(adistOf(farVec(902)) < bar,
+        "post-rebuild the far cluster quantizes within the bar")
+      // trigger 2: a far-cluster copy is a near-dup ONLY under the
+      // rebuilt set — dropping it proves the gate resolved the swap
+      input.addData(VecRow(3000, 10, farVec(902)), VecRow(4000, 5, vec(7)))
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(2000L),
+        s"post-swap trigger must be served by the rebuilt set — got $admitted")
+    } finally q.stop()
+    sp.catalog.clearCache()
+  }
+
   test("re-delivered vec_ids never corrupt the mass arithmetic") {
     val sp = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_idxredeliver").toString
