@@ -333,7 +333,6 @@ object ScaleSmoke {
     }
 
     val walls = scala.collection.mutable.Map[String, Double]()
-    val rowCounts = scala.collection.mutable.Map[String, Long]()
 
     def runCase(q: String, corpusDir: File, prefix: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -366,7 +365,6 @@ object ScaleSmoke {
       out.append(f""","$prefix${q}_straggler":${m.straggler}%.2f""")
       if (attempts > 1) out.append(s""","$prefix${q}_attempts":$attempts""")
       walls(prefix + q) = m.wall
-      rowCounts(prefix + q) = m.rows
     }
 
     def runQuery(q: String, corpusDir: File, prefix: String): Unit =

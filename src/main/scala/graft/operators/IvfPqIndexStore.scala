@@ -225,18 +225,6 @@ object IvfPqIndexStore {
         "over; this sink must stop.")
   }
 
-  /** A rebuild must not run under an ACTIVE maintainer (it folds the
-    * ledger the maintainer is appending to). Named error when a lease
-    * exists; batch-only deployments have no lease file and pass.
-    */
-  private[operators] def requireNoLease(s: SparkSession, dir: String): Unit =
-    leaseHolder(s, dir).foreach { t =>
-      throw new IllegalStateException(
-        s"graft IVF-PQ single-writer lease: cannot rebuild $dir while " +
-          s"maintainer $t holds the writer lease — stop the maintenance " +
-          "sink (and releaseIvfPqLease) first.")
-    }
-
   // --------------------------------------------------------------- ledger
 
   /** The resolved set's ledger, normalized to (epoch, cid, folded); None

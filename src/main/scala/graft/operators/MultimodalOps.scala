@@ -621,7 +621,9 @@ object MultimodalOps {
         sum((col("keep_id") === col("kept_id")).cast("long")).as("n_agree"),
         sum((col("keep_id") =!= col("kept_id")).cast("long")).as("n_split"))
       .orderBy("kind", "text_stage")
-    DedupOps.finishAndRelease(res, text, media)
+    // text, media AND the keeper map are persisted upstream outputs —
+    // all released after the one materialization
+    DedupOps.finishAndRelease(res, text, media, tk)
   }
 
   def mediaWaterfall(s: SparkSession, d: String): DataFrame = {

@@ -700,20 +700,31 @@ object SimilarityOps {
   def rebuildIvfPqIndexFrom(corpus: DataFrame, dir: String,
       keepVersions: Int = 1): Unit = {
     val s = corpus.sparkSession
-    IvfPqIndexStore.requireNoLease(s, dir)
-    val cur = IvfPqIndexStore.resolveRead(s, dir)
-    val n = IvfPqIndexStore.nextVersion(s, dir)
-    val vdir = s"$dir/index.v$n"
-    // clobber an uncommitted leftover of a crashed attempt: it has no
-    // marker, so no reader ever resolved it
-    val fs = new org.apache.hadoop.fs.Path(vdir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(vdir))) fs.delete(
-      new org.apache.hadoop.fs.Path(vdir), true)
-    saveIvfPqIndexFrom(corpus, vdir)
-    IvfPqIndexStore.foldLedgerInto(s, cur, vdir)
-    IvfPqIndexStore.commit(s, vdir)
-    IvfPqIndexStore.pruneVersions(s, dir, keepVersions)
+    // the rebuild claims the SAME single-writer lease a maintainer holds
+    // (r14 review): requireNoLease alone excluded rebuild-vs-maintainer
+    // but not rebuild-vs-rebuild — two overlapping rebuilds (a cron
+    // --if-stale racing a manual run) would compute the same next
+    // version, clobber each other's staging, and one could commit a
+    // MIXED directory. One atomic lease create serializes all writers;
+    // released on every exit path (a crash orphans it — the documented
+    // releaseIvfPqLease recovery, same as a crashed maintainer).
+    val token = s"rebuild-${java.util.UUID.randomUUID()}"
+    IvfPqIndexStore.acquireLease(s, dir, token)
+    try {
+      val cur = IvfPqIndexStore.resolveRead(s, dir)
+      val n = IvfPqIndexStore.nextVersion(s, dir)
+      val vdir = s"$dir/index.v$n"
+      // clobber an uncommitted leftover of a crashed attempt: it has no
+      // marker, so no reader ever resolved it
+      val fs = new org.apache.hadoop.fs.Path(vdir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(vdir))) fs.delete(
+        new org.apache.hadoop.fs.Path(vdir), true)
+      saveIvfPqIndexFrom(corpus, vdir)
+      IvfPqIndexStore.foldLedgerInto(s, cur, vdir)
+      IvfPqIndexStore.commit(s, vdir)
+      IvfPqIndexStore.pruneVersions(s, dir, keepVersions)
+    } finally IvfPqIndexStore.releaseLease(s, dir)
   }
 
   /** q126: INCREMENTAL index maintenance — append a batch of new vectors
@@ -744,11 +755,21 @@ object SimilarityOps {
     * one partition-pruned append write. Holds at 100 TB with daily
     * batches: the inverted file grows by exactly the batch's rows.
     */
-  def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
+  def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame, dir: String): Unit =
     // resolve to the current committed version set (r14): after a rebuild,
     // appends must code against the RETRAINED centroids/codebook and land
     // in the new set's inverted file, never the retired one's
-    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    appendToIvfPqIndexResolved(s, newVecs, IvfPqIndexStore.resolveRead(s, dir))
+
+  /** [[appendToIvfPqIndex]] against an ALREADY-RESOLVED version set —
+    * the maintenance sink's entry (r14 review): appendEpoch resolves ONCE
+    * and threads the same set to the codes append and the ledger write,
+    * so a rebuild committing mid-append can never split one epoch across
+    * two versions (codes in the new set, ledger row in the folded old
+    * one — which would un-record the epoch and miscount its mass).
+    */
+  private[graft] def appendToIvfPqIndexResolved(s: SparkSession,
+      newVecs: DataFrame, rdir: String): Unit = {
     val centroids = s.read.parquet(s"$rdir/centroids")
     val codebook = s.read.parquet(s"$rdir/codebook")
     val lists = rankedCellsWith(newVecs, centroids, Seq("e"))
@@ -807,7 +828,7 @@ object SimilarityOps {
     // CONTAINS "vec_id", e.g. a lineage column "vec_id_batch")
     stalenessAuditOf(corpus.select(col("vec_id").as("cid"), col("e"),
       when(expr(cohortFilter), "append").otherwise("build").as("cohort")),
-      dir, fracBar, distBar)
+      IvfPqIndexStore.resolveRead(corpus.sparkSession, dir), fracBar, distBar)
 
   /** [[ivfPqStalenessAudit]] with the append cohort derived from the
     * maintenance LEDGER instead of a caller-supplied lineage predicate
@@ -832,7 +853,11 @@ object SimilarityOps {
       .join(appended.withColumn("app", lit(1L)), Seq("cid"), "left")
       .select(col("cid"), col("e"),
         when(col("app").isNotNull, "append").otherwise("build").as("cohort"))
-    stalenessAuditOf(vecs, dir, fracBar, distBar)
+    // the SAME resolved set the cohort came from (r14 review): resolving
+    // again inside the scorer could straddle a concurrent rebuild commit —
+    // the old ledger's cohort scored against the NEW retrained codes would
+    // flag a phantom append cohort and re-trigger the rebuild it follows
+    stalenessAuditOf(vecs, rdir, fracBar, distBar)
   }
 
   /** q135: INDEX-SERVED near-dup verdict for an arriving cohort — "is
@@ -856,10 +881,23 @@ object SimilarityOps {
     val dir = ensureQ126Index(s, d)
     val q = prepped(s, d).filter(expr(q126BatchFilter))
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    // candidate side = the PRE-EXISTING cohort (NOT q126BatchFilter over
-    // cid — kept in textual lockstep with the oracle's candFilter)
+    // candidate side = the PRE-EXISTING cohort: DERIVED from
+    // q126BatchFilter (r14 review — an independent textual copy would let
+    // a cohort redefinition drift operator and oracle together while the
+    // hash pin kept passing). The rename is safe here because the
+    // constant is a fixed expression over the bare column (the
+    // lineage-column caveat at ivfPqStalenessAuditFrom does not apply).
     searchSavedIvfPqFor(q, dir, nProbes = 2, k = 1,
-      candFilter = !expr("cid % 4 = 3"))
+      candFilter = !expr(q135CandCohort("cid")))
+  }
+
+  /** q126's batch-cohort predicate re-keyed onto a candidate column —
+    * ONE derivation feeding both q135's operator and its oracle.
+    */
+  private def q135CandCohort(cidCol: String): String = {
+    require(q126BatchFilter.contains("vec_id"),
+      s"q126BatchFilter no longer names vec_id: $q126BatchFilter")
+    q126BatchFilter.replace("vec_id", cidCol)
   }
 
   /** The CLOSED maintenance loop — q127's flag wired to q133's actuator:
@@ -882,14 +920,15 @@ object SimilarityOps {
     else false
   }
 
-  /** The audit's scoring core over an explicit (cid, e, cohort) frame —
-    * shared by the filter-cohort and ledger-cohort entries so the two can
-    * never drift on the distortion arithmetic.
+  /** The audit's scoring core over an explicit (cid, e, cohort) frame and
+    * an ALREADY-RESOLVED version set — shared by the filter-cohort and
+    * ledger-cohort entries so the two can never drift on the distortion
+    * arithmetic, and resolved exactly once by each caller so cohort and
+    * scored index always come from the same set.
     */
-  private def stalenessAuditOf(vecs: DataFrame, dir: String,
+  private def stalenessAuditOf(vecs: DataFrame, rdir: String,
       fracBar: Double, distBar: Double): DataFrame = {
     val s = vecs.sparkSession
-    val rdir = IvfPqIndexStore.resolveRead(s, dir)
     // duplicate-tolerant read (r13 ADVICE): an append replay's crash window
     // leaves exact-duplicate (cid, subspace, code) rows; the audit's
     // n_rows/sum_dist must describe the index's VECTORS, not its storage
@@ -1670,7 +1709,7 @@ object SimilarityOps {
     "q135_index_neardup_batch" -> ivfPqOracleSql(
       s"NOT ($q126BatchFilter)",
       queryFilter = q126BatchFilter,
-      candFilter = "NOT (lc.cid % 4 = 3)",
+      candFilter = s"NOT (${q135CandCohort("lc.cid")})",
       k = 1),
 
     // frozen-codebook append: model CTEs on the ¾ base, everything else

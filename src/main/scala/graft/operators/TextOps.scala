@@ -464,13 +464,20 @@ object TextOps {
     *
     * Scale shape: one row-local projection + q30's linear fingerprint
     * shuffle + one keyed join-back — strictly a subset of q113's plan.
+    * `passers` is persisted for its two consumers (the election and the
+    * join-back would otherwise each re-run the gate + md5 over every
+    * document — r14 review) and released after the returned frame
+    * materializes; the result follows the caller-owns-cache contract.
     */
   def textKeeperMap(docs: DataFrame): DataFrame = {
     val passers = docs.filter(col("doc_id") >= 10)
       .filter(gopherKeepCol(col("text")))
       .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
-    passers.join(keeperElection(passers), "fp")
-      .select(col("doc_id"), col("keep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DedupOps.finishAndRelease(
+      passers.join(keeperElection(passers), "fp")
+        .select(col("doc_id"), col("keep_id")),
+      passers)
   }
 
   /** The keeper map as DuckDB SQL, factored from the q113 oracle's own

@@ -451,21 +451,33 @@ object DocStreams {
     * fingerprints (bounded bytes — the [[nearDupGate]] sizing math; shard
     * past the 2 GB ceiling with [[bloomShards]]' discipline) plus one
     * keeper-fp collect per trigger, bounded by the trigger's own
-    * admission control — never corpus-sized. The per-trigger labeling is
-    * row-local except q113's own keeper-election exchange, restricted to
-    * the batch. Restart note: the filter lives with the query; rebuild it
-    * from the admitted corpus's fingerprints on restart (the
-    * batch-reconciliation contract every gate documents).
+    * admission control — never corpus-sized. The serialized filter rides
+    * the plan as a foldable literal (the gate family's contract) and is
+    * re-serialized ONLY on triggers that elected new keepers; size
+    * `expectedDocs` to the history the way the static gates size their
+    * builds. The per-trigger labeling is row-local except q113's own
+    * keeper-election exchange, restricted to the batch.
+    *
+    * Delivery contract: `onCounts` fires per foreachBatch invocation,
+    * which is AT-LEAST-ONCE — after a crash, Spark re-fires the last
+    * uncommitted epoch on restart. The epoch id is passed precisely so a
+    * consumer accumulating totals dedups on it (idempotent
+    * overwrite-by-epoch, or skip epochs already recorded — the spec
+    * demonstrates the discipline); the Bloom update is naturally
+    * idempotent (re-putting a fingerprint is a no-op). Restart note: the
+    * filter lives with the query; rebuild it from the admitted corpus's
+    * fingerprints on restart (the batch-reconciliation contract every
+    * gate documents).
     */
   def waterfallAccountingSink(docs: DataFrame, evalBloom: Array[Byte],
-      expectedDocs: Long = 1L << 22, fpp: Double = 1e-6,
+      expectedDocs: Long = 1L << 20, fpp: Double = 1e-6,
       qualityBar: Double = 0.25)(
       onCounts: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val hist = org.apache.spark.util.sketch.BloomFilter.create(
       math.max(expectedDocs, 1L), fpp)
+    var histBytes = graft.functions.BloomFunctions.serialize(hist)
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      val staged = waterfallStageOf(batch, evalBloom,
-        graft.functions.BloomFunctions.serialize(hist), qualityBar)
+      val staged = waterfallStageOf(batch, evalBloom, histBytes, qualityBar)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         onCounts(staged.groupBy("stage")
@@ -476,9 +488,14 @@ object DocStreams {
             when(col("stage") === "kept", col("n_docs")).otherwise(0L)
               .as("passed")), epoch)
         // the new keepers' fingerprints claim dedup state — AFTER the
-        // counts so a failure emits nothing half-updated
-        staged.filter(col("keeper")).select("fp").collect()
-          .foreach(r => hist.putString(r.getString(0)))
+        // counts so a failure emits nothing half-updated; re-serialize
+        // only when the filter actually changed (r14 review: a ~MB-scale
+        // driver copy per trigger is pure waste on keeper-less triggers)
+        val newKeepers = staged.filter(col("keeper")).select("fp").collect()
+        if (newKeepers.nonEmpty) {
+          newKeepers.foreach(r => hist.putString(r.getString(0)))
+          histBytes = graft.functions.BloomFunctions.serialize(hist)
+        }
       } finally staged.unpersist(blocking = false): Unit
     }
   }

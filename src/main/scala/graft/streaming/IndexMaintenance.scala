@@ -64,7 +64,10 @@ object IndexMaintenance {
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (b.isEmpty) return false
-      SimilarityOps.appendToIvfPqIndex(s, b, dir)
+      // the SAME resolved set for codes and ledger (r14 review): a rebuild
+      // committing between two independent resolutions would split the
+      // epoch — codes in the new set, ledger row folded away in the old
+      SimilarityOps.appendToIvfPqIndexResolved(s, b, rdir)
       // ledger LAST: its presence implies the codes append completed, so
       // seeding the replay set from it can never skip a half-applied epoch
       IvfPqIndexStore.appendLedger(b, epoch, rdir)

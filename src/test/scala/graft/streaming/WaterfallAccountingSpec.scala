@@ -56,9 +56,13 @@ class WaterfallAccountingSpec extends SparkSpec {
     val got = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     var dropped = 0L
     var passed = 0L
+    // the sink's delivery contract is AT-LEAST-ONCE per epoch (foreachBatch
+    // re-fires the last uncommitted epoch after a crash) — an accumulating
+    // consumer dedups on the epoch id it is handed, as here
+    val seenEpochs = scala.collection.mutable.Set[Long]()
     val q = DocStreams.waterfallAccountingSink(input.toDF(), evalBloom) {
-      (counts, _) =>
-        counts.collect().foreach { r =>
+      (counts, epoch) =>
+        if (seenEpochs.add(epoch)) counts.collect().foreach { r =>
           got(r.getString(0)) += r.getLong(1)
           dropped += r.getLong(2)
           passed += r.getLong(3)
