@@ -614,6 +614,29 @@ object ScaleSmoke {
       else "[scalesmoke] q112 degrade RESULT MISMATCH between broadcast and shuffle plans")
     }
 
+    // q135 20× (r14): index-served near-dup cost is |batch| × probed-cell
+    // size. The fixture corpus doubles BOTH (cells are the 10 fixed
+    // labels), so fixed-geometry growth is ~4× — quadratic BY DESIGN at
+    // fixed cell count, the q62 fixed-b discipline: documenting it is the
+    // finding. The production escape (indexNearDupBatch's scaladoc):
+    // k_cells grows with the corpus so probed-cell size stays constant
+    // and the search stays linear in |batch|. Diagnostic ratio,
+    // straggler-gated through the shared bar; the 20× wall also pays the
+    // one-time q126 index build on this corpus (the q127 convention — the
+    // honest composed first-run cost).
+    if (args.isEmpty || args.contains("q135_index_neardup_batch")) {
+      val dir20 = new File("/tmp/graft_scale_vecs20x")
+      ensureTable(dir20, "embeddings.parquet", nVecs * 2, generateEmbeddings)
+      runQuery("q135_index_neardup_batch", dir20, "vecs20x_")
+      for (w10 <- walls.get("q135_index_neardup_batch");
+           w20 <- walls.get("vecs20x_q135_index_neardup_batch")) {
+        out.append(f""","vecs20x_q135_growth":${w20 / w10}%.2f""")
+        System.err.println(f"[scalesmoke] q135 10x->20x growth: ${w20 / w10}%.2f " +
+          "(diagnostic; |batch| x cell-size both double at fixed cell count " +
+          "-> ~4x expected; production sizes k_cells to the corpus)")
+      }
+    }
+
     // q57 hot-source section (r9 verdict #4): 80% of the corpus in ONE
     // source makes the per-source window cumsum a single task. The
     // UNSHARDED run is the diagnostic — its straggler documents the stall

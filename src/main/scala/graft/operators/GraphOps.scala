@@ -273,6 +273,39 @@ object GraphOps {
     DedupOps.finishAndRelease(res, clusters)
   }
 
+  /** q136: SOFT-DEDUP SAMPLE — q130's weights MATERIALIZED into per-doc
+    * admit/reject decisions, closing the weights→sample gap q130's
+    * scaladoc delegates ("downstream samplers consume the weight column
+    * directly"): admit a document when its salted hash-uniform falls
+    * under its cluster weight — the q63/q85 threshold device, one house
+    * convention — so each near-dup cluster admits ONE member in
+    * expectation while every copy keeps a nonzero chance (the soft
+    * middle ground between keep-all and q73's hard keeper). Singletons
+    * (weight 1.0) are always admitted via the explicit rate guard (the
+    * q63 rule: the 2³² bound overflows 8 hex digits at weight ≥ 1).
+    * Deterministic and engine-exact: the bound is floor(round6-weight ×
+    * 2³²) rendered as 8 hex digits, the draw is the first 32 md5 bits of
+    * the salted doc_id — both bit-identical across engines, so the
+    * SAMPLE itself is reproducible, not just its rate. Output keeps the
+    * q73 audit shape (every doc, flag) so the admitted set AND its
+    * complement are queryable.
+    *
+    * Scale shape: q130's smoked chain plus one row-local md5 threshold —
+    * nothing new shuffles.
+    */
+  def softDedupSample(s: SparkSession, d: String): DataFrame = {
+    val w = queries("q130_cluster_weights")(s, d)
+    val res = w
+      .withColumn("bound", lower(lpad(hex(
+        floor(col("weight") * lit(4294967296.0)).cast("long")), 8, "0")))
+      .withColumn("h", substring(md5(concat(lit("soft:"),
+        col("doc_id").cast("string"))), 1, 8))
+      .select(col("doc_id"), col("cluster_id"), col("weight"),
+        (col("weight") >= 1.0 || col("h") < col("bound"))
+          .cast("long").as("admit"))
+    DedupOps.finishAndRelease(res, w)
+  }
+
   /** q132: DEDUP IMPACT report — the end-of-pipeline accounting a curation
     * run publishes: per source, raw vs EFFECTIVE (q130-weight-summed)
     * document and token counts, and the duplicated-token fraction soft
@@ -326,6 +359,10 @@ object GraphOps {
 
     // Per-source dedup impact accounting — see [[dedupImpact]].
     "q132_dedup_impact" -> ((s, d) => dedupImpact(s, d)),
+
+    // Soft-dedup sample: q130's weights materialized into deterministic
+    // per-doc admit decisions — see [[softDedupSample]].
+    "q136_soft_dedup_sample" -> ((s, d) => softDedupSample(s, d)),
 
     // The same clustering terminal for the EMBEDDING near-dup pipeline:
     // q44's RP-LSH verified cosine pairs become components, every vector
@@ -468,6 +505,25 @@ object GraphOps {
           SELECT c.doc_id, c.cluster_id, s.cluster_size,
                  round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
           FROM c45 c JOIN sz s USING (cluster_id)""",
+
+    // q136: q130's weight CTEs nested, then the q63/q85 hash-threshold
+    // device — bound = floor(round6-weight × 2³²) as 8 lowercase hex
+    // digits, draw = first 8 md5 hex of the salted doc_id, with the
+    // explicit weight >= 1.0 singleton guard.
+    "q136_soft_dedup_sample" ->
+      s"""WITH c45 AS ($q45OracleSql),
+          sz AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM c45 GROUP BY cluster_id),
+          w AS (SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+                  round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
+                FROM c45 c JOIN sz s USING (cluster_id))
+          SELECT doc_id, cluster_id, weight,
+            CAST(weight >= 1.0 OR
+              substr(md5('soft:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              lower(lpad(hex(CAST(floor(weight * 4294967296.0) AS BIGINT)),
+                8, '0'))
+            AS BIGINT) AS admit
+          FROM w""",
 
     // q132: q130's oracle nested, one token count, one source rollup. The
     // fraction divides the ROUNDED effective sum by the integer raw sum —

@@ -873,9 +873,14 @@ object SimilarityOps {
     * Scale shape: the arriving cohort is batch-sized (a daily dump), so
     * probes/LUT are batch-bounded; the codes scan is partition-pruned to
     * probed cells; the ADC join exchanges on (c_label, subspace, code).
-    * Cost is one SEARCH per arrival — never a corpus re-pass, the whole
-    * point of serving dedup from the index q122 built, q126 appended,
-    * q127 audited and q133 rebuilds.
+    * Cost is one SEARCH per arrival — |batch| × probed-cell size, never a
+    * corpus re-pass — the whole point of serving dedup from the index
+    * q122 built, q126 appended, q127 audited and q133 rebuilds. At 100 TB
+    * the cell COUNT must grow with the corpus (size k_cells ≈
+    * corpus/target-cell-size at build/rebuild time — the fixture's 10
+    * label cells are a fixture artifact) so probed-cell size stays
+    * constant and the search stays linear in the batch; the 20× smoke
+    * documents the fixed-cell-count quadratic this avoids.
     */
   def indexNearDupBatch(s: SparkSession, d: String): DataFrame = {
     val dir = ensureQ126Index(s, d)

@@ -333,4 +333,32 @@ class GraphOpsSpec extends SparkSpec {
     out.unpersist(blocking = true)
     sp.catalog.clearCache()
   }
+
+  test("q136 soft-dedup sample: singletons always admitted, sample is the pinned hash") {
+    val sp = spark
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q136_soft_dedup_sample")(sp, d)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(r => r._4 == 0L || r._4 == 1L))
+    // singletons (weight 1.0) bypass the hash — always admitted
+    val singletons = rows.filter(_._3 == 1.0)
+    assert(singletons.nonEmpty && singletons.forall(_._4 == 1L))
+    // multi-doc clusters exist and reject someone (the fixture plants
+    // near-dups; a sampler admitting everyone is not sampling)
+    val multi = rows.filter(_._3 < 1.0)
+    assert(multi.nonEmpty && multi.exists(_._4 == 0L))
+    // the admit decision IS the pinned device: recompute one hash bound
+    // independently for every multi-cluster row
+    multi.foreach { case (docId, _, weight, admit) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"soft:$docId".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val bound = f"${math.floor(weight * 4294967296.0).toLong}%08x"
+      assert(admit === (if (h < bound) 1L else 0L),
+        s"doc $docId: admit=$admit but h=$h bound=$bound")
+    }
+    out.unpersist(blocking = true)
+    sp.catalog.clearCache()
+  }
 }
