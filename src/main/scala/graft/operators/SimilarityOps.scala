@@ -892,8 +892,18 @@ object SimilarityOps {
     // hash pin kept passing). The rename is safe here because the
     // constant is a fixed expression over the bare column (the
     // lineage-column caveat at ivfPqStalenessAuditFrom does not apply).
+    //
+    // broadcastLut = false: a BATCH-sized query side multiplies every
+    // codes row by ~|batch|/k_cells matching LUT rows, and under the
+    // broadcast hint that work runs INSIDE the codes scan — whose
+    // parallelism is the table's file-split count (the 10× smoke measured
+    // the collapse: one split held the probed cells and one task ran
+    // 21.6 s against a 0.02 s stage median). The planner's shuffle join
+    // exchanges the probed rows on (c_label, subspace, code) — even by
+    // hash at any batch size; the broadcast shape remains right for
+    // few-query serving (q122/q70's path, no exchange at all).
     searchSavedIvfPqFor(q, dir, nProbes = 2, k = 1,
-      candFilter = !expr(q135CandCohort("cid")))
+      candFilter = !expr(q135CandCohort("cid")), broadcastLut = false)
   }
 
   /** q126's batch-cohort predicate re-keyed onto a candidate column —

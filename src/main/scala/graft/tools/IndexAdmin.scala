@@ -62,7 +62,11 @@ object IndexAdmin {
         println(s"[index] dir=$dir committed_version=$v resolved=$rdir")
         println(s"[index] build_id=${IvfPqIndexStore.buildId(spark, rdir)}")
         println(s"[index] lease=${IvfPqIndexStore.leaseHolder(spark, dir).getOrElse("<none>")}")
-        IndexMaintenance.appendedMassReport(spark, dir).show(false)
+        val codesPath = new org.apache.hadoop.fs.Path(s"$rdir/codes")
+        if (codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(codesPath))
+          IndexMaintenance.appendedMassReport(spark, dir).show(false)
+        else println(s"[index] no codes table at $rdir — index not built yet")
       case "audit" =>
         require(args.length >= 3, "audit needs <indexDir> <embeddingsParquet>")
         SimilarityOps.ivfPqLedgerStalenessAudit(corpus(args(2)), dir,
