@@ -192,6 +192,62 @@ class IndexMaintenanceSpec extends SparkSpec {
     sp.catalog.clearCache()
   }
 
+  test("the FULL intake loop: admit novel, append, audit fires, rebuild, next copy drops") {
+    // gate → maintainer → audit → rebuild → gate, end to end: a novel
+    // far-cluster vector is admitted (nothing indexed is near it),
+    // appended against the FROZEN base codebooks (which quantize it
+    // terribly — exactly q127's staleness signal), the ledger-cohort
+    // audit fires on distortion, the rebuild retrains it into its own
+    // cell, and the next trigger's copy of it is DROPPED — near-dup
+    // detection at the edge is only as good as the quantization, which
+    // is precisely why the lifecycle's rebuild exists.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_intakeloop").toString
+    val base = frame(0L until 40L)
+    SimilarityOps.saveIvfPqIndexFrom(base, dir)
+    def farVec(id: Long): Array[Double] = vec(id).map(_ + 100.0)
+    val novel = VecRow(900, 10, farVec(900))
+    // bar = an exact indexed copy's quantization distortion: admits the
+    // far novel vector (huge adist vs the v0 index), drops a retrained
+    // exact copy (adist 0 in its own post-rebuild cell)
+    val bar = SimilarityOps.searchSavedIvfPqFor(
+      Seq((9999L, vec(5))).toDF("qid", "qe"), dir, k = 1)
+      .collect()(0).getAs[Double]("adist")
+    val admitted = scala.collection.mutable.Set[Long]()
+    val input = MemoryStream[VecRow]
+    val q = IndexMaintenance.annAdmissionSink(input.toDF(), dir, bar) {
+      (df, epoch) =>
+        admitted ++= df.select("vec_id").collect().map(_.getLong(0))
+        // the chained maintainer: admitted vectors immediately claim
+        // index state (the annAdmissionSink scaladoc's composition)
+        IndexMaintenance.appendEpoch(df, epoch, dir): Unit
+    }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_intakeloop_ckpt").toString)
+      .start()
+    try {
+      input.addData(novel)
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(900L), "novel far vector admitted")
+      // the scheduled audit job: the appended cohort (from the ledger) is
+      // quantized by codebooks trained before it existed — distortion
+      // fires the rebuild even though its mass (1/41) is under the bar
+      assert(SimilarityOps.rebuildIfStale(
+        base.unionByName(Seq(novel).toDF()), dir),
+        "the drifted append must actuate the rebuild")
+      // next trigger: a COPY of the admitted vector — only detectable
+      // because the rebuild retrained it into its own cell
+      input.addData(VecRow(901, 10, farVec(900)))
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(900L),
+        "the retrained copy must be dropped at the gate")
+    } finally q.stop()
+    IndexMaintenance.releaseIvfPqLease(sp, dir)
+    sp.catalog.clearCache()
+  }
+
   test("re-delivered vec_ids never corrupt the mass arithmetic") {
     val sp = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_idxredeliver").toString
