@@ -150,7 +150,24 @@ object ScaleSmoke {
     // |batch|-bounded by design and the broadcast(probeLut) hint must
     // stay sane as the batch grows; the codes side is the already-smoked
     // partition-pruned scan
-    "q135_index_neardup_batch")
+    "q135_index_neardup_batch",
+    // r14 additions: q137's scored stream is corpus×|queries| with TWO
+    // linear consumers (deliberately unpersisted — the scaladoc's claim
+    // that re-scanning beats caching needs the 10× wall to stay ~2× one
+    // q37-class scan, and the rank side must plant its map-side
+    // WindowGroupLimit); q138's full-outer manifest join is the round's
+    // one new corpus-keyed shuffle (digest projections on both sides, the
+    // join's task spread at 10× docs is the claim); q139's claim is the
+    // strongest of the three — ZERO corpus-sized shuffle (row-local norm
+    // fold + map-side partial agg to ≤ labels×dim rows), so its smoke
+    // watches that no stage's task count or spread grows with the corpus
+    "q137_hard_negatives", "q138_snapshot_diff", "q139_embedding_health",
+    // q142's claim is the sort-free first-hit rank: the only Window is
+    // the top-10 one (map-side WindowGroupLimit), so no task may hold a
+    // corpus-sized per-query sort — the 10× vectors point watches exactly
+    // the hot-partition shape the rank-algebra formulation exists to
+    // avoid (q141/q140 are the q139 row-local class — no slots)
+    "q142_retrieval_quality")
 
   // q45 on the skew corpus is the distributed-CC stressor: the boilerplate
   // block yields ~2M candidate edges in ONE dense component — far past the

@@ -1172,6 +1172,406 @@ object SimilarityOps {
       .orderBy("c_label", "proto_rank")
   }
 
+  /** q137's operator body: HARD-NEGATIVE MINING for contrastive training
+    * (Karpukhin et al. 2020, DPR §4.2 — the negatives that matter are the
+    * ones RETRIEVED near the query, not random draws; Qu et al. 2021,
+    * RocketQA §3.2 — denoise mined negatives that are actually unlabeled
+    * positives). For each query vector, the top-k most-cosine-similar
+    * candidates whose LABEL differs from the query's: the
+    * decision-boundary neighbors that carry the most contrastive
+    * gradient. Each negative also reports its MARGIN against the query's
+    * best positive (max cosine over same-label candidates, the labeled
+    * relevance stand-in): `margin_micro` > 0 (`suspect_false_neg` = 1)
+    * means the "negative" outscores every labeled positive — more likely
+    * an unlabeled positive than a true negative, the exact rows
+    * RocketQA's denoising drops before training. A query whose label has
+    * no other member has no positive: margin and flag are NULL, not 0 —
+    * "no evidence", which a downstream filter must treat differently
+    * from "safe".
+    *
+    * Engine-exactness: cosines are the q37 device (6-decimal round,
+    * deterministic (cos desc, cid) tiebreak); the margin is the INTEGER
+    * difference of the two micro-scaled cosines (the q69 micro-bit
+    * discipline), so no float subtraction can disagree across engines.
+    *
+    * Scale shape: the query side is a training batch / probe set —
+    * bounded by construction — and BROADCASTS; the candidate side is one
+    * linear scan with per-row norms computed once (q37's plan). Two
+    * consumers read that scan and each stays linear: the negative
+    * top-k is a rank-≤-k window on (qid), which
+    * InferWindowGroupLimit turns into a map-side group top-k (the q124
+    * pin, plan-pinned in HardNegativesSpec), and the best-positive is a
+    * partial-agg max over the same-label sliver (no sort, |queries|
+    * rows out). Deliberately NO persist of the scored stream: it is
+    * corpus×|queries|-sized, so re-scanning twice beats caching it at
+    * any real scale. At index scale the same verb is served by the
+    * maintained IVF-PQ index — [[hardNegativesIndexServed]]: over-fetch
+    * k×`overFetch` by ADC distance, anti-filter on label, re-rank —
+    * with agreement vs this exact miner pinned in HardNegativesSpec.
+    */
+  def hardNegatives(s: SparkSession, d: String, nQueries: Long = 8L,
+      k: Int = 5): DataFrame = {
+    val base = prepped(s, d)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("e").as("ce"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("graft_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+    val bestPos = scored.filter(col("clabel") === col("qlabel"))
+      .groupBy("qid").agg(max("cos").as("best_pos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    scored.filter(col("clabel") =!= col("qlabel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .join(bestPos, Seq("qid"), "left")
+      .select(col("qid"), col("cid").as("neg_id"), col("cos"),
+        col("rn").cast("long").as("rn"),
+        (round(col("cos") * 1e6, 0).cast("long") -
+          round(col("best_pos") * 1e6, 0).cast("long")).as("margin_micro"),
+        (col("cos") > col("best_pos")).cast("long").as("suspect_false_neg"))
+      .orderBy("qid", "rn")
+  }
+
+  /** [[hardNegatives]] served by the MAINTAINED IVF-PQ index — the 100 TB
+    * path: mining negatives for every training query with a brute-force
+    * corpus scan per batch is exactly what the index exists to avoid.
+    * Over-fetch k×`overFetch` nearest by ADC distance (the label
+    * anti-filter discards an unknown number of positives from the front
+    * of the list, so the raw top-k is NOT enough — the over-fetch bound
+    * is the recall knob, same trade as nProbes), join true labels (the
+    * index's c_label is the ASSIGNED cell, not the class), drop same-label
+    * rows, re-rank. Approximate where the miner is exact — acceptable for
+    * negative MINING (a near-boundary negative a few ADC ranks off is
+    * still a hard negative; contrastive training needs hardness, not the
+    * argmax) — agreement vs [[hardNegatives]] is pinned in
+    * HardNegativesSpec rather than an oracle row, the
+    * surprisalSplitApprox precedent.
+    */
+  def hardNegativesIndexServed(s: SparkSession, d: String, indexDir: String,
+      nQueries: Long = 8L, k: Int = 5, nProbes: Int = 4,
+      overFetch: Int = 4): DataFrame = {
+    val base = prepped(s, d)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("e").as("qe"))
+    val hits = searchSavedIvfPqFor(q.select("qid", "qe"), indexDir,
+      nProbes, k * overFetch)
+    val labels = embeddings(s, d)
+      .select(col("vec_id").as("cid"), col("label").as("clabel"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    hits.join(labels, "cid")
+      .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("rn2", row_number().over(w))
+      .filter(col("rn2") <= k)
+      .select(col("qid"), col("cid").as("neg_id"), col("adist"),
+        col("rn2").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** q139's operator body: EMBEDDING-HEALTH AUDIT — the statistics you
+    * read before trusting any ANN index or cosine threshold built on a
+    * vector column (Ethayarajh 2019 measured how anisotropic contextual
+    * embeddings are; a mean-vector norm near the mean row norm means the
+    * corpus lives in a narrow cone and every cosine is inflated). Per
+    * label and for the whole corpus (`label` = −1): row-norm stats
+    * (mean/min/max — catches unnormalized or zero rows before they break
+    * cosine math), `mean_vec_norm` (norm of the centroid — the anisotropy
+    * numerator), `anisotropy` (centroid norm / mean row norm — 0 for a
+    * balanced cloud, →1 for a degenerate cone), and `participation_ratio`
+    * ((Σλ)²/Σλ² over per-dimension variances, the diagonal approximation
+    * of PCA effective dimensionality — d means isotropic, 1 means a
+    * single direction carries everything; Gao et al. 2019's
+    * representation-degeneration signal at audit cost).
+    *
+    * Engine-exactness: every corpus-sized sum is over INTEGERS — each
+    * component is micro-scaled (`round(x·1e6)` as BIGINT) at the row, so
+    * per-row norm squares, per-dimension Σx/Σx², and all label/corpus
+    * rollups are exact integer arithmetic no summation order can
+    * perturb; the handful of doubles (variance, PR, norms) derive from
+    * those agreed integers through one fixed IEEE expression. The
+    * corpus row is the integer SUM of the label rows (pooled variance
+    * from pooled Σx/Σx²/n), not an average of averages.
+    *
+    * Scale shape: ONE pass over the vectors, ZERO corpus-sized shuffle —
+    * the row-norm square is a row-local higher-order `aggregate` over
+    * the array (never exploded), and the per-(label, dim) moment table
+    * partial-aggregates map-side to ≤ |labels|×dim rows per task before
+    * the exchange, so what shuffles is KB regardless of corpus size.
+    * Everything after is arithmetic over a ≤ (|labels|+1)×dim frame.
+    */
+  def embeddingHealth(s: SparkSession, d: String): DataFrame = {
+    val xm = "CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)"
+    val rows = embeddings(s, d)
+      .withColumn("nm", expr(
+        s"""CAST(round(sqrt(CAST(aggregate(embedding, 0L,
+           |  (acc, x) -> acc + $xm * $xm) AS DOUBLE)), 0) AS BIGINT)""".stripMargin))
+      .withColumn("lbl", col("label").cast("long"))
+    val normLab = rows.groupBy("lbl").agg(
+      count(lit(1)).as("n"), sum("nm").as("snm"),
+      min("nm").as("minm"), max("nm").as("maxm"))
+    val normAll = normLab.agg(
+      sum("n").as("n"), sum("snm").as("snm"),
+      min("minm").as("minm"), max("maxm").as("maxm"))
+      .withColumn("lbl", lit(-1L))
+    val norml = normLab.unionByName(normAll)
+    val dimLab = rows
+      .select(col("lbl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("v", expr(xm))
+      .groupBy("lbl", "pos")
+      .agg(sum("v").as("sx"), sum(expr("v * v")).as("sxx"),
+        count(lit(1)).as("nd"))
+    val dimAllRows = dimLab.groupBy("pos").agg(
+      sum("sx").as("sx"), sum("sxx").as("sxx"), sum("nd").as("nd"))
+      .withColumn("lbl", lit(-1L))
+    val dimStats = dimLab.unionByName(dimAllRows)
+      .withColumn("var_u", expr(
+        """CAST(round((CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / nd / 1e6,
+          |  0) AS BIGINT)""".stripMargin))
+      .withColumn("mn_u", expr(
+        "CAST(round(CAST(sx AS DOUBLE) / nd, 0) AS BIGINT)"))
+    val dimAgg = dimStats.groupBy("lbl").agg(
+      round(when(sum(expr("var_u * var_u")) === 0, 0.0)
+        .otherwise(sum("var_u").cast("double") * sum("var_u") /
+          sum(expr("var_u * var_u"))), 6).as("participation_ratio"),
+      (sqrt(sum(expr("mn_u * mn_u")).cast("double")) / 1e6).as("mvn_d"))
+    norml.join(dimAgg, "lbl")
+      .select(
+        col("lbl").as("label"), col("n"),
+        round(col("snm").cast("double") / col("n") / 1e6, 6).as("mean_norm"),
+        round(col("minm").cast("double") / 1e6, 6).as("min_norm"),
+        round(col("maxm").cast("double") / 1e6, 6).as("max_norm"),
+        round(col("mvn_d"), 6).as("mean_vec_norm"),
+        round(col("mvn_d") / (col("snm").cast("double") / col("n") / 1e6), 6)
+          .as("anisotropy"),
+        col("participation_ratio"))
+      .orderBy("label")
+  }
+
+  /** q141's operator body: EMBEDDING COHORT-DRIFT REPORT — the model-free
+    * sibling of q127's codebook-distortion audit, for the monitoring
+    * dashboard a 24/7 index pipeline actually watches: between the BASE
+    * cohort and the ARRIVING cohort (q126's split convention — one
+    * definition of "appended" across q126/q127/q135/q141), per label and
+    * pooled (-1): cohort counts, the arriving share, the CENTROID SHIFT
+    * (L2 between the two cohort means — embedding-space translation, the
+    * signal that precedes every recall regression), and the DISPERSION
+    * RATIO (arriving pooled per-dim variance over base — spread change:
+    * >1 the new data is more diffuse than what the centroids were
+    * trained on, <1 it collapsed). q127 asks "do the CODEBOOKS still
+    * fit"; this asks "did the DATA move", answerable without any index
+    * artifact.
+    *
+    * The `drift` flag is NOISE-FLOOR-AWARE — the part naive drift
+    * monitors get wrong: under a null split the two cohort means differ
+    * by sampling noise alone, E‖m̄ₐ−m̄ᵦ‖² ≈ trace(Σ)·(1/nₐ+1/nᵦ), which
+    * at a per-label n of ~12 is a shift of ~0.33 on unit-norm vectors —
+    * any absolute bar small enough to catch real drift would fire on
+    * every healthy small cohort. So the report carries `shift_noise`
+    * (that floor, computed from the SAME integer moments) and flags
+    * shift only past BOTH the practical-relevance bar AND 3× its own
+    * noise floor; the dispersion ratio keeps the q127-style two-sided
+    * band. On the fixture's null modulus split every row reads drift 0
+    * (measured shift ≈ 1.0× its floor — the theory check); the spec
+    * plants a genuinely translated cohort to prove the flag fires.
+    *
+    * Engine-exactness: the q139 device end-to-end — micro-scaled integer
+    * components, per-(cohort, label, dim) integer moment rows, pooled
+    * rows are integer SUMS of label rows, every double derives from
+    * agreed integers through one fixed IEEE expression.
+    *
+    * Scale shape: ONE pass over the vectors (the cohort flag is a
+    * row-local predicate), map-side partial agg to
+    * ≤ 2×(labels+1)×dim rows, everything after is arithmetic on that
+    * tiny frame — zero corpus-sized shuffle, the q139 claim.
+    */
+  def embeddingDrift(s: SparkSession, d: String,
+      shiftBar: Double = 0.1, dispLo: Double = 0.5,
+      dispHi: Double = 2.0): DataFrame =
+    embeddingDriftFrom(
+      embeddings(s, d).withColumn("arr", expr(q126BatchFilter).cast("long")),
+      shiftBar, dispLo, dispHi)
+
+  /** [[embeddingDrift]] over an explicit frame carrying its own cohort
+    * flag `arr` — the seam the spec drives with a genuinely translated
+    * cohort (the fixture split is null by construction).
+    */
+  private[graft] def embeddingDriftFrom(vecsWithCohort: DataFrame,
+      shiftBar: Double = 0.1, dispLo: Double = 0.5,
+      dispHi: Double = 2.0): DataFrame = {
+    val dimLab = vecsWithCohort
+      .withColumn("lbl", col("label").cast("long"))
+      .select(col("lbl"), col("arr"),
+        posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("pos", "x")))
+      .withColumn("v", expr("CAST(round(x * 1e6, 0) AS BIGINT)"))
+      .groupBy("lbl", "arr", "pos")
+      .agg(sum("v").as("sx"), sum(expr("v * v")).as("sxx"),
+        count(lit(1)).as("nd"))
+    val pooled = dimLab.groupBy("arr", "pos").agg(
+      sum("sx").as("sx"), sum("sxx").as("sxx"), sum("nd").as("nd"))
+      .withColumn("lbl", lit(-1L))
+    val stats = dimLab.unionByName(pooled)
+      .withColumn("mn_u", expr(
+        "CAST(round(CAST(sx AS DOUBLE) / nd, 0) AS BIGINT)"))
+      .withColumn("var_u", expr(
+        """CAST(round((CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / nd / 1e6,
+          |  0) AS BIGINT)""".stripMargin))
+    val base = stats.filter(col("arr") === 0L)
+      .select(col("lbl"), col("pos"), col("mn_u").as("mb"),
+        col("var_u").as("vb"), col("nd").as("nb"))
+    val arr = stats.filter(col("arr") === 1L)
+      .select(col("lbl"), col("pos"), col("mn_u").as("ma"),
+        col("var_u").as("va"), col("nd").as("na"))
+    base.join(arr, Seq("lbl", "pos"))
+      .groupBy("lbl")
+      .agg(
+        max("nb").as("n_base"), max("na").as("n_arr"),
+        sum(expr("(ma - mb) * (ma - mb)")).as("d2_u"),
+        sum("vb").as("disp_base_u"), sum("va").as("disp_arr_u"))
+      .withColumn("shift_d", sqrt(col("d2_u").cast("double")) / 1e6)
+      .withColumn("noise_d", sqrt(col("disp_base_u").cast("double") / 1e6 *
+        (lit(1.0) / col("n_base") + lit(1.0) / col("n_arr"))))
+      .withColumn("ratio_d",
+        col("disp_arr_u").cast("double") / col("disp_base_u"))
+      .select(
+        col("lbl").as("label"),
+        col("n_base"), col("n_arr"),
+        round(col("n_arr").cast("double") /
+          (col("n_base") + col("n_arr")), 6).as("arr_share"),
+        round(col("shift_d"), 6).as("centroid_shift"),
+        round(col("noise_d"), 6).as("shift_noise"),
+        round(col("ratio_d"), 6).as("disp_ratio"),
+        ((col("shift_d") > shiftBar && col("shift_d") > lit(3.0) * col("noise_d")) ||
+          col("ratio_d") < dispLo || col("ratio_d") > dispHi)
+          .cast("long").as("drift"))
+      .orderBy("label")
+  }
+
+  /** q142's operator body: LABEL-RETRIEVAL QUALITY — the EMBEDDING-side
+    * audit upstream of everything the index family measures: q129 asks
+    * "does the INDEX reproduce exact search", this asks "is exact search
+    * over these embeddings any good at retrieving same-label items" (the
+    * question that decides whether the embedding model is fit for
+    * retrieval at all, before any ANN artifact exists). Per query
+    * (`vec_id` < 50, the q119 probe convention): the rank of the FIRST
+    * same-label candidate under exact cosine order (cos desc, cid — the
+    * q37 tiebreak), its reciprocal in micro units (the MRR contribution,
+    * integer-exact), and the same-label hit count in the top 10
+    * (precision@10). Per-query rows, the q73 audit-shape convention —
+    * corpus aggregates (MRR, mean P@10) are one trivial roll-up the
+    * consumer does.
+    *
+    * Scale shape — the point: first-hit rank WITHOUT a per-query
+    * corpus-sized sort. A rank window partitioned by qid sorts the whole
+    * candidate set in one task per query (the q103 hot-stratum hazard at
+    * its worst — |corpus| rows per partition). Instead: rank algebra —
+    * the best same-label candidate is a partial-agg max(struct) argmax
+    * (q72's device), and its rank is 1 + COUNT of candidates ordering
+    * strictly before it, a broadcast-join + conditional partial agg.
+    * Both passes are linear, map-side combinable, sort-free. Only
+    * precision@10 keeps a rank window — WITH the rank-≤-k filter that
+    * plants the map-side `WindowGroupLimit` (the q124/q137 pin). The
+    * scored stream is corpus×|queries| and deliberately unpersisted
+    * (q137's argument).
+    */
+  def retrievalQuality(s: SparkSession, d: String, nQueries: Long = 50L,
+      k: Int = 10): DataFrame = {
+    val basePrep = prepped(s, d)
+    val q = basePrep.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val c = basePrep.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("e").as("ce"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q.select("qid", "qlabel", "qe", "qn")),
+        col("cid") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("graft_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+    val best = scored.filter(col("clabel") === col("qlabel"))
+      .groupBy("qid")
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("qid"), col("b.cos").as("bcos"), (-col("b.ncid")).as("bcid"))
+    val ranks = scored.join(broadcast(best), Seq("qid"))
+      .groupBy("qid")
+      .agg(sum(when(col("cos") > col("bcos") ||
+          (col("cos") === col("bcos") && col("cid") < col("bcid")), 1L)
+        .otherwise(0L)).as("above"))
+      .select(col("qid"), (col("above") + 1L).as("first_hit_rank"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
+    val pAtK = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("qid")
+      .agg(sum((col("clabel") === col("qlabel")).cast("long")).as("n_topk_hits"))
+    q.select(col("qid"), col("qlabel").cast("long").as("qlabel"))
+      .join(ranks, Seq("qid"), "left")
+      .join(pAtK, Seq("qid"), "left")
+      .select(col("qid"), col("qlabel"), col("first_hit_rank"),
+        expr("CAST(round(1e6 / first_hit_rank, 0) AS BIGINT)").as("rr_micro"),
+        col("n_topk_hits"))
+      .orderBy("qid")
+  }
+
+  /** ONE-DEFINITION vector-health verdict — q140's audit and the
+    * streaming admission gate ([[graft.streaming.IndexMaintenance
+    * .vectorHealthGate]]) share this exact Column, the
+    * DocStreams gate discipline. The whole test hangs off ONE row-local
+    * number: d2 = Σx² via a registration-free higher-order `aggregate`
+    * (q139's norm-fold device — a streaming gate must not depend on
+    * session UDF registration order). d2 is NaN iff any component is
+    * NaN and +Inf iff any component overflows, so after the dimension
+    * check a single closed interval [lo², hi²] classifies every failure:
+    * nonfinite (IEEE comparison semantics exclude NaN/Inf by name
+    * first), zero/deflated norm (cosine against it is undefined or
+    * unstable), inflated norm (an un-normalized outlier that would
+    * dominate every dot product). Row-local, zero shuffle, codegen-able.
+    */
+  private[graft] def vectorVerdictCol(ed: Column, dim: Int = 64,
+      loNorm: Double = 0.5, hiNorm: Double = 2.0): Column = {
+    val d2 = aggregate(ed, lit(0.0), (acc, x) => acc + x * x)
+    when(ed.isNull, "null")
+      .when(size(ed) =!= dim, "wrong_dim")
+      .when(isnan(d2) || d2 === lit(Double.PositiveInfinity), "nonfinite")
+      .when(d2 < loNorm * loNorm, "norm_low")
+      .when(d2 > hiNorm * hiNorm, "norm_high")
+      .otherwise(lit("ok"))
+  }
+
+  /** q140's operator body: VECTOR-HEALTH AUDIT with planted corruption —
+    * the intake-QA table for an embedding column (q139 profiles a healthy
+    * column; this one CLASSIFIES the broken rows a real ingest sees:
+    * truncated arrays from a schema drift, NaN from an upstream overflow,
+    * zero vectors from a failed encoder call, un-normalized batches from
+    * a missing post-processing step). The fixture corrupts the clean sf
+    * embeddings deterministically (modulus conventions, first CASE arm
+    * wins — mirrored verbatim in the oracle): dim-truncation (mod 31),
+    * NaN component (mod 37), zero vector (mod 23), 10× scale (mod 29).
+    * Output: per-verdict counts with min/max vec_id witnesses.
+    *
+    * Scale shape: verdict is [[vectorVerdictCol]] — row-local — and the
+    * aggregation is ≤ 6 groups; nothing corpus-sized shuffles. The
+    * streaming gate runs the SAME verdict at the ingest edge so a row
+    * this audit would flag never becomes permanent index state.
+    */
+  def vectorHealthAudit(s: SparkSession, d: String): DataFrame = {
+    val ed = "CAST(embedding AS ARRAY<DOUBLE>)"
+    embeddings(s, d)
+      .withColumn("e",
+        when(col("vec_id") % 31 === 0, expr(s"slice($ed, 1, 32)"))
+          .when(col("vec_id") % 37 === 0,
+            expr(s"concat(array(CAST('NaN' AS DOUBLE)), slice($ed, 2, 63))"))
+          .when(col("vec_id") % 23 === 0, expr(s"transform($ed, x -> 0.0D)"))
+          .when(col("vec_id") % 29 === 0, expr(s"transform($ed, x -> x * 10.0D)"))
+          .otherwise(expr(ed)))
+      .withColumn("verdict", vectorVerdictCol(col("e")))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("vec_id").as("first_vec"), max("vec_id").as("last_vec"))
+      .orderBy("verdict")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 3.
     "q37_sim_topk" -> ((s, d) => {
@@ -1408,7 +1808,28 @@ object SimilarityOps {
 
     // Selection-only prototype top-k — the WindowGroupLimit scale shape,
     // see [[prototypeSelectTop]].
-    "q124_prototype_topk" -> ((s, d) => prototypeSelectTop(prepped(s, d)))
+    "q124_prototype_topk" -> ((s, d) => prototypeSelectTop(prepped(s, d))),
+
+    // Hard-negative mining with the RocketQA false-negative flag — see
+    // [[hardNegatives]]; [[hardNegativesIndexServed]] is the index-served
+    // scale path, spec-pinned.
+    "q137_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
+
+    // Embedding-health audit: norms, anisotropy, participation ratio per
+    // label + corpus — see [[embeddingHealth]].
+    "q139_embedding_health" -> ((s, d) => embeddingHealth(s, d)),
+
+    // Vector-health verdict audit over planted corruption — see
+    // [[vectorHealthAudit]]; the streaming gate shares the verdict.
+    "q140_vector_health" -> ((s, d) => vectorHealthAudit(s, d)),
+
+    // Cohort-drift report between base and arriving vectors (q126's
+    // split) — see [[embeddingDrift]].
+    "q141_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
+
+    // Label-retrieval quality: sort-free first-hit rank + precision@10 —
+    // see [[retrievalQuality]].
+    "q142_retrieval_quality" -> ((s, d) => retrievalQuality(s, d))
   )
 
   /** q119's operator body: SEMANTIC decontamination — the embedding-space
@@ -1973,6 +2394,203 @@ object SimilarityOps {
                q.vec_id) AS rn
            FROM embeddings c JOIN embeddings q
              ON q.vec_id < 50 AND c.vec_id >= 50) t
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+
+    // q137: the q37 cosine device, label-partitioned — negatives ranked
+    // among different-label candidates, margin = integer difference of
+    // the micro-scaled cosines (best positive = max same-label cosine).
+    "q137_hard_negatives" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS cid, c.label AS clabel,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+           FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 8),
+         best_pos AS (
+           SELECT qid, max(cos) AS best_pos FROM scored
+           WHERE clabel = qlabel GROUP BY qid),
+         negs AS (
+           SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           FROM scored WHERE clabel != qlabel)
+         SELECT n.qid, n.cid AS neg_id, n.cos, CAST(n.rn AS BIGINT) AS rn,
+           CAST(round(n.cos * 1e6, 0) AS BIGINT)
+             - CAST(round(b.best_pos * 1e6, 0) AS BIGINT) AS margin_micro,
+           CAST(n.cos > b.best_pos AS BIGINT) AS suspect_false_neg
+         FROM negs n LEFT JOIN best_pos b USING (qid)
+         WHERE n.rn <= 5 ORDER BY qid, rn""",
+
+    // q139: every corpus-sized sum is over micro-scaled BIGINTs (exact
+    // under any summation order); the corpus row (-1) is the integer SUM
+    // of the label rows — pooled moments, not averaged averages. The
+    // double expressions mirror the Spark side operation-for-operation.
+    "q139_embedding_health" ->
+      """WITH unpacked AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS lbl, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS v
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         rownorm AS (
+           SELECT vec_id, lbl,
+             CAST(round(sqrt(CAST(sum(v * v) AS DOUBLE)), 0) AS BIGINT) AS nm
+           FROM unpacked GROUP BY vec_id, lbl),
+         normlab AS (
+           SELECT lbl, count(*) AS n, sum(nm) AS snm,
+             min(nm) AS minm, max(nm) AS maxm
+           FROM rownorm GROUP BY lbl),
+         norml AS (
+           SELECT * FROM normlab
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT),
+             CAST(sum(snm) AS BIGINT), min(minm), max(maxm) FROM normlab),
+         dimlab AS (
+           SELECT lbl, pos, sum(v) AS sx, sum(v * v) AS sxx, count(*) AS nd
+           FROM unpacked GROUP BY lbl, pos),
+         diml AS (
+           SELECT * FROM dimlab
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), pos, CAST(sum(sx) AS BIGINT),
+             CAST(sum(sxx) AS BIGINT), CAST(sum(nd) AS BIGINT)
+           FROM dimlab GROUP BY pos),
+         dimstats AS (
+           SELECT lbl,
+             CAST(round((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / nd / 1e6,
+               0) AS BIGINT) AS var_u,
+             CAST(round(CAST(sx AS DOUBLE) / nd, 0) AS BIGINT) AS mn_u
+           FROM diml),
+         dimagg AS (
+           SELECT lbl,
+             round(CASE WHEN sum(var_u * var_u) = 0 THEN 0.0
+               ELSE CAST(sum(var_u) AS DOUBLE) * sum(var_u) / sum(var_u * var_u)
+               END, 6) AS participation_ratio,
+             sqrt(CAST(sum(mn_u * mn_u) AS DOUBLE)) / 1e6 AS mvn_d
+           FROM dimstats GROUP BY lbl)
+         SELECT n.lbl AS label, n.n,
+           round(CAST(n.snm AS DOUBLE) / n.n / 1e6, 6) AS mean_norm,
+           round(CAST(n.minm AS DOUBLE) / 1e6, 6) AS min_norm,
+           round(CAST(n.maxm AS DOUBLE) / 1e6, 6) AS max_norm,
+           round(d.mvn_d, 6) AS mean_vec_norm,
+           round(d.mvn_d / (CAST(n.snm AS DOUBLE) / n.n / 1e6), 6) AS anisotropy,
+           d.participation_ratio
+         FROM norml n JOIN dimagg d USING (lbl) ORDER BY label""",
+
+    // q140: the fixture's corruption CASE arms and the verdict chain
+    // mirror the Spark side order-for-order; d2 is the same sequential
+    // fold both engines compute on identical doubles.
+    "q140_vector_health" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+         corrupted AS (
+           SELECT vec_id,
+             CASE WHEN vec_id % 31 = 0 THEN e0[1:32]
+                  WHEN vec_id % 37 = 0 THEN list_concat(['nan'::DOUBLE], e0[2:64])
+                  WHEN vec_id % 23 = 0 THEN list_transform(e0, x -> 0.0)
+                  WHEN vec_id % 29 = 0 THEN list_transform(e0, x -> x * 10.0)
+                  ELSE e0 END AS e
+           FROM base),
+         judged AS (
+           SELECT vec_id,
+             CASE WHEN e IS NULL THEN 'null'
+                  WHEN len(e) != 64 THEN 'wrong_dim'
+                  WHEN isnan(list_dot_product(e, e))
+                    OR isinf(list_dot_product(e, e)) THEN 'nonfinite'
+                  WHEN list_dot_product(e, e) < 0.25 THEN 'norm_low'
+                  WHEN list_dot_product(e, e) > 4.0 THEN 'norm_high'
+                  ELSE 'ok' END AS verdict
+           FROM corrupted)
+         SELECT verdict, count(*) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS first_vec,
+           CAST(max(vec_id) AS BIGINT) AS last_vec
+         FROM judged GROUP BY verdict ORDER BY verdict""",
+
+    // q141: the q139 integer-moment machinery with a cohort flag; pooled
+    // (-1) rows are integer sums of label rows; the drift expressions
+    // mirror the Spark side operation-for-operation.
+    "q141_embedding_drift" ->
+      """WITH unpacked AS (
+           SELECT CAST(label AS BIGINT) AS lbl,
+             CAST(vec_id % 4 = 3 AS BIGINT) AS arr, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS v
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         dimlab AS (
+           SELECT lbl, arr, pos, sum(v) AS sx, sum(v * v) AS sxx,
+             count(*) AS nd
+           FROM unpacked GROUP BY lbl, arr, pos),
+         diml AS (
+           SELECT * FROM dimlab
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), arr, pos, CAST(sum(sx) AS BIGINT),
+             CAST(sum(sxx) AS BIGINT), CAST(sum(nd) AS BIGINT)
+           FROM dimlab GROUP BY arr, pos),
+         stats AS (
+           SELECT lbl, arr, pos, nd,
+             CAST(round(CAST(sx AS DOUBLE) / nd, 0) AS BIGINT) AS mn_u,
+             CAST(round((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / nd / 1e6,
+               0) AS BIGINT) AS var_u
+           FROM diml),
+         joined AS (
+           SELECT b.lbl, b.pos, b.nd AS nb, a.nd AS na,
+             b.mn_u AS mb, a.mn_u AS ma, b.var_u AS vb, a.var_u AS va
+           FROM (SELECT * FROM stats WHERE arr = 0) b
+           JOIN (SELECT * FROM stats WHERE arr = 1) a
+             ON a.lbl = b.lbl AND a.pos = b.pos),
+         agg AS (
+           SELECT lbl, max(nb) AS n_base, max(na) AS n_arr,
+             CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS d2_u,
+             CAST(sum(vb) AS BIGINT) AS disp_base_u,
+             CAST(sum(va) AS BIGINT) AS disp_arr_u
+           FROM joined GROUP BY lbl),
+         derived AS (
+           SELECT lbl, n_base, n_arr, d2_u, disp_base_u, disp_arr_u,
+             sqrt(CAST(d2_u AS DOUBLE)) / 1e6 AS shift_d,
+             sqrt(CAST(disp_base_u AS DOUBLE) / 1e6
+               * (1.0 / n_base + 1.0 / n_arr)) AS noise_d,
+             CAST(disp_arr_u AS DOUBLE) / disp_base_u AS ratio_d
+           FROM agg)
+         SELECT lbl AS label, n_base, n_arr,
+           round(CAST(n_arr AS DOUBLE) / (n_base + n_arr), 6) AS arr_share,
+           round(shift_d, 6) AS centroid_shift,
+           round(noise_d, 6) AS shift_noise,
+           round(ratio_d, 6) AS disp_ratio,
+           CAST((shift_d > 0.1 AND shift_d > 3.0 * noise_d)
+             OR ratio_d < 0.5 OR ratio_d > 2.0
+             AS BIGINT) AS drift
+         FROM derived ORDER BY label""",
+
+    // q142: the window formulation IS the oracle (DuckDB exactness, not
+    // scale) — the Spark side's sort-free rank algebra must reproduce it
+    // exactly.
+    "q142_retrieval_quality" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS cid, c.label AS clabel,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+           FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 50),
+         ranked AS (
+           SELECT qid, qlabel, cid, clabel, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           FROM scored),
+         firsthit AS (
+           SELECT qid, CAST(min(rn) AS BIGINT) AS first_hit_rank
+           FROM ranked WHERE clabel = qlabel GROUP BY qid),
+         patk AS (
+           SELECT qid,
+             CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_topk_hits
+           FROM ranked WHERE rn <= 10 GROUP BY qid)
+         SELECT e.vec_id AS qid, CAST(e.label AS BIGINT) AS qlabel,
+           f.first_hit_rank,
+           CAST(round(1e6 / f.first_hit_rank, 0) AS BIGINT) AS rr_micro,
+           p.n_topk_hits
+         FROM embeddings e
+         LEFT JOIN firsthit f ON f.qid = e.vec_id
+         LEFT JOIN patk p ON p.qid = e.vec_id
+         WHERE e.vec_id < 50 ORDER BY qid"""
   )
 }

@@ -378,10 +378,69 @@ object StatsOps {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** q138's operator body: CORPUS SNAPSHOT DIFF — the manifest-level
+    * audit an incremental pipeline runs between two corpus versions
+    * before reprocessing anything: per source, how many documents were
+    * ADDED (in new only), REMOVED (in old only), CHANGED (present in
+    * both, content digest differs) and UNCHANGED, with min/max doc_id
+    * witnesses per cell. q112 answers "which ARRIVALS duplicate
+    * history"; this answers the bookkeeping question one level up —
+    * "what actually changed between yesterday's lake and today's", the
+    * number that decides whether downstream stages (dedup, index
+    * append, decontam) re-run at all and over which slice.
+    *
+    * Scale shape: each snapshot contributes ONE projection — (doc_id,
+    * source, md5(text)) computed inside the scan, text never leaves it —
+    * then a single full-outer equi-join on doc_id and a ≤ |sources|×4
+    * aggregation. At lake scale both manifests are bucketed by doc_id
+    * (or maintained incrementally as digest tables, the q112 fingerprint
+    * discipline — unchanged files then never rescan), so the join is a
+    * co-partitioned merge with no corpus shuffle; nothing here is ever
+    * pairwise.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("source").as("osource"),
+      md5(col("text")).as("odig"))
+    val n = newDocs.select(col("doc_id"), col("source").as("nsource"),
+      md5(col("text")).as("ndig"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("odig").isNull, "added")
+          .when(col("ndig").isNull, "removed")
+          .when(col("odig") =!= col("ndig"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("source", coalesce(col("nsource"), col("osource")))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "status")
+  }
+
+  /** q138's fixture convention: OLD = corpus minus doc_id ≡ 0 (mod 7)
+    * (those are "added" in NEW), NEW = corpus minus doc_id ≡ 0 (mod 13)
+    * ("removed"), and NEW's doc_id ≡ 0 (mod 11) rows carry a revision
+    * marker appended to the text ("changed"). Mirrored verbatim in the
+    * oracle; docs hitting both exclusions appear in neither snapshot.
+    */
+  def snapshotDiffFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+    val neu = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    snapshotDiff(old, neu)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reproducible training order (see [[trainOrder]]): seeded hash
     // permutation → shard + within-shard position, no global sort.
     "q114_train_order" -> ((s, d) => trainOrder(documents(s, d), 32, 0)),
+
+    // Corpus snapshot diff (see [[snapshotDiff]]): per-source
+    // added/removed/changed/unchanged manifest accounting between two
+    // corpus versions — one digest projection per side, one doc_id join.
+    "q138_snapshot_diff" -> ((s, d) => snapshotDiffFixture(s, d)),
 
     // Pairwise source JSD (see [[sourceDivergence]]): the
     // distributional source-similarity matrix next to q90's literal
@@ -533,6 +592,30 @@ object StatsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // q138: the fixture's two snapshots derived from the one documents
+    // table with the Spark side's exact modulus conventions; the status
+    // CASE mirrors snapshotDiff's when-chain order.
+    "q138_snapshot_diff" ->
+      """WITH old AS (
+           SELECT doc_id, source AS osource, md5(text) AS odig
+           FROM documents WHERE doc_id % 7 != 0),
+         new AS (
+           SELECT doc_id, source AS nsource,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS ndig
+           FROM documents WHERE doc_id % 13 != 0),
+         j AS (
+           SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             COALESCE(n.nsource, o.osource) AS source,
+             CASE WHEN o.odig IS NULL THEN 'added'
+                  WHEN n.ndig IS NULL THEN 'removed'
+                  WHEN o.odig != n.ndig THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+         SELECT source, status, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+         FROM j GROUP BY source, status ORDER BY source, status""",
+
     "q114_train_order" ->
       """SELECT doc_id,
            CAST(hv % 32 AS BIGINT) AS shard,

@@ -165,6 +165,25 @@ object IndexMaintenance {
       } finally b.unpersist(blocking = false): Unit
     }
 
+  /** VECTOR-HEALTH ADMISSION GATE (r14, q140's verdict at the ingest
+    * edge): drop rows that would poison the index or any cosine
+    * downstream BEFORE they reach [[appendEpoch]] — a malformed embedding
+    * (wrong dimension, NaN/Inf component, zero or wildly out-of-range
+    * norm) admitted once is permanent index state until a rebuild, a
+    * zero-norm row makes every cosine against it undefined, and a
+    * truncated array fails the PQ slice arithmetic outright. ONE
+    * definition with the batch audit
+    * ([[graft.operators.SimilarityOps.vectorHealthAudit]]): the shared
+    * [[graft.operators.SimilarityOps.vectorVerdictCol]] — row-local,
+    * registration-free, zero shuffle, streaming-safe by construction.
+    * Compose ahead of [[ivfPqAppendSink]] / [[annAdmissionSink]]; rows
+    * it drops are exactly the rows batch q140 would flag.
+    */
+  def vectorHealthGate(vecs: DataFrame, dim: Int = 64,
+      loNorm: Double = 0.5, hiNorm: Double = 2.0): DataFrame =
+    vecs.filter(SimilarityOps.vectorVerdictCol(
+      expr("CAST(e AS ARRAY<DOUBLE>)"), dim, loNorm, hiNorm) === "ok")
+
   /** Appended-mass report from the index directory alone (no raw
     * vectors): DISTINCT-cid set algebra over the codes table and the
     * unfolded ledger rows — appended = vectors the ledger attributes to a

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** q137 hard-negative mining: label correctness, rank shape, the
+  * RocketQA denoising flag's arithmetic, the WindowGroupLimit scale pin,
+  * and the index-served path's agreement with the exact miner.
+  */
+class HardNegativesSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  private def labels(): Map[Long, Long] =
+    spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+
+  /** Brute-force cosines recomputed independently (plain Scala doubles,
+    * the q37 rounding), keyed (qid, cid).
+    */
+  private def bruteCos(nQueries: Long): Map[(Long, Long), Double] = {
+    val rows = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val norms = rows.map { case (id, e) =>
+      id -> math.sqrt(e.map(x => x * x).sum)
+    }.toMap
+    val vecs = rows.toMap
+    val qs = rows.map(_._1).filter(_ < nQueries)
+    (for {
+      q <- qs; (cid, ce) <- vecs if cid != q
+    } yield {
+      val qe = vecs(q)
+      val dot = qe.indices.map(i => qe(i) * ce(i)).sum
+      (q, cid) -> BigDecimal(dot / (norms(q) * norms(cid)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+  }
+
+  test("q137 negatives never share the query's label; ranks are 1..5 per query") {
+    val lab = labels()
+    val out = SimilarityOps.queries("q137_hard_negatives")(spark, d).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 8L).toSet, "one group per query vector")
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to 5L),
+        s"qid $qid ranks not 1..5")
+      rows.foreach { r =>
+        assert(lab(r.getLong(1)) !== lab(qid),
+          s"negative ${r.getLong(1)} shares label with query $qid")
+      }
+      // cos non-increasing along the rank
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"qid $qid cosine not non-increasing with rank")
+    }
+  }
+
+  test("q137 margin is the integer micro difference vs the best positive; flag iff > 0") {
+    val lab = labels()
+    val cos = bruteCos(8L)
+    val bestPos: Map[Long, Double] = cos.toSeq
+      .filter { case ((q, c), _) => lab(q) == lab(c) }
+      .groupBy(_._1._1).map { case (q, xs) => q -> xs.map(_._2).max }
+    def micro(x: Double): Long = math.round(x * 1e6)
+    val out = SimilarityOps.queries("q137_hard_negatives")(spark, d).collect()
+    out.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) === cos((qid, cid)), s"cos mismatch at ($qid,$cid)")
+      val expected = micro(cos((qid, cid))) - micro(bestPos(qid))
+      assert(r.getLong(4) === expected, s"margin mismatch at ($qid,$cid)")
+      assert((r.getLong(5) == 1L) === (expected > 0L),
+        s"suspect flag disagrees with margin at ($qid,$cid)")
+    }
+  }
+
+  test("q137 ranks among different-label candidates match an independent recompute") {
+    val lab = labels()
+    val cos = bruteCos(8L)
+    val expect = cos.toSeq
+      .filter { case ((q, c), _) => lab(q) != lab(c) }
+      .groupBy(_._1._1)
+      .map { case (q, xs) =>
+        q -> xs.sortBy { case ((_, c), s) => (-s, c) }.take(5).map(_._1._2)
+      }
+    val got = SimilarityOps.queries("q137_hard_negatives")(spark, d).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+    assert(got === expect)
+  }
+
+  test("q137 plans a WindowGroupLimit (map-side top-k, the q124 discipline)") {
+    val df = SimilarityOps.queries("q137_hard_negatives")(spark, d)
+    val ex = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(ex.contains("WindowGroupLimit"),
+      "q137's rank filter planted no WindowGroupLimit")
+  }
+
+  test("index-served hard negatives: labels correct, far above chance, genuinely hard") {
+    val lab = labels()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hardneg_idx").toString
+    SimilarityOps.saveIvfPqIndex(spark, d, dir)
+    val served = SimilarityOps.hardNegativesIndexServed(spark, d, dir)
+      .collect()
+    served.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length === 5, s"qid $qid served ${rows.length} rows")
+      rows.foreach(r => assert(lab(r.getLong(1)) !== lab(qid),
+        s"served negative shares label at qid $qid"))
+    }
+    // exact-top-5 identity is the WRONG bar for an ADC-quantized server on
+    // near-tied diffuse cosines (measured plateau 0.20 even at full
+    // probing + 20x over-fetch — the PQ ceiling, not a probe miss); the
+    // right claims are (a) overlap far above chance (random 5 of ~450
+    // different-label candidates expects ~0.011; measured 0.175 at the
+    // default knobs — 16x chance; floor just under, the suite convention)
+    val exact = SimilarityOps.queries("q137_hard_negatives")(spark, d)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val servedSets = served.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val overlap = exact.keys.toSeq.map { q =>
+      servedSets(q).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = overlap.sum / overlap.size
+    assert(mean >= 0.12, f"index-served overlap with exact miner $mean%.2f")
+    // ...and (b) HARDNESS — what mining actually needs: the served
+    // negatives' true cosines sit at the top of the negative pool
+    // (measured mean 0.147 vs pool mean 0.002 and pool p90 0.161)
+    val cos = bruteCos(8L)
+    val servedCos = served.map(r => cos((r.getLong(0), r.getLong(1))))
+    val servedMean = servedCos.sum / servedCos.length
+    val pool = cos.toSeq.collect {
+      case ((q, c), s) if lab(q) != lab(c) => s
+    }
+    val poolMean = pool.sum / pool.size
+    assert(servedMean >= 0.10,
+      f"served negatives not hard: mean true cosine $servedMean%.3f")
+    assert(servedMean > poolMean + 0.05,
+      f"served mean $servedMean%.3f does not beat the pool mean $poolMean%.3f")
+  }
+}
