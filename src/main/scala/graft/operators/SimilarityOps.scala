@@ -1209,17 +1209,30 @@ object SimilarityOps {
     * k×`overFetch` by ADC distance, anti-filter on label, re-rank —
     * with agreement vs this exact miner pinned in HardNegativesSpec.
     */
-  def hardNegatives(s: SparkSession, d: String, nQueries: Long = 8L,
-      k: Int = 5): DataFrame = {
+  /** Broadcast-query label-carrying cosine stream shared by q137 and
+    * q142 — ONE definition of the scoring device (the q37 rounding,
+    * once-per-row norms, (cos desc, cid) downstream tiebreak): rows
+    * (qid, qlabel, cid, clabel, cos) for every candidate ≠ query. The
+    * stream is corpus×|queries|-sized and callers deliberately re-scan
+    * it rather than persist (see q137's scaladoc).
+    */
+  private def scoredAgainstQueries(s: SparkSession, d: String,
+      nQueries: Long): DataFrame = {
     val base = prepped(s, d)
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"), col("nrm").as("qn"))
-    val c = base.select(col("vec_id").as("cid"), col("label").as("clabel"),
-      col("e").as("ce"), col("nrm").as("cn"))
-    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+    base.select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("e").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(q), col("cid") =!= col("qid"))
       .withColumn("cos",
         round(expr("graft_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+      .select("qid", "qlabel", "cid", "clabel", "cos")
+  }
+
+  def hardNegatives(s: SparkSession, d: String, nQueries: Long = 8L,
+      k: Int = 5): DataFrame = {
+    val scored = scoredAgainstQueries(s, d, nQueries)
     val bestPos = scored.filter(col("clabel") === col("qlabel"))
       .groupBy("qid").agg(max("cos").as("best_pos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("cid"))
@@ -1317,11 +1330,18 @@ object SimilarityOps {
       min("minm").as("minm"), max("maxm").as("maxm"))
       .withColumn("lbl", lit(-1L))
     val norml = normLab.unionByName(normAll)
+    // sxx widens to DECIMAL(38,0) BEFORE the multiply (r14 review): v² is
+    // ~1e12 per row, so a Long sum wraps silently at ~9M rows per label —
+    // far under lake scale. Decimal sums stay exact to 38 digits (~1e24
+    // rows) and DuckDB's HUGEINT sum is exact likewise; both sides then
+    // cast the agreed integer to DOUBLE. sx keeps Long (|v| ≤ 2e6 →
+    // ~4.6e12 rows of headroom per label-dim).
     val dimLab = rows
       .select(col("lbl"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("v", expr(xm))
       .groupBy("lbl", "pos")
-      .agg(sum("v").as("sx"), sum(expr("v * v")).as("sxx"),
+      .agg(sum("v").as("sx"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sxx"),
         count(lit(1)).as("nd"))
     val dimAllRows = dimLab.groupBy("pos").agg(
       sum("sx").as("sx"), sum("sxx").as("sxx"), sum("nd").as("nd"))
@@ -1408,7 +1428,9 @@ object SimilarityOps {
         posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("pos", "x")))
       .withColumn("v", expr("CAST(round(x * 1e6, 0) AS BIGINT)"))
       .groupBy("lbl", "arr", "pos")
-      .agg(sum("v").as("sx"), sum(expr("v * v")).as("sxx"),
+      // decimal-widened sxx — q139's overflow rationale, one discipline
+      .agg(sum("v").as("sx"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sxx"),
         count(lit(1)).as("nd"))
     val pooled = dimLab.groupBy("arr", "pos").agg(
       sum("sx").as("sx"), sum("sxx").as("sxx"), sum("nd").as("nd"))
@@ -1426,15 +1448,26 @@ object SimilarityOps {
     val arr = stats.filter(col("arr") === 1L)
       .select(col("lbl"), col("pos"), col("mn_u").as("ma"),
         col("var_u").as("va"), col("nd").as("na"))
-    base.join(arr, Seq("lbl", "pos"))
+    // FULL OUTER on (lbl, pos) (r14 review): a label present in only one
+    // cohort — a brand-new label arriving, or one that vanished — is the
+    // loudest drift signal there is; an inner join would silently drop
+    // its report row (its mass would surface only diluted in the pooled
+    // row). One-sided labels get NULL shift/noise/ratio (no comparison
+    // exists) and an unconditional drift flag.
+    base.join(arr, Seq("lbl", "pos"), "full_outer")
       .groupBy("lbl")
       .agg(
-        max("nb").as("n_base"), max("na").as("n_arr"),
+        coalesce(max("nb"), lit(0L)).as("n_base"),
+        coalesce(max("na"), lit(0L)).as("n_arr"),
         sum(expr("(ma - mb) * (ma - mb)")).as("d2_u"),
         sum("vb").as("disp_base_u"), sum("va").as("disp_arr_u"))
       .withColumn("shift_d", sqrt(col("d2_u").cast("double")) / 1e6)
-      .withColumn("noise_d", sqrt(col("disp_base_u").cast("double") / 1e6 *
-        (lit(1.0) / col("n_base") + lit(1.0) / col("n_arr"))))
+      // guarded: 1/n under ANSI throws on an empty cohort — and a noise
+      // floor over a missing cohort is meaningless anyway (NULL, like
+      // the shift it would have gated)
+      .withColumn("noise_d", when(col("n_base") > 0L && col("n_arr") > 0L,
+        sqrt(col("disp_base_u").cast("double") / 1e6 *
+          (lit(1.0) / col("n_base") + lit(1.0) / col("n_arr")))))
       .withColumn("ratio_d",
         col("disp_arr_u").cast("double") / col("disp_base_u"))
       .select(
@@ -1445,7 +1478,8 @@ object SimilarityOps {
         round(col("shift_d"), 6).as("centroid_shift"),
         round(col("noise_d"), 6).as("shift_noise"),
         round(col("ratio_d"), 6).as("disp_ratio"),
-        ((col("shift_d") > shiftBar && col("shift_d") > lit(3.0) * col("noise_d")) ||
+        (col("n_base") === 0L || col("n_arr") === 0L ||
+          (col("shift_d") > shiftBar && col("shift_d") > lit(3.0) * col("noise_d")) ||
           col("ratio_d") < dispLo || col("ratio_d") > dispHi)
           .cast("long").as("drift"))
       .orderBy("label")
@@ -1480,16 +1514,7 @@ object SimilarityOps {
     */
   def retrievalQuality(s: SparkSession, d: String, nQueries: Long = 50L,
       k: Int = 10): DataFrame = {
-    val basePrep = prepped(s, d)
-    val q = basePrep.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("e").as("qe"), col("nrm").as("qn"))
-    val c = basePrep.select(col("vec_id").as("cid"), col("label").as("clabel"),
-      col("e").as("ce"), col("nrm").as("cn"))
-    val scored = c.join(broadcast(q.select("qid", "qlabel", "qe", "qn")),
-        col("cid") =!= col("qid"))
-      .withColumn("cos",
-        round(expr("graft_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+    val scored = scoredAgainstQueries(s, d, nQueries)
     val best = scored.filter(col("clabel") === col("qlabel"))
       .groupBy("qid")
       .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"))
@@ -1505,7 +1530,9 @@ object SimilarityOps {
       .filter(col("rn") <= k)
       .groupBy("qid")
       .agg(sum((col("clabel") === col("qlabel")).cast("long")).as("n_topk_hits"))
-    q.select(col("qid"), col("qlabel").cast("long").as("qlabel"))
+    prepped(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        col("label").cast("long").as("qlabel"))
       .join(ranks, Seq("qid"), "left")
       .join(pAtK, Seq("qid"), "left")
       .select(col("qid"), col("qlabel"), col("first_hit_rank"),
@@ -1533,7 +1560,12 @@ object SimilarityOps {
     val d2 = aggregate(ed, lit(0.0), (acc, x) => acc + x * x)
     when(ed.isNull, "null")
       .when(size(ed) =!= dim, "wrong_dim")
-      .when(isnan(d2) || d2 === lit(Double.PositiveInfinity), "nonfinite")
+      // d2 is NULL iff some COMPONENT is null (array<double> admits null
+      // elements — parquet schema drift produces them): without this arm
+      // every later comparison is NULL→false and the chain would fall
+      // through to 'ok', admitting an undefined-norm row (r14 review)
+      .when(d2.isNull || isnan(d2) || d2 === lit(Double.PositiveInfinity),
+        "nonfinite")
       .when(d2 < loNorm * loNorm, "norm_low")
       .when(d2 > hiNorm * hiNorm, "norm_high")
       .otherwise(lit("ok"))
@@ -2478,7 +2510,11 @@ object SimilarityOps {
 
     // q140: the fixture's corruption CASE arms and the verdict chain
     // mirror the Spark side order-for-order; d2 is the same sequential
-    // fold both engines compute on identical doubles.
+    // fold both engines compute on identical doubles. The null-COMPONENT
+    // class (Spark: d2 IS NULL → nonfinite) is spec-pinned only —
+    // DuckDB's list_dot_product kernel rejects null elements outright,
+    // so that row class cannot appear in an oracle fixture; the IS NULL
+    // arm below is the documented mirror, unreachable on this data.
     "q140_vector_health" ->
       """WITH base AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
@@ -2494,7 +2530,8 @@ object SimilarityOps {
            SELECT vec_id,
              CASE WHEN e IS NULL THEN 'null'
                   WHEN len(e) != 64 THEN 'wrong_dim'
-                  WHEN isnan(list_dot_product(e, e))
+                  WHEN list_dot_product(e, e) IS NULL
+                    OR isnan(list_dot_product(e, e))
                     OR isinf(list_dot_product(e, e)) THEN 'nonfinite'
                   WHEN list_dot_product(e, e) < 0.25 THEN 'norm_low'
                   WHEN list_dot_product(e, e) > 4.0 THEN 'norm_high'
@@ -2532,13 +2569,15 @@ object SimilarityOps {
                0) AS BIGINT) AS var_u
            FROM diml),
          joined AS (
-           SELECT b.lbl, b.pos, b.nd AS nb, a.nd AS na,
+           SELECT COALESCE(b.lbl, a.lbl) AS lbl, COALESCE(b.pos, a.pos) AS pos,
+             b.nd AS nb, a.nd AS na,
              b.mn_u AS mb, a.mn_u AS ma, b.var_u AS vb, a.var_u AS va
            FROM (SELECT * FROM stats WHERE arr = 0) b
-           JOIN (SELECT * FROM stats WHERE arr = 1) a
+           FULL OUTER JOIN (SELECT * FROM stats WHERE arr = 1) a
              ON a.lbl = b.lbl AND a.pos = b.pos),
          agg AS (
-           SELECT lbl, max(nb) AS n_base, max(na) AS n_arr,
+           SELECT lbl, COALESCE(max(nb), 0) AS n_base,
+             COALESCE(max(na), 0) AS n_arr,
              CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS d2_u,
              CAST(sum(vb) AS BIGINT) AS disp_base_u,
              CAST(sum(va) AS BIGINT) AS disp_arr_u
@@ -2546,16 +2585,19 @@ object SimilarityOps {
          derived AS (
            SELECT lbl, n_base, n_arr, d2_u, disp_base_u, disp_arr_u,
              sqrt(CAST(d2_u AS DOUBLE)) / 1e6 AS shift_d,
-             sqrt(CAST(disp_base_u AS DOUBLE) / 1e6
-               * (1.0 / n_base + 1.0 / n_arr)) AS noise_d,
+             CASE WHEN n_base > 0 AND n_arr > 0 THEN
+               sqrt(CAST(disp_base_u AS DOUBLE) / 1e6
+                 * (1.0 / n_base + 1.0 / n_arr)) END AS noise_d,
              CAST(disp_arr_u AS DOUBLE) / disp_base_u AS ratio_d
            FROM agg)
-         SELECT lbl AS label, n_base, n_arr,
+         SELECT lbl AS label, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_arr AS BIGINT) AS n_arr,
            round(CAST(n_arr AS DOUBLE) / (n_base + n_arr), 6) AS arr_share,
            round(shift_d, 6) AS centroid_shift,
            round(noise_d, 6) AS shift_noise,
            round(ratio_d, 6) AS disp_ratio,
-           CAST((shift_d > 0.1 AND shift_d > 3.0 * noise_d)
+           CAST(n_base = 0 OR n_arr = 0
+             OR (shift_d > 0.1 AND shift_d > 3.0 * noise_d)
              OR ratio_d < 0.5 OR ratio_d > 2.0
              AS BIGINT) AS drift
          FROM derived ORDER BY label""",

@@ -400,14 +400,18 @@ object StatsOps {
     */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     val o = oldDocs.select(col("doc_id"), col("source").as("osource"),
-      md5(col("text")).as("odig"))
+      md5(col("text")).as("odig"), lit(1L).as("in_old"))
     val n = newDocs.select(col("doc_id"), col("source").as("nsource"),
-      md5(col("text")).as("ndig"))
+      md5(col("text")).as("ndig"), lit(1L).as("in_new"))
+    // presence is keyed on a constant marker column, not the digest
+    // (r14 review): md5(NULL text) is NULL, so digest-nullness would
+    // misread a null-text document present in one snapshot as absent;
+    // `changed` uses the null-safe comparison for the same reason
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("odig").isNull, "added")
-          .when(col("ndig").isNull, "removed")
-          .when(col("odig") =!= col("ndig"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("odig") <=> col("ndig")), "changed")
           .otherwise("unchanged"))
       .withColumn("source", coalesce(col("nsource"), col("osource")))
       .groupBy("source", "status")
@@ -597,18 +601,19 @@ object StatsOps {
     // CASE mirrors snapshotDiff's when-chain order.
     "q138_snapshot_diff" ->
       """WITH old AS (
-           SELECT doc_id, source AS osource, md5(text) AS odig
+           SELECT doc_id, source AS osource, md5(text) AS odig, 1 AS in_old
            FROM documents WHERE doc_id % 7 != 0),
          new AS (
            SELECT doc_id, source AS nsource,
-             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS ndig
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS ndig,
+             1 AS in_new
            FROM documents WHERE doc_id % 13 != 0),
          j AS (
            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
              COALESCE(n.nsource, o.osource) AS source,
-             CASE WHEN o.odig IS NULL THEN 'added'
-                  WHEN n.ndig IS NULL THEN 'removed'
-                  WHEN o.odig != n.ndig THEN 'changed'
+             CASE WHEN o.in_old IS NULL THEN 'added'
+                  WHEN n.in_new IS NULL THEN 'removed'
+                  WHEN o.odig IS DISTINCT FROM n.ndig THEN 'changed'
                   ELSE 'unchanged' END AS status
            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
          SELECT source, status, count(*) AS n_docs,

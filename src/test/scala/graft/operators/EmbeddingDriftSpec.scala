@@ -64,4 +64,31 @@ class EmbeddingDriftSpec extends SparkSpec {
         f"dispersion ratio should be ~4, got ${r.getDouble(6)}%.3f")
     }
   }
+
+  test("a label present in only one cohort gets its own unconditionally flagged row") {
+    // a brand-new label arriving is the loudest drift there is; the full
+    // outer (lbl, pos) join must keep it (r14 review: an inner join
+    // dropped it silently)
+    val base = spark.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("arr", lit(0L))
+    val newLabel = spark.read.parquet(s"$d/embeddings.parquet")
+      .limit(20)
+      .withColumn("label", lit(99))
+      .withColumn("arr", lit(1L))
+    val out = SimilarityOps.embeddingDriftFrom(base.unionByName(newLabel))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.contains(99L), "arr-only label missing from the report")
+    val row = out(99L)
+    assert(row.getLong(1) === 0L && row.getLong(2) === 20L)
+    assert(row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6),
+      "one-sided label must carry NULL shift/noise/ratio (no comparison exists)")
+    assert(row.getLong(7) === 1L, "one-sided label must flag drift")
+    assert(row.getDouble(3) === 1.0, "arr_share of an arr-only label is 1")
+    // arrivals exist ONLY for label 99 in this frame, so labels 0-9 are
+    // base-only — the vanished-arrivals side of the same one-sided rule
+    (0L to 9L).foreach { l =>
+      assert(out(l).getLong(2) === 0L && out(l).getLong(7) === 1L,
+        s"label $l should read as arrivals-vanished (n_arr 0, drift 1)")
+    }
+  }
 }

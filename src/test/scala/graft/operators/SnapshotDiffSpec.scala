@@ -74,4 +74,19 @@ class SnapshotDiffSpec extends SparkSpec {
       "changed" -> ((1L, 2L, 2L)),
       "unchanged" -> ((1L, 3L, 3L))))
   }
+
+  test("null text never reads as absence (presence is marker-keyed, r14 review)") {
+    import spark.implicits._
+    // doc 1: null text in old, real text in new -> changed (digest-keyed
+    // presence misread this as 'added'); doc 2: null text BOTH sides ->
+    // unchanged (null-safe digest compare); doc 3: null in old, absent
+    // from new -> removed
+    val old = Seq((1L, "s", null: String), (2L, "s", null: String),
+      (3L, "s", null: String)).toDF("doc_id", "source", "text")
+    val neu = Seq((1L, "s", "now real"), (2L, "s", null: String))
+      .toDF("doc_id", "source", "text")
+    val got = StatsOps.snapshotDiff(old, neu).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(got === Map("changed" -> 1L, "unchanged" -> 2L, "removed" -> 3L))
+  }
 }

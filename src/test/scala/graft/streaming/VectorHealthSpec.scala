@@ -32,12 +32,20 @@ class VectorHealthSpec extends SparkSpec {
       (6L, healthy(6L).updated(7, Double.PositiveInfinity)), // Inf → nonfinite
       (7L, null)                                       // null → null
     ).toDF("vec_id", "e")
+      // a null COMPONENT (array itself non-null) — representable in
+      // parquet array<double>, produced by upstream schema drift; the
+      // Σx² fold yields NULL, which must classify nonfinite, not fall
+      // through every NULL comparison to 'ok' (r14 review)
+      .unionByName(Seq(8L).toDF("vec_id")
+        .withColumn("e", org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, 64), i -> IF(i = 1, CAST(NULL AS DOUBLE), 0.125D))")))
     val got = rows
       .withColumn("verdict", SimilarityOps.vectorVerdictCol(
         org.apache.spark.sql.functions.col("e")))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got === Map(1L -> "ok", 2L -> "norm_low", 3L -> "norm_high",
-      4L -> "wrong_dim", 5L -> "nonfinite", 6L -> "nonfinite", 7L -> "null"))
+      4L -> "wrong_dim", 5L -> "nonfinite", 6L -> "nonfinite", 7L -> "null",
+      8L -> "nonfinite"))
   }
 
   test("q140 audit counts equal an independent modulus recompute") {
