@@ -162,6 +162,12 @@ object ScaleSmoke {
     // fold + map-side partial agg to ≤ labels×dim rows), so its smoke
     // watches that no stage's task count or spread grows with the corpus
     "q137_hard_negatives", "q138_snapshot_diff", "q139_embedding_health",
+    // q143 is q112 with the history side read off the incremental
+    // manifest instead of recomputed — its first-run wall pays the
+    // one-time manifest init (the q127 honest-composed-cost convention);
+    // the claim the slot watches is that the DELTA stages' task spread is
+    // q112's (same core) while the history fp/minhash stages are gone
+    "q143_manifest_delta_dedup",
     // q142's claim is the sort-free first-hit rank: the only Window is
     // the top-10 one (map-side WindowGroupLimit), so no task may hold a
     // corpus-sized per-query sort — the 10× vectors point watches exactly

@@ -101,7 +101,7 @@ object IvfPqIndexStore {
     * this path (committed or crashed-uncommitted) so a rebuild never
     * writes into a directory a concurrent reader could be scanning.
     */
-  private[operators] def nextVersion(s: SparkSession, dir: String): Long = {
+  private[graft] def nextVersion(s: SparkSession, dir: String): Long = {
     val vs = versionDirs(fsOf(s, dir), dir).map(_._1)
     if (vs.isEmpty) 1L else vs.max + 1L
   }
@@ -109,15 +109,22 @@ object IvfPqIndexStore {
   /** THE COMMIT: one atomic marker create flips every subsequent
     * [[resolveRead]] to this set.
     */
-  private[operators] def commit(s: SparkSession, versionDir: String): Unit =
+  private[graft] def commit(s: SparkSession, versionDir: String): Unit =
     fsOf(s, versionDir).create(new HPath(versionDir, MarkerName), true).close()
+
+  /** The flat (v0) file set a store retires once versioned sets age it
+    * out — the IVF-PQ default; [[graft.streaming.DedupManifest]] passes
+    * its own table names through `flatFiles`.
+    */
+  private val ivfPqFlatFiles =
+    Seq("centroids", "codebook", "codes", "append_ledger")
 
   /** Drop committed sets older than (current − keep) plus any uncommitted
     * leftovers below the current version; retire the flat v0 files once
     * they age out the same way. Never touches the current set.
     */
-  private[operators] def pruneVersions(s: SparkSession, dir: String,
-      keep: Int = 1): Unit = {
+  private[graft] def pruneVersions(s: SparkSession, dir: String,
+      keep: Int = 1, flatFiles: Seq[String] = ivfPqFlatFiles): Unit = {
     require(keep >= 0, s"keep must be >= 0, got $keep")
     val fs = fsOf(s, dir)
     val current = committedVersion(s, dir)
@@ -127,11 +134,10 @@ object IvfPqIndexStore {
         fs.delete(p, true)
     }
     if (current - keep > 0)
-      Seq("centroids", "codebook", "codes", "append_ledger", BuildIdName)
-        .foreach { n =>
-          val p = new HPath(dir, n)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
+      (flatFiles :+ BuildIdName).foreach { n =>
+        val p = new HPath(dir, n)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
   }
 
   // ------------------------------------------------------------- build id
@@ -141,7 +147,7 @@ object IvfPqIndexStore {
     * memo keyed on path alone goes stale when an index is deleted and
     * rebuilt at the same path within one JVM).
     */
-  private[operators] def writeBuildId(s: SparkSession, dir: String): Unit = {
+  private[graft] def writeBuildId(s: SparkSession, dir: String): Unit = {
     val out = fsOf(s, dir).create(new HPath(dir, BuildIdName), true)
     out.write(java.util.UUID.randomUUID().toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -172,7 +178,8 @@ object IvfPqIndexStore {
     * explicitly ([[releaseLease]]) — the named error is the operator's
     * signal to decide, not the library's to guess.
     */
-  def acquireLease(s: SparkSession, dir: String, token: String): Unit = {
+  def acquireLease(s: SparkSession, dir: String, token: String,
+      what: String = "IVF-PQ"): Unit = {
     val fs = fsOf(s, dir)
     val dp = new HPath(dir)
     if (!fs.exists(dp)) fs.mkdirs(dp)
@@ -184,11 +191,11 @@ object IvfPqIndexStore {
     } catch {
       case _: java.io.IOException =>
         throw new IllegalStateException(
-          s"graft IVF-PQ single-writer lease: index directory $dir is " +
+          s"graft $what single-writer lease: directory $dir is " +
             s"already claimed by maintainer ${leaseHolder(s, dir).getOrElse("<unreadable>")}; " +
-            "a second concurrent maintainer would interleave the codes " +
-            "append and the epoch ledger. If the holder crashed, release " +
-            "the lease explicitly with IndexMaintenance.releaseIvfPqLease.")
+            "a second concurrent maintainer would interleave the " +
+            "table append and the epoch ledger. If the holder crashed, " +
+            "release the lease explicitly (releaseLease).")
     }
   }
 
@@ -217,13 +224,14 @@ object IvfPqIndexStore {
     * silent interleaving.
     */
   private[graft] def requireLease(s: SparkSession, dir: String,
-      token: String): Unit = leaseHolder(s, dir) match {
-    case Some(t) if t == token => ()
-    case other => throw new IllegalStateException(
-      s"graft IVF-PQ single-writer lease: maintainer lost the lease on $dir " +
-        s"(held by ${other.getOrElse("<none>")}) — another maintainer took " +
-        "over; this sink must stop.")
-  }
+      token: String, what: String = "IVF-PQ"): Unit =
+    leaseHolder(s, dir) match {
+      case Some(t) if t == token => ()
+      case other => throw new IllegalStateException(
+        s"graft $what single-writer lease: maintainer lost the lease on $dir " +
+          s"(held by ${other.getOrElse("<none>")}) — another maintainer took " +
+          "over; this sink must stop.")
+    }
 
   // --------------------------------------------------------------- ledger
 
@@ -260,7 +268,7 @@ object IvfPqIndexStore {
     * vectors are now retrained base), and a year-scale stream's
     * one-file-per-epoch accumulation collapses.
     */
-  private[operators] def foldLedgerInto(s: SparkSession, fromDir: String,
+  private[graft] def foldLedgerInto(s: SparkSession, fromDir: String,
       toDir: String): Unit =
     readLedger(s, fromDir).foreach { led =>
       led.select("epoch").distinct()

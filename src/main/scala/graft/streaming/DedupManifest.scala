@@ -1,0 +1,194 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.{DedupOps, IvfPqIndexStore}
+
+/** INCREMENTAL DEDUP MANIFEST — the scale story q112's scaladoc promised
+  * made real: "history contributes one linear fingerprint aggregation and
+  * one linear band table (both indexable/incremental in a real lake)".
+  * Until now every delta-dedup batch RECOMPUTED those two tables from the
+  * full history corpus — linear, but linear in 100 TB, every day. This
+  * store maintains them incrementally at the ingest edge, so a daily dump
+  * pays |batch| fingerprint/minhash work instead of |history|, and the
+  * delta verdicts are IDENTICAL (spec-pinned ≡ batch q112; q143's oracle
+  * pins it against q112's own SQL text verbatim — the q122/q133
+  * one-oracle-text discipline).
+  *
+  * == Layout (the [[graft.operators.IvfPqIndexStore]] disciplines, reused
+  * verbatim) ==
+  *
+  * {{{
+  *   $dir/fp      (doc_id, fp)   — RAW per-doc fingerprint rows, appended
+  *   $dir/bands   (h_id, band)   — MinHash band rows, appended
+  *   $dir/append_ledger          — (epoch, cid, folded), the replay guard
+  *   $dir/_build_id, _writer.lease, index.v<k>/... compacted sets
+  * }}}
+  *
+  * The fp table stores RAW (doc_id, fp) rows, not the aggregated
+  * (fp → min doc_id) map: appends stay blind writes, and the read side
+  * re-derives the map with the SAME one-definition aggregation batch q112
+  * uses ([[DedupOps.historyFpTable]]'s groupBy — [[manifestFp]]). That
+  * read-side aggregation is what [[compactManifest]] folds away: a
+  * compaction rewrites fp to one min row per fingerprint and bands to
+  * distinct rows in a fresh `index.v<k>` set, committed by ONE atomic
+  * marker create, with the epoch ledger FOLDED (replay detection exact
+  * across the fold) and predecessors retained for in-flight readers —
+  * exactly the IVF-PQ rebuild's swap, so the manifest never needs a
+  * stop-the-world rewrite either.
+  *
+  * Crash-window contract (the IndexMaintenance statement, restated): the
+  * ledger lands LAST, so a crash between a table append and its ledger
+  * row re-applies the epoch on replay and duplicates STORAGE rows only.
+  * Every reader is duplicate-tolerant by construction — [[manifestFp]]'s
+  * min-aggregation collapses duplicate fp rows, and the candidate stage
+  * downstream of the band join is DISTINCT (`deltaDedupCore`) — so a
+  * replay can never change a delta verdict; the next compaction removes
+  * the duplicate rows from disk.
+  *
+  * SINGLE-WRITER enforced by the shared lease (one atomic create, named
+  * error, explicit release as crash recovery).
+  */
+object DedupManifest {
+
+  private val FlatTables = Seq("fp", "bands", "append_ledger")
+  private val What = "dedup-manifest"
+
+  /** Initialize the manifest from a standing history corpus — the one
+    * full-corpus pass the incremental design ever pays.
+    */
+  def initManifest(hist: DataFrame, dir: String): Unit = {
+    val s = hist.sparkSession
+    hist.select(col("doc_id"),
+        graft.operators.TextOps.fingerprintCol(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$dir/fp")
+    DedupOps.historyBandTable(hist)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    IvfPqIndexStore.writeBuildId(s, dir)
+  }
+
+  /** Applied-epoch memo per (JVM, resolved dir, build id) — the
+    * IndexMaintenance device: seeded from the on-disk ledger once, then
+    * maintained in memory; build-id keying survives path reuse.
+    */
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.Set[Long]]()
+  private def appliedEpochs(s: SparkSession,
+      rdir: String): scala.collection.mutable.Set[Long] =
+    ledgerCache.computeIfAbsent(s"$rdir@${IvfPqIndexStore.buildId(s, rdir)}",
+      _ => IvfPqIndexStore.readLedger(s, rdir) match {
+        case None => scala.collection.mutable.Set.empty
+        case Some(led) => scala.collection.mutable.Set(
+          led.select("epoch").distinct().collect().map(_.getLong(0)): _*)
+      })
+
+  /** Apply ONE epoch's arrivals idempotently: fp rows, band rows, ledger
+    * LAST. Returns false on replay or an empty batch.
+    */
+  private[graft] def appendEpoch(batch: DataFrame, epoch: Long,
+      dir: String, leaseToken: Option[String] = None): Boolean = {
+    val s = batch.sparkSession
+    leaseToken.foreach(IvfPqIndexStore.requireLease(s, dir, _, What))
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    val applied = appliedEpochs(s, rdir)
+    if (applied.contains(epoch)) return false
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (b.isEmpty) return false
+      b.select(col("doc_id"),
+          graft.operators.TextOps.fingerprintCol(col("text")).as("fp"))
+        .write.mode("append").parquet(s"$rdir/fp")
+      DedupOps.historyBandTable(b)
+        .write.mode("append").parquet(s"$rdir/bands")
+      IvfPqIndexStore.appendLedger(
+        b.select(col("doc_id").as("vec_id")), epoch, rdir)
+      applied.synchronized { applied += epoch }
+      true
+    } finally b.unpersist(blocking = false): Unit
+  }
+
+  /** The maintenance sink: attach to a stream of documents (doc_id, text)
+    * ADMITTED into history — typically the keepers a curation waterfall
+    * emits — and the manifest tracks them per trigger. Claims the
+    * single-writer lease at attach (named error on a second maintainer).
+    */
+  def manifestAppendSink(docs: DataFrame, dir: String): DataStreamWriter[Row] = {
+    val token = java.util.UUID.randomUUID().toString
+    IvfPqIndexStore.acquireLease(docs.sparkSession, dir, token, What)
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      appendEpoch(batch, epoch, dir, Some(token)): Unit
+    }
+  }
+
+  /** Release the manifest directory's single-writer lease. */
+  def releaseManifestLease(s: SparkSession, dir: String): Unit =
+    IvfPqIndexStore.releaseLease(s, dir)
+
+  /** The history fingerprint map exactly as [[DedupOps.deltaDedupCore]]
+    * consumes it — the same aggregation [[DedupOps.historyFpTable]]
+    * computes from text, read off the manifest instead (duplicate rows
+    * from a crash-window replay collapse under the min).
+    */
+  def manifestFp(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${IvfPqIndexStore.resolveRead(s, dir)}/fp")
+      .groupBy("fp").agg(min("doc_id").as("hist_id"))
+
+  /** The history band table as [[DedupOps.deltaDedupCore]] consumes it. */
+  def manifestBands(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${IvfPqIndexStore.resolveRead(s, dir)}/bands")
+
+  /** q143's operator body: q112's delta verdicts SERVED BY THE MANIFEST —
+    * the arriving batch drives all pair work exactly as before, but the
+    * history side is two parquet reads instead of a full-corpus
+    * re-fingerprint + re-minhash. `verifyDocs` remains a corpus handle:
+    * the exact-Jaccard verify stage re-shingles only the candidate-id
+    * sliver (the q40 discipline), a doc_id-keyed point read no
+    * fingerprint manifest can or should replace.
+    */
+  def deltaDedupAgainstManifest(arrivals: DataFrame, dir: String,
+      verifyDocs: DataFrame,
+      maxBroadcastIds: Long = DedupOps.deltaBroadcastMaxIds): DataFrame = {
+    val s = arrivals.sparkSession
+    DedupOps.deltaDedupCore(arrivals, manifestFp(s, dir),
+      manifestBands(s, dir), verifyDocs, maxBroadcastIds)
+  }
+
+  /** COMPACTION: rewrite the manifest into a fresh versioned set — fp
+    * folded to one min row per fingerprint, bands distinct, ledger folded
+    * to one row per applied epoch — committed by ONE atomic marker
+    * create; readers mid-compaction keep their resolved set (retention
+    * keeps one predecessor). This is the IVF-PQ rebuild's swap applied to
+    * the manifest: it bounds both the duplicate rows a crash-window
+    * replay can leave and the one-file-per-epoch accumulation of a
+    * year-scale stream.
+    */
+  def compactManifest(s: SparkSession, dir: String, keep: Int = 1): Unit = {
+    // the compaction claims the SAME single-writer lease the sink holds
+    // (the rebuildIvfPqIndexFrom rationale verbatim): an append racing
+    // the compaction's table reads would land rows in the old set AFTER
+    // they were folded — silently lost from the new one. One atomic
+    // lease create serializes all writers; stop the maintainer and
+    // release its lease before compacting.
+    val token = s"compact-${java.util.UUID.randomUUID()}"
+    IvfPqIndexStore.acquireLease(s, dir, token, What)
+    try {
+      val rdir = IvfPqIndexStore.resolveRead(s, dir)
+      val vdir = s"$dir/index.v${IvfPqIndexStore.nextVersion(s, dir)}"
+      val vpath = new org.apache.hadoop.fs.Path(vdir)
+      val fs = vpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(vpath)) fs.delete(vpath, true) // crashed-attempt leftover
+      s.read.parquet(s"$rdir/fp")
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "fp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/fp")
+      s.read.parquet(s"$rdir/bands").distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/bands")
+      IvfPqIndexStore.foldLedgerInto(s, rdir, vdir)
+      IvfPqIndexStore.writeBuildId(s, vdir)
+      IvfPqIndexStore.commit(s, vdir)
+      IvfPqIndexStore.pruneVersions(s, dir, keep, FlatTables)
+    } finally IvfPqIndexStore.releaseLease(s, dir)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.DedupOps
+
+/** The incremental dedup manifest: manifest-served delta verdicts must be
+  * byte-identical to batch q112's per-batch recompute, streamed appends
+  * land exactly once, verdicts survive a compaction swap unchanged, and
+  * the single-writer lease fails a second maintainer by name.
+  */
+final case class ManifestDoc(doc_id: Long, text: String)
+
+class DedupManifestSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("manifest-served delta dedup equals the per-batch recompute exactly") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_eq").toString
+    DedupManifest.initManifest(docs.filter(col("doc_id") % 10 < 8), dir)
+    val served = DedupManifest.deltaDedupAgainstManifest(
+      docs.filter(col("doc_id") % 10 >= 8), dir, docs)
+    val batch = DedupOps.queries("q112_delta_dedup")(spark, d)
+    assert(rows(served) === rows(batch))
+  }
+
+  test("streamed appends land exactly once; manifest equals a batch recompute") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def doc(i: Long) = ManifestDoc(i,
+      (0 until 30).map(j => s"w${(i * 17 + j * 5) % 800}").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_st").toString
+    DedupManifest.initManifest((0L until 30L).map(doc).toDF(), dir)
+
+    val input = MemoryStream[ManifestDoc]
+    val q = DedupManifest.manifestAppendSink(input.toDF(), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_manifest_ck").toString)
+      .start()
+    try {
+      input.addData((30L until 40L).map(doc): _*)
+      q.processAllAvailable()
+      input.addData((40L until 50L).map(doc): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the maintained tables equal a one-shot recompute over the union
+    val all = (0L until 50L).map(doc).toDF()
+    val expectFp = DedupOps.historyFpTable(all).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotFp = DedupManifest.manifestFp(sp, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotFp === expectFp)
+    val expectBands = DedupOps.historyBandTable(all).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val gotBands = DedupManifest.manifestBands(sp, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotBands === expectBands)
+
+    // replayed epoch is a no-op (foreachBatch's at-least-once contract)
+    val nFp = sp.read.parquet(s"$dir/fp").count()
+    assert(!DedupManifest.appendEpoch((30L until 40L).map(doc).toDF(), 0L, dir))
+    assert(sp.read.parquet(s"$dir/fp").count() === nFp, "replay mutated fp table")
+
+    // compaction: verdicts identical through the swap, epochs still
+    // replay-detected across the fold, tables coalesced
+    val arrivals = (100L until 110L).map(doc).toDF()
+    val verify = all.unionByName(arrivals)
+    val before = rows(DedupManifest.deltaDedupAgainstManifest(arrivals, dir, verify))
+    // operational sequence: maintainer stopped above — release its lease,
+    // then compact (the compaction claims the lease itself)
+    DedupManifest.releaseManifestLease(sp, dir)
+    DedupManifest.compactManifest(sp, dir)
+    assert(graft.operators.IvfPqIndexStore.resolveRead(sp, dir).contains("index.v"),
+      "compaction must commit a versioned set")
+    val after = rows(DedupManifest.deltaDedupAgainstManifest(arrivals, dir, verify))
+    assert(after === before, "verdicts changed through the compaction swap")
+    assert(!DedupManifest.appendEpoch((30L until 40L).map(doc).toDF(), 0L, dir),
+      "folded epoch no longer replay-detected")
+    // fp table folded to one min row per fingerprint
+    val rdir = graft.operators.IvfPqIndexStore.resolveRead(sp, dir)
+    val fpRows = sp.read.parquet(s"$rdir/fp")
+    assert(fpRows.count() === fpRows.select("fp").distinct().count())
+    DedupManifest.releaseManifestLease(sp, dir)
+  }
+
+  test("a second maintainer on the same manifest fails by name") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_ls").toString
+    DedupManifest.initManifest(
+      Seq(ManifestDoc(1L, "a b c d e f")).toDF(), dir)
+    val inputA = MemoryStream[ManifestDoc]
+    DedupManifest.manifestAppendSink(inputA.toDF(), dir)
+    val inputB = MemoryStream[ManifestDoc]
+    val e = intercept[IllegalStateException] {
+      DedupManifest.manifestAppendSink(inputB.toDF(), dir)
+    }
+    assert(e.getMessage.contains("dedup-manifest single-writer lease"))
+    DedupManifest.releaseManifestLease(sp, dir)
+  }
+}
