@@ -387,7 +387,7 @@ object DedupOps {
     "q143_manifest_delta_dedup" -> ((s, d) => {
       val dir = ensureQ143Manifest(s, d)
       graft.streaming.DedupManifest.deltaDedupAgainstManifest(
-        documents(s, d).filter(col("doc_id") % 10 >= 8), dir, documents(s, d))
+        q112ArrivalsOf(documents(s, d)), dir, documents(s, d))
     }),
 
     // Measured LSH recall audit (see [[lshRecallAudit]]): q35's banded
@@ -1319,7 +1319,7 @@ object DedupOps {
         catch { case _: Exception => () }
       }))
       graft.streaming.DedupManifest.initManifest(
-        documents(s, d).filter(col("doc_id") % 10 < 8), p.toString)
+        q112HistOf(documents(s, d)), p.toString)
       p.toString
     })
 
@@ -1342,10 +1342,20 @@ object DedupOps {
     * broadcast guard — the seam DeltaDedupSpec drives with a tiny bar to
     * pin that the shuffle-join degrade is a pure re-plan (same rows).
     */
+  /** q112's fixture history/arrival split — ONE definition for every
+    * wiring site (r14 review: the predicate previously lived in four
+    * places and a change would silently break the q112 ≡ q143 contract);
+    * the oracle SQL carries the literal mirror.
+    */
+  private[graft] def q112HistOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 < 8)
+  private[graft] def q112ArrivalsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 >= 8)
+
   private[graft] def deltaDedupFrom(docs: DataFrame,
       maxBroadcastIds: Long = deltaBroadcastMaxIds): DataFrame = {
-    val hist = docs.filter(col("doc_id") % 10 < 8)
-    val arr = docs.filter(col("doc_id") % 10 >= 8)
+    val hist = q112HistOf(docs)
+    val arr = q112ArrivalsOf(docs)
     deltaDedupCore(arr, historyFpTable(hist), historyBandTable(hist),
       docs, maxBroadcastIds)
   }

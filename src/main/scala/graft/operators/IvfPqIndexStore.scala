@@ -254,6 +254,69 @@ object IvfPqIndexStore {
     }
   }
 
+  /** Applied-epoch memo per (JVM, resolved dir, build id): seeded from
+    * the on-disk ledger ONCE (a restart still sees every committed epoch,
+    * including epochs a rebuild/compaction folded), then maintained in
+    * memory — without it the replay check re-reads the whole ledger per
+    * trigger, O(stream age) driver work. Build-id keying survives path
+    * reuse; a rebuild's version bump re-keys through the resolved path.
+    */
+  private val ledgerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.Set[Long]]()
+  private def appliedEpochs(s: SparkSession,
+      rdir: String): scala.collection.mutable.Set[Long] =
+    ledgerCache.computeIfAbsent(s"$rdir@${buildId(s, rdir)}",
+      _ => readLedger(s, rdir) match {
+        case None => scala.collection.mutable.Set.empty
+        case Some(led) => scala.collection.mutable.Set(
+          led.select("epoch").distinct().collect().map(_.getLong(0)): _*)
+      })
+
+  /** THE shared epoch-idempotence device (r14 review: one definition for
+    * every leased append store — IVF-PQ maintenance and the dedup
+    * manifest previously carried verbatim copies): verify the lease,
+    * resolve ONE version set for tables and ledger, skip replayed or
+    * empty epochs, run the store-specific `append` against the resolved
+    * set, and write the ledger LAST so its presence implies the append
+    * completed. Returns true iff the epoch was applied. `idCol` is the
+    * batch's id column recorded in the per-row ledger.
+    */
+  private[graft] def applyEpochOnce(batch: DataFrame, epoch: Long,
+      dir: String, leaseToken: Option[String], what: String,
+      idCol: String)(append: (DataFrame, String) => Unit): Boolean = {
+    val s = batch.sparkSession
+    leaseToken.foreach(requireLease(s, dir, _, what))
+    val rdir = resolveRead(s, dir)
+    val applied = appliedEpochs(s, rdir)
+    if (applied.contains(epoch)) return false
+    // the batch feeds the emptiness check, the table append AND the
+    // ledger rows — persist so the source is read once per trigger
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (b.isEmpty) return false
+      append(b, rdir)
+      appendLedger(b.select(col(idCol).as("vec_id")), epoch, rdir)
+      applied.synchronized { applied += epoch }
+      true
+    } finally b.unpersist(blocking = false): Unit
+  }
+
+  /** The leased foreachBatch attach every epoch sink shares: claim the
+    * single-writer lease (named error on a second maintainer), thread the
+    * token into each trigger's apply so a forced takeover stops this
+    * maintainer by name at its next batch.
+    */
+  private[graft] def leasedEpochSink(rows: DataFrame, dir: String,
+      what: String)(
+      applyEpoch: (DataFrame, Long, Option[String]) => Boolean)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val token = java.util.UUID.randomUUID().toString
+    acquireLease(rows.sparkSession, dir, token, what)
+    rows.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      applyEpoch(batch, epoch, Some(token)): Unit
+    }
+  }
+
   /** Record one applied epoch: one row per appended vector, unfolded. */
   private[graft] def appendLedger(batch: DataFrame, epoch: Long,
       resolvedDir: String): Unit =

@@ -69,58 +69,30 @@ object DedupManifest {
     IvfPqIndexStore.writeBuildId(s, dir)
   }
 
-  /** Applied-epoch memo per (JVM, resolved dir, build id) — the
-    * IndexMaintenance device: seeded from the on-disk ledger once, then
-    * maintained in memory; build-id keying survives path reuse.
-    */
-  private val ledgerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.Set[Long]]()
-  private def appliedEpochs(s: SparkSession,
-      rdir: String): scala.collection.mutable.Set[Long] =
-    ledgerCache.computeIfAbsent(s"$rdir@${IvfPqIndexStore.buildId(s, rdir)}",
-      _ => IvfPqIndexStore.readLedger(s, rdir) match {
-        case None => scala.collection.mutable.Set.empty
-        case Some(led) => scala.collection.mutable.Set(
-          led.select("epoch").distinct().collect().map(_.getLong(0)): _*)
-      })
-
   /** Apply ONE epoch's arrivals idempotently: fp rows, band rows, ledger
-    * LAST. Returns false on replay or an empty batch.
+    * LAST — the shared leased epoch-idempotence device
+    * ([[IvfPqIndexStore.applyEpochOnce]], ONE definition with the IVF-PQ
+    * maintenance sink). Returns false on replay or an empty batch.
     */
   private[graft] def appendEpoch(batch: DataFrame, epoch: Long,
-      dir: String, leaseToken: Option[String] = None): Boolean = {
-    val s = batch.sparkSession
-    leaseToken.foreach(IvfPqIndexStore.requireLease(s, dir, _, What))
-    val rdir = IvfPqIndexStore.resolveRead(s, dir)
-    val applied = appliedEpochs(s, rdir)
-    if (applied.contains(epoch)) return false
-    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (b.isEmpty) return false
+      dir: String, leaseToken: Option[String] = None): Boolean =
+    IvfPqIndexStore.applyEpochOnce(batch, epoch, dir, leaseToken,
+      What, "doc_id") { (b, rdir) =>
       b.select(col("doc_id"),
           graft.operators.TextOps.fingerprintCol(col("text")).as("fp"))
         .write.mode("append").parquet(s"$rdir/fp")
       DedupOps.historyBandTable(b)
         .write.mode("append").parquet(s"$rdir/bands")
-      IvfPqIndexStore.appendLedger(
-        b.select(col("doc_id").as("vec_id")), epoch, rdir)
-      applied.synchronized { applied += epoch }
-      true
-    } finally b.unpersist(blocking = false): Unit
-  }
+    }
 
   /** The maintenance sink: attach to a stream of documents (doc_id, text)
     * ADMITTED into history — typically the keepers a curation waterfall
     * emits — and the manifest tracks them per trigger. Claims the
     * single-writer lease at attach (named error on a second maintainer).
     */
-  def manifestAppendSink(docs: DataFrame, dir: String): DataStreamWriter[Row] = {
-    val token = java.util.UUID.randomUUID().toString
-    IvfPqIndexStore.acquireLease(docs.sparkSession, dir, token, What)
-    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      appendEpoch(batch, epoch, dir, Some(token)): Unit
-    }
-  }
+  def manifestAppendSink(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    IvfPqIndexStore.leasedEpochSink(docs, dir, What)(
+      appendEpoch(_, _, dir, _))
 
   /** Release the manifest directory's single-writer lease. */
   def releaseManifestLease(s: SparkSession, dir: String): Unit =
@@ -179,12 +151,18 @@ object DedupManifest {
       val vpath = new org.apache.hadoop.fs.Path(vdir)
       val fs = vpath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(vpath)) fs.delete(vpath, true) // crashed-attempt leftover
+      // NO coalesce(1) on these (r14 review): fp/bands are
+      // |history|-sized — funneling the rewrite through one writer task
+      // is exactly the stop-the-world rewrite the versioned swap exists
+      // to avoid. The groupBy/distinct shuffle partitioning carries
+      // through to the write; only the ledger fold (per-epoch tiny rows)
+      // coalesces.
       s.read.parquet(s"$rdir/fp")
         .groupBy("fp").agg(min("doc_id").as("doc_id"))
         .select("doc_id", "fp")
-        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/fp")
+        .write.mode("overwrite").parquet(s"$vdir/fp")
       s.read.parquet(s"$rdir/bands").distinct()
-        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/bands")
+        .write.mode("overwrite").parquet(s"$vdir/bands")
       IvfPqIndexStore.foldLedgerInto(s, rdir, vdir)
       IvfPqIndexStore.writeBuildId(s, vdir)
       IvfPqIndexStore.commit(s, vdir)

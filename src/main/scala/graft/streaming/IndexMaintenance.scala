@@ -53,53 +53,15 @@ object IndexMaintenance {
     * stops this maintainer with a named error at its next trigger.
     */
   private[graft] def appendEpoch(batch: DataFrame, epoch: Long,
-      dir: String, leaseToken: Option[String] = None): Boolean = {
-    val s = batch.sparkSession
-    leaseToken.foreach(IvfPqIndexStore.requireLease(s, dir, _))
-    val rdir = IvfPqIndexStore.resolveRead(s, dir)
-    val applied = appliedEpochs(s, rdir)
-    if (applied.contains(epoch)) return false
-    // the batch feeds the emptiness check, the codes append AND the ledger
-    // rows — persist so the source is read once per trigger
-    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (b.isEmpty) return false
-      // the SAME resolved set for codes and ledger (r14 review): a rebuild
-      // committing between two independent resolutions would split the
-      // epoch — codes in the new set, ledger row folded away in the old
-      SimilarityOps.appendToIvfPqIndexResolved(s, b, rdir)
-      // ledger LAST: its presence implies the codes append completed, so
-      // seeding the replay set from it can never skip a half-applied epoch
-      IvfPqIndexStore.appendLedger(b, epoch, rdir)
-      applied.synchronized { applied += epoch }
-      true
-    } finally b.unpersist(blocking = false)
-  }
-
-  /** Applied-epoch set per (JVM, resolved dir, build id): seeded from the
-    * on-disk ledger ONCE (so a restart still sees every previously
-    * committed epoch — including epochs a rebuild folded), then maintained
-    * in memory; without the memo the replay check re-reads the whole
-    * ledger per trigger, O(stream age) driver work on a long-lived query.
-    * Keying on the BUILD ID (r13 ADVICE) means deleting and rebuilding an
-    * index at the same path within one JVM gets a fresh memo instead of
-    * stale applied-epoch state, and a rebuild's version bump re-keys
-    * naturally through the resolved path.
-    */
-  private val ledgerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.Set[Long]]()
-  private def appliedEpochs(s: SparkSession,
-      rdir: String): scala.collection.mutable.Set[Long] =
-    ledgerCache.computeIfAbsent(s"$rdir@${IvfPqIndexStore.buildId(s, rdir)}",
-      _ => {
-        val seed: scala.collection.mutable.Set[Long] =
-          IvfPqIndexStore.readLedger(s, rdir) match {
-            case None => scala.collection.mutable.Set.empty
-            case Some(led) => scala.collection.mutable.Set(
-              led.select("epoch").distinct().collect().map(_.getLong(0)): _*)
-          }
-        seed
-      })
+      dir: String, leaseToken: Option[String] = None): Boolean =
+    // the shared leased epoch-idempotence device (IvfPqIndexStore
+    // .applyEpochOnce — ONE definition with the dedup manifest, r14
+    // review): one resolved set for codes and ledger, ledger LAST, the
+    // build-id-keyed applied-epoch memo
+    IvfPqIndexStore.applyEpochOnce(batch, epoch, dir, leaseToken,
+      "IVF-PQ", "vec_id") { (b, rdir) =>
+      SimilarityOps.appendToIvfPqIndexResolved(b.sparkSession, b, rdir)
+    }
 
   /** The maintenance sink: attach to a stream of prepped embedding rows
     * (`vec_id`, `e` ARRAY<DOUBLE>) and start. Attaching CLAIMS the
@@ -111,13 +73,9 @@ object IndexMaintenance {
     * query, then [[releaseIvfPqLease]]; a lease orphaned by a crash is
     * released the same way.
     */
-  def ivfPqAppendSink(vecs: DataFrame, dir: String): DataStreamWriter[Row] = {
-    val token = java.util.UUID.randomUUID().toString
-    IvfPqIndexStore.acquireLease(vecs.sparkSession, dir, token)
-    vecs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      appendEpoch(batch, epoch, dir, Some(token)): Unit
-    }
-  }
+  def ivfPqAppendSink(vecs: DataFrame, dir: String): DataStreamWriter[Row] =
+    IvfPqIndexStore.leasedEpochSink(vecs, dir, "IVF-PQ")(
+      appendEpoch(_, _, dir, _))
 
   /** Release the index directory's single-writer lease — normal shutdown
     * after stopping the sink, and the recovery path the acquire error
