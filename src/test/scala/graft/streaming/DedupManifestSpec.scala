@@ -91,6 +91,67 @@ class DedupManifestSpec extends SparkSpec {
     DedupManifest.releaseManifestLease(sp, dir)
   }
 
+  test("the TEXT intake loop: gated keepers feed the manifest; the manifest flags the next dump") {
+    // the text-side analog of the index intake loop (IntakeToSinkSpec /
+    // IndexMaintenanceSpec's full-loop test): documents stream through
+    // the quality + cross-batch fingerprint gates, the ADMITTED keepers
+    // maintain the dedup manifest per trigger, and the NEXT day's batch
+    // is delta-deduped against the manifest — every stage is the
+    // spec-pinned unit; this pins the composition.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val good = (0 until 80).map(j => s"tok${j % 40} body").mkString(" ")
+    def doc(i: Long, text: String) = ManifestDoc(i, text)
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt_loop").toString
+    DedupManifest.initManifest(Seq.empty[ManifestDoc].toDF(), dir)
+
+    val input = MemoryStream[ManifestDoc]
+    val gated = DocStreams.dedupDocs(
+      input.toDF().withColumn("ingest_ts",
+        org.apache.spark.sql.functions.expr(
+          "timestamp_seconds(1700000000 + doc_id)")))
+    val q = DedupManifest.manifestAppendSink(
+      gated.select("doc_id", "text"), dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_txt_loop_ck").toString)
+      .outputMode("update")
+      .start()
+    try {
+      input.addData(doc(1L, good + " alpha"), doc(2L, good + " beta"),
+        doc(3L, good + " alpha")) // 3 = same-fingerprint dup of 1, gated out
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the manifest holds exactly the admitted keepers (the gate keeps ONE
+    // of the same-fingerprint pair {1, 3} — within-batch winner is not
+    // contractual — plus 2)
+    val kept = DedupManifest.manifestFp(sp, dir).collect()
+      .map(_.getLong(1)).toSet
+    assert(kept.contains(2L) && kept.size == 2 &&
+      (kept - 2L).subsetOf(Set(1L, 3L)), s"manifest keepers, got $kept")
+    val alphaKeeper = (kept - 2L).head
+
+    // next dump delta-deduped AGAINST THE MANIFEST: an exact copy of a
+    // keeper, a near-dup (same body, one tail token differs), a fresh doc
+    val arrivals = Seq(
+      doc(10L, good + " alpha"),                    // exact dup of keeper 1
+      doc(11L, good + " gamma"),                    // near-dup (body shared)
+      doc(12L, (0 until 80).map(j => s"other${j % 37} text").mkString(" ")))
+      .toDF()
+    // covers BOTH possible alpha keepers — the verify stage re-shingles
+    // candidate ids from the corpus, so the winner's text must be present
+    val verify = Seq(doc(1L, good + " alpha"), doc(2L, good + " beta"),
+      doc(3L, good + " alpha"))
+      .toDF().unionByName(arrivals)
+    val verdicts = DedupManifest.deltaDedupAgainstManifest(arrivals, dir, verify)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(verdicts(10L) === (("exact_dup", alphaKeeper)))
+    assert(verdicts(11L)._1 === "near_dup")
+    assert(verdicts(12L) === (("new", -1L)))
+    DedupManifest.releaseManifestLease(sp, dir)
+  }
+
   test("a second maintainer on the same manifest fails by name") {
     val sp = spark
     import sp.implicits._
