@@ -296,6 +296,14 @@ object Bench {
       case (_, best, runs) if best >= 0.5 && runs.length >= 3 && runs.tail.min > 0 =>
         runs.tail.max / runs.tail.min
     }.foldLeft(1.0)(math.max)
+    /** This window's contribution to the ARTIFACT's headline max_run_skew
+      * (render's definition: run1/run2 over warm, >=0.5 s queries) — the
+      * whole-window gate judges exactly the number the artifact posts.
+      */
+    def renderSkew: Double = rows.collect {
+      case (_, best, runs) if best >= 0.5 && runs.length >= 2 && runs(1) > 0 =>
+        runs(0) / runs(1)
+    }.foldLeft(1.0)(math.max)
   }
 
   private def parseGroup(om: com.fasterxml.jackson.databind.ObjectMapper,
@@ -354,12 +362,27 @@ object Bench {
     // when any ≥0.5 s query's intra-window run skew exceeds 3×. The kept
     // window is the attempt with the lowest group total — contention only
     // ever inflates, so the cheapest window is the most faithful one.
+    // The r14 lesson (verdict #1): the sequential probe can read CLEAN
+    // while 32-wide stage throughput is 3-4x down — BENCH_r14's group_cal_pre
+    // stayed 0.42-0.49 while group_cal_par_pre hit 1.508 vs best 0.494 and
+    // the artifact posted max_run_skew 5.09 on uniformly inflated trivial
+    // queries. The breach test now judges BOTH probes at the same 1.5x bar
+    // against their own ratcheting minima.
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val kept = scala.collection.mutable
       .ArrayBuffer[(Seq[String], GroupWindow, Int)]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     var bestCalSeen = calPre
+    var bestCalParSeen = calParPre
     val maxAttempts = 3
+    def breach(w: GroupWindow): Option[String] = {
+      val cal = w.cal > 1.5 * bestCalSeen
+      val calPar = w.calPar > 1.5 * bestCalParSeen
+      val skew = w.maxSkew > 3.0
+      if (!(cal || calPar || skew)) None
+      else Some(f"cal ${w.cal}%.3f vs best $bestCalSeen%.3f, " +
+        f"calPar ${w.calPar}%.3f vs best $bestCalParSeen%.3f, skew ${w.maxSkew}%.2f")
+    }
     for ((g, i) <- groups.zipWithIndex) {
       System.err.println(s"[bench] group ${i + 1}/${groups.size}: ${g.head}..${g.last}")
       val attempts = scala.collection.mutable.ArrayBuffer[GroupWindow]()
@@ -371,12 +394,11 @@ object Bench {
           case Some(w) =>
             attempts += w
             bestCalSeen = math.min(bestCalSeen, w.cal)
-            val calBreach = w.cal > 1.5 * bestCalSeen
-            val skewBreach = w.maxSkew > 3.0
-            clean = !(calBreach || skewBreach)
+            bestCalParSeen = math.min(bestCalParSeen, w.calPar)
+            val why = breach(w)
+            clean = why.isEmpty
             if (!clean) System.err.println(
-              f"[bench] group ${i + 1} attempt $tries breached " +
-                f"(cal ${w.cal}%.3f vs best $bestCalSeen%.3f, skew ${w.maxSkew}%.2f)" +
+              s"[bench] group ${i + 1} attempt $tries breached (${why.get})" +
                 (if (tries < maxAttempts) " — re-forking" else " — retries exhausted, keeping best window"))
           case None => () // fork/parse failure burns an attempt too
         }
@@ -401,16 +423,46 @@ object Bench {
     var retroReforks = 0
     for (i <- kept.indices) {
       val (g, w, tries) = kept(i)
-      if (w.cal > 1.5 * bestCalSeen) {
+      if (w.cal > 1.5 * bestCalSeen || w.calPar > 1.5 * bestCalParSeen) {
         retroReforks += 1
         System.err.println(
           f"[bench] group ${i + 1} retro breach (cal ${w.cal}%.3f vs final " +
-            f"best $bestCalSeen%.3f) — re-forking once")
+            f"best $bestCalSeen%.3f, calPar ${w.calPar}%.3f vs final best " +
+            f"$bestCalParSeen%.3f) — re-forking once")
         forkJson("graft.Bench", g, childEnv).flatMap(parseGroup(om, _, g))
           .foreach { w2 =>
             bestCalSeen = math.min(bestCalSeen, w2.cal)
+            bestCalParSeen = math.min(bestCalParSeen, w2.calPar)
             kept(i) = (g, Seq(w, w2).minBy(x => (x.failures, x.total)), tries + 1)
           }
+      }
+    }
+    // whole-window skew re-fork (r14 verdict #1's second half): the
+    // per-group gates judge each window against the session's calibration
+    // minima, but the ARTIFACT's headline max_run_skew is computed over
+    // the union of kept windows — and r14 posted 5.09 while every group
+    // individually passed. One more pass: if the assembled window's
+    // headline skew (run1/run2 over warm, >=0.5 s queries) exceeds 2.0,
+    // every group contributing a >2.0 ratio is re-forked ONCE and the
+    // better attempt kept; both the pre-refork and final skews land in
+    // the artifact, so a still-breaching window carries its own
+    // adjudication evidence instead of masquerading as a perf record.
+    val skewPre = kept.map(_._2.renderSkew).foldLeft(1.0)(math.max)
+    var skewReforks = 0
+    if (skewPre > 2.0) {
+      for (i <- kept.indices) {
+        val (g, w, tries) = kept(i)
+        if (w.renderSkew > 2.0) {
+          skewReforks += 1
+          System.err.println(
+            f"[bench] group ${i + 1} whole-window skew breach " +
+              f"(${w.renderSkew}%.2f > 2.0) — re-forking once")
+          forkJson("graft.Bench", g, childEnv).flatMap(parseGroup(om, _, g))
+            .foreach { w2 =>
+              kept(i) = (g, Seq(w, w2).minBy(x =>
+                (x.failures, x.renderSkew, x.total)), tries + 1)
+            }
+        }
       }
     }
     val groupCal = kept.map(_._2.cal)
@@ -432,7 +484,7 @@ object Bench {
     val groupCalParJson = groupCalPar.map(c => f"$c%.3f").mkString("[", ",", "]")
     val groupTriesJson = groupTries.mkString("[", ",", "]")
     val line = render(results.toSeq, scanJson, sfDir,
-      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"groups":${groups.size},"group_size":$groupSize,"group_cal_pre":$groupCalJson,"group_cal_par_pre":$groupCalParJson,"group_attempts":$groupTriesJson,"group_retro_reforks":$retroReforks""")
+      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"groups":${groups.size},"group_size":$groupSize,"group_cal_pre":$groupCalJson,"group_cal_par_pre":$groupCalParJson,"group_attempts":$groupTriesJson,"group_retro_reforks":$retroReforks,"window_skew_pre_refork":${f"$skewPre%.2f"},"window_skew_reforks":$skewReforks""")
     println(line)
     persist(line, sfDir)
   }

@@ -1304,12 +1304,34 @@ object DedupOps {
 
   /** q143's fixture manifest: initialized ONCE per (JVM, corpus) from the
     * q112 history split (the build-once amortization the q122/q126 index
-    * fixtures use), removed by a shutdown hook.
+    * fixtures use), removed by a shutdown hook. The memo keys on the
+    * corpus CONTENT token, not the path alone (r14 ADVICE): a harness
+    * that regenerates the corpus at the same path within one JVM must get
+    * a fresh manifest, or q143 would serve stale history while q112
+    * recomputes fresh — two queries sharing one oracle text diverging.
     */
   private val manifestDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Cheap corpus-identity token: the documents table's file listing
+    * folded as (name, length, mtime) — the build-id discipline for
+    * corpora that don't carry one. Driver-side fs metadata only.
+    */
+  private def corpusToken(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val sts = if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+                else Seq(fs.getFileStatus(p))
+      val sig = sts.map(x =>
+          s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+        .sorted.mkString("|")
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sig))
+    }
+  }
   private def ensureQ143Manifest(s: SparkSession, d: String): String =
-    manifestDirs.computeIfAbsent(d, _ => {
+    manifestDirs.computeIfAbsent(s"$d@${corpusToken(s, d)}", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_dedup_manifest")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}

@@ -62,6 +62,8 @@ object IvfPqIndexStore {
   private val LeaseName = "_writer.lease"
   private val MarkerName = "_committed"
   private val BuildIdName = "_build_id"
+  private val DupsName = "_dups_possible"
+  private def inflightName(epoch: Long) = s"_inflight.e$epoch"
 
   private def fsOf(s: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -133,11 +135,17 @@ object IvfPqIndexStore {
       if ((committed && v < current - keep) || (!committed && v < current))
         fs.delete(p, true)
     }
-    if (current - keep > 0)
-      (flatFiles :+ BuildIdName).foreach { n =>
+    if (current - keep > 0) {
+      (flatFiles :+ BuildIdName :+ DupsName).foreach { n =>
         val p = new HPath(dir, n)
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // retired flat sets also shed any inflight-epoch markers
+      val dp = new HPath(dir)
+      if (fs.exists(dp)) fs.listStatus(dp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("_inflight.e"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
   }
 
   // ------------------------------------------------------------- build id
@@ -166,6 +174,28 @@ object IvfPqIndexStore {
       finally in.close()
     }
   }
+
+  // -------------------------------------------------------- dup exposure
+
+  /** Whether this set's tables may hold exact-duplicate rows from an epoch
+    * replay (r15, the q127 ×2.3 fix): the ONLY dup-creating event in the
+    * leased lifecycle is a crash between [[applyEpochOnce]]'s table append
+    * and its ledger write — the epoch is then absent from the ledger, so
+    * the next trigger replays it and re-appends rows the crashed attempt
+    * may already have committed. That exposure is detected PRECISELY (the
+    * epoch's inflight marker survives the crash and is found by the
+    * replay), stamped here once, and cleared only by a rebuild/compaction
+    * writing a fresh set. Readers that previously paid an unconditional
+    * defensive `dropDuplicates` over the whole table (a full-table
+    * exchange, forever, on every audit) consult this flag and take the
+    * dedup-free fast path on clean sets — which is every set that never
+    * crashed inside the one statement-pair window.
+    */
+  def dupsPossible(s: SparkSession, resolvedDir: String): Boolean =
+    fsOf(s, resolvedDir).exists(new HPath(resolvedDir, DupsName))
+
+  private[graft] def markDupsPossible(s: SparkSession, resolvedDir: String): Unit =
+    fsOf(s, resolvedDir).create(new HPath(resolvedDir, DupsName), true).close()
 
   // ---------------------------------------------------------------- lease
 
@@ -287,15 +317,33 @@ object IvfPqIndexStore {
     val s = batch.sparkSession
     leaseToken.foreach(requireLease(s, dir, _, what))
     val rdir = resolveRead(s, dir)
+    val fs = fsOf(s, rdir)
+    val inflight = new HPath(rdir, inflightName(epoch))
     val applied = appliedEpochs(s, rdir)
-    if (applied.contains(epoch)) return false
+    if (applied.contains(epoch)) {
+      // a crash AFTER the ledger write but before the marker delete left a
+      // stale inflight marker for a fully-applied epoch — no exposure
+      // (ledger presence implies the append committed exactly once)
+      if (fs.exists(inflight)) fs.delete(inflight, false): Unit
+      return false
+    }
     // the batch feeds the emptiness check, the table append AND the
     // ledger rows — persist so the source is read once per trigger
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (b.isEmpty) return false
+      // inflight-marker protocol (r15): the marker brackets exactly the
+      // append→ledger window. Finding one here for an epoch NOT in the
+      // ledger means a prior attempt crashed inside that window and may
+      // have committed its table append — the re-append below can then
+      // create exact-duplicate rows, so the set is stamped dup-exposed
+      // ONCE and duplicate-tolerant readers (the staleness audit) pay
+      // their defensive collapse only on sets where it can matter.
+      if (fs.exists(inflight)) markDupsPossible(s, rdir)
+      fs.create(inflight, true).close()
       append(b, rdir)
       appendLedger(b.select(col(idCol).as("vec_id")), epoch, rdir)
+      fs.delete(inflight, false): Unit
       applied.synchronized { applied += epoch }
       true
     } finally b.unpersist(blocking = false): Unit

@@ -20,10 +20,14 @@ import graft.operators.{IvfPqIndexStore, SimilarityOps}
   *
   * EXACTLY-ONCE, stated precisely (r13 ADVICE): the ledger write lands
   * AFTER the codes append, so a crash between the two re-applies the
-  * epoch on replay and duplicates that epoch's code rows in STORAGE. Every
-  * reader is duplicate-tolerant by construction — the saved search
-  * collapses per-(cid, subspace) rows before summing ADC distances, the
-  * staleness audit dedups codes on read, and [[appendedMassReport]]'s
+  * epoch on replay and duplicates that epoch's code rows in STORAGE. That
+  * window is DETECTED, not just tolerated (r15): [[IvfPqIndexStore
+  * .applyEpochOnce]] brackets it with a per-epoch inflight marker, and a
+  * replay that finds the marker stamps the set dup-exposed. Every reader
+  * is duplicate-tolerant where it can matter — the saved search collapses
+  * per-(cid, subspace) rows before summing ADC distances, the staleness
+  * audit dedups codes on read (only on dup-exposed sets — clean sets skip
+  * the full-table exchange), and [[appendedMassReport]]'s
   * arithmetic is DISTINCT-cid set algebra (never a ledger-sum
   * subtraction) — so replay can never change a search result, an audit
   * statistic, or the mass report; what it costs is duplicate rows on

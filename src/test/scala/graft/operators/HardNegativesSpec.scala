@@ -110,22 +110,33 @@ class HardNegativesSpec extends SparkSpec {
       rows.foreach(r => assert(lab(r.getLong(1)) !== lab(qid),
         s"served negative shares label at qid $qid"))
     }
-    // exact-top-5 identity is the WRONG bar for an ADC-quantized server on
-    // near-tied diffuse cosines (measured plateau 0.20 even at full
-    // probing + 20x over-fetch — the PQ ceiling, not a probe miss); the
-    // right claims are (a) overlap far above chance (random 5 of ~450
-    // different-label candidates expects ~0.011; measured 0.175 at the
-    // default knobs — 16x chance; floor just under, the suite convention)
+    // the r14 plateau was 0.20 overlap by ADC RANK regardless of window
+    // (near-tied diffuse cosines scramble under quantization even at full
+    // probing + 20x over-fetch); the r15 exact re-rank over the
+    // over-fetched sliver converts window size into recall MONOTONICALLY
+    // (measured 0.35 at overFetch=4 → 0.575 at 20 → 0.825 at 40 → 1.0 at
+    // the pool bound), so the pins are (a) material agreement at the
+    // default window, ~3x the old ceiling...
     val exact = SimilarityOps.queries("q137_hard_negatives")(spark, d)
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-    val servedSets = served.groupBy(_.getLong(0))
-      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-    val overlap = exact.keys.toSeq.map { q =>
-      servedSets(q).intersect(exact(q)).size.toDouble / exact(q).size
+    def overlapOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val sets = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = exact.keys.toSeq.map { q =>
+        sets(q).intersect(exact(q)).size.toDouble / exact(q).size
+      }
+      per.sum / per.size
     }
-    val mean = overlap.sum / overlap.size
-    assert(mean >= 0.12, f"index-served overlap with exact miner $mean%.2f")
+    val mean = overlapOf(served)
+    assert(mean >= 0.5, f"index-served overlap with exact miner $mean%.2f")
+    // ...and (b) the conversion property itself: widening the window must
+    // buy overlap — the defining difference vs the pre-re-rank plateau,
+    // where extra reads bought nothing
+    val narrow = overlapOf(SimilarityOps.hardNegativesIndexServed(
+      spark, d, dir, overFetch = 4).collect())
+    assert(mean > narrow,
+      f"re-rank did not convert window size into recall ($narrow%.2f -> $mean%.2f)")
     // ...and (b) HARDNESS — what mining actually needs: the served
     // negatives' true cosines sit at the top of the negative pool
     // (measured mean 0.147 vs pool mean 0.002 and pool p90 0.161)

@@ -121,6 +121,56 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(codesOf(dir).count() === 50L * 8)
   }
 
+  test("replay crash window stamps dup exposure; audit stays tolerant there, dedup-free on clean sets") {
+    graft.functions.VectorFunctions.register(spark)
+    // clean set: build + one COMPLETED epoch append — no exposure, so the
+    // audit takes the fast path (no full-table dedup exchange)
+    val clean = tmp("cleanset")
+    SimilarityOps.saveIvfPqIndexFrom(frame(0L until 40L), clean)
+    assert(graft.streaming.IndexMaintenance.appendEpoch(frame(40L until 50L), 1L, clean))
+    assert(!IvfPqIndexStore.dupsPossible(spark, clean),
+      "a completed append must not stamp dup exposure")
+    // crashed set: same rows, but epoch 1's first attempt dies BETWEEN the
+    // codes append and the ledger write — the only dup-creating window
+    val crashed = tmp("crashset")
+    SimilarityOps.saveIvfPqIndexFrom(frame(0L until 40L), crashed)
+    val batch = frame(40L until 50L)
+    intercept[RuntimeException] {
+      IvfPqIndexStore.applyEpochOnce(batch, 1L, crashed, None, "IVF-PQ",
+          "vec_id") { (b, rdir) =>
+        SimilarityOps.appendToIvfPqIndexResolved(spark, b, rdir)
+        throw new RuntimeException("simulated crash before the ledger write")
+      }
+    }
+    assert(!IvfPqIndexStore.dupsPossible(spark, crashed),
+      "exposure is stamped by the REPLAY that re-appends, not by the crash")
+    assert(graft.streaming.IndexMaintenance.appendEpoch(batch, 1L, crashed),
+      "the replay must re-apply the epoch (it never reached the ledger)")
+    assert(IvfPqIndexStore.dupsPossible(spark, crashed),
+      "a replay across the mid-window crash must stamp dup exposure")
+    val dupes = codesOf(crashed).groupBy("cid", "subspace")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dupes === 10L * 8, "the replay planted duplicate code rows")
+    // duplicate tolerance pinned where it can matter: the dup-exposed
+    // set's audit must equal the clean set's row for row
+    val corpus = frame(0L until 50L)
+    def audit(dir: String) = SimilarityOps.ivfPqStalenessAuditFrom(
+      corpus, dir, "vec_id >= 40", 0.3, 1.5).collect().map(_.toSeq).toSeq
+    assert(audit(crashed) === audit(clean),
+      "dup-exposed audit must collapse duplicates and match the clean set")
+    // crash AFTER the ledger write (stale marker on an applied epoch): the
+    // replay is skipped, the marker is swept, and no exposure is stamped
+    val fs = new org.apache.hadoop.fs.Path(clean)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(clean, "_inflight.e1"), true).close()
+    assert(!graft.streaming.IndexMaintenance.appendEpoch(batch, 1L, clean),
+      "epoch 1 is in the ledger — the replay must be skipped")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(clean, "_inflight.e1")),
+      "a stale marker on an applied epoch must be swept, not escalated")
+    assert(!IvfPqIndexStore.dupsPossible(spark, clean),
+      "an applied epoch's stale marker is not dup exposure")
+  }
+
   test("retention keeps one predecessor and prunes older sets") {
     graft.functions.VectorFunctions.register(spark)
     val dir = tmp("prune")
