@@ -1314,9 +1314,11 @@ object DedupOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Cheap corpus-identity token: the documents table's file listing
     * folded as (name, length, mtime) — the build-id discipline for
-    * corpora that don't carry one. Driver-side fs metadata only.
+    * corpora that don't carry one. Driver-side fs metadata only. Shared
+    * by every per-(JVM, corpus) fixture memo (q143's manifest, q128/q134's
+    * curation store).
     */
-  private def corpusToken(s: SparkSession, d: String): String = {
+  private[graft] def corpusToken(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"

@@ -467,15 +467,34 @@ object DocStreams {
     * idempotent (re-putting a fingerprint is a no-op). Restart note: the
     * filter lives with the query; rebuild it from the admitted corpus's
     * fingerprints on restart (the batch-reconciliation contract every
-    * gate documents).
+    * gate documents — with `persistTo` set, the source is one read away:
+    * [[CurationStore.keeperFingerprints]]).
+    *
+    * `persistTo` (r15, the r14 verdict's #3): a [[CurationStore]]
+    * directory to MAINTAIN with each trigger's staged rows (doc_id, fp,
+    * stage, keeper) — the accounting sink becomes the streaming writer of
+    * the materialized stage table q128/q134 serve from. Appends go
+    * through the shared leased epoch-idempotence device (lease claimed at
+    * attach, replay-proof ledger LAST, dup exposure stamped precisely),
+    * and land BEFORE the Bloom update: a crash between append and ledger
+    * replays the epoch against the UNCHANGED filter (identical rows —
+    * duplicate storage only, which the conditional-dedup readers
+    * collapse), while a crash after the ledger is skipped on replay and
+    * the restart reseeds the filter from the log it just wrote.
     */
   def waterfallAccountingSink(docs: DataFrame, evalBloom: Array[Byte],
       expectedDocs: Long = 1L << 20, fpp: Double = 1e-6,
-      qualityBar: Double = 0.25)(
+      qualityBar: Double = 0.25, persistTo: Option[String] = None)(
       onCounts: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val hist = org.apache.spark.util.sketch.BloomFilter.create(
       math.max(expectedDocs, 1L), fpp)
     var histBytes = graft.functions.BloomFunctions.serialize(hist)
+    val storeToken = persistTo.map { dir =>
+      val t = java.util.UUID.randomUUID().toString
+      graft.operators.IvfPqIndexStore.acquireLease(
+        docs.sparkSession, dir, t, CurationStore.What)
+      t
+    }
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val staged = waterfallStageOf(batch, evalBloom, histBytes, qualityBar)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -487,8 +506,11 @@ object DocStreams {
               .as("dropped"),
             when(col("stage") === "kept", col("n_docs")).otherwise(0L)
               .as("passed")), epoch)
+        persistTo.foreach(dir =>
+          CurationStore.appendEpoch(staged, epoch, dir, storeToken): Unit)
         // the new keepers' fingerprints claim dedup state — AFTER the
-        // counts so a failure emits nothing half-updated; re-serialize
+        // counts so a failure emits nothing half-updated, and AFTER the
+        // store append (see the crash-window note above); re-serialize
         // only when the filter actually changed (r14 review: a ~MB-scale
         // driver copy per trigger is pure waste on keeper-less triggers)
         val newKeepers = staged.filter(col("keeper")).select("fp").collect()

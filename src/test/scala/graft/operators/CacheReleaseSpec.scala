@@ -19,7 +19,7 @@ class CacheReleaseSpec extends SparkSpec {
   for (q <- Seq("q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash",
       "q40_lsh_jaccard_verified", "q45_dedup_clusters", "q49_minhash_estimate",
       "q62_embedding_clusters", "q65_cluster_reps", "q66_pq_adc_topk",
-      "q125_media_waterfall", "q128_multimodal_verdict")) {
+      "q125_media_waterfall")) {
     test(s"$q leaves only its (caller-owned, releasable) output cached") {
       spark.catalog.clearCache()
       val before = persistedIds
@@ -35,6 +35,22 @@ class CacheReleaseSpec extends SparkSpec {
       val afterRelease = persistedIds -- before
       assert(afterRelease.isEmpty,
         s"$q output cache survived caller unpersist(): $afterRelease")
+    }
+  }
+
+  // the served verdicts (r15): q128/q134 read the materialized curation
+  // store — no waterfall runs at query time, so NOTHING may stay cached,
+  // including by the one-time fixture materialization (whose builders
+  // persist and must release internally)
+  for (q <- Seq("q128_multimodal_verdict", "q134_keeper_consistency")) {
+    test(s"$q (store-served) leaves nothing cached") {
+      spark.catalog.clearCache()
+      val before = persistedIds
+      val res = graft.SparkEntry.queries(q)(spark, d)
+      assert(res.count() > 0)
+      val afterRun = persistedIds -- before
+      assert(afterRun.isEmpty,
+        s"$q left cached RDDs on a served read: $afterRun")
     }
   }
 }
