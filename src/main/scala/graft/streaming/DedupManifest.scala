@@ -90,9 +90,57 @@ object DedupManifest {
     * emits — and the manifest tracks them per trigger. Claims the
     * single-writer lease at attach (named error on a second maintainer).
     */
-  def manifestAppendSink(docs: DataFrame, dir: String): DataStreamWriter[Row] =
-    IvfPqIndexStore.leasedEpochSink(docs, dir, What)(
-      appendEpoch(_, _, dir, _))
+  def manifestAppendSink(docs: DataFrame, dir: String,
+      autoCompactEpochs: Int = 256): DataStreamWriter[Row] = {
+    val s = docs.sparkSession
+    val token = java.util.UUID.randomUUID().toString
+    IvfPqIndexStore.acquireLease(s, dir, token, What)
+    // auto-compaction arming counter (r14 verdict #6): compactManifest
+    // existed but nothing called it on a bar — a year-scale stream
+    // accumulates one file per epoch forever. The sink counts epochs IT
+    // applied and, at every `autoCompactEpochs`-th, runs the PRECISE
+    // ledger check + compaction under its own lease (the swap happens
+    // between triggers it owns — no second writer can race it). The
+    // counter is driver memory: a restart re-arms after the next
+    // `autoCompactEpochs` epochs, and the precise check then sees the
+    // true unfolded backlog — deferred, never lost. 0 disables.
+    var sinceCompact = 0
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      if (appendEpoch(batch, epoch, dir, Some(token))) {
+        sinceCompact += 1
+        if (autoCompactEpochs > 0 && sinceCompact >= autoCompactEpochs) {
+          compactIfOversized(s, dir, autoCompactEpochs,
+            ownerToken = Some(token)): Unit
+          sinceCompact = 0
+        }
+      }
+    }
+  }
+
+  /** The compaction TRIGGER (r14 verdict #6): compact when the resolved
+    * set's unfolded-epoch backlog reaches `maxUnfoldedEpochs` — the
+    * rebuildIfStale shape (cheap check every call, the linear rewrite
+    * only past the bar). Converges: a compaction folds every epoch, so
+    * the next call reads zero unfolded and no-ops (spec-pinned, with
+    * verdict identity across the fold). Returns whether a compaction ran.
+    * `ownerToken`: a maintainer that already holds the writer lease (the
+    * sink's auto-compaction) passes its token; standalone callers
+    * (IndexAdmin's `compact-manifest --if-oversized`, a cron) leave it
+    * None and the compaction claims the lease itself.
+    */
+  def compactIfOversized(s: SparkSession, dir: String,
+      maxUnfoldedEpochs: Int = 256, keep: Int = 1,
+      ownerToken: Option[String] = None): Boolean = {
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    val backlog = IvfPqIndexStore.readLedger(s, rdir) match {
+      case None => 0L
+      case Some(led) =>
+        led.filter(!col("folded")).select("epoch").distinct().count()
+    }
+    if (backlog >= math.max(maxUnfoldedEpochs, 1)) {
+      compactManifest(s, dir, keep, ownerToken); true
+    } else false
+  }
 
   /** Release the manifest directory's single-writer lease. */
   def releaseManifestLease(s: SparkSession, dir: String): Unit =
@@ -136,15 +184,21 @@ object DedupManifest {
     * replay can leave and the one-file-per-epoch accumulation of a
     * year-scale stream.
     */
-  def compactManifest(s: SparkSession, dir: String, keep: Int = 1): Unit = {
-    // the compaction claims the SAME single-writer lease the sink holds
-    // (the rebuildIvfPqIndexFrom rationale verbatim): an append racing
-    // the compaction's table reads would land rows in the old set AFTER
-    // they were folded — silently lost from the new one. One atomic
-    // lease create serializes all writers; stop the maintainer and
-    // release its lease before compacting.
-    val token = s"compact-${java.util.UUID.randomUUID()}"
-    IvfPqIndexStore.acquireLease(s, dir, token, What)
+  def compactManifest(s: SparkSession, dir: String, keep: Int = 1,
+      ownerToken: Option[String] = None): Unit = {
+    // the compaction runs under the SAME single-writer lease the sink
+    // holds (the rebuildIvfPqIndexFrom rationale verbatim): an append
+    // racing the compaction's table reads would land rows in the old set
+    // AFTER they were folded — silently lost from the new one. One atomic
+    // lease create serializes all writers; a standalone compaction claims
+    // it (stop the maintainer and release its lease first), while a
+    // maintainer compacting its own store passes `ownerToken` — verified,
+    // not re-acquired, and NOT released on exit (the sink still owns it).
+    ownerToken match {
+      case Some(t) => IvfPqIndexStore.requireLease(s, dir, t, What)
+      case None => IvfPqIndexStore.acquireLease(s, dir,
+        s"compact-${java.util.UUID.randomUUID()}", What)
+    }
     try {
       val rdir = IvfPqIndexStore.resolveRead(s, dir)
       val vdir = s"$dir/index.v${IvfPqIndexStore.nextVersion(s, dir)}"
@@ -167,6 +221,6 @@ object DedupManifest {
       IvfPqIndexStore.writeBuildId(s, vdir)
       IvfPqIndexStore.commit(s, vdir)
       IvfPqIndexStore.pruneVersions(s, dir, keep, FlatTables)
-    } finally IvfPqIndexStore.releaseLease(s, dir)
+    } finally if (ownerToken.isEmpty) IvfPqIndexStore.releaseLease(s, dir)
   }
 }

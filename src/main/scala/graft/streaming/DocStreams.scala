@@ -486,9 +486,7 @@ object DocStreams {
       expectedDocs: Long = 1L << 20, fpp: Double = 1e-6,
       qualityBar: Double = 0.25, persistTo: Option[String] = None)(
       onCounts: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val hist = org.apache.spark.util.sketch.BloomFilter.create(
-      math.max(expectedDocs, 1L), fpp)
-    var histBytes = graft.functions.BloomFunctions.serialize(hist)
+    val st = new WaterfallState(expectedDocs, fpp)
     val storeToken = persistTo.map { dir =>
       val t = java.util.UUID.randomUUID().toString
       graft.operators.IvfPqIndexStore.acquireLease(
@@ -496,29 +494,58 @@ object DocStreams {
       t
     }
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      val staged = waterfallStageOf(batch, evalBloom, histBytes, qualityBar)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        onCounts(staged.groupBy("stage")
-          .agg(count(lit(1)).as("n_docs"))
-          .select(col("stage"), col("n_docs"),
-            when(col("stage") =!= "kept", col("n_docs")).otherwise(0L)
-              .as("dropped"),
-            when(col("stage") === "kept", col("n_docs")).otherwise(0L)
-              .as("passed")), epoch)
-        persistTo.foreach(dir =>
-          CurationStore.appendEpoch(staged, epoch, dir, storeToken): Unit)
-        // the new keepers' fingerprints claim dedup state — AFTER the
-        // counts so a failure emits nothing half-updated, and AFTER the
-        // store append (see the crash-window note above); re-serialize
-        // only when the filter actually changed (r14 review: a ~MB-scale
-        // driver copy per trigger is pure waste on keeper-less triggers)
-        val newKeepers = staged.filter(col("keeper")).select("fp").collect()
-        if (newKeepers.nonEmpty) {
-          newKeepers.foreach(r => hist.putString(r.getString(0)))
-          histBytes = graft.functions.BloomFunctions.serialize(hist)
-        }
-      } finally staged.unpersist(blocking = false): Unit
+      accountTrigger(batch, epoch, evalBloom, st, qualityBar,
+        persistTo, storeToken, onCounts)
     }
+  }
+
+  /** The accounting sink's driver-held dedup state: one Bloom filter over
+    * elected keepers' fingerprints, re-serialized only on change.
+    */
+  private[streaming] final class WaterfallState(expectedDocs: Long, fpp: Double) {
+    private val hist = org.apache.spark.util.sketch.BloomFilter.create(
+      math.max(expectedDocs, 1L), fpp)
+    var histBytes: Array[Byte] = graft.functions.BloomFunctions.serialize(hist)
+    def absorb(newKeepers: Array[org.apache.spark.sql.Row]): Unit =
+      if (newKeepers.nonEmpty) {
+        newKeepers.foreach(r => hist.putString(r.getString(0)))
+        histBytes = graft.functions.BloomFunctions.serialize(hist)
+      }
+  }
+
+  /** ONE trigger of the accounting waterfall — the shared per-epoch unit
+    * behind [[waterfallAccountingSink]] and [[IntakeTopology.textIntake]]:
+    * label the batch, emit counts, persist the staged rows to the
+    * curation store (when attached), hand the persisted staged frame to
+    * `onStaged` (the topology's manifest hookup — it runs while the frame
+    * is cached and BEFORE the Bloom update, so a crash anywhere in the
+    * trigger replays against the unchanged filter and recomputes
+    * identical rows), then let the new keepers claim dedup state.
+    */
+  private[streaming] def accountTrigger(batch: DataFrame, epoch: Long,
+      evalBloom: Array[Byte], st: WaterfallState, qualityBar: Double,
+      persistTo: Option[String], storeToken: Option[String],
+      onCounts: (DataFrame, Long) => Unit,
+      onStaged: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+    val staged = waterfallStageOf(batch, evalBloom, st.histBytes, qualityBar)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      onCounts(staged.groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("stage"), col("n_docs"),
+          when(col("stage") =!= "kept", col("n_docs")).otherwise(0L)
+            .as("dropped"),
+          when(col("stage") === "kept", col("n_docs")).otherwise(0L)
+            .as("passed")), epoch)
+      persistTo.foreach(dir =>
+        CurationStore.appendEpoch(staged, epoch, dir, storeToken): Unit)
+      onStaged(staged, epoch)
+      // the new keepers' fingerprints claim dedup state — AFTER the
+      // counts so a failure emits nothing half-updated, and AFTER every
+      // store append (see the crash-window note above); re-serialize
+      // only when the filter actually changed (r14 review: a ~MB-scale
+      // driver copy per trigger is pure waste on keeper-less triggers)
+      st.absorb(staged.filter(col("keeper")).select("fp").collect())
+    } finally staged.unpersist(blocking = false): Unit
   }
 }

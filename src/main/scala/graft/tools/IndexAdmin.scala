@@ -14,6 +14,7 @@ import graft.streaming.IndexMaintenance
   *   runMain graft.tools.IndexAdmin audit   <indexDir> <embeddingsParquet> [--frac F] [--dist D]
   *   runMain graft.tools.IndexAdmin rebuild <indexDir> <embeddingsParquet> [--if-stale] [--keep N]
   *   runMain graft.tools.IndexAdmin release-lease <indexDir>
+  *   runMain graft.tools.IndexAdmin compact-manifest <manifestDir> [--if-oversized] [--epochs N] [--keep N]
   * }}}
   *
   * `status` prints the committed version, build id, lease holder, and the
@@ -87,6 +88,22 @@ object IndexAdmin {
       case "release-lease" =>
         IvfPqIndexStore.releaseLease(spark, dir)
         println(s"[index] lease released: $dir")
+      case "compact-manifest" =>
+        // dedup-manifest compaction (the cron-able standalone actuation;
+        // the maintenance sink also self-compacts on its epoch bar):
+        // unconditional, or through the unfolded-epoch-backlog gate
+        if (args.contains("--if-oversized")) {
+          val bar = flag("--epochs", 256.0).toInt
+          val ran = graft.streaming.DedupManifest.compactIfOversized(
+            spark, dir, bar, flag("--keep", 1.0).toInt)
+          println(if (ran) s"[manifest] oversized — compacted and swapped: $dir"
+                  else s"[manifest] under the $bar-epoch backlog bar — no compaction: $dir")
+        } else {
+          graft.streaming.DedupManifest.compactManifest(spark, dir,
+            flag("--keep", 1.0).toInt)
+          println(s"[manifest] compacted and swapped: $dir " +
+            s"(now v${IvfPqIndexStore.committedVersion(spark, dir)})")
+        }
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()
   }

@@ -91,6 +91,58 @@ class DedupManifestSpec extends SparkSpec {
     DedupManifest.releaseManifestLease(sp, dir)
   }
 
+  test("auto-compaction fires on the epoch-backlog bar and converges") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def doc(i: Long) = ManifestDoc(i,
+      (0 until 30).map(j => s"w${(i * 17 + j * 5) % 800}").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_ac").toString
+    DedupManifest.initManifest((0L until 30L).map(doc).toDF(), dir)
+
+    val input = MemoryStream[ManifestDoc]
+    // bar = 2: the sink's second applied epoch must actuate the compaction
+    // itself, under its own lease, between triggers
+    val q = DedupManifest.manifestAppendSink(input.toDF(), dir,
+      autoCompactEpochs = 2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_manifest_ac_ck").toString)
+      .start()
+    try {
+      input.addData((30L until 40L).map(doc): _*)
+      q.processAllAvailable()
+      assert(graft.operators.IvfPqIndexStore.committedVersion(sp, dir) === 0L,
+        "one epoch is under the bar — no compaction yet")
+      input.addData((40L until 50L).map(doc): _*)
+      q.processAllAvailable()
+      assert(graft.operators.IvfPqIndexStore.committedVersion(sp, dir) === 1L,
+        "the second applied epoch must trip the bar and swap in v1")
+      // the sink keeps appending across its own compaction swap
+      input.addData((50L until 60L).map(doc): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    DedupManifest.releaseManifestLease(sp, dir)
+
+    // the maintained tables survived the mid-stream swap: equal to a
+    // one-shot recompute over the union — verdict identity by table
+    // identity
+    val all = (0L until 60L).map(doc).toDF()
+    val expectFp = DedupOps.historyFpTable(all).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotFp = DedupManifest.manifestFp(sp, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotFp === expectFp, "manifest fp map diverged across the auto-swap")
+
+    // convergence: the post-swap backlog is ONE unfolded epoch (the
+    // append after the compaction) — under bar 2 the trigger no-ops,
+    // at bar 1 it compacts once more, after which even bar 1 no-ops
+    assert(!DedupManifest.compactIfOversized(sp, dir, maxUnfoldedEpochs = 2))
+    assert(DedupManifest.compactIfOversized(sp, dir, maxUnfoldedEpochs = 1))
+    assert(graft.operators.IvfPqIndexStore.committedVersion(sp, dir) === 2L)
+    assert(!DedupManifest.compactIfOversized(sp, dir, maxUnfoldedEpochs = 1),
+      "a fresh compaction folds every epoch — the loop must converge")
+  }
+
   test("the TEXT intake loop: gated keepers feed the manifest; the manifest flags the next dump") {
     // the text-side analog of the index intake loop (IntakeToSinkSpec /
     // IndexMaintenanceSpec's full-loop test): documents stream through
