@@ -357,36 +357,65 @@ object ScaleSmoke {
 
     val walls = scala.collection.mutable.Map[String, Double]()
 
+    // Contention-guarded windows (r15): the straggler bar is WITHIN-stage,
+    // so host-level CPU oversubscription that slows every task uniformly
+    // sails through it — this round's first 50× q143 point read a ×14.19
+    // "growth" (exponent 1.65) in a window whose parallel calibration ran
+    // 0.657→0.955 vs the 0.43 clean constant, while a contention-insulated
+    // re-measure of the same code read ×1.71 (exponent 0.33, linear-at-
+    // worst, candidate counts exactly ×5). Every case now brackets its
+    // measurement with the all-core probe and re-measures (≤3 attempts,
+    // fastest wall kept — contention only inflates) when either probe
+    // exceeds 1.5× the session's best; a window still contended after
+    // retries is recorded `_contended:1` so the artifact adjudicates
+    // itself instead of posting a contention artifact as a growth exponent
+    // (the BENCH_r14 lesson, applied to the smoke).
+    var bestCalPar = calParPre
+    def measureGuarded(corpusDir: File,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Measure, Boolean) = {
+      val pre = Bench.calibratePar()
+      bestCalPar = math.min(bestCalPar, pre)
+      val m = measureOnce(corpusDir, fn)
+      val post = Bench.calibratePar()
+      bestCalPar = math.min(bestCalPar, post)
+      (m, pre > 1.5 * bestCalPar || post > 1.5 * bestCalPar)
+    }
+
     def runCase(q: String, corpusDir: File, prefix: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         gated: Boolean = true): Unit = {
-      // breach-triggered retry (gated cases only, ≤3 attempts): a REAL hot
-      // task — one bucket doing orders of magnitude more work than its
-      // stage peers — is deterministic and reproduces on every attempt, so
-      // retrying never launders actual plan skew past the bar. A one-off
-      // multi-second JIT/GC/host-contention pause against a cheap stage's
-      // millisecond median produces the same max/median shape ONCE —
-      // retrying is exactly the discipline that separates the two (same
-      // role as Bench's best-of-3).
-      var m = measureOnce(corpusDir, fn)
+      // breach-triggered retry (≤3 attempts): a REAL hot task — one bucket
+      // doing orders of magnitude more work than its stage peers — is
+      // deterministic and reproduces on every attempt, so retrying never
+      // launders actual plan skew past the bar (straggler term, gated
+      // cases only); a contended or one-off-paused window is the
+      // non-reproducing case retries exist to separate (contention term,
+      // every case). The kept window prefers bar-clean, then fastest.
+      var best = measureGuarded(corpusDir, fn)
       var attempts = 1
-      while (gated && m.straggler >= stragglerBar && attempts < 3) {
+      def breached(x: (Measure, Boolean)): Boolean =
+        (gated && x._1.straggler >= stragglerBar) || x._2
+      while (breached(best) && attempts < 3) {
         System.err.println(
-          f"[scalesmoke] $prefix$q: straggler ${m.straggler}%.2f over the " +
-            f"bar on attempt $attempts — retrying to separate noise from skew")
-        m = measureOnce(corpusDir, fn)
+          f"[scalesmoke] $prefix$q: attempt $attempts breached " +
+            f"(straggler ${best._1.straggler}%.2f, contended=${best._2}) — retrying")
+        val cand = measureGuarded(corpusDir, fn)
+        best = Seq(best, cand).minBy(x => (breached(x), x._1.wall))
         attempts += 1
       }
+      val (m, contended) = best
       if (gated) worstStraggler = math.max(worstStraggler, m.straggler)
       System.err.println(
         f"[scalesmoke] $prefix$q: ${m.wall}%.2f s, ${m.rows} rows, ${m.nTasks} tasks, " +
           f"max task ${m.maxT}%.3f s, worst in-stage straggler ${m.straggler}%.2f" +
           (if (attempts > 1) s" (attempt $attempts)" else "") +
+          (if (contended) " [CONTENDED]" else "") +
           s"; slowest stages ${m.slowStages}")
       out.append(f""","$prefix${q}_sec":${m.wall}%.2f,"$prefix${q}_rows":${m.rows}""")
       out.append(f""","$prefix${q}_tasks":${m.nTasks},"$prefix${q}_max_task_sec":${m.maxT}%.3f""")
       out.append(f""","$prefix${q}_straggler":${m.straggler}%.2f""")
       if (attempts > 1) out.append(s""","$prefix${q}_attempts":$attempts""")
+      if (contended) out.append(s""","$prefix${q}_contended":1""")
       walls(prefix + q) = m.wall
     }
 
@@ -635,6 +664,64 @@ object ScaleSmoke {
       System.err.println(if (degradeEqual)
         "[scalesmoke] q112 degraded shuffle plan returned the identical disposition set"
       else "[scalesmoke] q112 degrade RESULT MISMATCH between broadcast and shuffle plans")
+    }
+
+    // 50× composed-pipeline tier (r15, the r14 verdict's #4): the brief
+    // grades for 100× scale but composed evidence stopped at 20× on
+    // COMPONENT operators — the composed q113/q143 paths had only 10×
+    // points. The text waterfall and the manifest-served delta dedup get
+    // 50× corpora (250k docs) under the shared straggler bar, with growth
+    // EXPONENTS recorded (wall ∝ n^e, e = log(w50/w10)/log 5: 1.0 is
+    // linear, the composed claim; sub-linear means the smaller point was
+    // constant-dominated). Heap note: the 50× corpus is ~125 MB of
+    // parquet — far inside this JVM; the binding constraint at a real
+    // 100× is executor count, which is exactly what the straggler bar
+    // proxies.
+    if (args.isEmpty || args.contains("q113_pipeline_waterfall")) {
+      val docs50 = new File("/tmp/graft_scale_docs50x")
+      ensureTable(docs50, "documents.parquet", nDocs * 5, generate)
+      runQuery("q113_pipeline_waterfall", docs50, "docs50x_")
+      for (w10 <- walls.get("q113_pipeline_waterfall");
+           w50 <- walls.get("docs50x_q113_pipeline_waterfall")) {
+        val e = math.log(w50 / w10) / math.log(5.0)
+        out.append(f""","docs50x_q113_growth":${w50 / w10}%.2f,"docs50x_q113_exponent":$e%.2f""")
+        System.err.println(f"[scalesmoke] q113 10x->50x growth: ${w50 / w10}%.2f " +
+          f"(exponent $e%.2f; composed linear waterfall expected ~1.0)")
+      }
+    }
+
+    // q143's 50× point measures the SERVE path — the production claim is
+    // per-dump cost ∝ |batch|, with the one-time manifest init amortized
+    // across every dump it serves. The JVM memo pays that init on the
+    // first invocation per corpus, so each corpus is warmed once untimed
+    // and the timed points at BOTH ends are clean serves (the Bench
+    // warm-run convention; without it the exponent would mix a linear
+    // init into one end only and read as whatever the mix happens to be).
+    // Adjudicated r15: candidate counts scale exactly ×5 (302→1514) and a
+    // contention-insulated local[4] pair reads growth ×1.71 / exponent
+    // 0.33 — a ×14.19 first reading was a host-contended window, which is
+    // what the measureGuarded bracket above now catches in-artifact.
+    if (args.isEmpty || args.contains("q143_manifest_delta_dedup")) {
+      val docs50 = new File("/tmp/graft_scale_docs50x")
+      ensureTable(docs50, "documents.parquet", nDocs * 5, generate)
+      val q143fn = SparkEntry.queries("q143_manifest_delta_dedup")
+      def warm(p: File): Unit = {
+        val df = q143fn(spark, p.getPath)
+        df.count(): Unit
+        df.unpersist(blocking = true): Unit
+      }
+      warm(dir)
+      runCase("q143_serve", dir, "docs10x_", q143fn)
+      warm(docs50)
+      runCase("q143_serve", docs50, "docs50x_", q143fn)
+      for (w10 <- walls.get("docs10x_q143_serve");
+           w50 <- walls.get("docs50x_q143_serve")) {
+        val e = math.log(w50 / w10) / math.log(5.0)
+        out.append(f""","docs50x_q143_growth":${w50 / w10}%.2f,"docs50x_q143_exponent":$e%.2f""")
+        System.err.println(f"[scalesmoke] q143 serve 10x->50x growth: ${w50 / w10}%.2f " +
+          f"(exponent $e%.2f; batch-driven pair work over a manifest-read " +
+          "history — both sides scale with the corpus here, so ~linear expected)")
+      }
     }
 
     // q135 20× (r14): index-served near-dup cost is |batch| × probed-cell
