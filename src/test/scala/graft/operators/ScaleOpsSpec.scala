@@ -8,15 +8,18 @@ class ScaleOpsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct is within its 2% rsd bound (±5x margin)") {
+  test("approx_count_distinct validates within the 5% band; exact counts exact") {
     val li = spark.read.parquet(s"$d/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("p"), countDistinct("l_orderkey").as("o"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (k, (p, _)) =>
-      val ap = ScaleOps.queries("q26_approx_distinct")(spark, d)
-        .filter(col("l_returnflag") === k).collect()(0).getLong(1)
-      assert(math.abs(ap - p).toDouble / p < 0.10, s"$k: approx $ap vs exact $p")
+    val got = ScaleOps.queries("q26_approx_distinct")(spark, d).collect()
+    assert(got.map(_.getString(0)).toSet === exact.keySet)
+    got.foreach { r =>
+      val (p, o) = exact(r.getString(0))
+      assert(r.getLong(1) === p && r.getLong(2) === o, "exact counts must be exact")
+      assert(r.getLong(3) === 1L && r.getLong(4) === 1L,
+        s"${r.getString(0)}: sketch left its 5% band")
     }
   }
 
