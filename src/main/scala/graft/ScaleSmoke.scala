@@ -168,6 +168,14 @@ object ScaleSmoke {
     // the claim the slot watches is that the DELTA stages' task spread is
     // q112's (same core) while the history fp/minhash stages are gone
     "q143_manifest_delta_dedup",
+    // r15 additions: q144's claim is that scoring work is |matching
+    // (query, doc, term) triples| off ONE corpus explode (q48's tf table
+    // + a broadcast eval-term join + a map-side WindowGroupLimit — no
+    // global sort, nothing corpus×corpus); q145's refine joins the
+    // broadcast ADC shortlist against the corpus once — the slot watches
+    // that the refine stage stays |queries|·k·overFetch-bounded while
+    // the shortlist search rides q122's already-smoked stages
+    "q144_bm25_topk", "q145_ivfpq_refined_search",
     // q142's claim is the sort-free first-hit rank: the only Window is
     // the top-10 one (map-side WindowGroupLimit), so no task may hold a
     // corpus-sized per-query sort — the 10× vectors point watches exactly

@@ -1045,6 +1045,44 @@ object SimilarityOps {
         .select(col("vec_id").as("qid"), col("e").as("qe")),
       indexDir, nProbes, k)
 
+  /** q145: REFINED IVF-PQ SEARCH — the ADC-shortlist + exact-re-rank
+    * serving architecture [Jégou/Douze/Schmid, TPAMI'11 §VI-E: asymmetric
+    * distance shortlists a candidate set, exact distances re-order it].
+    * The saved index's ADC search over-fetches k×`overFetch` candidates
+    * per query; the shortlist's RAW vectors are read back (a cid-keyed
+    * point read bounded by |queries|·k·overFetch — the q137/q143
+    * point-read discipline, candidates broadcast, never the corpus) and
+    * re-ranked by the exact rounded squared L2. The result carries exact
+    * distances and equals the exact top-k wherever the true top-k lies
+    * inside the ADC window — quantization error is confined to window
+    * MEMBERSHIP, with nProbes/overFetch the recall knobs (q137's measured
+    * monotone-conversion property, now on the search surface itself).
+    *
+    * Scale shape: the ADC search is probe-bounded (see
+    * [[searchSavedIvfPqFor]]); the refine joins the shortlist against the
+    * corpus ONCE (broadcast shortlist — at lake scale a sorted/bucketed
+    * point read) and re-ranks |queries|·k·overFetch rows with a
+    * WindowGroupLimit. The exact arithmetic is the q129 exact side's
+    * rounded zip_with sum — one definition class, oracle-stable.
+    */
+  def searchSavedIvfPqReranked(s: SparkSession, d: String, indexDir: String,
+      nProbes: Int = 2, k: Int = 5, overFetch: Int = 4): DataFrame = {
+    val base = prepped(s, d)
+    val q = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val hits = searchSavedIvfPqFor(q, indexDir, nProbes, k * overFetch)
+    val vecs = base.select(col("vec_id").as("cid"), col("e").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    vecs.join(broadcast(hits.select("qid", "cid")), "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("dist", rSqDist("qe", "ce"))
+      .withColumn("rn2", row_number().over(w))
+      .filter(col("rn2") <= k)
+      .select(col("qid"), col("cid"), col("dist"),
+        col("rn2").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** [[searchSavedIvfPq]] over an EXPLICIT query frame (qid, qe) with an
     * optional predicate on the candidate side's `cid` (r14): the seam
     * behind q135's index-served near-dup verdict and the streaming ANN
@@ -1822,6 +1860,19 @@ object SimilarityOps {
       searchSavedIvfPq(s, d, dir)
     }),
 
+    // REFINED search over the same saved index (see
+    // [[searchSavedIvfPqReranked]]): ADC shortlist, exact re-rank on the
+    // shortlist's raw vectors — exact distances out, quantization error
+    // confined to window membership. Shares q122's fixture index; the
+    // oracle nests the parameterized ADC SQL at the over-fetch depth and
+    // re-ranks with the q129-exact rounded squared L2.
+    "q145_ivfpq_refined_search" -> ((s, d) => {
+      val dir = ivfPqTmpDir(s"q122:$d")
+      buildOnce(s"q122:$d")(saveIvfPqIndex(s, d, dir))
+      searchSavedIvfPqReranked(s, d, dir, nProbes = q145NProbes,
+        k = q145K, overFetch = q145OverFetch)
+    }),
+
     // INCREMENTAL index maintenance (see [[appendToIvfPqIndex]]): build
     // the index on the ¾ base (vec_id % 4 != 3), append the remaining
     // quarter against the FROZEN centroids/codebook, search the union.
@@ -2056,6 +2107,15 @@ object SimilarityOps {
   /** q126's split convention: every 4th vector is the "append batch". */
   private[operators] val q126BatchFilter = "vec_id % 4 = 3"
 
+  /** q145's knobs — ONE definition feeding the query registration and the
+    * oracle's interpolated shortlist depth (a drifting copy would compare
+    * a k·overFetch=20 operator against a different-depth oracle and fail
+    * only on the corpora where the extra candidates matter).
+    */
+  private val q145NProbes = 2
+  private val q145K = 5
+  private val q145OverFetch = 4
+
   val oracle: Map[String, String] = Map(
     "q37_sim_topk" ->
       """SELECT qid, cid, cos, rn FROM (
@@ -2194,6 +2254,31 @@ object SimilarityOps {
     // anti-drift discipline: a future change to the ADC rule cannot
     // desynchronize the persisted path from the inline one).
     "q122_ivfpq_saved_search" -> q70OracleSql,
+
+    // q145: the nested-ADC discipline (q129's `WITH ann AS (...)` shape)
+    // at the over-fetch depth, then the exact re-rank — per-(qid, cid)
+    // rounded sum of squared component differences, top-k by (dist, cid).
+    "q145_ivfpq_refined_search" ->
+      s"""WITH ann AS (${ivfPqOracleSql("TRUE", k = q145K * q145OverFetch)}),
+         qun AS (
+           SELECT vec_id AS qid, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+           WHERE vec_id < 3),
+         cun AS (
+           SELECT vec_id AS cid, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         rer AS (
+           SELECT a.qid, a.cid, round(sum((q.x - c.x) * (q.x - c.x)), 6) AS dist
+           FROM ann a
+           JOIN qun q ON q.qid = a.qid
+           JOIN cun c ON c.cid = a.cid AND c.pos = q.pos
+           GROUP BY a.qid, a.cid),
+         rtopk AS (
+           SELECT qid, cid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+           FROM rer)
+         SELECT qid, cid, dist, CAST(rn AS BIGINT) AS rn
+         FROM rtopk WHERE rn <= $q145K ORDER BY qid, rn""",
 
     // q133 IS q70 on results too: the rebuild retrains over the full
     // corpus, so the swapped-in set must search exactly like a fresh

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
@@ -495,6 +496,71 @@ object TextOps {
            AND $oracleGateAlphaSql AND $oracleGateStopSql),
        keeper AS (SELECT fp, min(doc_id) AS keep_id FROM corpus GROUP BY fp)
        SELECT c.doc_id, k.keep_id FROM corpus c JOIN keeper k USING (fp)"""
+
+  /** q144's constants — ONE definition feeding the operator and the
+    * interpolated oracle (the bpeTokenRe anti-drift discipline).
+    */
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** q144: BM25 RANKED RETRIEVAL — Okapi BM25 [Robertson et al., TREC-3;
+    * the idf in its always-positive ln(1 + (N − df + ½)/(df + ½)) form]
+    * of every eval query (doc_id < 10, the suite's held-out convention)
+    * against the corpus (doc_id ≥ 10), top-`k` docs per query. The
+    * retrieval leg a training-data pipeline runs beside decontamination:
+    * q67/q115 ask "does an eval n-gram appear verbatim"; BM25 asks the
+    * graded version — "which corpus documents are lexically closest to
+    * this eval item" — the triage list a contamination review and a
+    * RAG-eval harness both start from.
+    *
+    * Cross-engine determinism: each (query, doc, term) contribution —
+    * idf × tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) — is rounded to 6
+    * decimals, the per-doc sum rounds to 6 — the SAME scale as the
+    * addends, never fewer (exact sums of 1e-6-grid values sit ON the
+    * grid, so the half-boundary a coarser rounding exposes is never
+    * occupied; a round-to-4 flipped one fixture score whose sum landed
+    * within a double ulp of the .00005 line) — ties break on doc_id.
+    *
+    * Scale shape: the corpus explodes ONCE into q48's tf table; dl/df
+    * are grouped passes over it; N and avgdl are one broadcast scalar
+    * row; the QUERY term set is eval-sized and broadcasts into the tf
+    * join, so scoring work is |matching (query, doc, term) triples| —
+    * never corpus × corpus; the final top-k is a WindowGroupLimit
+    * (map-side heaps, no global sort).
+    */
+  def bm25TopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val tok = corpus.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("toks")))
+      .select(col("n"), (col("toks").cast("double") / col("n")).as("avgdl"))
+    val qterms = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+    val contrib = tf.join(broadcast(qterms), "w")
+      .join(dfreq, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        round(
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (lit(bm25K1) + 1.0)) /
+            (col("tf") + lit(bm25K1) *
+              (lit(1.0) - lit(bm25B) + lit(bm25B) * col("dl") / col("avgdl"))),
+          6).as("c"))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(round(sum("c"), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("score"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
 
   /** q116's operator body: SPAN-LEVEL quality pruning — the within-document
     * counterpart of the doc-level surprisal filters (q69/q78 score whole
@@ -1102,6 +1168,10 @@ object TextOps {
         .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
     }),
 
+    // BM25 ranked retrieval (see [[bm25TopK]]): every eval query scored
+    // against the corpus under Okapi BM25, top-5 per query.
+    "q144_bm25_topk" -> ((s, d) => bm25TopK(documents(s, d))),
+
     // TF-IDF: term frequency per (doc, token) × smoothed inverse document
     // frequency, top 20 scored terms corpus-wide. Scale shape: tf is a
     // combiner-friendly groupBy (duplicate tokens collapse map-side —
@@ -1407,6 +1477,43 @@ object TextOps {
     "q33_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
          FROM documents""",
+
+    // q144: the BM25 arithmetic mirrored term for term — the constants
+    // interpolate from the SAME vals the operator binds, contributions
+    // round to 6 before the 4-rounded per-doc sum, ties break on doc_id.
+    "q144_bm25_topk" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         stats AS (
+           SELECT count(*) AS n,
+                  (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / count(*) AS avgdl
+           FROM corpus),
+         qterms AS (
+           SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS w
+           FROM documents WHERE doc_id < 10),
+         contrib AS (
+           SELECT q.qid, t.doc_id,
+             round(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * ($bm25K1 + 1.0))
+               / (t.tf + $bm25K1 * (1.0 - $bm25B + $bm25B * d.dl / s.avgdl)),
+               6) AS c
+           FROM tf t
+           JOIN qterms q USING (w)
+           JOIN dfreq f USING (w)
+           JOIN dl d ON d.doc_id = t.doc_id
+           CROSS JOIN stats s),
+         scored AS (
+           SELECT qid, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY qid, doc_id),
+         btopk AS (
+           SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+           FROM scored)
+         SELECT qid, doc_id, score, CAST(rn AS BIGINT) AS rn
+         FROM btopk WHERE rn <= 5 ORDER BY qid, rn""",
 
     "q48_tfidf" ->
       """WITH tok AS (
