@@ -62,6 +62,15 @@ import graft.operators.IvfPqIndexStore
   * ATTACHES (a second topology on the same root fails by name at attach,
   * not mid-stream). Stop the queries, then [[releaseAll]] — or after a
   * crash, releaseAll is the documented recovery before re-attaching.
+  *
+  * == Composing the intake supervisor ==
+  *
+  * A readstat-file intake (PERMISSIVE quarantine + schema-drift
+  * restarts) wraps a wing in [[IntakeSupervisor.supervise]]'s builder
+  * closure; because the supervisor restarts by STOPPING the query and
+  * re-running the builder, the closure must `releaseAll(s, root)` before
+  * re-attaching (the previous attach's leases outlive its queries by
+  * design — that is what makes a rogue second maintainer fail by name).
   */
 object IntakeTopology {
 
