@@ -2038,7 +2038,7 @@ object SimilarityOps {
     */
   private def ivfPqOracleSql(modelFilter: String,
       queryFilter: String = "vec_id < 3", candFilter: String = "TRUE",
-      k: Int = 5): String =
+      k: Int = 5, nProbes: Int = 2): String =
       s"""WITH unpacked AS (
            SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
@@ -2056,7 +2056,7 @@ object SimilarityOps {
            FROM assign_scored),
          lists AS (SELECT c_label, vec_id AS cid FROM ranked WHERE rn = 1),
          probes AS (SELECT c_label, vec_id AS qid FROM ranked
-                    WHERE rn <= 2 AND ($queryFilter)),
+                    WHERE rn <= $nProbes AND ($queryFilter)),
          codebook AS (
            SELECT label AS code, CAST(pos // 8 AS INT) AS c_sub, pos AS c_pos, avg(x) AS cx
            FROM model GROUP BY label, CAST(pos // 8 AS INT), pos),
@@ -2108,9 +2108,12 @@ object SimilarityOps {
   private[operators] val q126BatchFilter = "vec_id % 4 = 3"
 
   /** q145's knobs — ONE definition feeding the query registration and the
-    * oracle's interpolated shortlist depth (a drifting copy would compare
-    * a k·overFetch=20 operator against a different-depth oracle and fail
-    * only on the corpora where the extra candidates matter).
+    * oracle's interpolated probe/shortlist depths (a drifting copy would
+    * compare a probes=2, k·overFetch=20 operator against a
+    * different-depth oracle and fail only on the corpora where the extra
+    * candidates matter). All three interpolate into the q145 oracle via
+    * [[ivfPqOracleSql]]'s parameters (r15 ADVICE: nProbes used to be a
+    * hardcoded `rn <= 2` in the oracle text, desyncing on any change).
     */
   private val q145NProbes = 2
   private val q145K = 5
@@ -2259,7 +2262,8 @@ object SimilarityOps {
     // at the over-fetch depth, then the exact re-rank — per-(qid, cid)
     // rounded sum of squared component differences, top-k by (dist, cid).
     "q145_ivfpq_refined_search" ->
-      s"""WITH ann AS (${ivfPqOracleSql("TRUE", k = q145K * q145OverFetch)}),
+      s"""WITH ann AS (${ivfPqOracleSql("TRUE", k = q145K * q145OverFetch,
+             nProbes = q145NProbes)}),
          qun AS (
            SELECT vec_id AS qid, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)

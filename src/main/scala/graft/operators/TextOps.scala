@@ -1480,7 +1480,9 @@ object TextOps {
 
     // q144: the BM25 arithmetic mirrored term for term — the constants
     // interpolate from the SAME vals the operator binds, contributions
-    // round to 6 before the 4-rounded per-doc sum, ties break on doc_id.
+    // round to 6 before the 6-rounded per-doc sum (rounding the sum
+    // coarser than its addends would be wrong — see bm25TopK's scaladoc),
+    // ties break on doc_id.
     "q144_bm25_topk" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),

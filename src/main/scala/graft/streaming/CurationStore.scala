@@ -88,7 +88,12 @@ object CurationStore {
       .join(fp, "doc_id")
       .join(tk, Seq("doc_id"), "left")
       .select(col("doc_id"), col("fp"), col("stage"),
-        coalesce(col("keep_id") === col("doc_id"), lit(false)).as("keeper"))
+        coalesce(col("keep_id") === col("doc_id"), lit(false)).as("keeper"),
+        // batch-built rows carry no epoch lineage (they are committed by
+        // the build itself); streamed appends stamp theirs so the restart
+        // reseed can exclude a crashed epoch's un-ledgered rows (r15
+        // ADVICE — see [[committedKeeperFingerprints]])
+        lit(null).cast("long").as("__epoch"))
     (log, Seq(stage, tk))
   }
 
@@ -153,17 +158,38 @@ object CurationStore {
       dir: String, leaseToken: Option[String]): Boolean =
     IvfPqIndexStore.applyEpochOnce(staged, epoch, dir, leaseToken,
       What, "doc_id") { (b, rdir) =>
-      b.select("doc_id", "fp", "stage", "keeper")
+      b.select(col("doc_id"), col("fp"), col("stage"), col("keeper"),
+          lit(epoch).as("__epoch"))
         .write.mode("append").parquet(s"$rdir/text_log")
     }
 
   /** The saved text log through the current committed set — duplicate
     * rows from a replay crash window collapse ONLY when the set is
-    * actually dup-exposed (the conditional-dedup discipline).
+    * actually dup-exposed (the conditional-dedup discipline). With the
+    * committed-only Bloom reseed ([[committedKeeperFingerprints]] at sink
+    * attach) a replayed epoch recomputes byte-identical rows, so the
+    * duplicates this collapses are EXACT copies and the doc_id key is
+    * deterministic. The `__epoch` lineage column is internal bookkeeping
+    * and stripped here.
     */
   def textLog(s: SparkSession, dir: String): DataFrame = {
-    val rdir = IvfPqIndexStore.resolveRead(s, dir)
-    val t = s.read.parquet(s"$rdir/text_log")
+    val t = textLogRaw(s, IvfPqIndexStore.resolveRead(s, dir))
+      .drop("__epoch")
+    t
+  }
+
+  /** The resolved set's text_log with its `__epoch` lineage column intact
+    * (null on legacy/pre-lineage sets), dup-collapsed per the conditional
+    * discipline.
+    */
+  private def textLogRaw(s: SparkSession, rdir: String): DataFrame = {
+    // mergeSchema: a pre-lineage base (4 columns) with post-lineage
+    // appends (5) must surface __epoch rather than whichever file's
+    // footer the reader samples first
+    val t0 = s.read.option("mergeSchema", "true").parquet(s"$rdir/text_log")
+    val t =
+      if (t0.columns.contains("__epoch")) t0
+      else t0.withColumn("__epoch", lit(null).cast("long"))
     if (IvfPqIndexStore.dupsPossible(s, rdir)) t.dropDuplicates("doc_id") else t
   }
 
@@ -195,6 +221,50 @@ object CurationStore {
     */
   def keeperFingerprints(s: SparkSession, dir: String): DataFrame =
     textLog(s, dir).filter(col("keeper")).select("fp").distinct()
+
+  /** COMMITTED keeper fingerprints — [[keeperFingerprints]] restricted to
+    * rows whose epoch reached the ledger (plus the epoch-less batch-built
+    * base), the exact filter state the next uncommitted epoch originally
+    * ran against. This is the seed the accounting sink's restart must use
+    * (r15 ADVICE): seeding from the full log would include a crashed
+    * epoch's un-ledgered keeper rows, so its replay would label those
+    * same documents `dedup` instead of `kept` — divergent rows in a
+    * dup-exposed set. Seeding committed-only makes every replay recompute
+    * byte-identical rows: a crash BEFORE the ledger write replays against
+    * the pre-epoch filter (this seed), a crash AFTER it is skipped by the
+    * replay guard and its keepers are committed, i.e. in this seed.
+    *
+    * `alsoCommittedIn`: additional leased stores (e.g. the dedup
+    * manifest) that consume the SAME epochs downstream of the curation
+    * append — an epoch counts as committed only when EVERY listed ledger
+    * has it, so a crash between the curation append and a later store's
+    * append replays the whole trigger against the pre-epoch filter and
+    * the lagging store receives its rows. Returns None when the store has
+    * no text_log yet (fresh attach — nothing to seed).
+    */
+  def committedKeeperFingerprints(s: SparkSession, dir: String,
+      alsoCommittedIn: Seq[String] = Nil): Option[DataFrame] = {
+    val rdir = IvfPqIndexStore.resolveRead(s, dir)
+    val fs = new org.apache.hadoop.fs.Path(rdir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$rdir/text_log"))) None
+    else {
+      val ledgers = (rdir +: alsoCommittedIn.map(IvfPqIndexStore.resolveRead(s, _)))
+        .map(IvfPqIndexStore.readLedger(s, _))
+      // committed = ledgered EVERYWHERE; with any ledger absent entirely,
+      // no streamed epoch is fully committed (a store that has never seen
+      // an epoch has committed none of them)
+      val committed = ledgers.map {
+        case Some(led) => led.select(col("epoch")).distinct()
+        case None => s.range(0).select(col("id").as("epoch"))
+      }.reduce((a, b) => a.join(b, "epoch"))
+      Some(textLogRaw(s, rdir)
+        .join(broadcast(committed),
+          col("__epoch") === col("epoch"), "left")
+        .filter(col("__epoch").isNull || col("epoch").isNotNull)
+        .filter(col("keeper")).select("fp").distinct())
+    }
+  }
 
   /** q128 SERVED from the saved tables — [[MultimodalOps.verdictAssembly]]
     * over [[textLog]] + [[mediaStage]] instead of two waterfall re-runs.

@@ -465,10 +465,11 @@ object DocStreams {
     * overwrite-by-epoch, or skip epochs already recorded — the spec
     * demonstrates the discipline); the Bloom update is naturally
     * idempotent (re-putting a fingerprint is a no-op). Restart note: the
-    * filter lives with the query; rebuild it from the admitted corpus's
-    * fingerprints on restart (the batch-reconciliation contract every
-    * gate documents — with `persistTo` set, the source is one read away:
-    * [[CurationStore.keeperFingerprints]]).
+    * filter lives with the query; with `persistTo` set the attach SEEDS
+    * it from the store's committed keeper fingerprints automatically
+    * (see below), and a persistTo-less deployment passes `seed` —
+    * built from the admitted corpus's fingerprints, the
+    * batch-reconciliation contract every gate documents.
     *
     * `persistTo` (r15, the r14 verdict's #3): a [[CurationStore]]
     * directory to MAINTAIN with each trigger's staged rows (doc_id, fp,
@@ -476,15 +477,25 @@ object DocStreams {
     * the materialized stage table q128/q134 serve from. Appends go
     * through the shared leased epoch-idempotence device (lease claimed at
     * attach, replay-proof ledger LAST, dup exposure stamped precisely),
-    * and land BEFORE the Bloom update: a crash between append and ledger
-    * replays the epoch against the UNCHANGED filter (identical rows —
-    * duplicate storage only, which the conditional-dedup readers
-    * collapse), while a crash after the ledger is skipped on replay and
-    * the restart reseeds the filter from the log it just wrote.
+    * and land BEFORE the Bloom update. At attach the filter is SEEDED
+    * from the store's COMMITTED keeper fingerprints
+    * ([[CurationStore.committedKeeperFingerprints]] — r15 ADVICE: the
+    * filter used to start empty, so a restarted sink re-admitted every
+    * historical duplicate), which closes both crash windows: a crash
+    * between append and ledger replays the epoch against exactly the
+    * pre-epoch filter (the crashed rows are un-ledgered and excluded from
+    * the seed), recomputing byte-identical rows — duplicate storage only,
+    * which the conditional-dedup readers collapse deterministically; a
+    * crash after the ledger is skipped by the replay guard and its
+    * keepers arrive via the seed. `seed`: an optional explicit
+    * fingerprint frame (one string column `fp`) merged in addition —
+    * the reconciliation hook for persistTo-less deployments, whose
+    * restart contract otherwise remains rebuild-from-the-admitted-corpus.
     */
   def waterfallAccountingSink(docs: DataFrame, evalBloom: Array[Byte],
       expectedDocs: Long = 1L << 20, fpp: Double = 1e-6,
-      qualityBar: Double = 0.25, persistTo: Option[String] = None)(
+      qualityBar: Double = 0.25, persistTo: Option[String] = None,
+      seed: Option[DataFrame] = None)(
       onCounts: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val st = new WaterfallState(expectedDocs, fpp)
     val storeToken = persistTo.map { dir =>
@@ -493,6 +504,10 @@ object DocStreams {
         docs.sparkSession, dir, t, CurationStore.What)
       t
     }
+    persistTo.foreach(dir =>
+      CurationStore.committedKeeperFingerprints(docs.sparkSession, dir)
+        .foreach(st.seedFrom))
+    seed.foreach(st.seedFrom)
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       accountTrigger(batch, epoch, evalBloom, st, qualityBar,
         persistTo, storeToken, onCounts)
@@ -511,6 +526,20 @@ object DocStreams {
         newKeepers.foreach(r => hist.putString(r.getString(0)))
         histBytes = graft.functions.BloomFunctions.serialize(hist)
       }
+    /** Restart reseed: merge a distributed Bloom build over a string `fp`
+      * frame into the state. Built with the SAME (expectedDocs, fpp) so
+      * the bit geometry is merge-compatible, and Bloom bits are a set
+      * union — insertion order and build side (driver putString vs the
+      * distributed aggregate) produce identical bits for the same key
+      * set, which is what makes a replayed epoch's labels byte-identical
+      * to its crashed attempt's. No collect: the build is one aggregation
+      * over the (already linear) fingerprint frame.
+      */
+    def seedFrom(fps: org.apache.spark.sql.DataFrame): Unit = {
+      hist.mergeInPlace(
+        fps.stat.bloomFilter("fp", math.max(expectedDocs, 1L), fpp))
+      histBytes = graft.functions.BloomFunctions.serialize(hist)
+    }
   }
 
   /** ONE trigger of the accounting waterfall — the shared per-epoch unit

@@ -44,6 +44,11 @@ import graft.operators.IvfPqIndexStore
   *      a crash ANYWHERE above replays the epoch against the unchanged
   *      filter and recomputes byte-identical rows (duplicate storage at
   *      worst, which the stores detect and their readers collapse).
+  *      Across a RESTART the same holds because the attach reseeds the
+  *      filter from the keepers of epochs committed in BOTH stores
+  *      ([[CurationStore.committedKeeperFingerprints]]) — the uncommitted
+  *      epoch's rows are excluded, so its replay sees the filter state
+  *      its crashed attempt saw.
   *
   * == Vector wing ([[vectorIntake]]) ==
   *
@@ -102,6 +107,14 @@ object IntakeTopology {
       case e: IllegalStateException =>
         IvfPqIndexStore.releaseLease(s, cur); throw e
     }
+    // restart reseed (r15 ADVICE): the history Bloom starts from the
+    // keepers of epochs committed in BOTH stores — an epoch whose
+    // curation append landed but whose manifest append did not is
+    // excluded, so its replay recomputes byte-identical staged rows
+    // (curation skips the re-append via its ledger; the manifest
+    // receives the kept rows it missed)
+    CurationStore.committedKeeperFingerprints(s, cur,
+      alsoCommittedIn = Seq(man)).foreach(st.seedFrom)
     var sinceCompact = 0
     docs.writeStream
       .option("checkpointLocation", s"$root/checkpoint_text")

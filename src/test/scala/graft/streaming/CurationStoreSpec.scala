@@ -108,6 +108,43 @@ class CurationStoreSpec extends SparkSpec {
     sp.catalog.clearCache()
   }
 
+  test("committed-only seed excludes a crashed epoch's un-ledgered rows") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp("committed")
+    CurationStore.materialize(sp, d, dir)
+    val baseFps = rowSet(CurationStore.keeperFingerprints(sp, dir))
+    assert(baseFps.nonEmpty)
+    // a COMMITTED streamed epoch (5): rows + ledger via the shared device
+    val ep5 = Seq((9001L, "fp_committed", "kept", true))
+      .toDF("doc_id", "fp", "stage", "keeper")
+    assert(CurationStore.appendEpoch(ep5, 5L, dir, None))
+    // a CRASHED epoch (7): rows land in text_log but the ledger write
+    // never happens — exactly applyEpochOnce's one exposed window
+    Seq((9002L, "fp_crashed", "kept", true, 7L))
+      .toDF("doc_id", "fp", "stage", "keeper", "__epoch")
+      .write.mode("append").parquet(s"$dir/text_log")
+    val committed = rowSet(CurationStore.committedKeeperFingerprints(sp, dir).get)
+    assert(committed.contains(Seq("fp_committed")),
+      "a ledgered epoch's keeper must be in the seed")
+    assert(!committed.contains(Seq("fp_crashed")),
+      "an un-ledgered epoch's keeper leaked into the seed — its replay " +
+        "would relabel its own docs dedup")
+    assert(committed -- Seq(Seq("fp_committed")) === baseFps,
+      "batch-built base keepers (epoch-less) must all be in the seed")
+    // the full-log reconciliation source still sees the crashed row
+    assert(rowSet(CurationStore.keeperFingerprints(sp, dir))
+      .contains(Seq("fp_crashed")))
+    // a second store that never ledgered epoch 5 demotes it from the seed
+    val other = tmp("other_ledger")
+    val committedBoth = rowSet(CurationStore.committedKeeperFingerprints(
+      sp, dir, alsoCommittedIn = Seq(other)).get)
+    assert(!committedBoth.contains(Seq("fp_committed")),
+      "an epoch missing from a downstream store's ledger must not seed")
+    assert(committedBoth === baseFps)
+    sp.catalog.clearCache()
+  }
+
   test("a second maintainer on the same store fails by name") {
     val sp = spark
     import sp.implicits._

@@ -127,4 +127,47 @@ class WaterfallAccountingSpec extends SparkSpec {
     assert(stages(201) === "dedup",
       "a non-kept keeper still claims its fingerprint (q113's election)")
   }
+
+  test("restart reseeds the history Bloom from the store's committed keepers") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val keeperText = (Array("the", "and") ++ Array.fill(78)("data")).mkString(" ")
+    val evalBloom = evalBloomOf(gramsOf(Seq(WfDoc(0L, "zz yy xx ww vv")).toDF()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wf_reseed").toString
+
+    def runOnce(triggers: Seq[WfDoc]*): Map[String, Long] = {
+      val input = MemoryStream[WfDoc]
+      val got = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val q = DocStreams.waterfallAccountingSink(input.toDF(), evalBloom,
+        persistTo = Some(dir)) { (counts, _) =>
+        counts.collect().foreach(r => got(r.getString(0)) += r.getLong(1))
+      }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_wf_reseed_ck").toString)
+        .start()
+      try triggers.foreach { t => input.addData(t: _*); q.processAllAvailable() }
+      finally q.stop()
+      CurationStore.releaseStoreLease(sp, dir)
+      got.toMap
+    }
+
+    // first attach elects doc 100's fingerprint and persists the epoch
+    assert(runOnce(Seq(WfDoc(100, keeperText))) === Map("kept" -> 1L))
+    // a NEW sink on the same store (operator restart: fresh driver state)
+    // must see that fingerprint as history — before the r15 ADVICE fix the
+    // filter restarted empty and this punctuation-variant copy was re-KEPT.
+    // (The fresh checkpoint restarts epoch ids at 0, which the ledger's
+    // replay guard skips for the APPEND — the throwaway first trigger
+    // burns that id so doc 200's trigger lands as a new epoch.)
+    assert(runOnce(Seq(WfDoc(199, "too short")),
+      Seq(WfDoc(200, keeperText + "!!"))) ===
+      Map("gates" -> 1L, "dedup" -> 1L),
+      "restarted sink re-admitted a historical duplicate — Bloom not reseeded")
+    // the log's keeper map still points every copy at the original keeper
+    val served = CurationStore.textKeeperMapServed(sp, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === Map(100L -> 100L, 200L -> 100L))
+    sp.catalog.clearCache()
+  }
 }
