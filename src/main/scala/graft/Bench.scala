@@ -459,8 +459,18 @@ object Bench {
               f"(${w.renderSkew}%.2f > 2.0) — re-forking once")
           forkJson("graft.Bench", g, childEnv).flatMap(parseGroup(om, _, g))
             .foreach { w2 =>
+              // ratchet the session minima from the re-fork and rank
+              // calibration breach ABOVE render skew (r15 ADVICE): a
+              // uniformly contention-inflated window has renderSkew ~1.0
+              // (its runs agree — at 3–4× the true times) and a bare
+              // (failures, renderSkew, total) order would always prefer
+              // it over the original bursty window, landing inflated
+              // per-query times in the artifact — the exact
+              // uniform-inflation mode the skew metric cannot see.
+              bestCalSeen = math.min(bestCalSeen, w2.cal)
+              bestCalParSeen = math.min(bestCalParSeen, w2.calPar)
               kept(i) = (g, Seq(w, w2).minBy(x =>
-                (x.failures, x.renderSkew, x.total)), tries + 1)
+                (x.failures, breach(x).nonEmpty, x.renderSkew, x.total)), tries + 1)
             }
         }
       }
@@ -478,13 +488,65 @@ object Bench {
       results ++= runGroup(spark, sfDir, failed.toSeq)
       spark.stop()
     }
+    // PER-QUERY anomaly re-fork (r16, the r15 verdict's #6): the window
+    // gates above catch group-wide contention, but BENCH_r15's q73 posted
+    // ×5.9 its committed-window best while every gate passed — a
+    // single-query anomaly (plan flip, cache-state interaction, a paused
+    // task) inflates one query without moving its group's calibration or
+    // skew. Any query whose best exceeds 3× its COMMITTED-window best
+    // (the previous full-suite artifact at this sf; ≥0.5 s floor keeps
+    // codegen-constant noise out) re-runs once in one fresh child, and
+    // the faster window is kept per query — contention/anomaly only ever
+    // inflates. The artifact records every flagged query with its prior,
+    // first and kept times, so a persistent 3× (a real regression) posts
+    // its own adjudication instead of masquerading as either noise or a
+    // clean record.
+    val priorBests: Map[String, Double] = try {
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val ref = if (sfName == "sf0.1") "BENCH_LOCAL.json"
+                else s"BENCH_LOCAL_$sfName.json"
+      val p = java.nio.file.Paths.get(ref)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val node = om.readTree(java.nio.file.Files.readString(p)).get("queries")
+        SparkEntry.queries.keys.flatMap(q =>
+          Option(node.get(q)).map(v => q -> v.asDouble())).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+    val anomalyBar = 3.0
+    val flagged = results.zipWithIndex.collect {
+      case ((q, best, _), i) if best > 0 &&
+          priorBests.get(q).exists(p => p >= 0.5 && best > anomalyBar * p) =>
+        (q, i, priorBests(q), best)
+    }.toSeq
+    var anomalyReforks = 0
+    val anomalyJson = new StringBuilder("{")
+    if (flagged.nonEmpty) {
+      anomalyReforks = 1
+      val qs = flagged.map(_._1)
+      System.err.println(s"[bench] per-query anomaly re-fork: " +
+        qs.zip(flagged.map(f => f"${f._4 / f._3}%.1fx")).mkString(", "))
+      val rerun = forkJson("graft.Bench", qs, childEnv)
+        .flatMap(parseGroup(om, _, qs))
+        .map(_.rows.map(r => r._1 -> r).toMap)
+        .getOrElse(Map.empty)
+      anomalyJson.append(flagged.map { case (q, i, prior, first) =>
+        val kept2 = rerun.get(q) match {
+          case Some((_, b2, r2)) if b2 >= 0 && b2 < first =>
+            results(i) = (q, b2, r2); b2
+          case _ => first
+        }
+        f""""$q":{"prior":$prior%.3f,"first":$first%.3f,"kept":$kept2%.3f}"""
+      }.mkString(","))
+    }
+    anomalyJson.append("}")
     val calPost = calibrate()
     val calParPost = calibratePar()
     val groupCalJson = groupCal.map(c => f"$c%.3f").mkString("[", ",", "]")
     val groupCalParJson = groupCalPar.map(c => f"$c%.3f").mkString("[", ",", "]")
     val groupTriesJson = groupTries.mkString("[", ",", "]")
     val line = render(results.toSeq, scanJson, sfDir,
-      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"groups":${groups.size},"group_size":$groupSize,"group_cal_pre":$groupCalJson,"group_cal_par_pre":$groupCalParJson,"group_attempts":$groupTriesJson,"group_retro_reforks":$retroReforks,"window_skew_pre_refork":${f"$skewPre%.2f"},"window_skew_reforks":$skewReforks""")
+      s""""calibration_pre_sec":${f"$calPre%.3f"},"calibration_post_sec":${f"$calPost%.3f"},"calibration_par_pre_sec":${f"$calParPre%.3f"},"calibration_par_post_sec":${f"$calParPost%.3f"},"groups":${groups.size},"group_size":$groupSize,"group_cal_pre":$groupCalJson,"group_cal_par_pre":$groupCalParJson,"group_attempts":$groupTriesJson,"group_retro_reforks":$retroReforks,"window_skew_pre_refork":${f"$skewPre%.2f"},"window_skew_reforks":$skewReforks,"anomaly_reforks":$anomalyReforks,"anomalies":$anomalyJson""")
     println(line)
     persist(line, sfDir)
   }

@@ -138,6 +138,55 @@ case class Simhash16(child: Expression)
     copy(child = newChild)
 }
 
+/** Asymmetric-distance (ADC) fold for PQ search: given a candidate's m
+  * PQ codes as a subspace-ordered ARRAY<INT> and a query's dense LUT as a
+  * (subspace, code)-ordered ARRAY<DOUBLE> of m×k rounded subdistances,
+  * returns Σ_s lut[s·k + codes[s]] — the IVF-PQ approximate distance
+  * before its final 6-decimal round. k is inferred per row
+  * (lut.length / codes.length), so the expression needs no geometry
+  * literals and survives any retrain that changes m or k together.
+  *
+  * This is the [[ArrayDot]] rationale applied to the ADC hot loop: the
+  * higher-order `aggregate(...element_at(map)...)` formulation evaluates
+  * two interpreted lambdas plus an O(k) linear map probe per subspace
+  * per row (~20 µs/row measured on the 10× smoke — the whole q135 wall),
+  * where this loop is a handful of array loads inside whole-stage
+  * codegen. Summation is sequential ascending-subspace; the caller
+  * rounds the total to 6, which is the order-stability argument every
+  * ADC oracle already relies on.
+  *
+  * Null for null inputs, for an empty codes array, and for any code that
+  * indexes outside the LUT (a geometry mismatch — surfacing as null
+  * fails the top-k loudly instead of silently mis-ranking).
+  */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.adcSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $tmp = graft.functions.HashKernels.adcSum($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Row-local hash kernels shared by the interpreted `nullSafeEval` paths and
   * the generated code of [[MinhashLanes]] / [[Simhash16]] (codegen calls the
   * static forwarders, e.g. `graft.functions.HashKernels.minhashLanes(...)`).
@@ -182,6 +231,28 @@ object HashKernels {
     if (!any) null
     else new GenericArrayData(
       mins.map(v => UTF8String.fromString(f"$v%08x"): Any))
+  }
+
+  /** ADC fold: Σ_s lut[s·(lut.len/codes.len) + codes[s]]; null on empty
+    * codes, non-divisible lengths, or an out-of-range code (see [[AdcSum]]).
+    */
+  def adcSum(codes: ArrayData, lut: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    val len = lut.numElements()
+    if (m == 0 || len == 0 || len % m != 0) return null
+    val k = len / m
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val code = codes.getInt(i)
+      if (code < 0 || code >= k) return null
+      val idx = i * k + code
+      if (lut.isNullAt(idx)) return null
+      s += lut.getDouble(idx)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
   /** 16-bit per-occurrence-vote simhash; null for an empty/all-null array. */
@@ -233,6 +304,8 @@ object VectorFunctions {
         "graft_minhash_lanes", exprs => MinhashLanes(exprs.head), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_simhash16", exprs => Simhash16(exprs.head), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_adc_sum", exprs => AdcSum(exprs.head, exprs(1)), "scala_udf")
       registered += spark
     }
   }

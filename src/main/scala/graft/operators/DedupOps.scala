@@ -1318,8 +1318,9 @@ object DedupOps {
     * by every per-(JVM, corpus) fixture memo (q143's manifest, q128/q134's
     * curation store).
     */
-  private[graft] def corpusToken(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+  private[graft] def corpusToken(s: SparkSession, d: String,
+      table: String = "documents.parquet"): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {

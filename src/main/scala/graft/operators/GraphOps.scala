@@ -370,7 +370,13 @@ object GraphOps {
     // one per cluster" closes the embedding dedup path exactly as q45
     // closes the text path. Composition reuses connectedComponents
     // unchanged: the pair source is the only difference.
-    "q62_embedding_clusters" -> ((s, d) => embeddingClustersAt(s, d, L = 6, b = 8)),
+    // DEFAULT = the auto band width (r16, the r15 verdict's #4: the
+    // deterministic pair-mass knob beat fixed-b 2.4–3.9× at 20× vectors
+    // and its gates are spec/smoke-pinned). On the oracle fixtures
+    // autoBandBits floors at its b0 = 8 — exactly the oracle-pinned
+    // geometry — so lockstep is unchanged there; on growing corpora b
+    // self-selects +1 per doubling (the smoke's (8, 9) gate).
+    "q62_embedding_clusters" -> ((s, d) => embeddingClustersAuto(s, d, L = 6)),
 
     // The pipeline's terminal selection: one representative per q45
     // cluster — the highest-quality member (q38's score, doc_id tiebreak),
@@ -415,8 +421,8 @@ object GraphOps {
     // machinery beyond q45's clustering.
     "q73_dedup_disposition" -> ((s, d) => {
       val clusters = queries("q45_dedup_clusters")(s, d)
-      DedupOps.finishAndRelease(
-        dedupDisposition(documents(s, d), clusters), clusters)
+      val (out, scored) = dedupDispositionStaged(documents(s, d), clusters)
+      DedupOps.finishAndRelease(out, clusters, scored)
     }),
 
     // Leak-free train/val/test split: q58 hash-splits per DOCUMENT, which
@@ -455,24 +461,43 @@ object GraphOps {
     */
   private[operators] def dedupDisposition(docs: DataFrame,
       clusters: DataFrame): DataFrame = {
+    val (out, scored) = dedupDispositionStaged(docs, clusters)
+    DedupOps.finishAndRelease(out, scored)
+  }
+
+  /** [[dedupDisposition]] with its persisted per-doc projection exposed so
+    * the q73 registration can release it together with the clusters in
+    * ONE materialization (r16, adjudicating the r15 driver-window ×5.9).
+    * The projection computes BOTH text derivations (quality score and
+    * fingerprint) in one pass over the corpus and pins the cluster join
+    * once — previously the score and fingerprint scans were separate
+    * subtrees re-derived per consumer, which left the assembly's plan
+    * (three equi-joins off two corpus scans) free to flip with AQE/cache
+    * state across windows (the textKeeperMap discipline, applied here).
+    * The persisted frame is (doc_id, score, fp, cluster_id) — bounded,
+    * MEMORY_AND_DISK like every internal persist.
+    */
+  private def dedupDispositionStaged(docs: DataFrame,
+      clusters: DataFrame): (DataFrame, DataFrame) = {
     val scored = docs
       .select(col("doc_id"),
-        round(TextOps.qualityScoreCol(col("text")), 4).as("score"))
-    val reps = scored.join(clusters, "doc_id")
+        round(TextOps.qualityScoreCol(col("text")), 4).as("score"),
+        TextOps.fingerprintCol(col("text")).as("fp"))
+      .join(clusters, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = scored
       .groupBy("cluster_id")
       .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("best"))
       .select(col("cluster_id"), col("best.doc_id").as("rep_id"))
-    val fp = docs.select(col("doc_id"),
-      TextOps.fingerprintCol(col("text")).as("fp"))
-    val fpKeeper = fp.groupBy("fp").agg(min("doc_id").as("fp_keeper"))
-    fp.join(fpKeeper, "fp")
-      .join(clusters, "doc_id")
+    val fpKeeper = scored.groupBy("fp").agg(min("doc_id").as("fp_keeper"))
+    val out = scored.join(fpKeeper, "fp")
       .join(reps, "cluster_id")
       .select(col("doc_id"),
         when(col("doc_id") === col("rep_id"), "kept")
           .when(col("doc_id") =!= col("fp_keeper"), "exact_dup")
           .otherwise("near_dup").as("status"),
         col("rep_id").as("kept_id"))
+    (out, scored)
   }
 
   // Recursive-CTE transitive closure over the same candidate pairs —

@@ -102,6 +102,15 @@ object SimilarityOps {
     dir
   }
 
+  /** Task count for the compute-bound, byte-tiny ADC stages (the pivot
+    * fan-out and the shuffle-LUT fold): 4 waves per core keeps any single
+    * wave well under half the stage wall (the smoke's dominance bar)
+    * while the per-task work stays far above scheduling overhead. Scales
+    * with the cluster via defaultParallelism.
+    */
+  private def fanPartitions(s: SparkSession): Int =
+    s.sparkContext.defaultParallelism * 4
+
   /** embeddings with double-array `e` and precomputed norm `nrm`. */
   private def prepped(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
@@ -228,21 +237,36 @@ object SimilarityOps {
     b
   }
 
-  /** [[autoBandBits]] over a testdata dir — the scale-smoke hook. */
+  /** [[autoBandBits]] over a testdata dir, memoized per (JVM, corpus
+    * content, L) — the scale-smoke hook and, since the auto width became
+    * the q44/q62 default (r16), the registration path. Sizing happens
+    * once per corpus in production; repeated invocations against the
+    * same immutable corpus must not re-pay the measurement pass (the
+    * buildOnce rationale — without this the bench's timed q44/q62 runs
+    * each carried an extra linear probe pass, ~+1 s at sf0.1). Keyed on
+    * the embeddings table's file-listing token, so a regenerated corpus
+    * at the same path re-measures.
+    */
   def autoBandBitsAt(s: SparkSession, d: String, L: Int = 6): Int =
-    autoBandBits(s, prepped(s, d), L)
+    autoBandMemo.computeIfAbsent(
+      s"$d@${DedupOps.corpusToken(s, d, "embeddings.parquet")}:L$L",
+      _ => Integer.valueOf(autoBandBits(s, prepped(s, d), L))).intValue()
+
+  private val autoBandMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** q44's operator with the self-selected band width: measure, pick b,
-    * run — the no-knob scale path. The oracle-pinned q44/q62 queries keep
-    * their fixed (6, 8) geometry (changing b changes the candidate set,
-    * so an auto width under an oracle would have to replicate the whole
-    * selection in SQL for nothing — the smoke gates the auto path on the
-    * corpora where the knob matters).
+    * run — the no-knob scale path, and as of r16 the DEFAULT behind the
+    * registered q44/q62 (the r15 verdict's #4). The oracles stay in
+    * lockstep because [[autoBandBits]] floors at b0 = 8 on the fixture
+    * corpora — the oracle-pinned geometry — and only widens when the
+    * measured background mass demands it (the smoke's (8, 9) gate at
+    * 10×/20×); the fixed-b seams ([[rpLshNearDupAt]],
+    * [[graft.operators.GraphOps.embeddingClustersAt]]) remain for
+    * diagnostics and manual sizing.
     */
-  def rpLshNearDupAutoAt(s: SparkSession, d: String, L: Int = 6): DataFrame = {
-    val base = prepped(s, d)
-    rpLshNearDup(s, base, L, autoBandBits(s, base, L))
-  }
+  def rpLshNearDupAutoAt(s: SparkSession, d: String, L: Int = 6): DataFrame =
+    rpLshNearDup(s, prepped(s, d), L, autoBandBitsAt(s, d, L))
 
   /** Per-band b-bit sign signatures `(vec_id, band, sig)` over a testdata
     * dir — the scale-smoke hook for the deterministic band-width-knob
@@ -893,15 +917,16 @@ object SimilarityOps {
     // constant is a fixed expression over the bare column (the
     // lineage-column caveat at ivfPqStalenessAuditFrom does not apply).
     //
-    // broadcastLut = false: a BATCH-sized query side multiplies every
-    // codes row by ~|batch|/k_cells matching LUT rows, and under the
-    // broadcast hint that work runs INSIDE the codes scan — whose
-    // parallelism is the table's file-split count (the 10× smoke measured
-    // the collapse: one split held the probed cells and one task ran
-    // 21.6 s against a 0.02 s stage median). The planner's shuffle join
-    // exchanges the probed rows on (c_label, subspace, code) — even by
-    // hash at any batch size; the broadcast shape remains right for
-    // few-query serving (q122/q70's path, no exchange at all).
+    // broadcastLut = false: a BATCH-sized query side means a
+    // |batch|-bounded LUT-map table — the r16 array formulation's
+    // shuffle join exchanges the probe fan-out on qid (even by hash at
+    // any batch size) instead of shipping a growing broadcast with it;
+    // the broadcast shape remains right for few-query serving
+    // (q122/q70's path, no exchange at all). History: before r16 the
+    // flag also worked around a scan-parallelism collapse under the
+    // broadcast hint (one task ran 21.6 s against a 0.02 s stage
+    // median at 10×); the explicit post-pivot repartition inside
+    // searchSavedIvfPqFor now pins that task count on BOTH shapes.
     searchSavedIvfPqFor(q, dir, nProbes = 2, k = 1,
       candFilter = !expr(q135CandCohort("cid")), broadcastLut = false)
   }
@@ -1092,13 +1117,31 @@ object SimilarityOps {
     * directory always searches the highest COMMITTED version — a
     * mid-stream rebuild swap is picked up at the next trigger.
     *
-    * Scale shape: centroids/codebook broadcasts are k×dim / m×k (tiny);
-    * the probe ranking and LUT are |queries|-bounded; the codes join is
-    * partition-pruned to probed cells and exchanges on (c_label,
-    * subspace, code). The `broadcast(probeLut)` hint sizes as
-    * |queries| × m × k rows — right for trigger/daily-dump query sets;
-    * for corpus-sized query sets drop to the planner's shuffle join by
-    * passing `broadcastLut = false`.
+    * Scale shape (reworked r16 — the r15 verdict's #1): centroids/codebook
+    * broadcasts are k×dim / m×k (tiny); the probe ranking and the
+    * per-query LUT are |queries|-bounded; the codes scan is
+    * partition-pruned to probed cells (left-semi against the distinct
+    * probed cells — partition filters on the partitionBy(c_label)
+    * layout). The ADC itself is the ARRAY formulation: each candidate's m
+    * codes pivot into ONE slot array and each query's m×k LUT into ONE
+    * map, so the probe fan-out materializes |queries|/cell × cell-size
+    * rows ONCE — not ×m rows — and the distance is a row-local m-term
+    * fold with no (qid, cid, subspace) exchange at all. The long-format
+    * predecessor shuffled m× that row count through two aggregation
+    * exchanges, which was ~95% of q135's smoke wall (the r15 verdict's
+    * wall-dominance finding: 32 even tasks of 37–55 s each in one wave).
+    * The pivoted candidate table is explicitly repartitioned: its BYTES
+    * are cell-bounded-tiny while its downstream fan-out is compute-bound,
+    * exactly the size-based-scheduling blind spot [[rpLshCandidates]]
+    * documents — AQE would coalesce the stage into a handful of tasks
+    * that then carry the whole fan-out.
+    *
+    * `broadcastLut = true` ships the |queries|×1 LUT-map rows with the
+    * fan-out (right for trigger/daily-dump query sets; m×k×16 B ≈ 1.3 KB
+    * per query); `false` (q135's batch-sized cohorts) lets the planner
+    * exchange the fan-out on qid instead. The probes frame
+    * (|queries|×nProbes id pairs) broadcasts unconditionally — corpus-
+    * sized QUERY sets are out of contract here (use the batch operators).
     */
   def searchSavedIvfPqFor(queries: DataFrame, indexDir: String,
       nProbes: Int = 2, k: Int = 5, candFilter: Column = lit(true),
@@ -1119,28 +1162,60 @@ object SimilarityOps {
       .orderBy(desc_nulls_last("r_dot"), col("c_label"))
     val probes = scored.withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nProbes).select("c_label", "qid")
+    // per-query ADC table as ONE dense (subspace, code)-ordered
+    // ARRAY<DOUBLE> — the same rounded values the long-format LUT
+    // carried, laid out for graft_adc_sum's O(1) indexed loads (the
+    // codebook is a complete m×k grid, so the sort IS the dense layout)
     val lut = q.join(broadcast(codebook))
       .withColumn("qsub", expr(s"slice(qe, subspace * $pqSub + 1, $pqSub)"))
       .withColumn("qdist", rSqDist("qsub", "cvec"))
-      .select("qid", "subspace", "code", "qdist")
-    val probeLut0 = probes.join(lut, "qid")
-    val probeLut = if (broadcastLut) broadcast(probeLut0) else probeLut0
-    // duplicate-TOLERANT ADC (r13): a crash between a maintenance append's
-    // codes write and its ledger write can replay the epoch and leave a
-    // vector with two identical (subspace, code) rows — under a plain
-    // sum those DOUBLE the vector's approximate distance and evict it
-    // from every top-k (a recall miss, the opposite of the conservative
-    // direction the sink documents). Collapsing per (qid, cid, subspace)
-    // first (min of identical values — a partial-agg-friendly exchange on
-    // the probe-bounded stream) makes double-append semantically a no-op
-    // at the search, closing the crash window at the read side.
-    val adist = codes
-      .join(probeLut, Seq("c_label", "subspace", "code"))
+      .groupBy("qid")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(subspace, code, qdist)))," +
+          " t -> t.qdist)").as("lut"))
+    val probeCells = probes.select("c_label").distinct()
+    // duplicate-TOLERANT pivot (r13's crash-window contract, carried into
+    // the array formulation): a replayed append can leave a vector with
+    // two IDENTICAL (subspace, code) rows — under the old plain sum those
+    // doubled its distance and evicted it from every top-k. The min-agg
+    // collapses exact duplicates (replay rows are byte-identical, so min
+    // of equals is the value) before the code-array pivot, making
+    // double-append a no-op at the search.
+    val codeArrs = codes
+      .join(broadcast(probeCells), Seq("c_label"), "left_semi")
+      .groupBy(col("cid"), col("c_label"), col("subspace"))
+      .agg(min("code").as("code"))
+      .groupBy("cid", "c_label")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(subspace, code)))," +
+          " p -> CAST(p.code AS INT))").as("codes"))
+      // see scaladoc: byte-tiny, fan-out-heavy — pin the task count past
+      // AQE's size-based coalesce (explicit numPartitions is respected)
+      .repartition(fanPartitions(s), col("cid"))
+    val cands = codeArrs.join(broadcast(probes), "c_label")
       .filter(col("cid") =!= col("qid"))
-      .groupBy("qid", "cid", "subspace")
-      .agg(min("qdist").as("qdist"))
-      .groupBy("qid", "cid")
-      .agg(round(sum("qdist"), 6).as("adist"))
+    val withLut =
+      if (broadcastLut) cands.join(broadcast(lut), "qid")
+      // same pinning on the shuffle-lut path's qid exchange: the fold +
+      // per-query top-k stage downstream is compute-bound on byte-modest
+      // input, and at shuffle.partitions (= core count here) it is ONE
+      // wave of long tasks — the wall-dominance shape the smoke gates on.
+      // BOTH sides repartition explicitly: under AQE the smaller side's
+      // aggregation stage materializes first at the default width, and a
+      // one-sided pin is then conformed DOWN to that materialized stage
+      // instead of the stage up to the pin (measured: the qid exchange
+      // re-planned to 32 with the pin on one side only).
+      else cands.repartition(fanPartitions(s), col("qid"))
+        .join(lut.repartition(fanPartitions(s), col("qid")), "qid")
+    // fixed ascending-subspace fold of the same 6-rounded addends the
+    // aggregate formulation summed — the 6-rounded total is order-stable
+    // (the oracle-parity argument all ADC queries already rely on).
+    // graft_adc_sum is the codegen'd tight loop; see [[AdcSum]] for why
+    // the higher-order-function formulation was the whole q135 wall.
+    val adist = withLut
+      .withColumn("adist",
+        round(call_function("graft_adc_sum", col("codes"), col("lut")), 6))
+      .select("qid", "cid", "adist")
     val tw = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
     adist.withColumn("rn", row_number().over(tw))
       .filter(col("rn") <= k)
@@ -1728,7 +1803,10 @@ object SimilarityOps {
     // engine reproduces the same buckets (which is what makes the DuckDB
     // oracle exact). Bit dots are rounded before the sign test so
     // cross-engine float summation order cannot flip a boundary bit.
-    "q44_rp_lsh_neardup" -> ((s, d) => rpLshNearDup(s, prepped(s, d), L = 6, b = 8)),
+    // DEFAULT = the auto band width (r16, with q62 — see GraphOps's q62
+    // registration comment): autoBandBits floors at b0 = 8 on the oracle
+    // fixtures, so the candidate set and oracle text are unchanged there.
+    "q44_rp_lsh_neardup" -> ((s, d) => rpLshNearDupAutoAt(s, d, L = 6)),
 
     // Product-quantization code assignment — the memory side of IVF-PQ
     // ANN [Jégou et al., TPAMI'11]: the 64-dim space splits into 8
@@ -1800,6 +1878,17 @@ object SimilarityOps {
     // candidate set (q41/q43's inverted lists), PQ codes bound the
     // per-candidate cost (q66's ADC). See [[ivfPqSearch]]; the oracle pins
     // the default nProbes=2, k=5 configuration.
+    //
+    // BENCH COST LABEL (r16, the r15 verdict's #5 — the q127
+    // honest-composed-cost convention): each timed q70 run pays the FULL
+    // inline model build (centroids + codebook + codes) plus the search —
+    // ~4 s at sf0.1, build-dominated. That is the measured claim: the
+    // one-shot "train, code, and search in one query" cost. The
+    // amortized SERVING cost is the adjacent headline entry q122, whose
+    // timed runs search the saved index (build paid once per corpus via
+    // the JVM memo, outside the timed window by the warm-run convention).
+    // Read q70 as build+search and q122 as search; they share one oracle
+    // text because the results are identical.
     "q70_ivfpq_topk" -> ((s, d) => ivfPqSearch(s, d)),
 
     // Lloyd-refined coarse quantizer: one k-means iteration from the
