@@ -64,7 +64,13 @@ private[operators] object PairBuckets {
   def candidatePairs(sigs: DataFrame, keys: Seq[String], idCol: String,
       carry: Seq[String] = Nil, bar: Long = hotBucketBar): DataFrame = {
     val s = sigs.sparkSession
-    val nPar = s.sparkContext.defaultParallelism
+    // 4 waves per core (r16, the wall-dominance discipline): at one
+    // partition per core the pair-generation stage is a single wave of
+    // long tasks — max_task ≈ wall, the shape the smoke's dominance gate
+    // flags — while 4 waves keep any one task well under half the stage
+    // wall at unchanged total work. The block count B scales with it, so
+    // a hot bucket's B(B+1)/2 chunks still cover the partition count.
+    val nPar = s.sparkContext.defaultParallelism * 4
     val kc = keys.map(col)
     val aCols = (idCol +: carry).map(c => col(c).as(if (c == idCol) "ia" else s"${c}_a"))
     val bCols = (idCol +: carry).map(c => col(c).as(if (c == idCol) "ib" else s"${c}_b"))

@@ -139,7 +139,18 @@ object SimilarityOps {
     val cands = rpLshCandidates(s, base, L, b)
     val va = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
     val vb = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
-    cands.join(va, "ia").join(vb, "ib")
+    // verify-join shape (r16): the candidate stream is pair-mass-sized
+    // (quadratic within buckets — 69M rows at the 20× smoke) and each
+    // join-back attaches a 512-byte vector, so the default sort-merge
+    // plan SORTS that wide stream twice; the shuffle-hash hint builds on
+    // the corpus-sized vector side instead and streams the pairs unsorted
+    // — and the explicit width keeps the compute-bound verify off the
+    // one-wave schedule (the wall-dominance discipline; bytes-based
+    // sizing underestimates a dot-product-per-row stage).
+    val fp = fanPartitions(s)
+    cands.repartition(fp, col("ia"))
+      .join(va.hint("shuffle_hash"), "ia")
+      .join(vb.repartition(fp, col("ib")).hint("shuffle_hash"), "ib")
       .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
