@@ -692,19 +692,14 @@ object DedupOps {
       val sharr = withShingleArray(documents(s, d).join(broadcast(ids), "doc_id"))
         .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // verify-join shape (r16, the rpLshNearDup device): the candidate
-      // stream is pair-mass-sized (the skew corpus's 20%-identical
-      // boilerplate makes it ~2M quadratic-contract pairs) and each
-      // join-back attaches a shingle ARRAY — shuffle-hash builds on the
-      // candidate-bounded shingle side and streams the pairs unsorted,
-      // and the explicit width keeps the array_intersect-per-row verify
-      // off the one-wave schedule (wall-dominance discipline).
-      val fp = cand.sparkSession.sparkContext.defaultParallelism * 4
-      val res = cand.repartition(fp, col("id_a"))
-        .join(sharr.select(col("doc_id").as("id_a"), col("sh").as("sa"))
-          .hint("shuffle_hash"), "id_a")
-        .join(sharr.select(col("doc_id").as("id_b"), col("sh").as("sb"))
-          .repartition(fp, col("id_b")).hint("shuffle_hash"), "id_b")
+      // verify-join shape: PLAIN join-backs, deliberately unhinted — the
+      // shingle side is candidate-id-bounded and byte-small, so AQE
+      // broadcasts it at runtime and the pair stream never exchanges
+      // (see rpLshNearDup's r16 adjudication: hinting shuffle_hash here
+      // forbade that conversion and doubled the skew-corpus wall).
+      val res = cand
+        .join(sharr.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+        .join(sharr.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jacc",
           col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))

@@ -139,18 +139,19 @@ object SimilarityOps {
     val cands = rpLshCandidates(s, base, L, b)
     val va = base.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
     val vb = base.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
-    // verify-join shape (r16): the candidate stream is pair-mass-sized
-    // (quadratic within buckets — 69M rows at the 20× smoke) and each
-    // join-back attaches a 512-byte vector, so the default sort-merge
-    // plan SORTS that wide stream twice; the shuffle-hash hint builds on
-    // the corpus-sized vector side instead and streams the pairs unsorted
-    // — and the explicit width keeps the compute-bound verify off the
-    // one-wave schedule (the wall-dominance discipline; bytes-based
-    // sizing underestimates a dot-product-per-row stage).
-    val fp = fanPartitions(s)
-    cands.repartition(fp, col("ia"))
-      .join(va.hint("shuffle_hash"), "ia")
-      .join(vb.repartition(fp, col("ib")).hint("shuffle_hash"), "ib")
+    // verify-join shape: PLAIN join-backs, deliberately unhinted (r16
+    // adjudication): the vector side is corpus-linear and byte-small, so
+    // AQE converts both join-backs to BROADCAST at runtime — the pair
+    // stream (quadratic within buckets, 512-byte rows once vectors
+    // attach) then never exchanges at all, and the verify fuses into the
+    // pair-generation stage at PairBuckets' 4-waves-per-core width. An
+    // r16 attempt to "improve" this with shuffle_hash hints + explicit
+    // repartitions FORBADE that conversion and forced the wide stream
+    // through two full shuffles: 522 s vs 87 s on the 20× smoke corpus
+    // (isolated A/B, idle box). At lake scale, where the vector side
+    // outgrows broadcast, the planner falls back to the shuffled plan on
+    // its own — exactly the adaptivity the hint was throwing away.
+    cands.join(va, "ia").join(vb, "ib")
       .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
