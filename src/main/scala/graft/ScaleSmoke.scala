@@ -443,7 +443,16 @@ object ScaleSmoke {
       val m = measureOnce(corpusDir, fn)
       val post = Bench.calibratePar()
       bestCalPar = math.min(bestCalPar, post)
-      (m, pre > 1.5 * bestCalPar || post > 1.5 * bestCalPar)
+      // BOTH brackets must breach (r16): external host contention is
+      // sustained — it elevates the pre AND post probes — while the JVM's
+      // own post-query tail (shuffle cleanup, GC of the case's garbage)
+      // elevates only the post probe. The r16 warm-up fix exposed the
+      // either-breach version as oversensitive: the session best now comes
+      // from the pristine pre-suite moment, so mid-suite probes carrying
+      // ~0.2 s of steady background churn breached 1.5× on nearly every
+      // case, retried 3×, and stamped the whole artifact [CONTENDED] on a
+      // host with nothing else running.
+      (m, pre > 1.5 * bestCalPar && post > 1.5 * bestCalPar)
     }
 
     def runCase(q: String, corpusDir: File, prefix: String,

@@ -249,6 +249,62 @@ object DedupOps {
       .withColumn("flagged", col("n_hits") * 2 >= col("n_grams"))
   }
 
+  /** q146's operator body: LONGEST VERBATIM OVERLAP SPAN between each
+    * corpus document and each eval document — the GRADED companion to
+    * q67's boolean flags and q79's gram fraction. A decontamination
+    * review triages on "how LONG is the shared passage" (the GPT-3
+    * appendix-C convention reports contamination by overlap span, not by
+    * gram counts): one shared 5-gram is a boilerplate collision; forty
+    * CONSECUTIVE shared grams is a verbatim inclusion. Reference scope
+    * note: the reference engine has no text operators at all — this is
+    * part of the training-pipeline layer the brief adds on top.
+    *
+    * Device: positional word-5-grams on both sides (THE shared
+    * [[gram5ArrayExpr]] definition — positions kept, so NO array_distinct:
+    * a within-doc repeated gram is a distinct position), equi-join on the
+    * gram text, then gaps-and-islands per (corpus doc, eval doc,
+    * DIAGONAL = corpus pos − eval pos): matches on one diagonal whose
+    * corpus positions are consecutive are the SAME shared passage
+    * advancing token by token, so each maximal run is one overlap span of
+    * `run + 4` tokens. Output is one row per span with both start
+    * positions — (doc_id, edoc, start_pos, eval_pos) is a unique key, so
+    * the final ORDER BY is total and the hash check deterministic.
+    *
+    * Scale shape: the corpus explodes ONCE into positional grams
+    * (linear in the token stream, same bound as q48's tf table); the
+    * eval side is eval-set-sized and BROADCAST into the join (the
+    * q67/q74 shape — eval suites are fixed-size by construction, they do
+    * not grow with the corpus); the islands window partitions by
+    * (corpus doc, eval doc, diagonal) — match-bounded, never
+    * corpus-bounded, and never corpus × corpus. At 100 TB the only
+    * corpus-sized stage is the one linear gram explode every
+    * decontaminator already pays.
+    */
+  def overlapSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), posexplode(expr(gram5ArrayExpr("t"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("g"))
+    val ev = pos.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("edoc"), col("i").as("j"), col("g"))
+    val matched = pos.filter(col("doc_id") >= 10)
+      .join(broadcast(ev), "g")
+      .select(col("doc_id"), col("edoc"), (col("i") - col("j")).as("d"), col("i"), col("j"))
+    val w = Window.partitionBy("doc_id", "edoc", "d").orderBy("i")
+    val res = matched
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("doc_id", "edoc", "d", "grp")
+      .agg(min("i").as("start_pos"), min("j").as("eval_pos"),
+        (count(lit(1)) + 4).as("span_tokens"))
+      .select(col("doc_id"), col("edoc"), col("start_pos"), col("eval_pos"),
+        col("span_tokens"))
+      .orderBy(desc("span_tokens"), col("doc_id"), col("edoc"),
+        col("start_pos"), col("eval_pos"))
+    finishAndRelease(res)
+  }
+
   /** q80's operator body: C4-style duplicate-span REMOVAL — the removal
     * counterpart of the q71/q75/q76 detection family (C4's pipeline drops
     * repeated three-sentence spans corpus-wide, keeping only the first
@@ -432,6 +488,12 @@ object DedupOps {
     // — counts divide to exact decimal halves, where engine round(double)
     // implementations disagree (the q69/q78 lesson).
     "q79_decontam_frac" -> ((s, d) => decontamFraction(documents(s, d))),
+
+    // Longest verbatim overlap span per (corpus doc, eval doc) — the
+    // graded contamination report (see [[overlapSpans]]): gaps-and-islands
+    // over positional gram matches on the (corpus pos − eval pos)
+    // diagonal; one row per maximal shared passage with both starts.
+    "q146_overlap_spans" -> ((s, d) => overlapSpans(documents(s, d))),
 
     // Bloom-prefiltered decontamination: q67's exact semantics through the
     // membership-sketch plan that survives when the eval-gram set outgrows
@@ -1718,6 +1780,30 @@ object DedupOps {
                 / 10000.0 AS contam_frac,
               coalesce(h.n_hits, 0) * 2 >= t.n_grams AS flagged
        FROM tot t LEFT JOIN hits h USING (doc_id)""",
+
+    // Positional grams on both sides, islands on the (i − j) diagonal:
+    // consecutive corpus positions on one diagonal are one shared passage.
+    // BIGINT casts keep the schema lockstep with Spark's longs.
+    "q146_overlap_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       gpos AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS i,
+                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+         FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+         WHERE len(t) >= 5),
+       ev AS (SELECT doc_id AS edoc, i AS j, g FROM gpos WHERE doc_id < 10),
+       m AS (SELECT c.doc_id, e.edoc, c.i - e.j AS d, c.i, e.j
+             FROM gpos c JOIN ev e USING (g)
+             WHERE c.doc_id >= 10),
+       isl AS (SELECT doc_id, edoc, d, i, j,
+                      i - row_number() OVER (PARTITION BY doc_id, edoc, d ORDER BY i)
+                        AS grp
+               FROM m)
+       SELECT doc_id, edoc,
+              min(i) AS start_pos, min(j) AS eval_pos,
+              count(*) + 4 AS span_tokens
+       FROM isl GROUP BY doc_id, edoc, d, grp
+       ORDER BY span_tokens DESC, doc_id, edoc, start_pos, eval_pos""",
 
     "q75_boilerplate_frac" ->
       """WITH wins AS (

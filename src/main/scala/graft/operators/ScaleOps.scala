@@ -56,6 +56,39 @@ object ScaleOps {
         .orderBy("l_returnflag")
     }),
 
+    // Count-min-sketch heavy hitters over the corpus token stream (the
+    // q26 in-band discipline applied to frequency sketches). At 100 TB
+    // the exact token-frequency table is a vocab-sized shuffle; the CMS
+    // is the one-pass MERGEABLE alternative — fixed 160 KB of state per
+    // partition, partial sketches combine associatively (Cormode &
+    // Muthukrishnan 2005), so heavy hitters survive any fan-in without a
+    // second corpus pass. Two engines' sketches can never hash-match, so
+    // the output pins what IS engine-stable: the exact top-20 (computed
+    // here as the audit side — also what the oracle computes), plus
+    // Spark's own sketch validated against its own exact counts under
+    // the CMS contract (exact ≤ estimate ≤ exact + eps·N; the seed is
+    // fixed, so the verdict is deterministic). DuckDB has no CMS, so its
+    // in_band column is the constant the contract guarantees. The
+    // `.collect()` is 20 rows + one scalar — model-table-sized.
+    "q147_cms_heavy_hitters" -> ((s, d) => {
+      val tok = documents(s, d).select(explode(split(col("text"), " ")).as("w"))
+      val eps = 0.001
+      val sketch = tok.stat.countMinSketch("w", eps, 0.999, 42)
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+      val top = freq.orderBy(desc("freq"), col("w")).limit(20).collect()
+      val totalTokens = sketch.totalCount()
+      val bound = math.ceil(eps * totalTokens).toLong
+      val rows = top.iterator.zipWithIndex.map { case (r, idx) =>
+        val w = r.getString(0)
+        val exact = r.getLong(1)
+        val est = sketch.estimateCount(w)
+        val inBand = if (est >= exact && est <= exact + bound) 1L else 0L
+        ((idx + 1).toLong, w, exact, inBand)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("rank", "w", "freq", "in_band")
+    }),
+
     // Salted join vs plain join parity: revenue per skewed key computed
     // through the salting path. Oracle: plain SQL join on the parquet.
     "q29_salted_join" -> ((s, d) => {
@@ -86,6 +119,16 @@ object ScaleOps {
     "q29_salted_join" ->
       """SELECT o_orderpriority, round(sum(l_extendedprice),2) AS rev, count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Exact top-20 with the contract-guaranteed in_band constant — the
+    // Spark side computes the real sketch check (fixed seed, determinist);
+    // see the q147 registration comment.
+    "q147_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS freq FROM tok GROUP BY w)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+                w, freq, CAST(1 AS BIGINT) AS in_band
+         FROM freq ORDER BY freq DESC, w LIMIT 20"""
   )
 }
