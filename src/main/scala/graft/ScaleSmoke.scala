@@ -380,16 +380,32 @@ object ScaleSmoke {
     var worstStraggler = 0.0
 
     case class Measure(wall: Double, rows: Long, nTasks: Int, maxT: Double,
-        straggler: Double, slowStages: String)
+        straggler: Double, slowStages: String, gcFrac: Double = 0.0)
+
+    // total stop-the-world GC milliseconds so far, summed over collectors —
+    // the delta across a measured window, divided by the wall, is the
+    // GC-thrash guard's input (r16): a heap-pressured window inflates
+    // every Spark task near-uniformly (allocation stalls) while the
+    // allocation-free calibration spin loop barely notices, so neither
+    // the straggler, dominance, nor contention bars can see it. One such
+    // window posted the 10× q62 at 229.7 s (vs 34–44 s in a fresh JVM on
+    // the same corpus, same plan) with every bar green.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
 
     def measureOnce(corpusDir: File,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Measure = {
       spark.catalog.clearCache()
       durations.clear()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val res = fn(spark, corpusDir.getPath)
       val rows = res.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      val gcFrac = (gcMillis() - gc0) / 1e3 / math.max(wall, 1e-3)
       // caller-owns-cache contract; outside the timed window so *_sec stays
       // comparable with prior-round artifacts (query time, not teardown)
       res.unpersist(blocking = true)
@@ -417,7 +433,7 @@ object ScaleSmoke {
           val nm = Option(stageNames.get(sid)).getOrElse("?")
           f"[$nm n=$n working=${ds.length} max=${ds.last}%.2f med=${ds(ds.length / 2)}%.3f]"
         }.mkString(" ")
-      Measure(wall, rows, nTasks, maxT, straggler, slowStages)
+      Measure(wall, rows, nTasks, maxT, straggler, slowStages, gcFrac)
     }
 
     val walls = scala.collection.mutable.Map[String, Double]()
@@ -470,8 +486,15 @@ object ScaleSmoke {
       def dom(m: Measure): Double = if (m.wall > 0) m.maxT / m.wall else 0.0
       def domBreach(m: Measure): Boolean =
         m.wall >= domWallFloor && dom(m) > domBar
+      // GC-thrash guard (r16): >30% of the wall in stop-the-world GC is a
+      // heap-state artifact of THIS JVM's history, not the operator —
+      // retry (a post-full-GC re-run measures the settled heap), and
+      // record the fraction so a window that stays thrashed adjudicates
+      // itself in the artifact.
+      def gcBreach(m: Measure): Boolean = m.wall >= 2.0 && m.gcFrac > 0.30
       def breached(x: (Measure, Boolean)): Boolean =
-        (gated && (x._1.straggler >= stragglerBar || domBreach(x._1))) || x._2
+        (gated && (x._1.straggler >= stragglerBar || domBreach(x._1) ||
+          gcBreach(x._1))) || x._2
       while (breached(best) && attempts < 3) {
         System.err.println(
           f"[scalesmoke] $prefix$q: attempt $attempts breached " +
@@ -484,13 +507,15 @@ object ScaleSmoke {
       val (m, contended) = best
       if (gated) worstStraggler = math.max(worstStraggler, m.straggler)
       val wallDominated = gated && domBreach(m)
+      val gcThrashed = gated && gcBreach(m)
       System.err.println(
         f"[scalesmoke] $prefix$q: ${m.wall}%.2f s, ${m.rows} rows, ${m.nTasks} tasks, " +
           f"max task ${m.maxT}%.3f s, worst in-stage straggler ${m.straggler}%.2f, " +
-          f"dom ${dom(m)}%.2f" +
+          f"dom ${dom(m)}%.2f, gc ${m.gcFrac}%.2f" +
           (if (attempts > 1) s" (attempt $attempts)" else "") +
           (if (contended) " [CONTENDED]" else "") +
           (if (wallDominated) " [WALL-DOMINATED]" else "") +
+          (if (gcThrashed) " [GC-THRASHED]" else "") +
           s"; slowest stages ${m.slowStages}")
       out.append(f""","$prefix${q}_sec":${m.wall}%.2f,"$prefix${q}_rows":${m.rows}""")
       out.append(f""","$prefix${q}_tasks":${m.nTasks},"$prefix${q}_max_task_sec":${m.maxT}%.3f""")
@@ -499,6 +524,7 @@ object ScaleSmoke {
       if (attempts > 1) out.append(s""","$prefix${q}_attempts":$attempts""")
       if (contended) out.append(s""","$prefix${q}_contended":1""")
       if (wallDominated) out.append(s""","$prefix${q}_wall_dominated":1""")
+      if (gcThrashed) out.append(f""","$prefix${q}_gc_thrashed":${m.gcFrac}%.2f""")
       walls(prefix + q) = m.wall
     }
 

@@ -44,13 +44,34 @@ import org.apache.spark.sql.functions._
 private[operators] object PairBuckets {
 
   /** Bucket size above which the bucket's pair space is block-split. A
-    * bucket of exactly this size generates bar·(bar−1)/2 ≈ 0.5M
+    * bucket of exactly this size generates bar·(bar−1)/2 ≈ 0.1M
     * comparisons in one task — well inside one task's second-scale
     * budget — while the split's replication only engages where a bucket
     * alone would wall the stage (the degenerate one-hash corpus: all
     * bands collide, n(n−1)/2 pairs in ONE task without the split).
+    *
+    * Lowered 1024 → 448 with the size-PROPORTIONAL block count (r16):
+    * at 1024 with an all-or-nothing split, a clustered corpus whose
+    * buckets land just UNDER the bar (the auto band knob actively
+    * steers occupancy toward a constant, so "many near-bar buckets" is
+    * the steady state it converges to) stacked several unsplit ~0.5M-
+    * comparison blocks into single hash partitions — a reproducing
+    * in-stage straggler of 13–15× the median on the 10× embeddings
+    * smoke that no retry can launder. Proportional bn keeps the
+    * replication tax ∝ bucket_n/target (buckets at 2× the bar pay ~2
+    * chunks, not B), so lowering the bar no longer costs the
+    * just-over-bar buckets the full B(B+1)/2 fan-out the r13 comment
+    * priced.
     */
-  val hotBucketBar = 1024L
+  val hotBucketBar = 448L
+
+  /** Target same-block chunk edge for split buckets: bn ≈ bucket_n /
+    * this, so any single chunk's comparison count is bounded by
+    * ~target² (≈0.1M at 320) however large the bucket — the knob that
+    * makes task time uniform across the whole bucket-size distribution
+    * instead of bimodal at the bar.
+    */
+  val hotBucketTargetBlock = 320L
 
   /** Distinct co-bucketed (ia < ib) pairs over a `(keys…, idCol, carry…)`
     * signature frame. Each `carry` column (functionally dependent on
@@ -83,9 +104,17 @@ private[operators] object PairBuckets {
     // a degenerate one-bucket corpus.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
     val B = math.max(1, math.ceil(math.sqrt(2.0 * nPar)).toInt)
+    // block count PER ROW, proportional to bucket size (r16): bn ≈
+    // bucket_n / targetBlock bounds any one chunk's comparisons at
+    // ~target² while keeping replication ∝ bn (a bucket pays for its own
+    // size, never the degenerate-case B). The cap at B preserves the
+    // worst-case chunk count ≤ B(B+1)/2 ≈ the partition count.
     val blocked = sigs
       .withColumn("bucket_n", count(lit(1)).over(w))
-      .withColumn("bn", when(col("bucket_n") > bar, lit(B)).otherwise(lit(1)))
+      .withColumn("bn", when(col("bucket_n") > bar,
+          least(lit(B.toLong),
+            ceil(col("bucket_n") / lit(hotBucketTargetBlock.toDouble)).cast("long")))
+        .otherwise(lit(1L)))
       .withColumn("blk", pmod(hash(col(idCol)), col("bn")))
     val splitKeys = kc :+ col("ba") :+ col("bb")
     val aSide = blocked
