@@ -362,9 +362,15 @@ object ScaleSmoke {
     // one untimed corpus pass absorb both constants.
     Bench.calibrate(): Unit
     Bench.calibratePar(): Unit
-    try spark.read.parquet(new File(dir, "documents.parquet").getPath)
-      .selectExpr("sum(length(text))").collect(): Unit
-    catch { case _: Exception => () }
+    try {
+      spark.read.parquet(new File(dir, "documents.parquet").getPath)
+        .selectExpr("sum(length(text))").collect(): Unit
+      spark.read.parquet(new File(dir, "embeddings.parquet").getPath)
+        .selectExpr("sum(size(embedding))").collect(): Unit
+    } catch { case _: Exception => () }
+    // settle the corpus-generation garbage before the first timed case —
+    // the GC guard retries a thrashed window, but starting clean is free
+    System.gc()
     // same fixed-cost single-threaded probe as Bench: a contended smoke
     // window (host-level, invisible from inside the VM) inflates it, so
     // the artifact carries its own contention evidence instead of needing
