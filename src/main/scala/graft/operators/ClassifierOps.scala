@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object ClassifierOps {
 
   private def documents(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.util.Tables.documents(s, dir)
 
   /** q81's feature hashing as a table: (doc_id, bucket, c) with bucket =
     * first 16 md5 bits of the token — ONE corpus explode + combiner

@@ -85,13 +85,17 @@ private[operators] object PairBuckets {
   def candidatePairs(sigs: DataFrame, keys: Seq[String], idCol: String,
       carry: Seq[String] = Nil, bar: Long = hotBucketBar): DataFrame = {
     val s = sigs.sparkSession
-    // 4 waves per core (r16, the wall-dominance discipline): at one
-    // partition per core the pair-generation stage is a single wave of
-    // long tasks — max_task ≈ wall, the shape the smoke's dominance gate
-    // flags — while 4 waves keep any one task well under half the stage
-    // wall at unchanged total work. The block count B scales with it, so
-    // a hot bucket's B(B+1)/2 chunks still cover the partition count.
-    val nPar = s.sparkContext.defaultParallelism * 4
+    // Stage width = the session's reducer config (r16, second cut): the
+    // first cut hard-coded 4 waves per core for the smoke's multi-wave
+    // schedule (max_task ≈ wall at one wave — the dominance-gate shape),
+    // but that taxed the sf-scale bench ~1–2 s per pair stage in pure
+    // task scheduling (three 128-partition exchanges of kilobyte rows).
+    // The smoke session sets shuffle.partitions = 4 × cores, so its
+    // multi-wave width is preserved; the bench (= cores) and a production
+    // deployment each get their own configured width. The block count B
+    // scales with it, so a hot bucket's B(B+1)/2 chunks still cover the
+    // partition count.
+    val nPar = graft.util.Tables.fanWidth(s)
     val kc = keys.map(col)
     val aCols = (idCol +: carry).map(c => col(c).as(if (c == idCol) "ia" else s"${c}_a"))
     val bCols = (idCol +: carry).map(c => col(c).as(if (c == idCol) "ib" else s"${c}_b"))

@@ -109,7 +109,7 @@ object SimilarityOps {
     * with the cluster via defaultParallelism.
     */
   private def fanPartitions(s: SparkSession): Int =
-    s.sparkContext.defaultParallelism * 4
+    graft.util.Tables.fanWidth(s)
 
   /** embeddings with double-array `e` and precomputed norm `nrm`. */
   private def prepped(s: SparkSession, d: String): DataFrame = {

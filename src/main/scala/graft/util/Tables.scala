@@ -10,8 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * identically for 1 file or 100k files.
   */
 object Tables {
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fan width for compute-bound, byte-tiny stages (the PairBuckets and
+    * verify-join explicit repartitions): the session's configured reducer
+    * count, floored at the scheduling width. Replaces the hard-coded
+    * `defaultParallelism * 4` (r16): the ×4 was tuned for the smoke's
+    * multi-wave schedule but taxed the sf-scale bench with three
+    * 128-partition exchanges of kilobyte rows per pair stage (~1–2 s of
+    * pure task scheduling per invocation). The smoke session already opts
+    * into `shuffle.partitions = 4 × cores` — its multi-wave shape is
+    * unchanged — the bench keeps `= cores`, and a production deployment
+    * sets its own reducer count: the session config IS the scale knob
+    * (guide §2, partitioning derived from the deployment rather than a
+    * constant tuned for either local mode or the cluster).
+    */
+  def fanWidth(s: SparkSession): Int =
+    math.max(s.sparkContext.defaultParallelism,
+      s.sessionState.conf.numShufflePartitions)
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
