@@ -1420,15 +1420,43 @@ object DedupOps {
     * ([[deltaDedupFrom]]) and the incremental manifest
     * ([[graft.streaming.DedupManifest]]): (fp, hist_id = min doc_id).
     */
+  /** ONE text-parse/digest pass behind BOTH history tables (r16): the
+    * (doc_id, fp, lanes) projection — fingerprint regex+md5 AND the
+    * shingle-sha256 minhash lanes in a single pass over the history
+    * corpus. Before, [[historyFpTable]] and [[historyBandTable]] each
+    * re-parsed and re-digested history from scratch, and over the
+    * single-row-group fixture each pass was a 2-3 s SINGLE task
+    * (StageProf: the q112 histFp broadcast-build stage alone was half
+    * the query's wall). The projection is widened (stats-guarded no-op
+    * at lake scale) and the q112 path persists it so the two tables
+    * share one computation. Digest/integer-min derivations only — no
+    * float-summation-order exposure.
+    */
+  private[graft] def historyPrep(hist: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(hist.sparkSession)
+    graft.util.Tables.widenSmall(hist)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        TextOps.fingerprintCol(col("text")).as("fp"),
+        expr(s"graft_minhash_lanes(${shingle3ArrayExpr("t")})").as("lanes"))
+  }
+
+  private[graft] def historyFpFrom(prep: DataFrame): DataFrame =
+    prep.groupBy("fp").agg(min("doc_id").as("hist_id"))
+
+  private[graft] def historyBandsFrom(prep: DataFrame): DataFrame =
+    prep.filter(col("lanes").isNotNull)
+      .select(col("doc_id").as("h_id"),
+        explode(expr(minhashBandArrayExpr("lanes"))).as("band"))
+
   private[graft] def historyFpTable(hist: DataFrame): DataFrame =
-    hist.select(TextOps.fingerprintCol(col("text")).as("fp"), col("doc_id"))
-      .groupBy("fp").agg(min("doc_id").as("hist_id"))
+    historyFpFrom(historyPrep(hist))
 
   /** The history BAND table as [[deltaDedupCore]] consumes it: (h_id,
     * band) — same one-definition contract as [[historyFpTable]].
     */
   private[graft] def historyBandTable(hist: DataFrame): DataFrame =
-    minhashBandValues(hist).select(col("doc_id").as("h_id"), col("band"))
+    historyBandsFrom(historyPrep(hist))
 
   /** [[deltaDedup]] over an explicit documents frame with an overridable
     * broadcast guard — the seam DeltaDedupSpec drives with a tiny bar to
@@ -1448,8 +1476,14 @@ object DedupOps {
       maxBroadcastIds: Long = deltaBroadcastMaxIds): DataFrame = {
     val hist = q112HistOf(docs)
     val arr = q112ArrivalsOf(docs)
-    deltaDedupCore(arr, historyFpTable(hist), historyBandTable(hist),
+    // one persisted (doc_id, fp, lanes) pass feeds BOTH history tables
+    // (r16, see historyPrep) — released after the core's own
+    // finishAndRelease has materialized the result
+    val prep = historyPrep(hist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try deltaDedupCore(arr, historyFpFrom(prep), historyBandsFrom(prep),
       docs, maxBroadcastIds)
+    finally prep.unpersist(blocking = false)
   }
 
   /** q112's staging/candidate/verify machinery over EXPLICIT history

@@ -500,6 +500,8 @@ object MultimodalOps {
     val survivors = withK.filter(col("doc_id") === col("exact_keeper"))
       .select(col("doc_id"), col("phash").as("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hammingNearDup returns a PERSISTED pair frame (r16) — it joins the
+    // release list below; CC consumes it exactly once
     val pairs = hammingNearDup(survivors)
     val comp = GraphOps.connectedComponents(
       pairs.select(col("ia").as("u"), col("ib").as("v")))
@@ -519,7 +521,7 @@ object MultimodalOps {
     // comp is the persisted frame connectedComponents hands its caller —
     // it goes on the release list too (r12 ADVICE: it leaked one
     // keeper-sized label table per invocation for the life of the session)
-    (res, Seq(a, comp, survivors))
+    (res, Seq(a, comp, survivors, pairs))
   }
 
   private[operators] def kindWaterfall(assets: DataFrame): DataFrame = {
@@ -714,16 +716,25 @@ object MultimodalOps {
 
   private[graft] def hammingNearDup(hashes: DataFrame): DataFrame = {
     // the 8-byte dhash rides THROUGH the pair stage (PairBuckets carry):
-    // the exact Hamming verify is then row-local — no ia/ib join-backs, no
-    // re-execution of the per-row decode lineage behind `hashes`, which
-    // this plan references exactly ONCE
-    val sigs = hashes.select(col("doc_id"), col("dhash"),
+    // the exact Hamming verify is then row-local — no ia/ib join-backs.
+    // The hash frame is persisted + eagerly materialized (r16): the plan
+    // references it on BOTH sides of the bucket self-join, and under AQE
+    // the static ReuseExchange rule does not fire (measured: q105's
+    // executed plan carried the full per-row codec-decode lineage TWICE —
+    // two ~15-20 s-summed stages for one ~3 s decode's worth of work;
+    // with AQE off the same plan shows ReusedExchange). The cache is
+    // corpus-linear (doc_id + 64-bit hash) and released after the pair
+    // frame materializes.
+    val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    h.count()
+    val sigs = h.select(col("doc_id"), col("dhash"),
         explode(expr(hammingBandStructsExpr("dhash"))).as("s"))
       .select(col("doc_id"), col("dhash"), col("s.band").as("band"), col("s.v").as("v"))
-    PairBuckets.candidatePairs(sigs, Seq("band", "v"), "doc_id", carry = Seq("dhash"))
+    val res = PairBuckets.candidatePairs(sigs, Seq("band", "v"), "doc_id", carry = Seq("dhash"))
       .withColumn("hamming", expr("cast(bit_count(dhash_a ^ dhash_b) as bigint)"))
       .filter(col("hamming") <= 3)
       .select("ia", "ib", "hamming")
+    DedupOps.finishAndRelease(res, h)
   }
 
   /** q107: uniform frame sampling over the video assets — the

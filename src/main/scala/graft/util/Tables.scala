@@ -31,6 +31,26 @@ object Tables {
     math.max(s.sparkContext.defaultParallelism,
       s.sessionState.conf.numShufflePartitions)
 
+  /** Widen a byte-tiny, compute-heavy frame to [[fanWidth]] partitions —
+    * the targeted form of guide §2.5's "repartition immediately after the
+    * read". The driver fixtures are single-row-group parquet files, so a
+    * projection chain above them (fingerprint regex+md5, shingle sha256)
+    * runs as ONE task however many cores the session has; one round-robin
+    * exchange of the kilobyte rows spreads it. Guarded by the optimizer's
+    * size ESTIMATE so it is a no-op at lake scale, where the same
+    * repartition would be a full corpus shuffle (a lake table's stats are
+    * file-sized and blow the bar; its scan already has thousands of
+    * natural splits). Only sound above float-free derivations (digests,
+    * integer mins) — a re-grouped map side can move a double sum across a
+    * rounding boundary (measured on q20; see OPTIMIZATION_r16.md).
+    */
+  def widenSmall(df: DataFrame, barBytes: Long = 64L << 20): DataFrame = {
+    val est = try df.queryExecution.optimizedPlan.stats.sizeInBytes
+              catch { case _: Exception => return df }
+    if (est >= 0 && est <= barBytes) df.repartition(fanWidth(df.sparkSession))
+    else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
