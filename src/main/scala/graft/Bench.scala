@@ -221,7 +221,15 @@ object Bench {
     }
     val maxSkew = skews(0.5).foldLeft(1.0)(math.max)
     val maxSkewAll = skews(0.0).foldLeft(1.0)(math.max)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},$calKeys,"scan":$scanJson,"sf":"$sfDir"}"""
+    // the driver's capture keeps only the LAST ~2000 chars of output, and
+    // with 147 queries the line is ~8 KB — the contract header at the
+    // front ("metric"/"value") has never been visible in a captured
+    // artifact (BENCH_r01..r16 all carry a mid-line tail). The headline
+    // duplicates at the END of the line under distinct keys so the
+    // captured tail always carries the total, the query count and the
+    // failure count alongside the skew/calibration evidence.
+    val nFailed = sorted.count(_._2 < 0)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$qruns,"max_run_skew":${f"$maxSkew%.2f"},"max_run_skew_all":${f"$maxSkewAll%.2f"},$calKeys,"scan":$scanJson,"sf":"$sfDir","cpus":$resolvedCpus,"n_queries":${sorted.size},"n_failed":$nFailed,"total_sec":${f"$total%.3f"}}"""
   }
 
   /** Persist the full line to a file: BENCH_r04's captured stdout was
@@ -235,7 +243,17 @@ object Bench {
     */
   private def persist(line: String, sfDir: String): Unit = {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val out = if (sfName == "sf0.1") "BENCH_LOCAL.json"
+    // the file is also keyed on the CORE COUNT (r17): the driver re-runs
+    // the bench at a lower core count to measure scaling, and that run
+    // used to overwrite the canonical 32-core window (r16's committed
+    // BENCH_LOCAL.json was silently the c8 window), which both destroyed
+    // the evidence trail and poisoned the per-query anomaly priors (a
+    // 32-core run judged against 8-core bests flags nothing; the next
+    // 8-core run judged against 32-core bests flags half the suite). The
+    // canonical driver config (sf0.1, 32 cores) keeps the historical
+    // plain name; anything else lands in a config-suffixed side file.
+    val out = if (sfName == "sf0.1" && resolvedCpus == "32") "BENCH_LOCAL.json"
+              else if (sfName == "sf0.1") s"BENCH_LOCAL_c$resolvedCpus.json"
               else s"BENCH_LOCAL_$sfName.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
@@ -508,8 +526,13 @@ object Bench {
     // its own adjudication instead of masquerading as either noise or a
     // clean record.
     val priorBests: Map[String, Double] = try {
+      // same (sf, cpus) keying as persist(): priors are only comparable
+      // within one config — r16's c8 run overwrote the canonical file and
+      // the next 32-core window would have judged itself against 8-core
+      // bests (everything "fast", nothing flagged)
       val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-      val ref = if (sfName == "sf0.1") "BENCH_LOCAL.json"
+      val ref = if (sfName == "sf0.1" && resolvedCpus == "32") "BENCH_LOCAL.json"
+                else if (sfName == "sf0.1") s"BENCH_LOCAL_c$resolvedCpus.json"
                 else s"BENCH_LOCAL_$sfName.json"
       val p = java.nio.file.Paths.get(ref)
       if (!java.nio.file.Files.exists(p)) Map.empty

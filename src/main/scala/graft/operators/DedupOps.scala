@@ -81,8 +81,17 @@ object DedupOps {
                            element_at($tCol, i + 1), element_at($tCol, i + 2)))
           ELSE CAST(array() AS ARRAY<STRING>) END"""
 
+  /** Widened at entry (r17, guide §2.5): the shingle transform is the
+    * expensive row-local front of the whole LSH/Jaccard family, and the
+    * driver fixtures are single-row-group parquet — without the widen the
+    * chain below the first exchange runs as ONE task however many cores
+    * the session has (q49's profile showed eight racing single-task
+    * re-executions of exactly this chain). Digest/string derivations
+    * only, so the float-summation-order caveat on widenSmall does not
+    * apply; at lake scale the widen is a stats+split-count-guarded no-op.
+    */
   private def withShingleArray(docs: DataFrame): DataFrame =
-    docs
+    graft.util.Tables.widenSmall(docs)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), expr(shingle3ArrayExpr("t")).as("sh"))
 
@@ -142,6 +151,13 @@ object DedupOps {
       .filter(col("df") <= maxShingleDf)
       .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r17): three consumers (counts + both self-join sides)
+    // launch concurrently inside the first job over `pairs`, and scans of
+    // an UNFILLED cache race — each re-executes the window sort+filter
+    // above the (reused) shuffle instead of waiting (StageProf on q34: the
+    // window chain's task time appeared 2-3x). One count() fills the cache
+    // once; the consumers then read it.
+    sh.count()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -172,8 +188,12 @@ object DedupOps {
           i -> concat_ws(' ', element_at($tokCol, i), element_at($tokCol, i + 1),
             element_at($tokCol, i + 2), element_at($tokCol, i + 3), element_at($tokCol, i + 4)))"""
 
+  /** Widened at entry (r17, guide §2.5): the gram explode is the corpus-
+    * heavy front of the q67/q74/q79 family and the driver fixture is a
+    * single row group — one task otherwise. Digest/count consumers only.
+    */
   private def wordGrams5(docs: DataFrame): DataFrame =
-    docs
+    graft.util.Tables.widenSmall(docs)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"),
@@ -199,7 +219,10 @@ object DedupOps {
     * contract.
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val gramSources = docs
+    // widened at entry (r17, guide §2.5): the gram explode + collect_set
+    // partial agg runs below the one exchange (reused by both consumers)
+    // and the driver fixture is a single row group — one task otherwise
+    val gramSources = graft.util.Tables.widenSmall(docs)
       .select(col("source"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       .select(col("source"),
@@ -677,6 +700,7 @@ object DedupOps {
       val sharr = withShingleArray(docs.join(broadcast(ids), "doc_id"))
         .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sharr.count() // eager fill: both verify-join sides race an unfilled cache (r17)
       // the exact half-up integer device for the 4-decimal containments
       // and the integer threshold — see the q93 entry comment
       val res = cand
@@ -754,6 +778,7 @@ object DedupOps {
       val sharr = withShingleArray(documents(s, d).join(broadcast(ids), "doc_id"))
         .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sharr.count() // eager fill: both verify-join sides race an unfilled cache (r17)
       // verify-join shape: PLAIN join-backs, deliberately unhinted — the
       // shingle side is candidate-id-bounded and byte-small, so AQE
       // broadcasts it at runtime and the pair stream never exchanges
@@ -786,6 +811,7 @@ object DedupOps {
         .select(col("doc_id"), expr("graft_minhash_lanes(sh)").as("lanes"),
           array_distinct(col("sh")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      both.count() // eager fill: both verify-join sides race an unfilled cache (r17)
       val res = cand
         .join(both.select(col("doc_id").as("id_a"), col("lanes").as("la"), col("sh").as("sa")), "id_a")
         .join(both.select(col("doc_id").as("id_b"), col("lanes").as("lb"), col("sh").as("sb")), "id_b")
@@ -918,7 +944,10 @@ object DedupOps {
     */
   private def windowHashes(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1 token, got $w")
-    docs
+    // widened at entry (r17, guide §2.5): one md5 per (token × w) is the
+    // dominant row-local cost and the driver fixture is a single row
+    // group — one task otherwise; count consumers only (order-safe)
+    graft.util.Tables.widenSmall(docs)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -944,6 +973,7 @@ object DedupOps {
   def boilerplateFrac(docs: DataFrame, w: Int = 20): DataFrame = {
     val wins = windowHashes(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wins.count() // eager fill: dfreq and the join-back race an unfilled cache (r17)
     val dfreq = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
     val per = wins.join(dfreq, "wh")
       .groupBy("doc_id")
@@ -975,6 +1005,7 @@ object DedupOps {
     // per (token × w) is the operator's dominant row-local cost
     val wins = windowHashes(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wins.count() // eager fill: the shared-window agg and the join-back race an unfilled cache (r17)
     val shared = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
     val dupCounts = wins.join(shared, "wh")
@@ -1029,6 +1060,13 @@ object DedupOps {
       col("doc_id") +: (0 until bands).map(i =>
         md5(concat((0 until rows).map(j => col(s"h${i * rows + j}")): _*)).as(s"b$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r17): the bucket union references `banded` 2×bands times
+    // in ONE job, and racing scans of the unfilled cache re-executed the
+    // whole corpus signature chain per reference (q49's StageProf: eight
+    // concurrent single-task re-runs of this exact chain — the fixture is
+    // single-row-group, so each was the full corpus on one core). With the
+    // widened entry the one fill pass is also 32-wide instead of one task.
+    banded.count()
     val buckets = (0 until bands).map(i =>
       banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
       .reduce(_.unionByName(_))
@@ -1481,6 +1519,10 @@ object DedupOps {
     // finishAndRelease has materialized the result
     val prep = historyPrep(hist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r17): histFp sits in the staged subtree and histBands in
+    // the cand subtree of ONE job (the ids.count() guard) — racing scans
+    // of the unfilled cache each re-parse+re-digest the whole history
+    prep.count()
     try deltaDedupCore(arr, historyFpFrom(prep), historyBandsFrom(prep),
       docs, maxBroadcastIds)
     finally prep.unpersist(blocking = false)
@@ -1531,6 +1573,7 @@ object DedupOps {
     val sharr = withShingleArray(filtered)
       .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sharr.count() // eager fill: both verify-join sides race an unfilled cache (r17)
     val near = cand
       .join(sharr.select(col("doc_id"), col("sh").as("sa")), "doc_id")
       .join(sharr.select(col("doc_id").as("h_id"), col("sh").as("sb")), "h_id")

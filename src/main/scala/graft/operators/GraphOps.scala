@@ -388,7 +388,10 @@ object GraphOps {
     // sort; quality scores are row-local.
     "q65_cluster_reps" -> ((s, d) => {
       val clusters = queries("q45_dedup_clusters")(s, d)
-      val scored = documents(s, d)
+      // widened (r17, guide §2.5): the quality-score projection is the
+      // corpus-heavy front and the fixture is a single row group; the
+      // downstream argmax is a MIN — order-safe
+      val scored = graft.util.Tables.widenSmall(documents(s, d))
         .select(col("doc_id"),
           round(TextOps.qualityScoreCol(col("text")), 4).as("score"))
       val res = scored.join(clusters, "doc_id")
@@ -479,12 +482,18 @@ object GraphOps {
     */
   private def dedupDispositionStaged(docs: DataFrame,
       clusters: DataFrame): (DataFrame, DataFrame) = {
-    val scored = docs
+    val scored = graft.util.Tables.widenSmall(docs)
       .select(col("doc_id"),
         round(TextOps.qualityScoreCol(col("text")), 4).as("score"),
         TextOps.fingerprintCol(col("text")).as("fp"))
       .join(clusters, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r17): reps, fpKeeper and the assembly scan this cache as
+    // three subtrees of ONE job — racing scans of an unfilled cache each
+    // re-run the score+fingerprint corpus pass the r16 staging exists to
+    // pay once. Widened so that pass is 32-wide over the single-row-group
+    // fixture (score/fp are row-local; the aggs are MINs — order-safe).
+    scored.count()
     val reps = scored
       .groupBy("cluster_id")
       .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("best"))

@@ -490,16 +490,28 @@ object MultimodalOps {
     */
   private def kindWaterfallLazy(assets: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val a = assets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r17): the digest-election groupBy and its join-back scan
+    // `a` as TWO subtrees of one job, and the final assembly adds a third —
+    // racing scans of an unfilled cache each re-run the full synth+codec
+    // decode (StageProf on q125: ~7 corpus-decode-sized stages for 2 kinds'
+    // worth of work). One count() pays the decode exactly once per kind.
+    a.count()
     val ok = a.filter(col("ok"))
     val ek = ok.groupBy("digest").agg(min("doc_id").as("exact_keeper"))
     val withK = ok.join(ek, "digest")
       .select(col("doc_id"), col("exact_keeper"), col("phash"))
     // keeper-sized; persisted because the pair stage and the label/rep
     // joins each reference it and every reference would otherwise re-run
-    // the digest-election groupBy+join chain above it
+    // the digest-election groupBy+join chain above it. hammingNearDup
+    // sees the cache and leaves ownership HERE (r16 ADVICE medium): it
+    // used to unpersist survivors after the pair materialize, so the
+    // rep/assembly joins below recomputed the election chain.
     val survivors = withK.filter(col("doc_id") === col("exact_keeper"))
       .select(col("doc_id"), col("phash").as("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r17): the pair stage scans survivors on BOTH self-join
+    // sides — unfilled, each side re-runs the election chain
+    survivors.count()
     // hammingNearDup returns a PERSISTED pair frame (r16) — it joins the
     // release list below; CC consumes it exactly once
     val pairs = hammingNearDup(survivors)
@@ -724,9 +736,21 @@ object MultimodalOps {
     // two ~15-20 s-summed stages for one ~3 s decode's worth of work;
     // with AQE off the same plan shows ReusedExchange). The cache is
     // corpus-linear (doc_id + 64-bit hash) and released after the pair
-    // frame materializes.
-    val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    h.count()
+    // frame materializes — UNLESS the caller already persisted it
+    // (kindWaterfallLazy's survivors, PairProbe): persist on an
+    // already-cached plan is a no-op, but the release here would drop the
+    // CALLER's cache out from under its later joins (r16 ADVICE medium —
+    // q125's rep/assembly joins recomputed the digest-election chain).
+    // Cache ownership is taken only when the input arrives uncached.
+    val preCached =
+      hashes.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val h =
+      if (preCached) hashes
+      else {
+        val p = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
     val sigs = h.select(col("doc_id"), col("dhash"),
         explode(expr(hammingBandStructsExpr("dhash"))).as("s"))
       .select(col("doc_id"), col("dhash"), col("s.band").as("band"), col("s.v").as("v"))
@@ -734,7 +758,8 @@ object MultimodalOps {
       .withColumn("hamming", expr("cast(bit_count(dhash_a ^ dhash_b) as bigint)"))
       .filter(col("hamming") <= 3)
       .select("ia", "ib", "hamming")
-    DedupOps.finishAndRelease(res, h)
+    if (preCached) DedupOps.finishAndRelease(res)
+    else DedupOps.finishAndRelease(res, h)
   }
 
   /** q107: uniform frame sampling over the video assets — the

@@ -530,6 +530,10 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("c_label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r17): both pair-join sides and the audit join scan this
+    // cache as subtrees of one job — racing scans of the unfilled cache
+    // each re-run the centroid + assignment chain
+    cells.count()
     val a = cells.select(col("c_label"), col("vec_id").as("ia"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = cells.select(col("c_label"), col("vec_id").as("ib"),
@@ -578,7 +582,18 @@ object SimilarityOps {
       k: Int = 5): DataFrame = {
     require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
     val base = prepped(s, d)
+    // persisted NARROW (r17, guide §2.3/§2.5): lists (main job) and probes
+    // (broadcast-side subtree) both consume the ranked assignment, and
+    // broadcast builds run on their own threads — unpersisted, the
+    // centroid aggregation + assignment window ran TWICE concurrently
+    // (and two independent centroid avg passes even risk a summation-order
+    // desync at the round(…,6) boundary, the rankedCellsWith scaladoc
+    // hazard). Projected to (vec_id, c_label, rn) so the cache never
+    // holds embedding arrays.
     val ranked = rankedCells(base, Seq("e"))
+      .select(col("vec_id"), col("c_label"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count()
     val lists = ranked.filter(col("rn") === 1)
       .select(col("c_label"), col("vec_id").as("cid"))
     val probes = ranked.filter(col("rn") <= nProbes && col("vec_id") < 3)
@@ -587,6 +602,7 @@ object SimilarityOps {
     // codebook, and broadcast-side subtrees get no exchange reuse
     val codebook = pqCodebook(base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codebook.count() // eager fill: the LUT broadcast build races the main job's scan (r17)
     // the inverted file with PQ codes: one equi-join on vec_id (both sides
     // linear — the index build)
     val listCodes = pqCodes(base, codebook)
@@ -612,7 +628,7 @@ object SimilarityOps {
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("adist"), col("rn").cast("long").as("rn"))
       .orderBy("qid", "rn")
-    DedupOps.finishAndRelease(topk, codebook)
+    DedupOps.finishAndRelease(topk, codebook, ranked)
   }
 
   /** q39's operator body with the block count exposed: exact
@@ -1864,6 +1880,11 @@ object SimilarityOps {
       // it under the DedupOps cache contract before returning.
       val codebook = pqCodebook(base)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager fill (r17): the lut broadcast build and the main job's code
+      // assignment scan the codebook concurrently (broadcast exchanges
+      // materialize on their own threads) — racing scans of the unfilled
+      // cache each re-run the corpus-sized codebook aggregation
+      codebook.count()
       val codes = pqCodes(base, codebook)
       val lut = base.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("e").as("qe"))

@@ -252,6 +252,7 @@ object StatsOps {
     import org.apache.spark.sql.expressions.Window
     val h = kSampleHash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    h.count() // eager fill: thr/short broadcast builds race the main scan (r17)
     val space = 4294967296L // 2^32
     val thr = h.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("thr", least(lit(space),
@@ -311,7 +312,13 @@ object StatsOps {
     * pairwise matrix, not to this plan).
     */
   def sourceDivergence(docs: DataFrame): DataFrame = {
-    val cnt = docs
+    // widened at entry (r17, guide §2.5): the corpus explode + map-side
+    // count is the expensive front and the driver fixture is a single
+    // row group — one task otherwise. Order-safe: the per-word counts are
+    // integers and the JS sum is the integerized nano-bit device (sums of
+    // longs are partition-order-exact); at lake scale the widen is a
+    // stats+split-count-guarded no-op.
+    val cnt = graft.util.Tables.widenSmall(docs)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
     val ns = cnt.groupBy("source").agg(sum("cnt").as("n_s"))

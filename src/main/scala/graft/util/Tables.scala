@@ -46,8 +46,17 @@ object Tables {
     */
   def widenSmall(df: DataFrame, barBytes: Long = 64L << 20): DataFrame = {
     val est = try df.queryExecution.optimizedPlan.stats.sizeInBytes
-              catch { case _: Exception => return df }
-    if (est >= 0 && est <= barBytes) df.repartition(fanWidth(df.sparkSession))
+              catch { case scala.util.control.NonFatal(_) => return df }
+    val width = fanWidth(df.sparkSession)
+    // double guard (r16 ADVICE): the size estimate alone can underestimate
+    // a pruned projection over a genuinely large table — but such a table's
+    // scan already has >= width natural splits, so requiring BOTH a small
+    // estimate AND a narrow split count makes the lake-scale no-op claim
+    // structural rather than stats-dependent (and skips the pointless
+    // exchange when the frame is already wide enough).
+    val nPart = try df.rdd.getNumPartitions
+                catch { case scala.util.control.NonFatal(_) => return df }
+    if (est >= 0 && est <= barBytes && nPart < width) df.repartition(width)
     else df
   }
 
