@@ -41,11 +41,12 @@ object ClassifierOps {
     * groupBy, the shared front half of training and serving.
     */
   def hashedFeatures(docs: DataFrame): DataFrame =
-    graft.util.Tables.widenSmall(docs)
-      // widened at entry (r17, guide §2.5): one md5 per TOKEN over a
-      // single-row-group fixture ran as one task; digest+count derivations
-      // only, so the widen is float-safe, and a lake-scale scan already
-      // has natural splits (guarded no-op)
+    docs
+      // NOT widened (r17 adjudication): the entry widen + eager cache
+      // fills measured ×1.27–1.44 on q97/q102/q131 in a clean A/B window —
+      // the racing recomputes they remove run on idle cores at sf0.1,
+      // while the exchange + fill barriers are pure added wall. See
+      // OPTIMIZATION_r17.md "what was tried and reverted".
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .select(col("doc_id"),
@@ -58,16 +59,10 @@ object ClassifierOps {
     * broadcast back; two linear shuffles total.
     */
   def trainQualityEpoch1(docs: DataFrame): DataFrame = {
-    // labeled is consumed by the gradient join AND the final assembly; the
-    // Gopher gate tokenizes every document, so it is persisted and filled
-    // eagerly (r17) — an unfilled cache is recomputed by racing consumers
     val labeled = docs.select(col("doc_id"),
       when(TextOps.gopherKeepCol(col("text")), 1L).otherwise(0L).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labeled.count()
     val feats = hashedFeatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    feats.count()
     val w1 = feats.join(labeled, "doc_id")
       .groupBy("bucket")
       .agg(sum((col("y") * 2 - 1) * col("c")).as("w1"))
@@ -82,7 +77,6 @@ object ClassifierOps {
     val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     feats.unpersist(blocking = false)
-    labeled.unpersist(blocking = false)
     out
   }
 
@@ -186,13 +180,8 @@ object ClassifierOps {
       (substring(md5(concat(lit("auc:"), col("doc_id").cast("string"))), 1, 8)
         < aucTrainBound).as("is_train"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    split.count() // eager fill (r17): the w1 broadcast job and the main
-    // job scan this cache concurrently; unfilled, each recomputes the
-    // Gopher-gate projection (StageProf: 4 corpus-compute stages for 2
-    // cached frames — the md5-token explode and the gate each ran ~2x)
     val feats = hashedFeatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    feats.count() // eager fill — same race, the expensive side
     val w1 = feats
       .join(split.filter(col("is_train")).select("doc_id", "y"), "doc_id")
       .groupBy("bucket")
@@ -271,13 +260,8 @@ object ClassifierOps {
       (substring(md5(concat(lit("auc:"), col("doc_id").cast("string"))), 1, 8)
         < aucTrainBound).as("is_train"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    split.count() // eager fill (r17): the w1 broadcast job and the main
-    // job scan this cache concurrently; unfilled, each recomputes the
-    // Gopher-gate projection (StageProf: 4 corpus-compute stages for 2
-    // cached frames — the md5-token explode and the gate each ran ~2x)
     val feats = hashedFeatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    feats.count() // eager fill — same race, the expensive side
     val w1 = feats
       .join(split.filter(col("is_train")).select("doc_id", "y"), "doc_id")
       .groupBy("bucket")

@@ -81,17 +81,17 @@ object DedupOps {
                            element_at($tCol, i + 1), element_at($tCol, i + 2)))
           ELSE CAST(array() AS ARRAY<STRING>) END"""
 
-  /** Widened at entry (r17, guide §2.5): the shingle transform is the
-    * expensive row-local front of the whole LSH/Jaccard family, and the
-    * driver fixtures are single-row-group parquet — without the widen the
-    * chain below the first exchange runs as ONE task however many cores
-    * the session has (q49's profile showed eight racing single-task
-    * re-executions of exactly this chain). Digest/string derivations
-    * only, so the float-summation-order caveat on widenSmall does not
-    * apply; at lake scale the widen is a stats+split-count-guarded no-op.
+  /** NOT widened (r17 adjudication): an entry widen + eager banded fill
+    * was tried for the whole LSH/Jaccard family and REGRESSED the q35
+    * family ×1.3–1.6 in a clean A/B window (q35 0.97→1.56, q40 1.79→2.81,
+    * q45 1.34→1.77) — at sf0.1 the racing single-task recomputes of the
+    * signature chain run on otherwise-idle cores (wall-hidden), while the
+    * widen exchange + fill barrier are pure added wall. The single
+    * heavy-front operators that DID win kept their widens (q71/q75/q90/
+    * q110); see OPTIMIZATION_r17.md "what was tried and reverted".
     */
   private def withShingleArray(docs: DataFrame): DataFrame =
-    graft.util.Tables.widenSmall(docs)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), expr(shingle3ArrayExpr("t")).as("sh"))
 
@@ -260,13 +260,15 @@ object DedupOps {
   def decontamFraction(docs: DataFrame): DataFrame = {
     val grams = wordGrams5(docs)
     val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
-    val corpus = grams.filter(col("doc_id") >= 10)
-    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = corpus.join(broadcast(evalGrams), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    tot.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    // ONE corpus gram pass (r17, guide §2.4): the former tot/hits pair ran
+    // the explode subtree twice (per-doc total and per-doc hit count as
+    // separate aggregations joined back); a LEFT broadcast join against
+    // the hit markers lets one aggregation carry both counts —
+    // count(1) = total grams, count(hit) = non-null hits. Same rows.
+    grams.filter(col("doc_id") >= 10)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
       .withColumn("contam_frac",
         expr("(2 * n_hits * 10000 + n_grams) div (2 * n_grams)") / lit(10000.0))
       .withColumn("flagged", col("n_hits") * 2 >= col("n_grams"))
@@ -1060,13 +1062,15 @@ object DedupOps {
       col("doc_id") +: (0 until bands).map(i =>
         md5(concat((0 until rows).map(j => col(s"h${i * rows + j}")): _*)).as(s"b$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): the bucket union references `banded` 2×bands times
-    // in ONE job, and racing scans of the unfilled cache re-executed the
-    // whole corpus signature chain per reference (q49's StageProf: eight
-    // concurrent single-task re-runs of this exact chain — the fixture is
-    // single-row-group, so each was the full corpus on one core). With the
-    // widened entry the one fill pass is also 32-wide instead of one task.
-    banded.count()
+    // NO eager fill (r17 adjudication): the 2×bands racing scans of the
+    // unfilled cache DO re-execute the signature chain (q49's StageProf:
+    // eight concurrent single-task re-runs), but at sf0.1 those run on
+    // otherwise-idle cores — an explicit count() fill serialized a job
+    // barrier in front of every consumer and measured ×1.3–1.6 on the
+    // q35 family in a clean A/B window. At saturated-cluster scale the
+    // recompute is real CPU waste; the trade is documented in
+    // OPTIMIZATION_r17.md and the cache itself stays (without it the
+    // chain runs per-SIDE even sequentially).
     val buckets = (0 until bands).map(i =>
       banded.select(col("doc_id"), lit(i).as("bi"), col(s"b$i").as("bk")))
       .reduce(_.unionByName(_))
@@ -1519,10 +1523,6 @@ object DedupOps {
     // finishAndRelease has materialized the result
     val prep = historyPrep(hist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): histFp sits in the staged subtree and histBands in
-    // the cand subtree of ONE job (the ids.count() guard) — racing scans
-    // of the unfilled cache each re-parse+re-digest the whole history
-    prep.count()
     try deltaDedupCore(arr, historyFpFrom(prep), historyBandsFrom(prep),
       docs, maxBroadcastIds)
     finally prep.unpersist(blocking = false)
@@ -1573,7 +1573,6 @@ object DedupOps {
     val sharr = withShingleArray(filtered)
       .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sharr.count() // eager fill: both verify-join sides race an unfilled cache (r17)
     val near = cand
       .join(sharr.select(col("doc_id"), col("sh").as("sa")), "doc_id")
       .join(sharr.select(col("doc_id").as("h_id"), col("sh").as("sb")), "h_id")

@@ -388,10 +388,7 @@ object GraphOps {
     // sort; quality scores are row-local.
     "q65_cluster_reps" -> ((s, d) => {
       val clusters = queries("q45_dedup_clusters")(s, d)
-      // widened (r17, guide §2.5): the quality-score projection is the
-      // corpus-heavy front and the fixture is a single row group; the
-      // downstream argmax is a MIN — order-safe
-      val scored = graft.util.Tables.widenSmall(documents(s, d))
+      val scored = documents(s, d)
         .select(col("doc_id"),
           round(TextOps.qualityScoreCol(col("text")), 4).as("score"))
       val res = scored.join(clusters, "doc_id")
@@ -482,18 +479,16 @@ object GraphOps {
     */
   private def dedupDispositionStaged(docs: DataFrame,
       clusters: DataFrame): (DataFrame, DataFrame) = {
-    val scored = graft.util.Tables.widenSmall(docs)
+    val scored = docs
       .select(col("doc_id"),
         round(TextOps.qualityScoreCol(col("text")), 4).as("score"),
         TextOps.fingerprintCol(col("text")).as("fp"))
       .join(clusters, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): reps, fpKeeper and the assembly scan this cache as
-    // three subtrees of ONE job — racing scans of an unfilled cache each
-    // re-run the score+fingerprint corpus pass the r16 staging exists to
-    // pay once. Widened so that pass is 32-wide over the single-row-group
-    // fixture (score/fp are row-local; the aggs are MINs — order-safe).
-    scored.count()
+    // NO entry widen / eager fill (r17 adjudication): ×1.68 on q73 in a
+    // clean A/B window — idle-core racing recompute vs real exchange +
+    // barrier cost; the r16 staged persist itself stays (it pins the
+    // plan). See OPTIMIZATION_r17.md.
     val reps = scored
       .groupBy("cluster_id")
       .agg(min(struct((-col("score")).as("ns"), col("doc_id"))).as("best"))

@@ -490,12 +490,11 @@ object MultimodalOps {
     */
   private def kindWaterfallLazy(assets: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val a = assets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): the digest-election groupBy and its join-back scan
-    // `a` as TWO subtrees of one job, and the final assembly adds a third —
-    // racing scans of an unfilled cache each re-run the full synth+codec
-    // decode (StageProf on q125: ~7 corpus-decode-sized stages for 2 kinds'
-    // worth of work). One count() pays the decode exactly once per kind.
-    a.count()
+    // NO eager fill (r17 adjudication): a count() here + on survivors
+    // serialized the decode behind job barriers and measured ×1.06 on
+    // q125 — the racing recomputes overlap on idle cores at sf0.1. The
+    // r16 cache-ownership fix in hammingNearDup (kept) already stops the
+    // cross-call unpersist that was the real q125 leak.
     val ok = a.filter(col("ok"))
     val ek = ok.groupBy("digest").agg(min("doc_id").as("exact_keeper"))
     val withK = ok.join(ek, "digest")
@@ -509,9 +508,6 @@ object MultimodalOps {
     val survivors = withK.filter(col("doc_id") === col("exact_keeper"))
       .select(col("doc_id"), col("phash").as("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): the pair stage scans survivors on BOTH self-join
-    // sides — unfilled, each side re-runs the election chain
-    survivors.count()
     // hammingNearDup returns a PERSISTED pair frame (r16) — it joins the
     // release list below; CC consumes it exactly once
     val pairs = hammingNearDup(survivors)

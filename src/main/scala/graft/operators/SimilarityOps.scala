@@ -305,7 +305,16 @@ object SimilarityOps {
     */
   private def rpLshSigs(s: SparkSession, base: DataFrame,
       L: Int, b: Int): DataFrame = {
-    val exploded = base.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+    // widened at entry (r17, guide §2.5): the dim-explode + plane join +
+    // per-vector partial agg is the corpus-heavy front and the embeddings
+    // fixture is a single row group — one task otherwise. Order-safe
+    // DESPITE the double dot sum: every (vec_id, band, bit) group's rows
+    // derive from ONE base row (posexplode), so a row-level repartition
+    // keeps each group inside one partition and the partial-agg summation
+    // order is the array order either way. (Corpus-spanning double aggs —
+    // centroidsOf, pqCodebook — are deliberately NOT widened.)
+    val exploded = graft.util.Tables.widenSmall(base)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
     // tiny: L*b*dim rows. The dimension comes from a ONE-row probe —
     // the prior `exploded.select("pos").distinct()` ran a full corpus
     // posexplode + distinct shuffle just to learn a constant the first
@@ -530,10 +539,6 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("c_label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): both pair-join sides and the audit join scan this
-    // cache as subtrees of one job — racing scans of the unfilled cache
-    // each re-run the centroid + assignment chain
-    cells.count()
     val a = cells.select(col("c_label"), col("vec_id").as("ia"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = cells.select(col("c_label"), col("vec_id").as("ib"),

@@ -252,7 +252,6 @@ object StatsOps {
     import org.apache.spark.sql.expressions.Window
     val h = kSampleHash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    h.count() // eager fill: thr/short broadcast builds race the main scan (r17)
     val space = 4294967296L // 2^32
     val thr = h.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("thr", least(lit(space),

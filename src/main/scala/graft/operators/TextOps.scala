@@ -207,7 +207,6 @@ object TextOps {
   def surprisalSplitApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
     val surp = surprisalBase(docs, Seq("doc_id", "source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    surp.count() // eager fill: the cutoff broadcast build races the bucket scan (r17)
     // ONE sketch per source group (array of percentages), not one per
     // cutoff — two scalar calls would each maintain and merge their own
     // QuantileSummaries over every row
@@ -268,10 +267,7 @@ object TextOps {
     * the per-doc mean is one combiner-friendly aggregation.
     */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    // widened at entry (r17, guide §2.5): the bigram explode is the
-    // corpus-heavy front and the driver fixture is a single row group.
-    // Order-safe: every downstream agg is integer (micro-bit device).
-    val tf = graft.util.Tables.widenSmall(docs)
+    val tf = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("p", explode(expr(
         """CASE WHEN size(toks) >= 2
@@ -338,10 +334,7 @@ object TextOps {
     * at 100 TB.
     */
   def trigramBackoffSurprisal(docs: DataFrame): DataFrame = {
-    // widened at entry (r17, guide §2.5): the trigram explode is the
-    // corpus-heavy front and the driver fixture is a single row group.
-    // Order-safe: every downstream agg is integer (micro-bit device).
-    val tf = graft.util.Tables.widenSmall(docs)
+    val tf = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("p", explode(expr(
         """CASE WHEN size(toks) >= 3
@@ -424,20 +417,16 @@ object TextOps {
       .filter(size(col("t")) >= 5)
       .select(explode(array_distinct(expr(DedupOps.gram5ArrayExpr("t")))).as("g"))
       .distinct()
-    // widened at entry (r17, guide §2.5): the gate/fingerprint/quality
-    // projection tokenizes and digests every document, and the driver
-    // fixture is a single row group — one task otherwise. Row-local
-    // derivations only; the downstream election is an integer MIN.
-    val corpus = graft.util.Tables.widenSmall(base.filter(col("doc_id") >= 10))
+    val corpus = base.filter(col("doc_id") >= 10)
       .select(col("doc_id"), col("text"),
         gopherKeepCol(col("text")).as("gate"),
         fingerprintCol(col("text")).as("fp"),
         qualityScoreCol(col("text")).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): keeper, contam and the final assembly scan this
-    // cache as subtrees of one job — racing scans of an unfilled cache
-    // each re-run the gate+digest projection
-    corpus.count()
+    // NO entry widen / eager fill (r17 adjudication): both measured ×1.89
+    // on q113 in a clean A/B window — the racing recomputes they remove
+    // run on idle cores at sf0.1 while the exchange + fill barrier are
+    // pure added wall. See OPTIMIZATION_r17.md.
     val keeper = keeperElection(corpus.filter(col("gate")))
     val contam = corpus.filter(col("gate"))
       .join(keeper, "fp")
@@ -486,11 +475,10 @@ object TextOps {
     * materializes; the result follows the caller-owns-cache contract.
     */
   def textKeeperMap(docs: DataFrame): DataFrame = {
-    val passers = graft.util.Tables.widenSmall(docs.filter(col("doc_id") >= 10))
+    val passers = docs.filter(col("doc_id") >= 10)
       .filter(gopherKeepCol(col("text")))
       .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    passers.count() // eager fill: both join sides race an unfilled cache (r17)
     DedupOps.finishAndRelease(
       passers.join(keeperElection(passers), "fp")
         .select(col("doc_id"), col("keep_id")),
@@ -605,13 +593,8 @@ object TextOps {
     */
   def spanQualityPrune(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = graft.util.Tables.widenSmall(
-        docs.select(col("doc_id"), split(col("text"), " ").as("t")))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (r17): the unigram-model subtree and the reassembly scan
-    // this cache concurrently — racing scans re-run the corpus tokenize;
-    // widened so the fill pass is 32-wide over the single-row-group fixture
-    toks.count()
     val pos = toks.select(col("doc_id"), posexplode(col("t")))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
     val freq = pos.groupBy("w").agg(count(lit(1)).as("freq"))
