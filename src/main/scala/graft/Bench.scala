@@ -97,6 +97,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // allow shuffled-hash joins where the per-partition build side fits
+      // (guide §3.1/§9): sort-merge pays two sorts the hash join skips;
+      // scale-independent planner guidance, overridable via env for A/B
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       // events.parquet has TIMESTAMP(NANOS); read as nano longs (exact).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same join-planner guidance as Bench.newSession (r17): correctness
+      // is checked under the exact engine config the bench times
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       // events.parquet has TIMESTAMP(NANOS); read as nano longs (exact).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
