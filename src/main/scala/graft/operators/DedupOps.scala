@@ -975,7 +975,6 @@ object DedupOps {
   def boilerplateFrac(docs: DataFrame, w: Int = 20): DataFrame = {
     val wins = windowHashes(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wins.count() // eager fill: dfreq and the join-back race an unfilled cache (r17)
     val dfreq = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
     val per = wins.join(dfreq, "wh")
       .groupBy("doc_id")
@@ -1007,7 +1006,6 @@ object DedupOps {
     // per (token × w) is the operator's dominant row-local cost
     val wins = windowHashes(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wins.count() // eager fill: the shared-window agg and the join-back race an unfilled cache (r17)
     val shared = wins.groupBy("wh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
     val dupCounts = wins.join(shared, "wh")
